@@ -1,0 +1,24 @@
+"""kioss_spark — a PySpark-native analytics engine with the capabilities of
+``bonnal-enzo/kioss`` (now ``ebonnal/streamable``), re-expressed Spark-first.
+
+The reference (read-only at /root/reference) is a lazy, fluent, pull-based
+iterable-pipeline DSL (reference: streamable/stream.py:51-67). This package
+recreates that developer experience and its semantic contracts on top of the
+Spark DataFrame API — declarative plans optimized by Catalyst, columnar
+execution by Tungsten — plus the relational/LLM-data operators a 100 TB
+training-data pipeline needs (joins, aggregations, windows, dedup families,
+similarity search, text analysis, multimodal columns).
+
+Public surface:
+    Stream          — the fluent facade (kioss_spark.stream)
+    star, sidify    — function adapters (kioss_spark.functions.adapters)
+    get_spark       — tuned local SparkSession builder (kioss_spark.session)
+"""
+
+from kioss_spark.session import get_spark
+from kioss_spark.stream import Stream
+from kioss_spark.functions.adapters import sidify, star
+
+__version__ = "0.1.0"
+
+__all__ = ["Stream", "get_spark", "star", "sidify", "__version__"]

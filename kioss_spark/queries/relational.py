@@ -1,0 +1,577 @@
+"""Relational queries: TPC-H-style joins/aggregations/windows (the
+categories the reference lacks and Catalyst supplies free, SURVEY.md §2.5)
+plus facade-operator demonstrations wired to DuckDB oracles.
+
+Scale design notes, applied throughout:
+- dimension tables (region/nation/supplier/customer at these ratios) join via
+  ``F.broadcast`` — no shuffle of the fact table;
+- aggregations go through map-side partial aggregation (Spark default for
+  ``groupBy().agg``);
+- windows partition by a key wherever semantics allow (global-order windows
+  appear only in the facade-order demos, documented there);
+- every filter is a plain column predicate → parquet pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kioss_spark.queries import register
+from kioss_spark.sources import load_table
+from kioss_spark.stream import Stream
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY.md §2.5 "Aggregations")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                           AS sum_qty,
+           round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+           round(avg(l_quantity), 2)                                           AS avg_qty,
+           round(avg(l_extendedprice), 2)                                      AS avg_price,
+           round(avg(l_discount), 4)                                           AS avg_disc,
+           count(*)                                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one scan, pushed-down date filter, 8 partial-aggregated
+    metrics — the flagship. At 100 TB this is a pure map-side-combine job."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rollup_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family (absent in the reference; free via Catalyst)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "pivot_status_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END), 2) AS rev_o,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2) AS rev_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_extendedprice"), 2))
+        .withColumnRenamed("O", "rev_o")
+        .withColumnRenamed("F", "rev_f")
+    )
+
+
+@register(
+    "agg_distinct_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(*) AS BIGINT)                  AS n_orders,
+           round(avg(o_totalprice), 2)               AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg in Spark)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY.md §2.5 "Joins")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into two fact joins,
+    then a top-k — at scale the customer side is broadcast, lineitem never
+    shuffles for the dim join, and the top-10 is a TakeOrdered, not a sort."""
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five joins; every dimension side is broadcast so the
+    only shuffle left is the final small groupBy."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dims = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .join(F.broadcast(cust),
+              (F.col("o_custkey") == cust.c_custkey)
+              & (cust.c_nationkey == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@register(
+    "semi_parts_ordered",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+    """,
+)
+def semi_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+@register(
+    "anti_customers_no_pending",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def anti_customers_no_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    cust = t(spark, sf_dir, "customer")
+    pend = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return cust.join(pend, cust.c_custkey == pend.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    SELECT e.event_id, CAST(s.ts AS TIMESTAMP) AS last_signup_ts
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — Spark lacks a native one (SURVEY.md §2.5): composed as a
+    per-key running ``last(..., ignorenulls)`` window over the unioned
+    stream, which shuffles each key once and never materializes pairs.
+    DuckDB's native ASOF JOIN is the oracle."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sig_ts = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return ev.select("event_id", sig_ts.alias("last_signup_ts"))
+
+
+@register(
+    "zip_customers_suppliers",
+    oracle="""
+    WITH c AS (SELECT c_name, row_number() OVER (ORDER BY c_custkey) AS idx FROM customer),
+         s AS (SELECT s_name, row_number() OVER (ORDER BY s_suppkey) AS idx FROM supplier)
+    SELECT c.c_name AS left, s.s_name AS right FROM c JOIN s USING (idx)
+    """,
+)
+def zip_customers_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's zip pattern (README.md:481-497) via the facade:
+    index-join, truncated at the shorter side."""
+    cust = Stream.from_df(t(spark, sf_dir, "customer"), seq="c_custkey").map(F.col("c_name"))
+    supp = Stream.from_df(t(spark, sf_dir, "supplier"), seq="s_suppkey").map(F.col("s_name"))
+    return cust.zip(supp).to_df(ordered=False)
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts (SURVEY.md §2.5 "Window functions", "Sorts / top-k")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top3_customers_per_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) WHERE rn <= 3
+    """,
+)
+def top3_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running
+    FROM orders
+    """,
+)
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min flag + count — per-key windows only
+    (shuffles once on user_id; no global order anywhere)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_sess = (
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1800 * 1_000_000)
+    ).cast("long")
+    return (
+        ev.select("user_id", new_sess.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Facade operator demos (SURVEY.md §2.1) — each runs through kioss_spark.Stream
+# --------------------------------------------------------------------------
+
+
+@register(
+    "op_map_revenue",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)
+           * CAST(round((1 + l_tax) * 100) AS BIGINT) AS charge_u
+    FROM lineitem
+    """,
+)
+def op_map_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.map — column-expression fast path (JVM-side, codegen).
+
+    The per-row charge is computed in exact integer units (price-cents ×
+    discount-hundredths × tax-hundredths): per-row rounding of double
+    products is engine-dependent (Spark rounds via BigDecimal HALF_UP,
+    DuckDB on the raw binary double), so row-level derived decimals use
+    integer arithmetic — aggregate-level rounding stays safe because sums
+    land far from rounding boundaries."""
+    cents = lambda c, scale: F.round(c * scale).cast("long")  # noqa: E731
+    s = Stream.from_df(t(spark, sf_dir, "lineitem"), seq="l_orderkey").map(
+        l_orderkey=F.col("l_orderkey"),
+        l_linenumber=F.col("l_linenumber"),
+        charge_u=cents(F.col("l_extendedprice"), 100)
+        * cents(1 - F.col("l_discount"), 100)
+        * cents(1 + F.col("l_tax"), 100),
+    )
+    return s.to_df(ordered=False)
+
+
+@register(
+    "op_filter_highvalue",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 300000 AND o_orderstatus = 'O'
+    """,
+)
+def op_filter_highvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.filter — Column predicate fast path (parquet pushdown)."""
+    s = Stream.from_df(t(spark, sf_dir, "orders"), seq="o_orderkey").filter(
+        (F.col("o_totalprice") > 300000) & (F.col("o_orderstatus") == "O")
+    )
+    return s.to_df(ordered=False).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "op_flatten_tokens",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+    WHERE token <> '' GROUP BY token
+    """,
+)
+def op_flatten_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.flatten — posexplode of array values (narrow, pipelined)."""
+    docs = t(spark, sf_dir, "documents")
+    s = (
+        Stream.from_df(docs, seq="doc_id")
+        .map(F.split("text", " "))
+        .flatten()
+        .filter(F.col("value") != "")
+    )
+    return (
+        s.to_df(ordered=False)
+        .groupBy(F.col("value").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "op_groupby_key",
+    oracle="""
+    SELECT event_type AS key, CAST(count(*) AS INT) AS n FROM events GROUP BY event_type
+    """,
+)
+def op_groupby_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.groupby — co-group per key (shuffle + collect_list), then the
+    group size; array contents order-pinned by seq."""
+    ev = t(spark, sf_dir, "events")
+    s = Stream.from_df(ev, seq="event_id").map(F.col("event_type")).groupby(F.col("value"))
+    return s.to_df(ordered=False).select(F.col("key"), F.size("value").alias("n"))
+
+
+@register(
+    "op_group_batches",
+    oracle="""
+    SELECT min(o_orderkey) AS first_key, CAST(count(*) AS INT) AS n
+    FROM (SELECT o_orderkey, (row_number() OVER (ORDER BY o_orderkey) - 1) // 1000 AS bid
+          FROM orders)
+    GROUP BY bid
+    """,
+)
+def op_group_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.group(size) — batching by stream order (global-order window:
+    meaningful as consumer-side batching, not a 100 TB shuffle pattern)."""
+    orders = t(spark, sf_dir, "orders")
+    s = Stream.from_df(orders, seq="o_orderkey").map(F.col("o_orderkey")).group(size=1000)
+    df = s.to_df(ordered=False)
+    return df.select(
+        F.element_at("value", 1).alias("first_key"),
+        F.size("value").alias("n"),
+    )
+
+
+@register(
+    "op_distinct_first",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM (
+      SELECT c_custkey, c_mktsegment,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+      FROM customer) WHERE rn = 1
+    """,
+)
+def op_distinct_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.distinct — dedup keeping the FIRST occurrence in stream order
+    (the reference's contract; plain dropDuplicates keeps an arbitrary one)."""
+    cust = t(spark, sf_dir, "customer")
+    s = Stream.from_df(cust, seq="c_custkey").map(
+        F.struct("c_custkey", "c_mktsegment")
+    ).distinct(key=F.col("value.c_mktsegment"))
+    return s.to_df(ordered=False).select(
+        F.col("value.c_custkey").alias("c_custkey"),
+        F.col("value.c_mktsegment").alias("c_mktsegment"),
+    )
+
+
+@register(
+    "op_skip_truncate",
+    oracle="""
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def op_skip_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.skip + Stream.truncate — offset/limit in stream order."""
+    orders = t(spark, sf_dir, "orders")
+    s = (
+        Stream.from_df(orders, seq="o_orderkey")
+        .map(F.col("o_orderkey"))
+        .skip(count=100)
+        .truncate(count=50)
+    )
+    return s.to_df(ordered=False).select(F.col("value").alias("o_orderkey"))
+
+
+@register(
+    "op_concat_streams",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT o_orderstatus FROM orders WHERE o_totalprice > 250000
+      UNION ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+    ) GROUP BY o_orderstatus
+    """,
+)
+def op_concat_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream + Stream — concatenation as union with order-preserving seq."""
+    orders = t(spark, sf_dir, "orders")
+    a = Stream.from_df(
+        orders.where(F.col("o_totalprice") > 250000), seq="o_orderkey"
+    ).map(F.col("o_orderstatus"))
+    b = Stream.from_df(
+        orders.where(F.col("o_orderstatus") == "P"), seq="o_orderkey"
+    ).map(F.col("o_orderstatus"))
+    both = a + b
+    return (
+        both.to_df(ordered=False)
+        .groupBy(F.col("value").alias("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _parse_k_strict(element: dict) -> int:
+    """json-parse props.k; rejects odd k — the deterministic error injector
+    (the reference's odd-elements-throw oracle, tests/test_stream.py:98-106)."""
+    import json
+
+    k = json.loads(element["props"])["k"]
+    if k % 2 == 1:
+        raise ValueError(f"odd k: {k}")
+    return k
+
+
+@register(
+    "op_catch_replacement",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+                THEN -1
+                ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS value
+    FROM events
+    """,
+)
+def op_catch_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors-as-data end-to-end: a Python map that raises on odd payloads,
+    then Stream.catch(ValueError, replacement=-1). The error rows travel as
+    __err__ structs and are replaced — verified against a pure-SQL oracle."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        Stream.from_df(ev.select("event_id", "props"), seq="event_id")
+        .map(_parse_k_strict, returnType=T.LongType())
+        .catch(ValueError, replacement=-1)
+    )
+    df = s.to_df(ordered=False, keep_seq=True)
+    return df.select(
+        F.element_at(F.col("__seq__"), 1).alias("event_id"), F.col("value")
+    )

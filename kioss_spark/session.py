@@ -1,0 +1,44 @@
+"""SparkSession factory tuned for the test environment (local[N]) while
+keeping settings that carry to a real multi-executor cluster.
+
+Scale notes (100 TB target):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast conversion are the main levers when static planning
+  guesses wrong at 1000-executor scale.
+- shuffle.partitions is sized to local cores here; on a cluster this should
+  be ~2-3x total executor cores (or left to AQE's coalescing with a high
+  initial value).
+- Arrow enabled: every pandas-UDF operator in this package crosses the
+  JVM/Python boundary in columnar Arrow batches, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "kioss_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark reads it
+        # as long-nanos with this flag (see kioss_spark.sources.events_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

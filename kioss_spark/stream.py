@@ -1,0 +1,842 @@
+"""``Stream`` — the reference's fluent, lazy, immutable pipeline facade,
+re-expressed over Spark DataFrames.
+
+Reference data model (streamable/stream.py:51-67): ``Stream[T]`` decorates an
+Iterable; each fluent call returns a new immutable AST node; iteration
+compiles the node chain into a pull pipeline. Here, each fluent call builds
+DataFrame lineage (Spark's own immutable logical plan — Catalyst is the
+compiler, Tungsten the pull pipeline), and actions trigger jobs.
+
+Design decisions (SURVEY.md §7):
+
+- **Order is explicit.** The reference's implicit "upstream order" becomes a
+  hidden ``__seq__ array<bigint>`` column, lexicographically ordered.
+  Sources seed it with ``monotonically_increasing_id()`` (partition-prefixed,
+  so it respects source order without any shuffle); ``flatten`` appends the
+  explode position; ``concat`` prepends a branch tag. Ordered collection
+  sorts by it once, at the action — never mid-plan.
+- **Errors are data** (see kioss_spark.errors): fallible ops fill
+  ``__err__``; error rows flow *positionally* through every operator and an
+  uncaught error re-raises at action time — the Spark translation of the
+  reference's consumer-side re-raise (streamable/iterators.py:472-486).
+- **Fast path first.** Column-expression forms of map/filter stay entirely
+  JVM-side (whole-stage codegen); Python callables go through Arrow-batched
+  ``mapInPandas`` — never row-at-a-time serde.
+- **Concurrency maps to partitioning.** ``concurrency=n`` becomes a
+  ``repartition(n)`` floor (the reference's thread/process pools are the
+  single-machine shadow of partition parallelism); ``ordered=False`` drops
+  the action-time sort — the FDFO analog (streamable/util/futuretools.py:55-70).
+
+Scale notes: operators whose *semantics* are a total order (``group(size)``,
+``skip``/``truncate`` by count, ``zip``, consecutive ``distinct``) use a
+global-order window; they are metadata-cheap at the sizes such operators are
+meaningful for, but are documented per-method where a 100 TB user should
+reach for the key-partitioned variant instead.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+from typing import Any, Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kioss_spark import sources
+from kioss_spark.errors import (
+    ERR_COL,
+    ERR_TYPE,
+    NO_REPLACEMENT,
+    SEQ_COL,
+    err_dict,
+    rebuild_exception,
+)
+from kioss_spark.functions.adapters import async_sidify, sidify
+
+logger = logging.getLogger("kioss_spark")
+
+_SEQ_TYPE = T.ArrayType(T.LongType(), False)
+_VALUE = "value"
+
+
+def _seq_field() -> T.StructField:
+    return T.StructField(SEQ_COL, _SEQ_TYPE, False)
+
+
+def _err_field() -> T.StructField:
+    return T.StructField(ERR_COL, ERR_TYPE, True)
+
+
+class Stream:
+    """Immutable fluent pipeline over a DataFrame. Use the ``from_*`` / ``of``
+    classmethods to construct; every operator returns a new Stream."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        plan: tuple = ("source",),
+        ordered: bool = True,
+        finally_dfs: tuple = (),
+        observations: tuple = (),
+    ) -> None:
+        self._df = df
+        self._plan = tuple(plan)
+        self._ordered = ordered
+        self._finally = tuple(finally_dfs)
+        self._observations = tuple(observations)
+
+    # ------------------------------------------------------------- sources
+
+    @classmethod
+    def of(cls, spark: SparkSession, source: Any, schema=None, column: str = _VALUE) -> "Stream":
+        """Source from an Iterable or a zero-arg callable returning one
+        (reference: streamable/stream.py:51-67). DataFrame lineage re-executes
+        the source per action, matching the reference's re-iterability."""
+        if isinstance(source, DataFrame):
+            return cls.from_df(source)
+        if callable(source):
+            df = sources.from_callable(spark, source, schema=schema, column=column)
+            desc = f"of({getattr(source, '__name__', 'callable')}())"
+        else:
+            df = sources.from_iterable(spark, source, schema=schema, column=column)
+            desc = "of(iterable)"
+        return cls(cls._attach_seq(df), plan=(desc,))
+
+    @classmethod
+    def from_df(cls, df: DataFrame, seq: Any = None) -> "Stream":
+        """Wrap a DataFrame. ``seq`` (column name or Column) pins the stream
+        order to an explicit orderable column — deterministic across engines,
+        unlike file order; without it, source order is used."""
+        if seq is not None:
+            col = F.col(seq) if isinstance(seq, str) else seq
+            df = df.withColumn(SEQ_COL, F.array(col.cast("long")))
+        return cls(cls._attach_seq(df), plan=("from_df",))
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, path: str) -> "Stream":
+        return cls(cls._attach_seq(spark.read.parquet(path)), plan=(f"read_parquet({path})",))
+
+    @classmethod
+    def range(cls, spark: SparkSession, n: int, column: str = _VALUE) -> "Stream":
+        return cls(cls._attach_seq(sources.spark_range(spark, n, column)), plan=(f"range({n})",))
+
+    @staticmethod
+    def _attach_seq(df: DataFrame) -> DataFrame:
+        if SEQ_COL in df.columns:
+            return df
+        # monotonically_increasing_id is (partition_id << 33) | row_in_partition:
+        # preserves source order with zero shuffle, unique across executors.
+        return df.withColumn(SEQ_COL, F.array(F.monotonically_increasing_id()))
+
+    # ------------------------------------------------------------ plumbing
+
+    @property
+    def _data_cols(self) -> list:
+        return [c for c in self._df.columns if c not in (SEQ_COL, ERR_COL)]
+
+    @property
+    def _has_err(self) -> bool:
+        return ERR_COL in self._df.columns
+
+    @property
+    def _value_type(self) -> T.DataType:
+        cols = self._data_cols
+        if len(cols) != 1:
+            raise TypeError(
+                f"element-wise operator needs a single value column, have {cols}; "
+                "use column expressions for multi-column streams"
+            )
+        return self._df.schema[cols[0]].dataType
+
+    def _derive(self, df: DataFrame, step: str, **overrides) -> "Stream":
+        return Stream(
+            df,
+            plan=self._plan + (step,),
+            ordered=overrides.get("ordered", self._ordered),
+            finally_dfs=overrides.get("finally_dfs", self._finally),
+            observations=overrides.get("observations", self._observations),
+        )
+
+    def _element_getter(self) -> Callable[[pd.DataFrame, int], Any]:
+        cols = self._data_cols
+        if len(cols) == 1:
+            col = cols[0]
+            return lambda pdf, i: pdf[col].iloc[i]
+        return lambda pdf, i: {c: pdf[c].iloc[i] for c in cols}
+
+    def _with_fn_column(
+        self, fn: Callable[[Any], Any], out_name: str, out_type: T.DataType
+    ) -> DataFrame:
+        """Append a column computed by a Python callable over each element.
+
+        Arrow-batched ``mapInPandas`` (the reference's UDF surface is arbitrary
+        callables, streamable/stream.py:112-493 — this is the Spark slow path
+        for them). A raising fn fills ``__err__`` instead of killing the job.
+        """
+        df = self._ensure_err()
+        get = self._element_getter()
+        schema = T.StructType(list(df.schema.fields) + [T.StructField(out_name, out_type, True)])
+        err_idx = df.columns.index(ERR_COL)
+
+        def compute(batches):
+            for pdf in batches:
+                out, errs = [], []
+                for i in range(len(pdf)):
+                    prior = pdf.iloc[i, err_idx]
+                    if prior is not None:
+                        out.append(None)
+                        errs.append(prior)
+                        continue
+                    try:
+                        out.append(fn(get(pdf, i)))
+                        errs.append(None)
+                    except Exception as exc:  # noqa: BLE001 errors-as-data
+                        out.append(None)
+                        errs.append(err_dict(exc))
+                res = pdf.copy()
+                res[out_name] = pd.Series(out, index=pdf.index, dtype=object)
+                res[ERR_COL] = pd.Series(errs, index=pdf.index, dtype=object)
+                yield res
+
+        return df.mapInPandas(compute, schema=schema)
+
+    def _ensure_err(self) -> DataFrame:
+        if self._has_err:
+            return self._df
+        return self._df.withColumn(ERR_COL, F.lit(None).cast(ERR_TYPE))
+
+    def _err_or(self, pred: Column) -> Column:
+        if self._has_err:
+            return F.col(ERR_COL).isNotNull() | pred
+        return pred
+
+    def _ok(self) -> Column:
+        if self._has_err:
+            return F.col(ERR_COL).isNull()
+        return F.lit(True)
+
+    @staticmethod
+    def _ok_on(df: DataFrame) -> Column:
+        return F.col(ERR_COL).isNull() if ERR_COL in df.columns else F.lit(True)
+
+    @staticmethod
+    def _err_or_on(df: DataFrame, pred: Column) -> Column:
+        if ERR_COL in df.columns:
+            return F.col(ERR_COL).isNotNull() | pred
+        return pred
+
+    # ------------------------------------------------------------ map family
+
+    def map(
+        self,
+        transformation: Any = None,
+        returnType: Optional[T.DataType] = None,
+        concurrency: int = 1,
+        ordered: bool = True,
+        via: str = "process",
+        **exprs: Column,
+    ) -> "Stream":
+        """1→1 transform (reference: streamable/stream.py:372-392).
+
+        Forms:
+        - ``map(python_fn, returnType=...)`` — Arrow-batched; errors→``__err__``.
+        - ``map(Column)`` — JVM fast path, result column named ``value``.
+        - ``map(value=expr, other=expr2)`` — multi-column JVM fast path.
+
+        ``concurrency`` floors the partition count (the reference's pool size,
+        streamable/iterators.py:563-567 — here it is real executor
+        parallelism); ``ordered=False`` drops the action-time seq sort
+        (the FDFO mode, streamable/util/futuretools.py:55-70). ``via`` is
+        accepted for API parity; Python workers are process-based in Spark.
+        """
+        if isinstance(transformation, Column):
+            exprs = {_VALUE: transformation, **exprs}
+            transformation = None
+        if transformation is None:
+            if not exprs:
+                raise ValueError("map() needs a callable, a Column, or **exprs")
+            keep = [F.col(SEQ_COL)] + ([F.col(ERR_COL)] if self._has_err else [])
+            df = self._df.select(*keep, *[v.alias(k) for k, v in exprs.items()])
+            return self._derive(df, f"map({', '.join(exprs)})")
+
+        out_type = returnType or self._value_type
+        src = self if concurrency <= 1 else self._derive(
+            self._df.repartition(concurrency), f"repartition({concurrency})"
+        )
+        df = src._with_fn_column(transformation, "__mapped__", out_type)
+        df = df.select(
+            F.col(SEQ_COL), F.col("__mapped__").alias(_VALUE), F.col(ERR_COL)
+        )
+        name = getattr(transformation, "__name__", "fn")
+        return self._derive(
+            df, f"map({name}, concurrency={concurrency}, ordered={ordered})",
+            ordered=self._ordered and ordered,
+        )
+
+    def amap(
+        self,
+        transformation: Callable,
+        returnType: Optional[T.DataType] = None,
+        concurrency: int = 1,
+        ordered: bool = True,
+    ) -> "Stream":
+        """1→1 via async coroutines (reference: streamable/stream.py:394-411).
+
+        Spark has no async UDF: each Arrow batch drives a private asyncio loop
+        with ``concurrency`` in-flight coroutines (semaphore-bounded, the
+        reference's buffersize contract, streamable/iterators.py:529-543).
+        I/O-bound fan-out thus happens *per partition × per batch*."""
+        out_type = returnType or self._value_type
+        df = self._ensure_err()
+        get = self._element_getter()
+        schema = T.StructType([_seq_field(), T.StructField(_VALUE, out_type, True), _err_field()])
+        err_idx = df.columns.index(ERR_COL)
+        seq_idx = df.columns.index(SEQ_COL)
+
+        def run(batches):
+            import asyncio
+
+            async def one(sem, element):
+                async with sem:
+                    try:
+                        return await transformation(element), None
+                    except Exception as exc:  # noqa: BLE001
+                        return None, err_dict(exc)
+
+            async def drive(elements):
+                sem = asyncio.Semaphore(max(concurrency, 1))
+                return await asyncio.gather(*(one(sem, e) for e in elements))
+
+            for pdf in batches:
+                elements, keep_err, keep_seq = [], [], []
+                for i in range(len(pdf)):
+                    keep_seq.append(pdf.iloc[i, seq_idx])
+                    prior = pdf.iloc[i, err_idx]
+                    keep_err.append(prior)
+                    elements.append(None if prior is not None else get(pdf, i))
+                results = asyncio.run(drive([e for e, p in zip(elements, keep_err) if p is None]))
+                it = iter(results)
+                values, errs = [], []
+                for prior in keep_err:
+                    if prior is not None:
+                        values.append(None)
+                        errs.append(prior)
+                    else:
+                        v, e = next(it)
+                        values.append(v)
+                        errs.append(e)
+                yield pd.DataFrame({SEQ_COL: keep_seq, _VALUE: values, ERR_COL: errs})
+
+        name = getattr(transformation, "__name__", "coroutine")
+        return self._derive(
+            df.mapInPandas(run, schema=schema),
+            f"amap({name}, concurrency={concurrency}, ordered={ordered})",
+            ordered=self._ordered and ordered,
+        )
+
+    def foreach(
+        self, effect: Callable, concurrency: int = 1, ordered: bool = True, via: str = "process"
+    ) -> "Stream":
+        """Side effect, element passes through unchanged — rewritten to
+        ``map(sidify(effect))`` exactly like the reference
+        (streamable/visitors/iterator.py:57-66)."""
+        out = self.map(sidify(effect), concurrency=concurrency, ordered=ordered, via=via)
+        return Stream(out._df, self._plan + (f"foreach({getattr(effect, '__name__', 'fn')})",),
+                      out._ordered, out._finally, out._observations)
+
+    def aforeach(self, effect: Callable, concurrency: int = 1, ordered: bool = True) -> "Stream":
+        """Async side effect → ``amap(async_sidify(effect))``
+        (reference: streamable/visitors/iterator.py:68-76)."""
+        out = self.amap(async_sidify(effect), concurrency=concurrency, ordered=ordered)
+        return Stream(out._df, self._plan + ("aforeach",), out._ordered, out._finally,
+                      out._observations)
+
+    # ------------------------------------------------------------ filter
+
+    def filter(self, when: Any = None) -> "Stream":
+        """Keep truthy elements (reference: streamable/stream.py:189-199).
+        Column predicate = JVM fast path; callable = Arrow batch. Upstream
+        error rows always pass through (they must reach the consumer)."""
+        if when is None:
+            vcols = self._data_cols
+            pred = F.col(vcols[0]).cast("boolean") if len(vcols) == 1 else F.lit(True)
+            df = self._df.where(self._err_or(pred & F.col(vcols[0]).isNotNull()))
+            return self._derive(df, "filter(bool)")
+        if isinstance(when, Column):
+            return self._derive(self._df.where(self._err_or(when)), "filter(expr)")
+        df = self._with_fn_column(when, "__keep__", T.BooleanType())
+        df = df.where(F.col(ERR_COL).isNotNull() | F.col("__keep__")).drop("__keep__")
+        return self._derive(df, f"filter({getattr(when, '__name__', 'fn')})")
+
+    def where(self, when: Any) -> "Stream":
+        return self.filter(when)
+
+    # ------------------------------------------------------------ flatten
+
+    def flatten(self, concurrency: int = 1) -> "Stream":
+        """Ungroup array elements (reference: streamable/stream.py:263-276) —
+        Spark-first this is ``posexplode``: a narrow, pipelined op; the
+        reference's concurrent-flatten interleaving is partition parallelism
+        here (``concurrency`` floors partitions). Empty arrays vanish, order
+        extends lexicographically: ``seq' = seq ++ [pos]``."""
+        vcol = self._data_cols[0]
+        dtype = self._value_type
+        if not isinstance(dtype, T.ArrayType):
+            raise TypeError(f"flatten() requires array<..> values, got {dtype.simpleString()}")
+        df = self._df if concurrency <= 1 else self._df.repartition(concurrency)
+        # error rows must yield exactly one positional row -> explode array(NULL)
+        arr = F.col(vcol)
+        if self._has_err:
+            arr = F.when(F.col(ERR_COL).isNotNull(),
+                         F.array(F.lit(None).cast(dtype.elementType))).otherwise(arr)
+        keep_err = [F.col(ERR_COL)] if self._has_err else []
+        df = df.select(
+            F.col(SEQ_COL).alias("__pseq__"), *keep_err,
+            F.posexplode(arr).alias("__pos__", _VALUE),
+        ).select(
+            F.concat(F.col("__pseq__"), F.array(F.col("__pos__").cast("long"))).alias(SEQ_COL),
+            F.col(_VALUE), *keep_err,
+        )
+        return self._derive(df, f"flatten(concurrency={concurrency})")
+
+    # ------------------------------------------------------------ group family
+
+    def group(self, size: Optional[int] = None, interval=None, by: Any = None) -> "Stream":
+        """Batch into arrays (reference: streamable/stream.py:321-346).
+
+        - ``by=key`` → co-group equal keys: a shuffle on the key, map-side
+          partial ``collect_list`` — the scalable form.
+        - ``size`` without ``by`` → global batching by stream order; needs a
+          total order (single-partition window) — meaningful for consumer-side
+          batching, not for 100 TB (use ``by`` or ``group_within_partitions``).
+        - ``interval`` is a processing-time concept: in batch all data is
+          available, so it only matters in the streaming dialect; ignored here.
+
+        In batch, a group is never cut by an upstream error (all data is
+        present); error rows pass through positionally with a null group.
+        """
+        if interval is not None:
+            warnings.warn("group(interval=...) is a no-op in batch; see kioss_spark.streaming")
+        vcol = self._data_cols[0]
+        elem_t = self._value_type
+        df = self._ensure_err()
+        ok = df.where(F.col(ERR_COL).isNull())
+        sv = F.sort_array(F.collect_list(F.struct(F.col(SEQ_COL).alias("s"),
+                                                  F.col(vcol).alias("v"))))
+        if by is not None:
+            keyed, keycol = self._keyed(ok, by)
+            grouped = keyed.groupBy(keycol).agg(sv.alias("__sv__"))
+        else:
+            if size is None:
+                raise ValueError("group() needs size=, by=, or interval=")
+            w = Window.orderBy(F.col(SEQ_COL))
+            grouped = (
+                ok.withColumn("__bid__", ((F.row_number().over(w) - 1) / size).cast("long"))
+                .groupBy("__bid__").agg(sv.alias("__sv__"))
+            )
+        if size is not None:
+            # split each key's ordered list into size-chunks (arrays are local)
+            n_chunks = F.ceil(F.size("__sv__") / size).cast("int")
+            grouped = grouped.select(
+                F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                                      lambda i: F.slice("__sv__", i * size + 1, size))
+                          ).alias("__sv__")
+            )
+        out = grouped.select(
+            F.col("__sv__")[0]["s"].alias(SEQ_COL),
+            F.transform("__sv__", lambda x: x["v"]).alias(_VALUE),
+            F.lit(None).cast(ERR_TYPE).alias(ERR_COL),
+        )
+        if self._has_err:
+            errs = df.where(F.col(ERR_COL).isNotNull()).select(
+                F.col(SEQ_COL),
+                F.lit(None).cast(T.ArrayType(elem_t)).alias(_VALUE),
+                F.col(ERR_COL),
+            )
+            out = out.unionByName(errs)
+        return self._derive(out, f"group(size={size}, by={by is not None or None})")
+
+    def groupby(self, key: Any, size: Optional[int] = None, interval=None) -> "Stream":
+        """Like ``group(by=key)`` but yields ``(key, values)`` pairs
+        (reference: streamable/stream.py:348-370) → columns ``key, value``.
+        The reference's full/largest/oldest flush policy is a streaming
+        micro-batch concern (SURVEY.md §2.1#9); batch flush = exhaustion."""
+        if interval is not None:
+            warnings.warn("groupby(interval=...) is a no-op in batch; see kioss_spark.streaming")
+        vcol = self._data_cols[0]
+        df = self._ensure_err()
+        ok = df.where(F.col(ERR_COL).isNull())
+        keyed, keycol = self._keyed(ok, key)
+        sv = F.sort_array(F.collect_list(F.struct(F.col(SEQ_COL).alias("s"),
+                                                  F.col(vcol).alias("v"))))
+        grouped = keyed.groupBy(keycol.alias("key")).agg(sv.alias("__sv__"))
+        if size is not None:
+            n_chunks = F.ceil(F.size("__sv__") / size).cast("int")
+            grouped = grouped.select(
+                "key",
+                F.explode(F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                                      lambda i: F.slice("__sv__", i * size + 1, size))
+                          ).alias("__sv__"),
+            )
+        out = grouped.select(
+            F.col("__sv__")[0]["s"].alias(SEQ_COL),
+            F.col("key"),
+            F.transform("__sv__", lambda x: x["v"]).alias(_VALUE),
+            F.lit(None).cast(ERR_TYPE).alias(ERR_COL),
+        )
+        return self._derive(out, f"groupby(size={size})")
+
+    def _keyed(self, df: DataFrame, by: Any):
+        """Return (df_with_key, key_column). Callable keys go through the
+        Arrow path; Column/str keys stay JVM-side."""
+        if isinstance(by, Column):
+            return df, by
+        if isinstance(by, str):
+            return df, F.col(by)
+        tmp = Stream(df, self._plan, self._ordered)
+        keyed = tmp._with_fn_column(by, "__key__", T.StringType())
+        return keyed, F.col("__key__")
+
+    # ------------------------------------------------------------ distinct
+
+    def distinct(self, key: Any = None, consecutive_only: bool = False) -> "Stream":
+        """Dedup keeping the *first* occurrence by stream order (reference:
+        streamable/stream.py:166-187 — a hash-set there, a shuffle-on-key +
+        min-seq window here, which *does* spill and scale, unlike the
+        reference's unbounded set, streamable/iterators.py:105-113).
+
+        ``consecutive_only=True`` is the O(1)-memory variant: a lag window.
+        Note: consecutive dedup is inherently sequential — the global-order
+        window is single-partition; for 100 TB data use ``distinct(key)``.
+        """
+        vcol = self._data_cols[0]
+        df = self._ensure_err()
+        ok = df.where(F.col(ERR_COL).isNull())
+        if key is None:
+            keyed, keycol = ok, F.col(vcol)
+        else:
+            keyed, keycol = self._keyed(ok, key)
+        if consecutive_only:
+            w = Window.orderBy(F.col(SEQ_COL))
+            kept = keyed.withColumn("__prev__", F.lag(keycol).over(w)).where(
+                F.col("__prev__").isNull() | ~(F.col("__prev__") == keycol)
+                | keycol.isNull()
+            )
+        else:
+            w = Window.partitionBy(keycol).orderBy(F.col(SEQ_COL))
+            kept = keyed.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1)
+        kept = kept.select(SEQ_COL, vcol, ERR_COL)
+        if self._has_err:
+            kept = kept.unionByName(
+                df.where(F.col(ERR_COL).isNotNull()).select(SEQ_COL, vcol, ERR_COL)
+            )
+        return self._derive(kept, f"distinct(consecutive_only={consecutive_only})")
+
+    # ------------------------------------------------------------ skip/truncate
+
+    def skip(self, count: Optional[int] = None, until: Any = None) -> "Stream":
+        """Drop the first ``count`` elements, or everything before the first
+        ``until``-truthy element (that element is kept) — reference:
+        streamable/stream.py:432-446. Errors are never counted as skipped and
+        still propagate (reference: streamable/iterators.py:295-297)."""
+        df, pred = self._pred_df(until)
+        out = df
+        if until is not None:
+            first = out.where(pred).agg(F.min(SEQ_COL).alias("__from__"))
+            out = out.crossJoin(F.broadcast(first)).where(
+                self._err_or_on(out, F.col("__from__").isNotNull()
+                                & (F.col(SEQ_COL) >= F.col("__from__")))
+            ).drop("__from__")
+        elif count is not None:
+            w = Window.orderBy(F.col(SEQ_COL))
+            ok_rank = F.sum(self._ok_on(out).cast("long")).over(w)
+            out = out.withColumn("__okrn__", ok_rank).where(
+                self._err_or_on(out, F.col("__okrn__") > count)
+            ).drop("__okrn__")
+        else:
+            raise ValueError("skip() needs count= or until=")
+        out = out.drop("__pred__")
+        return self._derive(out, f"skip(count={count}, until={until is not None or None})")
+
+    def truncate(self, count: Optional[int] = None, when: Any = None) -> "Stream":
+        """Stop after ``count`` elements or at the first ``when``-truthy
+        element (exclusive); both set → whichever cuts first (reference:
+        streamable/stream.py:479-493, tests/test_stream.py:937-947). Errors
+        are not counted (tests/test_stream.py:900-911)."""
+        df, pred = self._pred_df(when)
+        out = df
+        if when is not None:
+            first = out.where(pred).agg(F.min(SEQ_COL).alias("__upto__"))
+            out = out.crossJoin(F.broadcast(first)).where(
+                F.col("__upto__").isNull() | (F.col(SEQ_COL) < F.col("__upto__"))
+            ).drop("__upto__")
+        if count is not None:
+            w = Window.orderBy(F.col(SEQ_COL))
+            ok_rank = F.sum(self._ok_on(out).cast("long")).over(w)
+            out = out.withColumn("__okrn__", ok_rank).where(
+                # ok rows: first `count` yields; error rows surface only while
+                # fewer than `count` yields happened before them
+                F.when(self._ok_on(out), F.col("__okrn__") <= count)
+                .otherwise(F.col("__okrn__") < count)
+            ).drop("__okrn__")
+        if count is None and when is None:
+            raise ValueError("truncate() needs count= or when=")
+        out = out.drop("__pred__")
+        return self._derive(out, f"truncate(count={count}, when={when is not None or None})")
+
+    def _pred_df(self, predicate: Any):
+        """Materialize a predicate column (JVM for Column, Arrow for callable)."""
+        if predicate is None:
+            return self._df, None
+        if isinstance(predicate, Column):
+            return self._df.withColumn("__pred__", predicate), F.col("__pred__")
+        df = self._with_fn_column(predicate, "__pred__", T.BooleanType())
+        return df, F.col("__pred__")
+
+    # ------------------------------------------------------------ throttle/observe
+
+    def throttle(self, per_second=None, per_minute=None, per_hour=None, interval=None) -> "Stream":
+        """Rate limiting (reference: streamable/stream.py:448-477) is a
+        *processing-time* contract with no batch meaning: Spark-first it maps
+        to streaming source rate options (``rowsPerSecond``,
+        ``maxFilesPerTrigger``, trigger intervals — see kioss_spark.streaming).
+        In batch it records the intent and warns."""
+        warnings.warn(
+            "throttle() has no effect in batch mode; use kioss_spark.streaming "
+            "rate options for a live rate limit"
+        )
+        return self._derive(
+            self._df,
+            f"throttle(per_second={per_second}, per_minute={per_minute}, "
+            f"per_hour={per_hour}, interval={interval})",
+        )
+
+    def observe(self, what: str = "elements") -> "Stream":
+        """Progress metrics (reference: streamable/stream.py:413-430) via
+        ``DataFrame.observe`` — zero-cost accumulators evaluated inline with
+        the plan, logged after each action (the reference logs at log2
+        cadence during iteration; Spark actions are the natural checkpoints).
+        """
+        obs = Observation(f"observe_{len(self._observations)}_{what}")
+        vcols = self._data_cols
+        metrics = [F.count(F.lit(1)).alias("count")]
+        if self._has_err:
+            metrics.append(F.sum(F.col(ERR_COL).isNotNull().cast("long")).alias("errors"))
+        df = self._df.observe(obs, *metrics)
+        return self._derive(df, f"observe({what!r})",
+                            observations=self._observations + ((what, obs),))
+
+    # ------------------------------------------------------------ combine
+
+    def __add__(self, other: "Stream") -> "Stream":
+        """Concatenation (reference: streamable/stream.py:85-89 desugars to
+        flatten-of-two-streams) — Spark-first it is a union; order is kept by
+        prefixing a branch tag onto the seq."""
+        left = self._ensure_err().withColumn(SEQ_COL, F.concat(F.array(F.lit(0).cast("long")),
+                                                               F.col(SEQ_COL)))
+        right = other._ensure_err().withColumn(SEQ_COL, F.concat(F.array(F.lit(1).cast("long")),
+                                                                 F.col(SEQ_COL)))
+        df = left.unionByName(right)
+        return Stream(df, self._plan + ("+",), self._ordered and other._ordered,
+                      self._finally + other._finally,
+                      self._observations + other._observations)
+
+    def zip(self, other: "Stream") -> "Stream":
+        """Elementwise pairing (reference README pattern, README.md:481-497):
+        index each side with a global ``row_number`` and equi-join — result
+        columns ``left``/``right``, truncated at the shorter side (inner
+        join). Order-by-index is inherently a total order; at scale prefer a
+        real key join."""
+        lv, rv = self._data_cols[0], other._data_cols[0]
+        w = Window.orderBy(F.col(SEQ_COL))
+        ldf = self._df.where(self._ok()).select(
+            F.row_number().over(w).alias("__idx__"), F.col(lv).alias("left"))
+        rdf = other._df.where(other._ok()).select(
+            F.row_number().over(w).alias("__idx__"), F.col(rv).alias("right"))
+        df = (
+            ldf.join(rdf, "__idx__", "inner")
+            .select(F.array(F.col("__idx__").cast("long")).alias(SEQ_COL), "left", "right")
+        )
+        return Stream(df, self._plan + ("zip",), self._ordered and other._ordered,
+                      self._finally + other._finally,
+                      self._observations + other._observations)
+
+    # ------------------------------------------------------------ catch
+
+    def catch(
+        self,
+        kind: Any = Exception,
+        when: Optional[Callable] = None,
+        replacement: Any = NO_REPLACEMENT,
+        finally_raise: bool = False,
+    ) -> "Stream":
+        """Swallow matching upstream errors (reference: streamable/stream.py:112-131):
+        matched error rows are dropped, or replaced by ``replacement``.
+        ``finally_raise=True`` re-raises the first caught error after the
+        action completes — chained catches re-raise downstream-first
+        (reference: tests/test_stream.py:1395-1414)."""
+        if not self._has_err:
+            return self._derive(self._df, "catch(no-op)")
+        name = kind.__name__ if isinstance(kind, type) else str(kind)
+        matches = F.col(ERR_COL).isNotNull()
+        if name not in ("Exception", "BaseException"):
+            matches = matches & (F.col(ERR_COL)["kind"] == name)
+        if when is not None:
+            flagged = self._map_err_pred(when)
+            self_df = self._df.join(flagged, SEQ_COL, "left")
+            matches = matches & F.coalesce(F.col("__when__"), F.lit(False))
+        else:
+            self_df = self._df
+        finally_dfs = self._finally
+        if finally_raise:
+            caught = self_df.where(matches).select(SEQ_COL, ERR_COL)
+            finally_dfs = finally_dfs + (caught,)
+        if replacement is not NO_REPLACEMENT:
+            vcol = self._data_cols[0]
+            df = self_df.withColumn(
+                vcol, F.when(matches, F.lit(replacement)).otherwise(F.col(vcol))
+            ).withColumn(ERR_COL, F.when(matches, F.lit(None).cast(ERR_TYPE))
+                         .otherwise(F.col(ERR_COL)))
+        else:
+            df = self_df.where(~matches)
+        if when is not None:
+            df = df.drop("__when__")
+        return self._derive(df, f"catch({name}, replacement={replacement is not NO_REPLACEMENT}, "
+                                f"finally_raise={finally_raise})",
+                            finally_dfs=finally_dfs)
+
+    def _map_err_pred(self, when: Callable) -> DataFrame:
+        """Evaluate ``when`` over error payloads -> (seq, __when__ bool)."""
+        df = self._df.where(F.col(ERR_COL).isNotNull())
+        schema = T.StructType([_seq_field(), T.StructField("__when__", T.BooleanType(), True)])
+        err_idx = df.columns.index(ERR_COL)
+        seq_idx = df.columns.index(SEQ_COL)
+
+        def compute(batches):
+            for pdf in batches:
+                seqs, flags = [], []
+                for i in range(len(pdf)):
+                    seqs.append(pdf.iloc[i, seq_idx])
+                    e = pdf.iloc[i, err_idx]
+                    exc = rebuild_exception(e["kind"], e["message"])
+                    try:
+                        flags.append(bool(when(exc)))
+                    except Exception:  # noqa: BLE001
+                        flags.append(False)
+                yield pd.DataFrame({SEQ_COL: seqs, "__when__": flags})
+
+        return df.mapInPandas(compute, schema=schema)
+
+    # ------------------------------------------------------------ actions
+
+    def to_df(self, ordered: Optional[bool] = None, keep_seq: bool = False,
+              keep_err: bool = False) -> DataFrame:
+        """User-visible DataFrame — the bridge into raw DataFrame-land.
+
+        ``ordered=False`` skips the action-time sort (pass it whenever the
+        next step is an aggregation/join: Catalyst cannot always prove the
+        sort useless). Internal columns are stripped unless kept."""
+        df = self._df
+        if ordered is None:
+            ordered = self._ordered
+        if ordered:
+            df = df.orderBy(F.col(SEQ_COL))
+        drops = ([] if keep_seq else [SEQ_COL]) + ([] if keep_err else [ERR_COL])
+        return df.drop(*drops)
+
+    def _pre_action(self) -> None:
+        # uncaught error -> re-raise at the consumer, positioned by seq
+        if self._has_err:
+            row = (
+                self._df.where(F.col(ERR_COL).isNotNull())
+                .orderBy(F.col(SEQ_COL))
+                .select(ERR_COL)
+                .first()
+            )
+            if row is not None:
+                e = row[ERR_COL]
+                raise rebuild_exception(e["kind"], e["message"])
+
+    def _post_action(self) -> None:
+        # finally_raise: most-downstream catch raises first
+        for caught in reversed(self._finally):
+            row = caught.orderBy(F.col(SEQ_COL)).first()
+            if row is not None:
+                e = row[ERR_COL]
+                raise rebuild_exception(e["kind"], e["message"])
+
+    def _log_observations(self) -> None:
+        for what, obs in self._observations:
+            try:
+                logger.info("observe[%s]: %s", what, obs.get)
+            except Exception:  # pragma: no cover - observation not triggered
+                pass
+
+    def count(self) -> int:
+        """Exhaust and count yields (reference: streamable/stream.py:133-141)."""
+        self._pre_action()
+        n = self._df.count()
+        self._log_observations()
+        self._post_action()
+        return n
+
+    def collect(self) -> list:
+        """Materialize as a list of elements (scalars for single-column
+        streams, Rows otherwise), ordered by stream order when ordered."""
+        self._pre_action()
+        df = self._df
+        if self._ordered:
+            df = df.orderBy(F.col(SEQ_COL))
+        vcols = self._data_cols
+        rows = df.select(*vcols).collect()
+        self._log_observations()
+        self._post_action()
+        if len(vcols) == 1:
+            return [r[0] for r in rows]
+        return rows
+
+    def __iter__(self) -> Iterator:
+        """Stream results to the driver without materializing everything —
+        ``toLocalIterator`` is the honest analog of the reference's pull
+        iterator (one partition in flight at a time)."""
+        self._pre_action()
+        df = self._df
+        if self._ordered:
+            df = df.orderBy(F.col(SEQ_COL))
+        vcols = self._data_cols
+        single = len(vcols) == 1
+        for row in df.select(*vcols).toLocalIterator():
+            yield row[0] if single else row
+        self._log_observations()
+        self._post_action()
+
+    def __call__(self) -> "Stream":
+        """Exhaust for side effects, return self (reference:
+        streamable/stream.py:143-151)."""
+        self.count()
+        return self
+
+    # ------------------------------------------------------------ inspection
+
+    def display(self, level: int = logging.INFO) -> str:
+        text = str(self)
+        logger.log(level, text)
+        return text
+
+    def __repr__(self) -> str:
+        return str(self)
+
+    def __str__(self) -> str:
+        lines = ["Stream("]
+        for i, step in enumerate(self._plan):
+            lines.append("    " * 1 + "." * min(i, 1) + step if i else "    " + step)
+        lines.append(")")
+        return "\n".join(lines)
+
+    def explain(self, mode: str = "formatted") -> None:
+        """Spark physical plan — the real EXPLAIN (the reference's repr shows
+        the logical chain; ours additionally exposes Catalyst's decisions)."""
+        self._df.explain(mode=mode)

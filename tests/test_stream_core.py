@@ -1,0 +1,174 @@
+"""Stream facade unit tests — oracles are Python builtins over the same
+inputs, mirroring the reference's test strategy (reference:
+tests/test_stream.py:376-381 map-vs-builtins, :793-806 filter, :830-845
+skip/truncate-vs-slicing, :1268-1299 distinct, canonical src=range(256)
+:114-117)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kioss_spark import Stream, star
+
+N = 256
+
+
+@pytest.fixture()
+def ints(spark):
+    return Stream.range(spark, N)
+
+
+def double(x):
+    return x * 2
+
+
+def test_map_fn_vs_builtin(ints):
+    assert ints.map(double, returnType=T.LongType()).collect() == list(map(double, range(N)))
+
+
+def test_map_expr(ints):
+    assert ints.map(F.col("value") * 2).collect() == [x * 2 for x in range(N)]
+
+
+def test_map_concurrency_preserves_order(ints):
+    out = ints.map(double, returnType=T.LongType(), concurrency=4).collect()
+    assert out == [x * 2 for x in range(N)]
+
+
+def test_map_unordered_same_multiset(ints):
+    out = ints.map(double, returnType=T.LongType(), concurrency=4, ordered=False).collect()
+    assert sorted(out) == [x * 2 for x in range(N)]
+
+
+def test_filter_fn_vs_builtin(ints):
+    odd = lambda x: x % 2 == 1  # noqa: E731
+    assert ints.filter(odd).collect() == list(filter(odd, range(N)))
+
+
+def test_filter_default_truthiness(spark):
+    s = Stream.of(spark, [0, 1, 2, 0, 3])
+    assert s.filter().collect() == [1, 2, 3]
+
+
+def test_foreach_passthrough(ints):
+    assert ints.foreach(lambda x: None).collect() == list(range(N))
+
+
+def test_amap(ints):
+    async def adouble(x):
+        return x * 2
+
+    assert ints.amap(adouble, returnType=T.LongType(), concurrency=8).collect() == [
+        x * 2 for x in range(N)
+    ]
+
+
+def test_flatten_vs_chain(spark):
+    data = [[0] * 4, [1] * 4, [], [2]]
+    s = Stream.of(spark, data, schema=T.StructType(
+        [T.StructField("value", T.ArrayType(T.LongType()))]))
+    # of() wraps scalars; build arrays via createDataFrame directly
+    df = spark.createDataFrame([(x,) for x in data], ["value"])
+    s = Stream.from_df(df)
+    assert s.flatten().collect() == [0, 0, 0, 0, 1, 1, 1, 1, 2]
+
+
+def test_group_size(spark):
+    s = Stream.range(spark, 10).group(size=4)
+    assert s.collect() == [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9]]
+
+
+def test_group_by_key(spark):
+    s = Stream.range(spark, 10).group(by=F.col("value") % 2)
+    groups = sorted(s.collect())
+    assert groups == [[0, 2, 4, 6, 8], [1, 3, 5, 7, 9]]
+
+
+def test_groupby_pairs(spark):
+    s = Stream.range(spark, 10).groupby(F.col("value") % 2 == 0)
+    rows = {r["key"]: r["value"] for r in s.to_df(ordered=False).collect()}
+    assert rows == {True: [0, 2, 4, 6, 8], False: [1, 3, 5, 7, 9]}
+
+
+def test_distinct_keeps_first(spark):
+    s = Stream.of(spark, list("foobarfooo"))
+    assert s.distinct().collect() == ["f", "o", "b", "a", "r"]
+
+
+def test_distinct_consecutive_only(spark):
+    s = Stream.of(spark, list("aabbcccaabbcccc"))
+    assert s.distinct(consecutive_only=True).collect() == list("abcabc")
+
+
+def test_distinct_with_key(spark):
+    s = Stream.of(spark, ["a", "foo", "bar", "z"])
+    assert s.distinct(key=F.length("value")).collect() == ["a", "foo"]
+
+
+def test_skip_count_vs_slicing(ints):
+    assert ints.skip(count=10).collect() == list(range(N))[10:]
+
+
+def test_skip_until(ints):
+    s = ints.skip(until=F.col("value") >= 100)
+    assert s.collect() == list(range(100, N))
+
+
+def test_truncate_count_vs_slicing(ints):
+    assert ints.truncate(count=7).collect() == list(range(N))[:7]
+
+
+def test_truncate_when_exclusive(ints):
+    assert ints.truncate(when=F.col("value") == 5).collect() == [0, 1, 2, 3, 4]
+
+
+def test_truncate_both_whichever_first(ints):
+    # both set -> whichever cuts first (reference: tests/test_stream.py:937-947)
+    assert ints.truncate(count=3, when=F.col("value") == 5).collect() == [0, 1, 2]
+    assert ints.truncate(count=50, when=F.col("value") == 5).collect() == [0, 1, 2, 3, 4]
+
+
+def test_concat(spark):
+    a = Stream.of(spark, [1, 2, 3])
+    b = Stream.of(spark, [4, 5])
+    assert (a + b).collect() == [1, 2, 3, 4, 5]
+
+
+def test_zip(spark):
+    a = Stream.range(spark, 10)
+    b = Stream.range(spark, 5).map(F.col("value") * F.col("value"))
+    rows = a.zip(b).collect()
+    assert [(r["left"], r["right"]) for r in rows] == [(i, i * i) for i in range(5)]
+
+
+def test_star_on_zip(spark):
+    a = Stream.range(spark, 5)
+    b = Stream.range(spark, 5)
+    zipped = a.zip(b)
+    out = zipped.map(star(lambda left, right: left + right), returnType=T.LongType())
+    assert out.collect() == [0, 2, 4, 6, 8]
+
+
+def test_count_and_call(ints):
+    assert ints.count() == N
+    assert ints().count() == N  # __call__ exhausts and returns self
+
+
+def test_iteration(spark):
+    assert list(Stream.range(spark, 5)) == [0, 1, 2, 3, 4]
+
+
+def test_reiterability(spark):
+    s = Stream.range(spark, 5).map(F.col("value") + 1)
+    assert s.collect() == s.collect() == [1, 2, 3, 4, 5]
+
+
+def test_immutability(ints):
+    mapped = ints.map(F.col("value") * 2)
+    assert mapped is not ints
+    assert ints.collect() == list(range(N))
+
+
+def test_repr_contains_chain(ints):
+    text = str(ints.map(F.col("value") * 2).filter(F.col("value") > 0))
+    assert "map" in text and "filter" in text and "range(256)" in text
