@@ -57,8 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalized here to a microsecond TimestampType — the same truncation
     DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        # The driver's harness builds a plain SparkSession; a runtime conf set
+        # is honored by the parquet reader, so set it here rather than relying
+        # on session-construction time (kioss_spark.session.get_spark).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         # integer DIV, not `/`: epoch-nanos (~1.7e18) overflow double precision
@@ -86,6 +91,11 @@ def from_iterable(
     first = data[0]
     if schema is None and not isinstance(first, (dict, tuple, list)):
         return spark.createDataFrame([(x,) for x in data], schema=[column])
+    n_fields = len(schema.fields) if hasattr(schema, "fields") else None
+    if n_fields == 1 and not isinstance(first, (dict, tuple)):
+        # single-column schema: each element IS the column value (a list
+        # element is an ArrayType value, not a multi-field row)
+        return spark.createDataFrame([(x,) for x in data], schema=schema)
     return spark.createDataFrame(data, schema=schema)
 
 
