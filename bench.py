@@ -29,9 +29,10 @@ HEADLINE = [
     "op_map_revenue",
     "op_flatten_tokens",
     "op_catch_replacement",
-    # LLM-data headliners (registered by kioss_spark.queries.llm)
+    # LLM-data headliners (kioss_spark.queries.llm / kioss_spark.operators)
     "dedup_exact",
     "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality",
 ]
@@ -45,28 +46,31 @@ def main() -> None:
     # warm the JVM + parquet footers so q1 doesn't pay session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    missing: list[str] = []
     for name in HEADLINE:
         q = registry.get(name)
         if q is None:
+            # fail loudly: a missing headliner must not silently shrink the total
+            timings[name] = None
+            missing.append(name)
             continue
         t0 = time.perf_counter()
         df = q.fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if missing:
+        out["missing"] = missing
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,8 +1,12 @@
-"""Relational + LLM-data operators beyond the reference's surface.
+"""LLM-data-pipeline operators: deduplication families, similarity search,
+text analysis, multimodal column plumbing (the 100 TB north star beyond the
+reference's surface — SURVEY.md §7 step 7).
 
-The reference has no joins/aggregations/windows (SURVEY.md §2.5) — Catalyst
-provides them free. This package holds what Spark does *not* ship:
-deduplication families, similarity search, text analysis, multimodal column
-plumbing — each designed for 100 TB (shuffle-on-key, broadcast small sides,
-inverted-index joins instead of cross joins).
+Submodules:
+- ``text`` — tokenize/shingle/hash/quality/lang-ID column algebra
+- ``dedup`` — exact, n-gram-Jaccard, MinHash-LSH, SimHash
+- ``similarity`` — brute-force + IVF cosine top-k over embeddings
+- ``multimodal`` — binary payload plumbing, Arrow-batched decode stubs
 """
+
+from kioss_spark.operators import dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+payloads with typed metadata, processed in Arrow-batched Pandas over
+``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libs in this container): the
+"decoder" is a clearly-marked deterministic fake deriving metadata from the
+payload bytes, so the Spark-side plumbing — schema, batching, UDF signature,
+partition behavior — is real and tested, and the DuckDB oracle can verify it
+end-to-end. Swap ``_fake_decode_meta`` for PIL/ffmpeg in a real deployment
+(``decode_image_real`` shows the gated seam).
+
+Scale notes: binary payloads ride the scan (parquet BYTE_ARRAY, column-pruned
+when untouched); metadata extraction is a narrow mapInPandas (no shuffle);
+frame sampling fans out rows but stays narrow (explode, no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["with_payload", "image_meta", "frame_sample", "decode_image_real"]
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def with_payload(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    The fixtures carry no real media, so the payload is the utf-8 bytes of
+    the text column — the *schema shape* (binary + struct metadata) is what a
+    real pipeline would carry for image/audio blobs.
+    """
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("img/fake").alias("fmt"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_meta(payload: bytes) -> tuple[int, int, int, str]:
+    """DETERMINISTIC FAKE decode — stands in for an image decoder.
+    Derives (n_bytes, width, height, md5) purely from the payload so the
+    oracle can reproduce it. Real decode: see decode_image_real."""
+    n = len(payload)
+    return n, 64 + n % 448, 64 + (n * 7) % 448, hashlib.md5(payload).hexdigest()
+
+
+def image_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column.
+
+    This is the real plumbing: mapInPandas receives pandas batches of bytes
+    objects, emits a typed result frame — exactly how a PIL/libvips decode
+    would run, minus the actual codec.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_fake_decode_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "fmt": [m["fmt"] for m in pdf["meta"]],
+                    "n_bytes": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
+                    "checksum": [r[3] for r in rows],
+                }
+            )
+
+    return docs_with_payload.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+
+
+def frame_sample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frame_chars: int = 48,
+    stride: int = 4,
+) -> DataFrame:
+    """"Video" frame sampling: treat the document as a sequence of
+    fixed-width frames, keep every ``stride``-th, fingerprint each.
+
+    Runs in mapInPandas to exercise the batched fan-out shape a real
+    frame-decoder has (one input row → many output rows)."""
+
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = (len(text) + frame_chars - 1) // frame_chars
+                for i in range(0, n_frames, stride):
+                    frame = text[i * frame_chars : (i + 1) * frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return src.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - gated stub
+    """The seam for a real decoder. Image/audio libraries are not available
+    in this environment by design; a deployment would replace this with
+    PIL.Image.open(io.BytesIO(payload)) etc."""
+    try:
+        import PIL.Image  # type: ignore  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires an image library (not installed here); "
+            "use image_meta() for the deterministic-fake pipeline"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here in a real deployment")

@@ -1,0 +1,106 @@
+"""Text-analysis operators for LLM-data pipelines — tokenization, shingling,
+deterministic hashing, quality scoring, language-ID, fingerprinting.
+
+Everything here is pure ``pyspark.sql.functions`` column algebra: JVM-side,
+whole-stage-codegen'd, no Python UDFs — the only way these ops survive a
+100 TB corpus (a per-row Python tokenizer would be the bottleneck).
+
+Cross-engine determinism: every hash is derived from ``md5`` (identical
+bytes-in/hex-out in Spark and DuckDB), truncated to 60 bits so it fits a
+signed int64 in both engines. This makes even the *approximate* operators
+(MinHash-LSH, SimHash) exactly reproducible by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "shingles",
+    "h60",
+    "quality_metrics",
+    "LANG_MARKERS",
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties dropped (array<string>)."""
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles of a token array (array<string>).
+
+    Guarded: fewer than ``n`` tokens -> empty array (Spark's ``sequence(1,0)``
+    would count *down*; DuckDB's ``range(1,1)`` is empty — the guard keeps
+    both engines aligned).
+    """
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def h60(col: Column) -> Column:
+    """Deterministic 60-bit hash shared with the DuckDB oracle:
+    first 15 hex chars of md5, parsed base-16.
+
+    DuckDB equivalent: ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def salted_h60(col: Column, salt: int) -> Column:
+    """Hash family member i — md5 of ``'{salt}|' || value``."""
+    return h60(F.concat(F.lit(f"{salt}|"), col))
+
+
+#: deterministic per-language marker tokens for the n-gram-profile language
+#: heuristic. On a real corpus these are the top character/word n-grams per
+#: language; the synthetic `documents` fixture shares one vocabulary across
+#: langs, so prediction accuracy is data-limited — the operator shape (pure
+#: column algebra, one pass, no shuffle) is what carries to 100 TB.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "row", "table"),
+    "es": ("data", "query", "scan", "group"),
+    "de": ("agg", "hash", "sort", "key"),
+    "fr": ("join", "merge", "stream", "filter"),
+    "zh": ("spark", "window", "batch", "column"),
+}
+
+
+def marker_score(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens (with multiplicity) in the marker set — one array
+    traversal, no shuffle."""
+    return F.size(F.filter(toks, lambda x: _isin(x, markers)))
+
+
+def _isin(x: Column, markers: tuple[str, ...]) -> Column:
+    pred = x == F.lit(markers[0])
+    for m in markers[1:]:
+        pred = pred | (x == F.lit(m))
+    return pred
+
+
+def quality_metrics(toks: Column):
+    """(n_tok, uniq_ratio, stop_ratio, mean_tok_len) column tuple.
+
+    Ratios are int/int divisions — bit-identical across engines; the
+    composite score is assembled by callers with a fixed operation order so
+    Spark and DuckDB produce the same doubles.
+    """
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop = F.size(F.filter(toks, lambda x: _isin(x, ("the", "a", "of", "and", "to"))))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return n_tok, n_uniq, stop, tok_chars

@@ -1,0 +1,503 @@
+"""LLM-data-pipeline queries — dedup families, similarity search, text
+analysis, multimodal plumbing — each registered with a DuckDB oracle that
+reproduces the algorithm *exactly* (md5-derived hashing, integer-ratio
+floats reported as ``floor(x*1e6)`` ints), so even the approximate
+operators (MinHash-LSH, SimHash, IVF) get full value-hash verification.
+
+Implementations live in ``kioss_spark.operators``; this module wires them to
+the fixture tables and mirrors each one in SQL.
+
+Scale design per query is documented on the operator (see operators/*.py);
+the common rules: hash-partition shuffles only (never all-pairs), broadcast
+the small side, no windows without a partition key, no Python in the hot
+path except the deliberately-Arrow-batched multimodal decode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kioss_spark.operators import dedup, multimodal, similarity
+from kioss_spark.operators.text import (
+    LANG_MARKERS,
+    h60,
+    marker_score,
+    quality_metrics,
+    shingles,
+    tokens,
+)
+from kioss_spark.queries import register
+from kioss_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (mirror operators.text helpers)
+# ---------------------------------------------------------------------------
+
+#: whitespace tokens, empties dropped == operators.text.tokens
+SQL_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+#: distinct word 3-gram shingles == operators.text.shingles(n=3)
+SQL_SHINGLES = (
+    "list_distinct(CASE WHEN len(t) >= 3 "
+    "THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) "
+    "ELSE []::VARCHAR[] END)"
+)
+
+
+def sql_h60(expr: str) -> str:
+    """60-bit md5 hash == operators.text.h60."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text)))       AS content_hash,
+           CAST(min(doc_id) AS BIGINT)  AS keep_id,
+           count(*)                     AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content hash groupBy, survivor = min id.
+    One keyed shuffle with map-side combine; no window, no collect."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000) AS BIGINT)
+               AS jaccard_e6
+    FROM shared
+    JOIN shn sa ON doc_a = sa.doc_id
+    JOIN shn sb ON doc_b = sb.doc_id
+    WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000) AS BIGINT)
+          >= 500000
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-Jaccard near-dup pairs (J >= 0.5) via inverted-index
+    join — explode shingles, equi-join on shingle, per-pair shared count.
+    Candidate generation is keyed on shingle: never an all-pairs product."""
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+        SELECT doc_id, s,
+               list_transform(range(0, 32), k ->
+                 list_min(list_transform(s, x ->
+                   {sql_h60("k::VARCHAR || '|' || x")}))) AS sig
+        FROM shn
+    ),
+    bands AS (
+        SELECT doc_id, band,
+               md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bh
+        FROM sig, UNNEST(range(0, 8)) u(band)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                  AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT doc_a, doc_b,
+               len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
+               len(sa.s) AS na, len(sb.s) AS nb
+        FROM cands
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(inter / (na + nb - inter) * 1000000) AS BIGINT) AS jaccard_e6
+    FROM ver
+    WHERE CAST(floor(inter / (na + nb - inter) * 1000000) AS BIGINT) >= 500000
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (K=32, 8 bands x r=4, verify J >= 0.5).
+    The oracle runs the *same* deterministic md5 hash family, so the banding
+    approximation is reproduced exactly — candidate recall and all."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n          ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(60)
+    )
+    sim_terms = " + ".join(
+        f"(CASE WHEN b{b}*2 >= n THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    hashed AS (SELECT doc_id, {sql_h60("x")} AS h FROM shn, UNNEST(s) u(x)),
+    sums AS (SELECT doc_id, count(*) AS n,
+          {bit_sums}
+        FROM hashed GROUP BY doc_id),
+    sim AS (SELECT doc_id, {sim_terms} AS simhash FROM sums),
+    bands AS (
+        SELECT doc_id, simhash, band, (simhash >> (band*15)) & 32767 AS chunk
+        FROM sim, UNNEST(range(0, 4)) u(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+                              AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit majority-vote signature over shingle
+    hashes, 4x15-bit band candidates (pigeonhole covers Hamming <= 3),
+    verified with bit_count(xor)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_BASE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 16),
+    c AS (SELECT * FROM n WHERE vec_id >= 16)
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_ANN_BASE
+    + """,
+    s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(floor(list_dot_product(q.v, c.v) / (q.nv * c.nv) * 100000) AS BIGINT)
+                   AS score_e5
+        FROM c, q
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_e5 DESC, cand_id) AS rnk FROM s)
+    SELECT query_id, cand_id, score_e5, rnk FROM r WHERE rnk <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 of 16 query vectors against the corpus.
+    Dot products via zip_with/aggregate (JVM, codegen, no UDF); queries are
+    broadcast so the corpus never shuffles for scoring."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.cosine_topk(q, c, k=10)
+
+
+def _sql_cell(v: str) -> str:
+    return " + ".join(f"(CASE WHEN {v}[{i+1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8))
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ANN_BASE
+    + f""",
+    qc AS (SELECT *, {_sql_cell('v')} AS cell FROM q),
+    cc AS (SELECT *, {_sql_cell('v')} AS cell FROM c),
+    s AS (
+        SELECT qc.vec_id AS query_id, cc.vec_id AS cand_id,
+               CAST(floor(list_dot_product(qc.v, cc.v) / (qc.nv * cc.nv) * 100000) AS BIGINT)
+                   AS score_e5
+        FROM cc JOIN qc ON cc.cell = qc.cell
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_e5 DESC, cand_id) AS rnk FROM s)
+    SELECT query_id, cand_id, score_e5, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5: sign-bit coarse quantizer (256 cells)
+    partitions the corpus; each query probes only its own cell — the
+    candidate set shrinks ~256x vs brute force, the scale path for ANN."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.ivf_topk(q, c, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 len(t) AS n_tok,
+                 len(list_distinct(t)) AS n_uniq,
+                 len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+                 list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum')
+                     AS tok_chars
+          FROM toks)
+    SELECT doc_id, n_tok, n_uniq, n_stop,
+           CAST(floor(n_uniq / n_tok * 1000000) AS BIGINT) AS uniq_ratio_e6,
+           CAST(floor(n_stop / n_tok * 1000000) AS BIGINT) AS stop_ratio_e6,
+           CAST(floor(tok_chars / n_tok * 1000000) AS BIGINT) AS mean_len_e6,
+           CAST(floor((0.4 * (n_uniq / n_tok) + 0.3 * (1 - n_stop / n_tok)
+                       + 0.3 * least(n_tok / 100.0, 1.0)) * 1000000) AS BIGINT)
+               AS quality_e6
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token counts, uniqueness, stopword
+    ratio, mean token length, composite score — one projection, zero
+    shuffles, pure column algebra (the 100 TB text-stats fast path)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    d = docs.select(F.col("doc_id"), toks.alias("t"))
+    n_tok, n_uniq, n_stop, tok_chars = quality_metrics(F.col("t"))
+    d = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_uniq.alias("n_uniq"),
+        n_stop.alias("n_stop"),
+        tok_chars.alias("tok_chars"),
+    )
+    uniq_ratio = F.col("n_uniq") / F.col("n_tok")
+    stop_ratio = F.col("n_stop") / F.col("n_tok")
+    quality = (
+        0.4 * uniq_ratio
+        + 0.3 * (F.lit(1) - stop_ratio)
+        + 0.3 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        "n_tok",
+        "n_uniq",
+        "n_stop",
+        F.floor(uniq_ratio * 1000000).cast("long").alias("uniq_ratio_e6"),
+        F.floor(stop_ratio * 1000000).cast("long").alias("stop_ratio_e6"),
+        F.floor((F.col("tok_chars") / F.col("n_tok")) * 1000000).cast("long").alias("mean_len_e6"),
+        F.floor(quality * 1000000).cast("long").alias("quality_e6"),
+    )
+
+
+def _lang_oracle() -> str:
+    score_cols = ",\n          ".join(
+        f"len(list_filter(t, x -> x IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {SQL_TOKS} AS t FROM documents),
+    s AS (SELECT doc_id, lang,
+          {score_cols}
+        FROM toks),
+    p AS (SELECT *,
+        CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+             WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+             WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+             WHEN s_en >= s_de THEN 'en'
+             ELSE 'de' END AS pred_lang
+        FROM s)
+    SELECT doc_id, lang, pred_lang, (pred_lang = lang) AS is_match,
+           s_en, s_es, s_de, s_fr, s_zh
+    FROM p
+    """
+
+
+@register("lang_id", oracle=_lang_oracle())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID: per-language marker-token scores, argmax
+    with a fixed priority tie-break. On this synthetic corpus (shared
+    vocabulary across langs) accuracy is data-limited; the operator shape —
+    single pass, no shuffle, no UDF — is the deliverable."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
+    for lang, ms in LANG_MARKERS.items():
+        d = d.withColumn(f"s_{lang}", marker_score(F.col("t"), ms))
+    pred = (
+        F.when(
+            (F.col("s_zh") >= F.col("s_fr"))
+            & (F.col("s_zh") >= F.col("s_es"))
+            & (F.col("s_zh") >= F.col("s_en"))
+            & (F.col("s_zh") >= F.col("s_de")),
+            F.lit("zh"),
+        )
+        .when(
+            (F.col("s_fr") >= F.col("s_es"))
+            & (F.col("s_fr") >= F.col("s_en"))
+            & (F.col("s_fr") >= F.col("s_de")),
+            F.lit("fr"),
+        )
+        .when((F.col("s_es") >= F.col("s_en")) & (F.col("s_es") >= F.col("s_de")), F.lit("es"))
+        .when(F.col("s_en") >= F.col("s_de"), F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+        "s_en",
+        "s_es",
+        "s_de",
+        "s_fr",
+        "s_zh",
+    )
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    WITH toks AS (SELECT source, {SQL_TOKS} AS t FROM documents)
+    SELECT source, count(*) AS n_docs,
+           sum(len(t)) AS ws_tokens,
+           sum(list_aggregate(list_transform(t, x ->
+               CAST(floor((length(x)+3)/4) AS BIGINT)), 'sum')) AS bpe_est_tokens,
+           CAST(floor(sum(len(t)) / count(*) * 1000000) AS BIGINT) AS avg_tokens_e6
+    FROM toks GROUP BY source
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source: whitespace tokens plus a BPE-ish
+    estimate (ceil(len/4) per word — the classic chars/4 heuristic applied
+    per token). Map-side partial agg; one keyed shuffle on source."""
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    bpe = F.aggregate(
+        F.transform(t, lambda x: F.floor((F.length(x) + 3) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = docs.select(
+        "source", F.size(t).cast("long").alias("ws"), bpe.alias("bpe")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_est_tokens"),
+        F.floor((F.sum("ws") / F.count(F.lit(1))) * 1000000).cast("long").alias("avg_tokens_e6"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sha AS (SELECT doc_id,
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(range(1, len(t)-1),
+                                            i -> array_to_string(t[i:i+2], ' '))
+                        ELSE []::VARCHAR[] END AS s
+            FROM toks),
+    f AS (SELECT doc_id, s, list_transform(s, x -> {sql_h60("x")}) AS h
+          FROM sha WHERE len(s) > 0)
+    SELECT doc_id,
+           list_min(list_transform(s, x -> md5(x))) AS fp_min,
+           len(list_distinct(s)) AS n_shingles,
+           len(list_distinct(CASE WHEN len(h) >= 4
+               THEN list_transform(range(1, len(h)-2), i -> list_min(h[i:i+3]))
+               ELSE [list_min(h)] END)) AS winnow_count
+    FROM f
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: global min-hash fingerprint plus a
+    winnowing count (distinct minima of a size-4 rolling window over the
+    ordered shingle-hash sequence — the classic local fingerprint picker).
+    One projection, zero shuffles."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sh = shingles(toks, n=3, distinct=False)
+    d = docs.select("doc_id", sh.alias("s")).where(F.size("s") > 0)
+    h = F.transform(F.col("s"), h60)
+    d = d.withColumn("h", h)
+    wins = F.when(
+        F.size("h") >= 4,
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - 3),
+            lambda i: F.array_min(F.slice(F.col("h"), i, 4)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("h"))))
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(F.col("s"), F.md5)).alias("fp_min"),
+        F.size(F.array_distinct(F.col("s"))).alias("n_shingles"),
+        F.size(F.array_distinct(wins)).alias("winnow_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_image_meta",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'img/fake' AS fmt,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 448 AS BIGINT) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 448 AS BIGINT) AS height,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: attach an opaque payload + metadata
+    struct, extract typed metadata in Arrow-batched mapInPandas. The decode
+    itself is a deterministic fake (no image libs here) — the schema,
+    batching and UDF signature are the real thing."""
+    return multimodal.image_meta(multimodal.with_payload(_docs(spark, sf_dir)))
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(i AS INTEGER)*48 + 1, 48)) AS frame_md5
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text)/48.0) AS BIGINT), 4)) u(i)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling over a synthetic frame sequence: every 4th
+    48-char frame, fingerprinted — the batched 1->N fan-out shape of a real
+    frame decoder, in mapInPandas."""
+    return multimodal.frame_sample(_docs(spark, sf_dir))
