@@ -4,17 +4,23 @@ Four escalating strategies, all shuffle-architected for 100 TB:
 
 - **exact** — hash-groupBy on a normalized content hash. One shuffle on the
   hash (map-side partial agg), keep-first = ``min(doc_id)``. Never a window.
-- **n-gram Jaccard (exact)** — inverted-index similarity join: explode
-  shingles, self-join on shingle (the candidate generator), count shared
-  shingles per pair, compute J = |∩| / (|A|+|B|−|∩|). Shuffles on shingle
-  then on pair — both keyed, both spillable; NO all-pairs cross join.
+- **n-gram Jaccard (exact)** — PPJoin-style prefix-filtered similarity join
+  (Xiao et al., WWW'08, public algorithm): global rare-first shingle order,
+  candidates only from prefix shingles (lossless for J >= t), exact verify.
 - **MinHash-LSH (approximate)** — K=32 signature rows, b=8 bands × r=4:
   candidates are pairs sharing one band bucket; verified with exact Jaccard.
-  The shuffle key is the band hash, so cost is ~(docs × bands), independent
-  of the pair count. Banding math: P(candidate) = 1 − (1 − J^r)^b.
+  Banding math: P(candidate) = 1 − (1 − J^r)^b.
 - **SimHash (approximate)** — 60-bit signature from per-bit majority vote of
   shingle hashes; 4 bands × 15 bits give candidates (pigeonhole: any pair at
-  Hamming distance ≤ 3 shares a band), verified with ``bit_count(xor) <= d``.
+  Hamming distance ≤ 3 shares a band), verified with ``bit_count(xor)``.
+
+Physical design: everything is built on a flat **(doc_id, shingle) inverted
+index** produced by posexplode + window-lead — plain relational ops that
+stay inside whole-stage codegen. Higher-order array functions (`transform`,
+`array_distinct`, ...) are interpreted per-row in Spark and get re-evaluated
+once per plan reference; on wide corpora they dominate runtime, so the hot
+path here has NO array columns at all. Exact-intersection verification is a
+keyed pair-count aggregation, not an array_intersect.
 
 All hashing is md5-derived (see operators.text.h60), so the DuckDB oracle
 reproduces even the approximate pipelines bit-for-bit — approximation error
@@ -27,19 +33,46 @@ these operators are the scale-out extension the brief requires.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kioss_spark.operators.text import h60, salted_h60, shingles, tokens
+from kioss_spark.operators.text import h60
 
 __all__ = [
     "exact_dedup",
+    "shingle_index",
     "jaccard_pairs",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_pairs",
 ]
+
+#: default word-n-gram width. 4-grams keep the candidate space sparse even on
+#: low-entropy corpora (a 30-word vocabulary has 8.1e5 possible 4-grams vs
+#: 2.7e4 3-grams — document frequency per shingle drops ~30x).
+DEFAULT_N = 4
+
+#: MinHash universal-hash family over the 31-bit md5-derived base hash:
+#: f_i(h) = (A[i]*h + B[i]) mod P — one md5 per shingle, then pure integer
+#: arithmetic for the whole family (32 multiply-add-mods instead of 32 md5s,
+#: ~100x cheaper, and products stay < 2^62 so int64 never overflows).
+#: Constants are fixed (deterministic LCG) so the DuckDB oracle regenerates
+#: the exact same family.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+H31_MASK = MINHASH_P
+
+
+def _family(k: int) -> list[tuple[int, int]]:
+    seed = 0x5DEECE66D
+    out = []
+    x = seed
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = 1 + x % (MINHASH_P - 1)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -55,65 +88,118 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(tokens(F.col(text_col)), n=n).alias("sh"),
-    ).where(F.size("sh") > 0)
-
-
-def jaccard_pairs(
+def shingle_index(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
+    n: int = DEFAULT_N,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via inverted-index join.
+    """Distinct (doc_id, shingle) inverted index of word n-grams.
 
-    explode(shingle) → self-join on shingle → per-pair shared count →
-    J = shared / (|A| + |B| − shared). The shingle join is the candidate
-    generator: only pairs sharing ≥1 shingle are ever materialized.
+    posexplode(split) → window-lead over token order → concat — all
+    codegen-friendly relational ops (no higher-order array functions).
+    The one shuffle (by doc_id, for the lead window) is keyed and spillable.
+
+    ``materialize=True`` materializes the index once via eager
+    ``localCheckpoint``: every dedup plan references it several times
+    (frequency agg, prefix join, pair verify) and Spark re-executes common
+    subplans per reference. localCheckpoint stores computed partitions in
+    the block manager and truncates lineage — measured ~8x faster to build
+    than ``.persist()``'s columnar cache for this shape. On a real cluster
+    (executor loss risk) the equivalent durable move is writing the index
+    once to a bucketed table and reading it back.
     """
-    sh = _shingled(docs, text_col, id_col, n)
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("tok", n - 1).over(w).alias("__last__"),
+    )
+    out = sh.where(F.col("__last__").isNotNull()).select("doc_id", "shingle").distinct()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
+def _sizes(inv: DataFrame) -> DataFrame:
+    return inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+
+def _verified_pairs(cands: DataFrame, inv: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the inverted
+    index: count shared shingles per pair (keyed joins + one aggregation —
+    no array intersection, no recomputed shingle arrays)."""
+    sizes = _sizes(inv)
     shared = (
-        inv.alias("a")
-        .join(inv.alias("b"), on="shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands.join(inv.alias("ia"), F.col("doc_a") == F.col("ia.doc_id"))
+        .join(
+            inv.alias("ib"),
+            (F.col("doc_b") == F.col("ib.doc_id"))
+            & (F.col("ia.shingle") == F.col("ib.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    # float discipline: report floor(J*1e6) as int (identical doubles on both
-    # engines -> identical floors; no rounding-mode dependence), and threshold
-    # on the integerized value
+    # float discipline: floor(J*1e6) as int — identical doubles on both
+    # engines -> identical floors; threshold applied to the integerized value
     j = F.col("n_shared") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared"))
     return (
         shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
-            "doc_a", "doc_b", "n_shared",
+            "doc_a",
+            "doc_b",
+            "n_shared",
             F.floor(j * 1000000).cast("long").alias("jaccard_e6"),
         )
         .where(F.col("jaccard_e6") >= int(threshold * 1_000_000))
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 32, n: int = 3
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
 ) -> DataFrame:
-    """(doc_id, sh, sig) where sig is the K-row MinHash signature:
-    sig[i] = min over shingles of md5-family hash i. All column algebra —
-    one projection, zero shuffles."""
-    sh = _shingled(docs, text_col, id_col, n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda s, i=i: salted_h60(s, i)))
-            for i in range(k)
-        ]
+    """Exact n-gram-Jaccard near-dup pairs (J >= threshold) via PPJoin
+    prefix filtering.
+
+    If J(A,B) >= t then |A∩B| >= t·|A∪B| >= t·|A|, so under ANY global
+    order the first |A| − ⌈t·|A|⌉ + 1 shingles of A must hit B's prefix —
+    joining on prefix shingles is lossless. Ordering rare-first (ascending
+    document frequency) makes prefix shingles low-frequency, collapsing the
+    candidate count. Result is identical to a naive inverted-index join.
+    """
+    inv = shingle_index(docs, text_col, id_col, n)
+    sizes = _sizes(inv)
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("shingle"))
+    prefix = (
+        inv.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("__r__", F.row_number().over(w))
+        .where(F.col("__r__") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1)
+        .select("doc_id", "shingle")
     )
-    return sh.select("doc_id", "sh", sig.alias("sig"))
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _verified_pairs(cands, inv, threshold)
 
 
 def minhash_lsh_pairs(
@@ -122,26 +208,37 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 32,
     bands: int = 8,
-    n: int = 3,
+    n: int = DEFAULT_N,
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket candidates, exact-Jaccard
-    verified. Shuffle cost ∝ docs × bands (candidate generation) plus the
-    (small) verified-candidate join — never all-pairs."""
+    verified. Signature = one groupBy(doc) with K min-aggregates over the
+    flat hashed index (map-side combine; state = K longs per doc). Shuffle
+    cost ∝ docs × bands for candidates — never all-pairs."""
     r = k // bands
-    sigs = minhash_signatures(docs, text_col, id_col, k=k, n=n)
-    band_cols = F.array(
+    inv = shingle_index(docs, text_col, id_col, n)
+    fam = _family(k)
+    # md5 ONCE per index row; the family is integer multiply-add-mod on h31
+    base = inv.select(
+        "doc_id", h60(F.col("shingle")).bitwiseAND(F.lit(H31_MASK)).alias("h31")
+    )
+    hashed = base.select(
+        "doc_id",
         *[
-            F.md5(
-                F.array_join(
-                    F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string")),
-                    ",",
-                )
-            )
+            ((F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(fam)
+        ],
+    )
+    sig_rows = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
+    )
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws(",", *[F.col(f"h{b * r + i}").cast("string") for i in range(r)]))
             for b in range(bands)
         ]
     )
-    buckets = sigs.select("doc_id", F.posexplode(band_cols).alias("band", "bh"))
+    buckets = sig_rows.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
     cands = (
         buckets.alias("a")
         .join(buckets.alias("b"), on=["band", "bh"])
@@ -149,27 +246,21 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = sigs.select("doc_id", "sh")
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    j = inter / (F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter)
-    return (
-        cands.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", F.floor(j * 1000000).cast("long").alias("jaccard_e6"))
-        .where(F.col("jaccard_e6") >= int(threshold * 1_000_000))
-    )
+    return _verified_pairs(cands, inv, threshold)
 
 
 def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60, n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    n: int = DEFAULT_N,
 ) -> DataFrame:
-    """(doc_id, simhash) — 60-bit majority-vote signature over shingle
-    hashes, computed scalably: explode → one groupBy(doc) with 60 conditional
-    sums (map-side partial agg), then assemble bits. No per-doc Python."""
-    sh = _shingled(docs, text_col, id_col, n)
-    hashed = sh.select("doc_id", F.explode("sh").alias("s")).select(
-        "doc_id", h60(F.col("s")).alias("h")
-    )
+    """(doc_id, simhash) — majority-vote signature over shingle hashes:
+    flat index → one groupBy(doc) with ``bits`` conditional sums (map-side
+    partial agg), then assemble bits. No per-doc Python, no arrays."""
+    inv = shingle_index(docs, text_col, id_col, n)
+    hashed = inv.select("doc_id", h60(F.col("shingle")).alias("h"))
     sums = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
         *[
@@ -179,9 +270,9 @@ def simhash_signatures(
     )
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") * 2 >= F.col("n"), F.lit(1).cast("long") * (1 << b)).otherwise(
-            F.lit(0).cast("long")
-        )
+        term = F.when(
+            F.col(f"b{b}") * 2 >= F.col("n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return sums.select("doc_id", sim.alias("simhash"))
 
@@ -191,7 +282,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    n: int = 3,
+    n: int = DEFAULT_N,
 ) -> DataFrame:
     """SimHash near-dup pairs: 4 bands × 15 bits → candidates (any pair with
     Hamming ≤ 3 shares at least one band by pigeonhole), verified with

@@ -37,10 +37,10 @@ from kioss_spark.sources import load_table
 #: whitespace tokens, empties dropped == operators.text.tokens
 SQL_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
 
-#: distinct word 3-gram shingles == operators.text.shingles(n=3)
+#: distinct word 4-gram shingles == operators.dedup.shingle_index(n=4)
 SQL_SHINGLES = (
-    "list_distinct(CASE WHEN len(t) >= 3 "
-    "THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) "
+    "list_distinct(CASE WHEN len(t) >= 4 "
+    "THEN list_transform(range(1, len(t)-2), i -> array_to_string(t[i:i+3], ' ')) "
     "ELSE []::VARCHAR[] END)"
 )
 
@@ -102,29 +102,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-Jaccard near-dup pairs (J >= 0.5) via inverted-index
-    join — explode shingles, equi-join on shingle, per-pair shared count.
-    Candidate generation is keyed on shingle: never an all-pairs product."""
+    """Exact 4-gram-Jaccard near-dup pairs (J >= 0.5) via PPJoin-style
+    prefix-filtered inverted-index join (lossless; see operators.dedup).
+    Candidate generation is keyed on rare prefix shingles: never an
+    all-pairs product."""
     return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+def _minhash_oracle(k: int = 32, bands: int = 8) -> str:
+    from kioss_spark.operators.dedup import MINHASH_P, _family
+
+    r = k // bands
+    fam = _family(k)
+    mins = ",\n               ".join(
+        f"min(({a}*h31 + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=b,
+            expr=" || ',' || ".join(f"h{b * r + i}::VARCHAR" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
     sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
     shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    hv AS (
+        SELECT doc_id, {sql_h60("x")} & 2147483647 AS h31
+        FROM shn, UNNEST(s) u(x)
+    ),
     sig AS (
-        SELECT doc_id, s,
-               list_transform(range(0, 32), k ->
-                 list_min(list_transform(s, x ->
-                   {sql_h60("k::VARCHAR || '|' || x")}))) AS sig
-        FROM shn
+        SELECT doc_id,
+               {mins}
+        FROM hv GROUP BY doc_id
     ),
     bands AS (
-        SELECT doc_id, band,
-               md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bh
-        FROM sig, UNNEST(range(0, 8)) u(band)
+        SELECT doc_id, u.band,
+               CASE u.band {band_cases} END AS bh
+        FROM sig, UNNEST(range(0, {bands})) u(band)
     ),
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -139,16 +155,20 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN shn sa ON doc_a = sa.doc_id
         JOIN shn sb ON doc_b = sb.doc_id
     )
-    SELECT doc_a, doc_b,
+    SELECT doc_a, doc_b, inter AS n_shared,
            CAST(floor(inter / (na + nb - inter) * 1000000) AS BIGINT) AS jaccard_e6
     FROM ver
     WHERE CAST(floor(inter / (na + nb - inter) * 1000000) AS BIGINT) >= 500000
-    """,
-)
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (K=32, 8 bands x r=4, verify J >= 0.5).
-    The oracle runs the *same* deterministic md5 hash family, so the banding
-    approximation is reproduced exactly — candidate recall and all."""
+    One md5 per (doc, shingle); the K-member family is integer
+    multiply-add-mod (universal hashing over 31 bits). The oracle runs the
+    *same* deterministic family, so the banding approximation is reproduced
+    exactly — candidate recall and all."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
