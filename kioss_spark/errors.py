@@ -32,13 +32,25 @@ SEQ_COL = "__seq__"
 ERR_TYPE = T.StructType(
     [
         T.StructField("kind", T.StringType(), True),
+        # full MRO class names (subclass-first) so catch(kind) can match
+        # isinstance-style with array_contains — the reference's semantics
+        # (reference: streamable/iterators.py:89 uses isinstance)
+        T.StructField("kinds", T.ArrayType(T.StringType()), True),
         T.StructField("message", T.StringType(), True),
     ]
 )
 
 
+def mro_names(cls: type) -> list:
+    return [c.__name__ for c in cls.__mro__ if issubclass(c, BaseException)]
+
+
 def err_dict(exc: BaseException) -> dict:
-    return {"kind": type(exc).__name__, "message": str(exc)}
+    return {
+        "kind": type(exc).__name__,
+        "kinds": mro_names(type(exc)),
+        "message": str(exc),
+    }
 
 
 def safe_call(fn: Callable[[Any], Any], element: Any) -> Tuple[Any, Optional[dict]]:
@@ -66,7 +78,9 @@ def rebuild_exception(kind: str, message: str) -> BaseException:
     return RuntimeError(f"{kind}: {message}")
 
 
-def kind_matches(err_kind: str, kind: str) -> bool:
-    """Class-name match; 'Exception' and 'BaseException' act as catch-alls
-    (we only carry class names across the worker boundary, not MROs)."""
-    return kind in ("Exception", "BaseException") or err_kind == kind
+def kind_matches(err_kinds, kind: str) -> bool:
+    """isinstance-style match against the carried MRO names; a bare kind
+    string (legacy structs) falls back to exact-name or catch-all."""
+    if isinstance(err_kinds, str):
+        return kind in ("Exception", "BaseException") or err_kinds == kind
+    return kind in (err_kinds or ())

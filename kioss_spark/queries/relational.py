@@ -551,20 +551,45 @@ def _parse_k_strict(element: dict) -> int:
     return k
 
 
-@register(
-    "op_catch_replacement",
-    oracle="""
+_CATCH_ORACLE = """
     SELECT event_id,
            CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
                 THEN -1
                 ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS value
     FROM events
-    """,
-)
+    """
+
+
+@register("op_catch_replacement", oracle=_CATCH_ORACLE)
 def op_catch_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Errors-as-data end-to-end: a Python map that raises on odd payloads,
-    then Stream.catch(ValueError, replacement=-1). The error rows travel as
-    __err__ structs and are replaced — verified against a pure-SQL oracle."""
+    """Errors-as-data, JVM fast path: get_json_object parse +
+    Stream.validate (column-predicate error injection — zero Python) +
+    Stream.catch(ValueError, replacement=-1). At 100 TB validation belongs
+    in codegen; see op_catch_pyfn for the Arrow-batched raising-callable
+    form of the same pipeline."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        Stream.from_df(ev.select("event_id", "props"), seq="event_id")
+        .map(F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .validate(
+            F.col("value") % 2 == 0,
+            ValueError,
+            message=F.concat(F.lit("odd k: "), F.col("value").cast("string")),
+        )
+        .catch(ValueError, replacement=-1)
+    )
+    df = s.to_df(ordered=False, keep_seq=True)
+    return df.select(
+        F.element_at(F.col("__seq__"), 1).alias("event_id"), F.col("value")
+    )
+
+
+@register("op_catch_pyfn", oracle=_CATCH_ORACLE)
+def op_catch_pyfn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors-as-data, Python path: an opaque raising callable through the
+    Arrow-batched map (the reference's odd-elements-throw oracle,
+    tests/test_stream.py:98-106), then catch(ValueError, replacement=-1).
+    Same oracle as op_catch_replacement — the two paths must agree."""
     ev = t(spark, sf_dir, "events")
     s = (
         Stream.from_df(ev.select("event_id", "props"), seq="event_id")
