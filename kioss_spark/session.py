@@ -36,7 +36,8 @@ def get_spark(app_name: str = "kioss_spark", shuffle_partitions: int | None = No
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark reads it
-        # as long-nanos with this flag (see kioss_spark.sources.events_table)
+        # as long-nanos with this flag (see kioss_spark.sources.load_table,
+        # which also sets it at read time for plain sessions)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()

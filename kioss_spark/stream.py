@@ -28,10 +28,11 @@ Design decisions (SURVEY.md §7):
   the action-time sort — the FDFO analog (streamable/util/futuretools.py:55-70).
 
 Scale notes: operators whose *semantics* are a total order (``group(size)``,
-``skip``/``truncate`` by count, ``zip``, consecutive ``distinct``) use a
-global-order window; they are metadata-cheap at the sizes such operators are
-meaningful for, but are documented per-method where a 100 TB user should
-reach for the key-partitioned variant instead.
+``skip``/``truncate`` by count, ``zip``, consecutive ``distinct``) are built
+on a two-phase distributed prefix sum (``_ranked``): range-repartition by
+seq, partition-local running sums, per-partition offsets. No data-sized
+single-partition window exists anywhere in this module — the only global
+window runs over one stats row per partition.
 """
 
 from __future__ import annotations
@@ -227,6 +228,49 @@ class Stream:
         if ERR_COL in df.columns:
             return F.col(ERR_COL).isNotNull() | pred
         return pred
+
+    @staticmethod
+    def _ranked(df: DataFrame, flag: Column) -> DataFrame:
+        """Append ``__rn__`` = running count of flag-true rows in global seq
+        order — WITHOUT a single-partition window (VERDICT r1 scale fix).
+
+        Two-phase distributed prefix sum: range-repartition by seq (disjoint
+        ordered ranges per partition), partition-local running sums, plus a
+        per-partition offset computed from one stats row per partition. The
+        only global-order window runs over ~numPartitions rows, never over
+        data; everything else is keyed and spillable, so this survives a
+        100x scale-up where ``Window.orderBy(seq)`` would serialize onto one
+        core.
+
+        The lazy localCheckpoint is load-bearing: the stats branch and the
+        main branch both consume the ranged partitioning, and without a
+        barrier AQE may re-plan the two exchange instances with DIFFERENT
+        partition counts — spark_partition_id then disagrees across branches
+        and the offsets join silently drops rows (observed at 1M rows).
+        Pinning one RDD makes both branches read the same shuffle output.
+        """
+        ranged = df.repartitionByRange(F.col(SEQ_COL)).withColumn(
+            "__pid__", F.spark_partition_id()
+        ).localCheckpoint(eager=False)
+        stats = ranged.groupBy("__pid__").agg(
+            F.sum(flag.cast("long")).alias("__cnt__"), F.min(SEQ_COL).alias("__mn__")
+        )
+        w_off = Window.orderBy("__mn__").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = stats.select(
+            "__pid__", F.coalesce(F.sum("__cnt__").over(w_off), F.lit(0)).alias("__off__")
+        )
+        w_loc = (
+            Window.partitionBy("__pid__")
+            .orderBy(F.col(SEQ_COL))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            ranged.join(F.broadcast(offsets), "__pid__")
+            .withColumn(
+                "__rn__", (F.col("__off__") + F.sum(flag.cast("long")).over(w_loc)).cast("long")
+            )
+            .drop("__pid__", "__off__")
+        )
 
     # ------------------------------------------------------------ map family
 
@@ -452,9 +496,9 @@ class Stream:
         else:
             if size is None:
                 raise ValueError("group() needs size=, by=, or interval=")
-            w = Window.orderBy(F.col(SEQ_COL))
             grouped = (
-                ok.withColumn("__bid__", ((F.row_number().over(w) - 1) / size).cast("long"))
+                self._ranked(ok, F.lit(True))
+                .withColumn("__bid__", ((F.col("__rn__") - 1) / size).cast("long"))
                 .groupBy("__bid__").agg(sv.alias("__sv__"))
             )
         if size is not None:
@@ -564,10 +608,35 @@ class Stream:
         else:
             keyed, keycol = self._keyed(ok, key)
         if consecutive_only:
-            w = Window.orderBy(F.col(SEQ_COL))
-            kept = keyed.withColumn("__prev__", F.lag(keycol).over(w)).where(
-                F.col("__prev__").isNull() | ~(F.col("__prev__") == keycol)
-                | keycol.isNull()
+            # two-phase global lag: partition-local lag + each partition's
+            # first row reads the PREVIOUS partition's last key (one stats
+            # row per partition; no single-partition window over data)
+            # lazy localCheckpoint: same cross-branch pid-consistency barrier
+            # as _ranked (stats + main must see identical partitioning)
+            ranged = keyed.withColumn("__k__", keycol).repartitionByRange(
+                F.col(SEQ_COL)
+            ).withColumn("__pid__", F.spark_partition_id()).localCheckpoint(eager=False)
+            stats = ranged.groupBy("__pid__").agg(
+                F.max_by("__k__", F.col(SEQ_COL)).alias("__plast__"),
+                F.min(SEQ_COL).alias("__mn__"),
+            )
+            w_off = Window.orderBy("__mn__")
+            prevs = stats.select(
+                "__pid__", F.lag("__plast__").over(w_off).alias("__prevlast__")
+            )
+            w_loc = Window.partitionBy("__pid__").orderBy(F.col(SEQ_COL))
+            kept = (
+                ranged.join(F.broadcast(prevs), "__pid__")
+                .withColumn(
+                    "__prev__",
+                    F.coalesce(F.lag("__k__").over(w_loc), F.col("__prevlast__")),
+                )
+                .where(
+                    F.col("__prev__").isNull()
+                    | ~(F.col("__prev__") == F.col("__k__"))
+                    | F.col("__k__").isNull()
+                )
+                .drop("__pid__", "__prevlast__", "__k__")
             )
         else:
             w = Window.partitionBy(keycol).orderBy(F.col(SEQ_COL))
@@ -595,11 +664,10 @@ class Stream:
                                 & (F.col(SEQ_COL) >= F.col("__from__")))
             ).drop("__from__")
         elif count is not None:
-            w = Window.orderBy(F.col(SEQ_COL))
-            ok_rank = F.sum(self._ok_on(out).cast("long")).over(w)
-            out = out.withColumn("__okrn__", ok_rank).where(
-                self._err_or_on(out, F.col("__okrn__") > count)
-            ).drop("__okrn__")
+            out = self._ranked(out, self._ok_on(out))
+            out = out.where(
+                self._err_or_on(out, F.col("__rn__") > count)
+            ).drop("__rn__")
         else:
             raise ValueError("skip() needs count= or until=")
         out = out.drop("__pred__")
@@ -618,14 +686,13 @@ class Stream:
                 F.col("__upto__").isNull() | (F.col(SEQ_COL) < F.col("__upto__"))
             ).drop("__upto__")
         if count is not None:
-            w = Window.orderBy(F.col(SEQ_COL))
-            ok_rank = F.sum(self._ok_on(out).cast("long")).over(w)
-            out = out.withColumn("__okrn__", ok_rank).where(
+            out = self._ranked(out, self._ok_on(out))
+            out = out.where(
                 # ok rows: first `count` yields; error rows surface only while
                 # fewer than `count` yields happened before them
-                F.when(self._ok_on(out), F.col("__okrn__") <= count)
-                .otherwise(F.col("__okrn__") < count)
-            ).drop("__okrn__")
+                F.when(self._ok_on(out), F.col("__rn__") <= count)
+                .otherwise(F.col("__rn__") < count)
+            ).drop("__rn__")
         if count is None and when is None:
             raise ValueError("truncate() needs count= or when=")
         out = out.drop("__pred__")
@@ -700,11 +767,10 @@ class Stream:
         — zipping never swallows an upstream failure."""
         lv, rv = self._data_cols[0], other._data_cols[0]
         lt, rt = self._value_type, other._value_type
-        w = Window.orderBy(F.col(SEQ_COL))
-        ldf = self._df.where(self._ok()).select(
-            F.row_number().over(w).alias("__idx__"), F.col(lv).alias("left"))
-        rdf = other._df.where(other._ok()).select(
-            F.row_number().over(w).alias("__idx__"), F.col(rv).alias("right"))
+        ldf = self._ranked(self._df.where(self._ok()), F.lit(True)).select(
+            F.col("__rn__").alias("__idx__"), F.col(lv).alias("left"))
+        rdf = self._ranked(other._df.where(other._ok()), F.lit(True)).select(
+            F.col("__rn__").alias("__idx__"), F.col(rv).alias("right"))
         df = (
             ldf.join(rdf, "__idx__", "inner")
             .select(
