@@ -600,3 +600,73 @@ def op_catch_pyfn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         F.element_at(F.col("__seq__"), 1).alias("event_id"), F.col("value")
     )
+
+
+async def _async_enrich(element: dict) -> int:
+    """Async enrichment stand-in (the reference's amap drives async I/O,
+    streamable/stream.py:394-411): awaitable, deterministic arithmetic."""
+    import asyncio
+
+    await asyncio.sleep(0)
+    return element["o_orderkey"] * 3 + len(element["o_orderstatus"])
+
+
+@register(
+    "op_amap_enrich",
+    oracle="""
+    SELECT CAST(o_orderkey * 3 + length(o_orderstatus) AS BIGINT) AS value
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def op_amap_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.amap — per-batch asyncio loop with bounded in-flight
+    coroutines (semaphore = concurrency, the reference's buffersize
+    contract). Deterministic math stands in for async I/O."""
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    s = Stream.from_df(
+        orders.select("o_orderkey", "o_orderstatus"), seq="o_orderkey"
+    ).amap(_async_enrich, returnType=T.LongType(), concurrency=16)
+    return s.to_df(ordered=False).select(F.col("value"))
+
+
+@register(
+    "op_foreach_passthrough",
+    oracle="""
+    SELECT n_name FROM nation
+    """,
+)
+def op_foreach_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.foreach — side effect rewritten to map(sidify(effect)), the
+    element passes through unchanged (reference:
+    streamable/visitors/iterator.py:57-66)."""
+    nation = t(spark, sf_dir, "nation")
+    s = Stream.from_df(nation.select("n_nationkey", "n_name"), seq="n_nationkey").map(
+        F.col("n_name")
+    ).foreach(lambda name: None)
+    return s.to_df(ordered=False).select(F.col("value").alias("n_name"))
+
+
+@register(
+    "op_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS observed_count,
+           CAST(0 AS BIGINT) AS observed_errors
+    FROM region
+    """,
+)
+def op_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream.observe — DataFrame.observe accumulators ride the action
+    (reference: streamable/iterators.py:351-394); the query RUNS the action
+    and returns the observed metrics as data, so the driver verifies the
+    counters themselves."""
+    region = t(spark, sf_dir, "region")
+    s = Stream.from_df(region.select("r_regionkey", "r_name"), seq="r_regionkey").map(
+        F.col("r_name")
+    ).observe("elements")
+    s.count()  # the action that populates the observation
+    (_, obs) = s._observations[-1]
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m.get("count", 0)), int(m.get("errors", 0) or 0))],
+        "observed_count long, observed_errors long",
+    )

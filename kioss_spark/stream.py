@@ -1024,6 +1024,18 @@ class Stream:
 
     # ------------------------------------------------------------ inspection
 
+    def accept(self, visitor) -> Any:
+        """Public plan-walk hook (reference: streamable/stream.py:106-110,
+        Visitor pattern over the operator chain). Walks source-first, calling
+        ``visitor.visit_source`` for the first step and ``visitor.visit_step``
+        for the rest; returns ``visitor.result()``."""
+        for i, step in enumerate(self._plan):
+            if i == 0:
+                visitor.visit_source(step)
+            else:
+                visitor.visit_step(step, i)
+        return visitor.result()
+
     def display(self, level: int = logging.INFO) -> str:
         text = str(self)
         logger.log(level, text)
@@ -1033,11 +1045,9 @@ class Stream:
         return str(self)
 
     def __str__(self) -> str:
-        lines = ["Stream("]
-        for i, step in enumerate(self._plan):
-            lines.append("    " * 1 + "." * min(i, 1) + step if i else "    " + step)
-        lines.append(")")
-        return "\n".join(lines)
+        from kioss_spark.plans import ToStringVisitor
+
+        return self.accept(ToStringVisitor())
 
     def explain(self, mode: str = "formatted") -> None:
         """Spark physical plan — the real EXPLAIN (the reference's repr shows

@@ -1,0 +1,216 @@
+"""Streaming dialect — the reference's processing-time operators mapped onto
+Structured Streaming.
+
+The reference is streaming-shaped (unbounded sources, README.md:548;
+processing-time batching ``group(interval=)``, rate limiting ``throttle``,
+incremental ``observe`` — reference streamable/stream.py:321-477,
+iterators.py:150-280,411-469). Spark-first, those semantics land on:
+
+| reference                    | structured streaming                          |
+|------------------------------|-----------------------------------------------|
+| unbounded source             | ``readStream`` (rate / file / kafka)          |
+| ``throttle(per_second=k)``   | source rate options (``rowsPerSecond``,       |
+|                              | ``maxFilesPerTrigger``) — most restrictive wins|
+| ``group(interval=dt)``       | micro-batch = group: ``trigger(processingTime)``|
+| ``groupby(key)``             | ``groupBy(key).agg(collect_list)`` update mode|
+| ``distinct(key)``            | ``dropDuplicatesWithinWatermark``             |
+| ``observe``                  | ``df.observe`` + StreamingQueryListener       |
+| consume / ``__call__``       | ``start()`` + ``awaitTermination``            |
+
+Design notes for scale: rate limiting is a SOURCE property in Spark (a
+mid-stream throttle would just shift buffering upstream — backpressure is
+handled by the engine); processing-time grouping is the micro-batch itself
+(the trigger interval IS the reference's flush interval, so ``foreachBatch``
+receives exactly one group per interval); stateful dedup is bounded by the
+watermark instead of the reference's unbounded in-memory set
+(streamable/iterators.py:105-113 — the watermark is what makes it run
+forever at 100 TB/day).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import warnings
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _seconds(interval) -> float:
+    if isinstance(interval, _dt.timedelta):
+        return interval.total_seconds()
+    return float(interval)
+
+
+class SStream:
+    """Lazy streaming pipeline facade over an unbounded DataFrame.
+
+    Mirrors the batch ``Stream`` surface where the semantics carry; the
+    differences (throttle is real, group(interval) is real) are the point.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        trigger_seconds: Optional[float] = None,
+        plan: tuple = ("source",),
+    ) -> None:
+        if not df.isStreaming:
+            raise TypeError("SStream wraps a streaming DataFrame; use Stream for batch")
+        self._df = df
+        self._trigger = trigger_seconds
+        self._plan = tuple(plan)
+
+    # ----------------------------------------------------------- sources
+
+    @classmethod
+    def rate(
+        cls, spark: SparkSession, rows_per_second: int = 1, partitions: Optional[int] = None
+    ) -> "SStream":
+        """Rate source — the unbounded counter (the reference's
+        ``itertools.count`` analog, README.md:548). ``rows_per_second`` IS
+        the throttle: rate control lives at the source in Spark."""
+        reader = (
+            spark.readStream.format("rate").option("rowsPerSecond", rows_per_second)
+        )
+        if partitions is not None:
+            reader = reader.option("numPartitions", partitions)
+        return cls(reader.load(), plan=(f"rate({rows_per_second}/s)",))
+
+    @classmethod
+    def files(
+        cls,
+        spark: SparkSession,
+        path: str,
+        fmt: str = "parquet",
+        schema=None,
+        max_files_per_trigger: Optional[int] = None,
+    ) -> "SStream":
+        """File-arrival source; ``max_files_per_trigger`` is the file-domain
+        throttle."""
+        reader = spark.readStream.format(fmt)
+        if schema is not None:
+            reader = reader.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return cls(reader.load(path), plan=(f"files({path})",))
+
+    # ----------------------------------------------------------- operators
+
+    def _derive(self, df: DataFrame, step: str, **over) -> "SStream":
+        return SStream(
+            df,
+            trigger_seconds=over.get("trigger_seconds", self._trigger),
+            plan=self._plan + (step,),
+        )
+
+    def map(self, transformation: Any = None, **exprs: Column) -> "SStream":
+        """Column-expression transform (JVM fast path; incremental for free)."""
+        if isinstance(transformation, Column):
+            exprs = {"value": transformation, **exprs}
+        elif transformation is not None:
+            raise TypeError(
+                "streaming map takes Column expressions; wrap Python callables "
+                "in foreach_batch (micro-batch granularity)"
+            )
+        keep = [c for c in self._df.columns if c not in exprs]
+        df = self._df.select(*keep, *[v.alias(k) for k, v in exprs.items()])
+        return self._derive(df, f"map({', '.join(exprs)})")
+
+    def filter(self, when: Column) -> "SStream":
+        return self._derive(self._df.where(when), "filter")
+
+    def throttle(self, per_second: Optional[int] = None, interval=None) -> "SStream":
+        """Rate limiting. For sources that carry their own rate option the
+        limit belongs there (``rate``/``files`` classmethods); mid-stream,
+        the honest Spark mapping is the trigger interval — micro-batches
+        fire no faster than ``interval`` (most restrictive wins, like the
+        reference's stage composition, streamable/functions.py:194-204)."""
+        secs = None
+        if interval is not None:
+            secs = _seconds(interval)
+        if per_second is not None:
+            warnings.warn(
+                "mid-stream per_second throttling is a source property in "
+                "Spark; declare it on the source (rows_per_second / "
+                "max_files_per_trigger). Applying trigger pacing instead."
+            )
+            secs = max(secs or 0.0, 1.0)
+        new = max(self._trigger or 0.0, secs or 0.0) or None
+        return self._derive(self._df, f"throttle(trigger={new}s)", trigger_seconds=new)
+
+    def group(self, interval) -> "SStream":
+        """Processing-time batching: the micro-batch IS the group — the
+        trigger interval is the reference's flush interval
+        (streamable/iterators.py:150-210). Consume with foreach_batch to
+        receive one group per interval."""
+        return self._derive(
+            self._df, f"group(interval={_seconds(interval)}s)",
+            trigger_seconds=max(self._trigger or 0.0, _seconds(interval)),
+        )
+
+    def groupby(self, key: Any, values_of: Optional[str] = None) -> "SStream":
+        """Keyed co-grouping: ``groupBy(key).agg(collect_list)`` running
+        incrementally (update mode) — the reference's GroupbyIterator with
+        the flush policy delegated to the trigger."""
+        keycol = F.col(key) if isinstance(key, str) else key
+        vcol = values_of or self._df.columns[-1]
+        df = self._df.groupBy(keycol.alias("key")).agg(
+            F.collect_list(F.col(vcol)).alias("value")
+        )
+        return self._derive(df, "groupby")
+
+    def distinct(
+        self, key: Optional[str] = None, within=_dt.timedelta(minutes=10),
+        event_time: str = "timestamp",
+    ) -> "SStream":
+        """Streaming dedup, state bounded by a watermark — the scalable form
+        of the reference's unbounded hash set (streamable/iterators.py:105-113).
+        ``within`` bounds how late a duplicate may arrive."""
+        secs = int(_seconds(within))
+        wm = self._df.withWatermark(event_time, f"{secs} seconds")
+        cols = [key] if key else [c for c in self._df.columns if c != event_time]
+        df = wm.dropDuplicatesWithinWatermark(cols)
+        return self._derive(df, f"distinct(within={secs}s)")
+
+    def observe(self, name: str = "observe", *metrics: Column) -> "SStream":
+        """Streaming metrics via ``df.observe`` — surfaced per micro-batch in
+        StreamingQueryProgress.observedMetrics (the reference's log-cadence
+        observe, streamable/iterators.py:351-394, with the cadence now the
+        trigger)."""
+        ms = metrics or (F.count(F.lit(1)).alias("count"),)
+        return self._derive(self._df.observe(name, *ms), f"observe({name!r})")
+
+    # ----------------------------------------------------------- actions
+
+    def _trigger_kwargs(self) -> dict:
+        if self._trigger:
+            return {"processingTime": f"{self._trigger} seconds"}
+        return {}
+
+    def to_memory(self, name: str, output_mode: str = "append"):
+        """Start into an in-memory sink (testing/inspection); returns the
+        StreamingQuery. Caller stops it."""
+        writer = (
+            self._df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+        )
+        if self._trigger:
+            writer = writer.trigger(**self._trigger_kwargs())
+        return writer.start()
+
+    def foreach_batch(self, fn: Callable[[DataFrame, int], None], output_mode: str = "append"):
+        """Consume per micro-batch — with ``group(interval=)`` upstream,
+        ``fn`` receives exactly one group per flush interval (the
+        reference's interval-flush contract)."""
+        writer = self._df.writeStream.foreachBatch(fn).outputMode(output_mode)
+        if self._trigger:
+            writer = writer.trigger(**self._trigger_kwargs())
+        return writer.start()
+
+    def __str__(self) -> str:
+        return "SStream(\n    " + "\n    .".join(self._plan) + "\n)"
+
+    __repr__ = __str__

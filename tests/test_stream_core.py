@@ -216,3 +216,38 @@ def test_consecutive_distinct_across_partitions(spark):
     s = Stream.of(spark, data).distinct(consecutive_only=True)
     expected = [x for i, x in enumerate(data) if i == 0 or data[i-1] != x]
     assert s.collect() == expected
+
+
+def test_accept_visitor_plan_walk(spark):
+    """Public accept(visitor) hook (reference: streamable/stream.py:106-110,
+    visitors/base.py:9-55) — collects steps source-first."""
+    from kioss_spark.plans import PlanVisitor
+
+    class Collect(PlanVisitor):
+        def __init__(self):
+            self.steps = []
+
+        def visit_step(self, step, index):
+            self.steps.append(step)
+
+        def result(self):
+            return self.steps
+
+    s = Stream.range(spark, 4).map(F.col("value") + 1).filter(F.col("value") > 1)
+    steps = s.accept(Collect())
+    assert steps[0] == "range(4)"
+    assert steps[1].startswith("map(")
+    assert steps[2].startswith("filter(")
+
+
+def test_str_golden_render(spark):
+    # pinned chain rendering (the reference pins exact repr strings,
+    # tests/test_stream.py:242-285)
+    s = Stream.range(spark, 3).map(F.col("value") * 2).truncate(count=2)
+    assert str(s) == (
+        "Stream(\n"
+        "    range(3)\n"
+        "    .map(value)\n"
+        "    .truncate(count=2, when=None)\n"
+        ")"
+    )

@@ -1,0 +1,101 @@
+"""Streaming dialect tests — rate-source runs with real micro-batches.
+
+Wall-clock-dependent assertions use generous bounds (the reference pins
+exact timing with DELTA_RATE=0.4 tolerance, tests/test_stream.py:113; a
+distributed scheduler needs looser ones)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from kioss_spark.streaming import SStream
+
+
+def _drain(query, seconds):
+    try:
+        query.awaitTermination(seconds)
+    finally:
+        query.stop()
+
+
+def test_rate_source_throttles_at_source(spark):
+    # rows_per_second IS the throttle: after ~4s of a 50/s stream the sink
+    # holds roughly 4*50 rows, never wildly more
+    q = SStream.rate(spark, rows_per_second=50).to_memory("t_rate")
+    _drain(q, 4)
+    n = spark.sql("SELECT count(*) FROM t_rate").collect()[0][0]
+    assert 0 < n <= 50 * 10  # upper bound: generous scheduler slack
+
+
+def test_map_filter_streaming(spark):
+    s = (
+        SStream.rate(spark, rows_per_second=100)
+        .map(doubled=F.col("value") * 2)
+        .filter(F.col("doubled") % 4 == 0)
+    )
+    q = s.to_memory("t_mapfilter")
+    _drain(q, 4)
+    rows = spark.sql("SELECT doubled FROM t_mapfilter").collect()
+    assert rows, "no micro-batch arrived in 4s"
+    assert all(r[0] % 4 == 0 for r in rows)
+
+
+def test_group_interval_micro_batches(spark):
+    # group(interval=1s): foreach_batch receives one group per interval
+    batches = []
+
+    def sink(df, epoch_id):
+        batches.append((epoch_id, df.count()))
+
+    s = SStream.rate(spark, rows_per_second=100).group(interval=1)
+    q = s.foreach_batch(sink)
+    _drain(q, 5)
+    non_empty = [b for b in batches if b[1] > 0]
+    assert len(batches) >= 2, batches  # several flushes happened
+    assert non_empty, batches
+
+
+def test_streaming_groupby_collects_per_key(spark):
+    s = SStream.rate(spark, rows_per_second=100).map(
+        k=F.col("value") % 2, v=F.col("value")
+    ).groupby("k", values_of="v")
+    q = s.to_memory("t_gby", output_mode="complete")
+    _drain(q, 5)
+    rows = spark.sql("SELECT key, size(value) AS n FROM t_gby").collect()
+    assert rows, "no aggregation output in 5s"
+    assert {r["key"] for r in rows} <= {0, 1}
+
+
+def test_streaming_distinct_watermarked(spark):
+    # dedup on value%5 with watermark-bounded state -> at most 5 survivors
+    s = SStream.rate(spark, rows_per_second=200).map(
+        timestamp=F.col("timestamp"), k=(F.col("value") % 5)
+    ).distinct(key="k")
+    q = s.to_memory("t_dedup")
+    _drain(q, 6)
+    n = spark.sql("SELECT count(DISTINCT k) FROM t_dedup").collect()[0][0]
+    total = spark.sql("SELECT count(*) FROM t_dedup").collect()[0][0]
+    assert total <= 5 and n == total
+
+
+def test_observe_metrics_in_progress(spark):
+    s = SStream.rate(spark, rows_per_second=100).observe(
+        "m", F.count(F.lit(1)).alias("rows")
+    )
+    q = s.to_memory("t_obs")
+    deadline = time.time() + 8
+    seen = None
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p.get("observedMetrics", {}).get("m"):
+            seen = p["observedMetrics"]["m"]
+            break
+        time.sleep(0.3)
+    q.stop()
+    assert seen is not None and seen["rows"] >= 0
+
+
+def test_batch_df_rejected(spark):
+    with pytest.raises(TypeError):
+        SStream(spark.range(5))
