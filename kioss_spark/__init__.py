@@ -10,15 +10,21 @@ training-data pipeline needs (joins, aggregations, windows, dedup families,
 similarity search, text analysis, multimodal columns).
 
 Public surface:
-    Stream          — the fluent facade (kioss_spark.stream)
+    Stream          — the fluent batch facade (kioss_spark.stream)
+    SStream         — the streaming dialect (kioss_spark.streaming)
     star, sidify    — function adapters (kioss_spark.functions.adapters)
     get_spark       — tuned local SparkSession builder (kioss_spark.session)
+    operators       — LLM-data operators: dedup / similarity / text /
+                      multimodal (kioss_spark.operators)
+    PlanVisitor     — public plan-walk hook (kioss_spark.plans)
 """
 
 from kioss_spark.session import get_spark
 from kioss_spark.stream import Stream
+from kioss_spark.streaming import SStream
 from kioss_spark.functions.adapters import sidify, star
+from kioss_spark.plans import PlanVisitor
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["Stream", "get_spark", "star", "sidify", "__version__"]
+__all__ = ["Stream", "SStream", "get_spark", "star", "sidify", "PlanVisitor", "__version__"]

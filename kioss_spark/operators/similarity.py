@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_topk", "ivf_cell", "ivf_topk"]
+__all__ = ["with_norm", "cosine_topk", "ivf_cell", "ivf_topk", "embedding_dup_pairs"]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -97,3 +97,34 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score_e5").desc(), F.col("cand_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine >= threshold, candidates bucketed by the sign-bit cell.
+
+    Near-identical vectors have (near-)identical sign patterns, so the cell
+    equi-join is the candidate generator — cost ∝ sum of cell sizes squared
+    / #cells, not corpus². A vector pair straddling a sign boundary on some
+    dimension can be missed (approximate by design, like MinHash banding);
+    tighter recall = fewer bits or multi-probe. Deterministic, so the
+    DuckDB oracle reproduces the same candidate set exactly.
+    """
+    cells = vectors.withColumn("cell", ivf_cell(F.col("v"), n_bits))
+    pairs = (
+        cells.alias("a")
+        .join(cells.alias("b"), on="cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.floor(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")) * 100000
+            ).cast("long").alias("cosine_e5"),
+        )
+    )
+    return pairs.where(F.col("cosine_e5") >= int(threshold * 100000))

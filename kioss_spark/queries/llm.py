@@ -276,6 +276,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(q, c, k=5)
 
 
+_CELL4 = " + ".join(f"(CASE WHEN v[{i+1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4))
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    cells AS (SELECT *, {_CELL4} AS cell FROM n)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(floor(list_dot_product(a.v, b.v) / (a.nv * b.nv) * 100000) AS BIGINT)
+               AS cosine_e5
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE CAST(floor(list_dot_product(a.v, b.v) / (a.nv * b.nv) * 100000) AS BIGINT)
+          >= 40000
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, sign-bit-bucketed candidates
+    (16 cells at 4 bits): the vector-space member of the dedup family.
+    Threshold 0.40 reflects this fixture's similarity range (max pairwise
+    cosine ~0.51); production near-dup would use ~0.95 on real embeddings.
+    Deterministic bucketing -> exact oracle parity including recall."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    return similarity.embedding_dup_pairs(nn, threshold=0.40, n_bits=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -521,3 +548,101 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     48-char frame, fingerprinted — the batched 1->N fan-out shape of a real
     frame decoder, in mapInPandas."""
     return multimodal.frame_sample(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_curation",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS} AS t FROM documents),
+    q AS (SELECT doc_id, source,
+                 len(t) AS n_tok,
+                 len(list_distinct(t)) AS n_uniq,
+                 len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+                 list_aggregate(list_transform(t, x ->
+                     CAST(floor((length(x)+3)/4) AS BIGINT)), 'sum') AS bpe
+          FROM toks),
+    scored AS (SELECT *,
+                 CAST(floor((0.4 * (n_uniq / n_tok) + 0.3 * (1 - n_stop / n_tok)
+                      + 0.3 * least(n_tok / 100.0, 1.0)) * 1000000) AS BIGINT) AS quality_e6
+               FROM q),
+    kept_q AS (SELECT * FROM scored WHERE quality_e6 >= 600000),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dups AS (
+        SELECT DISTINCT doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000) AS BIGINT)
+              >= 500000
+    ),
+    final AS (SELECT * FROM kept_q WHERE doc_id NOT IN (SELECT doc_b FROM dups))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(bpe) AS bpe_tokens,
+           CAST(floor(sum(quality_e6) / count(*)) AS BIGINT) AS avg_quality_e6
+    FROM final GROUP BY source
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in one declarative plan:
+    quality-score -> threshold filter -> near-dup removal (keep the lower
+    doc_id of each J>=0.5 pair) -> per-source token accounting.
+
+    This is the composition the whole operator set exists for; every stage
+    is the scalable form (column-algebra scoring, prefix-filtered similarity
+    join, anti-join removal, keyed aggregation). At 100 TB the only wide ops
+    are the dedup joins and the final per-source agg."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_tok, n_uniq, n_stop, _ = quality_metrics(F.col("t"))
+    bpe = F.aggregate(
+        F.transform(F.col("t"), lambda x: F.floor((F.length(x) + 3) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        docs.select("doc_id", "source", toks.alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            n_tok.alias("n_tok"),
+            n_uniq.alias("n_uniq"),
+            n_stop.alias("n_stop"),
+            bpe.alias("bpe"),
+        )
+        .withColumn(
+            "quality_e6",
+            F.floor(
+                (
+                    0.4 * (F.col("n_uniq") / F.col("n_tok"))
+                    + 0.3 * (F.lit(1) - F.col("n_stop") / F.col("n_tok"))
+                    + 0.3 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+                )
+                * 1000000
+            ).cast("long"),
+        )
+    )
+    kept_q = scored.where(F.col("quality_e6") >= 600000)
+    dups = (
+        dedup.jaccard_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = kept_q.join(dups, "doc_id", "left_anti")
+    return final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.floor(F.sum("quality_e6") / F.count(F.lit(1))).cast("long").alias("avg_quality_e6"),
+    )

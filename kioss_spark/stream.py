@@ -121,6 +121,22 @@ class Stream:
         return cls(cls._attach_seq(spark.read.parquet(path)), plan=(f"read_parquet({path})",))
 
     @classmethod
+    def read_csv(cls, spark: SparkSession, path: str, schema=None, header: bool = True) -> "Stream":
+        """CSV scan. Always pass a schema at scale — inferSchema is a full
+        extra pass over the data."""
+        return cls(
+            cls._attach_seq(sources.read_csv(spark, path, schema=schema, header=header)),
+            plan=(f"read_csv({path})",),
+        )
+
+    @classmethod
+    def read_json(cls, spark: SparkSession, path: str, schema=None) -> "Stream":
+        return cls(
+            cls._attach_seq(sources.read_json(spark, path, schema=schema)),
+            plan=(f"read_json({path})",),
+        )
+
+    @classmethod
     def range(cls, spark: SparkSession, n: int, column: str = _VALUE) -> "Stream":
         return cls(cls._attach_seq(sources.spark_range(spark, n, column)), plan=(f"range({n})",))
 
@@ -1021,6 +1037,30 @@ class Stream:
         streamable/stream.py:143-151)."""
         self.count()
         return self
+
+    # ------------------------------------------------------------ sinks
+
+    def write_parquet(self, path: str, mode: str = "error", partition_by=None) -> None:
+        """Columnar sink (the reference's sinks are user foreach effects,
+        README.md:541-570; a real engine needs first-class writes).
+        ``partition_by`` columns become directory partitions — the layout
+        lever for downstream partition pruning at 100 TB."""
+        self._write(path, "parquet", mode, partition_by)
+
+    def write_csv(self, path: str, mode: str = "error", header: bool = True) -> None:
+        df = self.to_df(ordered=False)
+        df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def write_json(self, path: str, mode: str = "error") -> None:
+        self._write(path, "json", mode, None)
+
+    def _write(self, path: str, fmt: str, mode: str, partition_by) -> None:
+        df = self.to_df(ordered=False)  # never sort before a write
+        writer = df.write.mode(mode).format(fmt)
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*cols)
+        writer.save(path)
 
     # ------------------------------------------------------------ inspection
 

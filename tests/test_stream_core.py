@@ -251,3 +251,17 @@ def test_str_golden_render(spark):
         "    .truncate(count=2, when=None)\n"
         ")"
     )
+
+
+def test_sources_and_sinks_roundtrip(spark, tmp_path):
+    base = str(tmp_path)
+    s = Stream.range(spark, 20).map(value=F.col("value"), doubled=F.col("value") * 2)
+    s.write_parquet(base + "/p", partition_by="doubled")
+    back = Stream.read_parquet(spark, base + "/p")
+    assert back.count() == 20
+    s.write_csv(base + "/c")
+    csv_back = Stream.read_csv(spark, base + "/c", schema="value long, doubled long")
+    assert csv_back.count() == 20
+    s.write_json(base + "/j")
+    json_back = Stream.read_json(spark, base + "/j", schema="value long, doubled long")
+    assert sorted(r["value"] for r in json_back.to_df().collect()) == list(range(20))
