@@ -540,15 +540,23 @@ def op_concat_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _parse_k_strict(element: dict) -> int:
+def _make_parse_k_strict():
     """json-parse props.k; rejects odd k — the deterministic error injector
-    (the reference's odd-elements-throw oracle, tests/test_stream.py:98-106)."""
-    import json
+    (the reference's odd-elements-throw oracle, tests/test_stream.py:98-106).
 
-    k = json.loads(element["props"])["k"]
-    if k % 2 == 1:
-        raise ValueError(f"odd k: {k}")
-    return k
+    Returned as a closure so cloudpickle ships it BY VALUE: executors never
+    need kioss_spark importable (the driver's harness controls neither the
+    worker PYTHONPATH nor the cwd)."""
+
+    def parse_k_strict(element: dict) -> int:
+        import json
+
+        k = json.loads(element["props"])["k"]
+        if k % 2 == 1:
+            raise ValueError(f"odd k: {k}")
+        return k
+
+    return parse_k_strict
 
 
 _CATCH_ORACLE = """
@@ -593,7 +601,7 @@ def op_catch_pyfn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     s = (
         Stream.from_df(ev.select("event_id", "props"), seq="event_id")
-        .map(_parse_k_strict, returnType=T.LongType())
+        .map(_make_parse_k_strict(), returnType=T.LongType())
         .catch(ValueError, replacement=-1)
     )
     df = s.to_df(ordered=False, keep_seq=True)
@@ -602,13 +610,19 @@ def op_catch_pyfn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-async def _async_enrich(element: dict) -> int:
+def _make_async_enrich():
     """Async enrichment stand-in (the reference's amap drives async I/O,
-    streamable/stream.py:394-411): awaitable, deterministic arithmetic."""
-    import asyncio
+    streamable/stream.py:394-411): awaitable, deterministic arithmetic.
+    Closure-wrapped so cloudpickle ships it by value (no worker-side
+    kioss_spark import required)."""
 
-    await asyncio.sleep(0)
-    return element["o_orderkey"] * 3 + len(element["o_orderstatus"])
+    async def async_enrich(element: dict) -> int:
+        import asyncio
+
+        await asyncio.sleep(0)
+        return element["o_orderkey"] * 3 + len(element["o_orderstatus"])
+
+    return async_enrich
 
 
 @register(
@@ -625,7 +639,7 @@ def op_amap_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
     s = Stream.from_df(
         orders.select("o_orderkey", "o_orderstatus"), seq="o_orderkey"
-    ).amap(_async_enrich, returnType=T.LongType(), concurrency=16)
+    ).amap(_make_async_enrich(), returnType=T.LongType(), concurrency=16)
     return s.to_df(ordered=False).select(F.col("value"))
 
 
