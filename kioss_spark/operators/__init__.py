@@ -5,8 +5,9 @@ reference's surface — SURVEY.md §7 step 7).
 Submodules:
 - ``text`` — tokenize/shingle/hash/quality/lang-ID column algebra
 - ``dedup`` — exact, n-gram-Jaccard, MinHash-LSH, SimHash
-- ``similarity`` — brute-force + IVF cosine top-k over embeddings
+- ``similarity`` — brute-force + IVF cosine top-k, embedding near-dup
 - ``multimodal`` — binary payload plumbing, Arrow-batched decode stubs
+- ``skew`` — salted agg/join, bucketed-table layout helpers
 """
 
-from kioss_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+from kioss_spark.operators import dedup, multimodal, similarity, skew, text  # noqa: F401

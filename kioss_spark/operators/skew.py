@@ -1,0 +1,116 @@
+"""Skew- and layout-management utilities — the shuffle levers for 100 TB.
+
+- ``salted_agg``: two-stage aggregation for skewed grouping keys. Stage 1
+  groups on (key, salt) — the hot key's rows spread over ``salt_buckets``
+  reducers; stage 2 merges the per-salt partials on the bare key (tiny:
+  ``salt_buckets`` rows per key). Correct for any algebraic aggregate
+  (sum/count/min/max; avg = sum+count merged at stage 2).
+- ``salted_join``: replicate-and-salt for joining a skewed fact key against
+  a small-ish dimension: fact rows get a random-but-deterministic salt,
+  dimension rows are exploded ``salt_buckets`` ways, join key becomes
+  (key, salt). AQE's skew-join handles the same problem adaptively when
+  statistics reveal it; explicit salting is the plan-level guarantee.
+- ``write_bucketed`` / ``read_bucketed``: co-located joins via bucketed
+  tables — both sides bucketed by the join key into the same bucket count
+  join WITHOUT a shuffle (SortMergeJoin over pre-bucketed scans).
+
+Salts are deterministic (hash of the row's other columns mod buckets, or a
+provided column) so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["salted_agg", "salted_join", "write_bucketed", "read_bucketed"]
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_buckets: int = 16,
+    salt_on: Optional[Column] = None,
+) -> DataFrame:
+    """Skew-safe sum/count over a hot grouping key.
+
+    Returns (key, total, n). Two keyed shuffles, both balanced: stage 1 on
+    (key, salt) spreads the hot key across ``salt_buckets`` reducers; stage 2
+    merges ``salt_buckets`` partial rows per key.
+    """
+    salt = (
+        F.pmod(salt_on, F.lit(salt_buckets))
+        if salt_on is not None
+        else F.pmod(F.xxhash64(F.col(value)), F.lit(salt_buckets))
+    )
+    partial = (
+        df.withColumn("__salt__", salt)
+        .groupBy(key, "__salt__")
+        .agg(F.sum(value).alias("__t__"), F.count(F.lit(1)).alias("__n__"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__t__").alias("total"), F.sum("__n__").alias("n")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_on: Optional[Column] = None,
+) -> DataFrame:
+    """Join a skew-keyed fact against a dimension with replicate-and-salt.
+
+    The dimension is exploded ``salt_buckets`` ways (affordable when
+    |dim| × buckets stays small); the fact's hot key spreads across buckets.
+    Prefer ``F.broadcast(dim)`` when the dim fits in memory — salting is for
+    the in-between regime (too big to broadcast, key too skewed for a plain
+    shuffle join).
+    """
+    salt = (
+        F.pmod(salt_on, F.lit(salt_buckets))
+        if salt_on is not None
+        else F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    )
+    f = fact.withColumn("__salt__", salt)
+    d = dim.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return f.join(d, on=[key, "__salt__"]).drop("__salt__")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 16,
+    sort_by: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist with a bucketed layout: repeated joins/aggs on ``bucket_by``
+    then read pre-partitioned data — no shuffle at query time. This is the
+    durable form of the repartition the dedup operators do per-query."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a crashed previous writer can leave an orphan managed location the
+        # catalog no longer tracks; clear it through the Hadoop FS API
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(warehouse, table.split(".")[-1])
+        fs = path.getFileSystem(hconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

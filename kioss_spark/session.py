@@ -15,6 +15,7 @@ Scale notes (100 TB target):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -39,6 +40,15 @@ def get_spark(app_name: str = "kioss_spark", shuffle_partitions: int | None = No
         # as long-nanos with this flag (see kioss_spark.sources.load_table,
         # which also sets it at read time for plain sessions)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-table tests/demos need a writable warehouse; keep it out
+        # of the repo (static conf — must be set before session creation)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "kioss_spark_warehouse"),
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

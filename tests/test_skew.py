@@ -1,0 +1,66 @@
+"""Skew/bucketing utilities — correctness + plan-shape assertions."""
+
+from pyspark.sql import functions as F
+
+from kioss_spark.operators import skew
+
+
+def test_salted_agg_matches_plain(spark):
+    # 90% of rows share one key: the salted two-stage agg must equal the
+    # plain groupBy
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    got = {r["k"]: (r["total"], r["n"]) for r in skew.salted_agg(df, "k", "v").collect()}
+    want = {
+        r["k"]: (r["total"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_stage1_spreads_hot_key(spark):
+    df = spark.range(1000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    partial = (
+        df.withColumn("__salt__", F.pmod(F.xxhash64(F.col("v")), F.lit(16)))
+        .groupBy("k", "__salt__").count()
+    )
+    # the single hot key occupies many distinct salt buckets
+    assert partial.count() > 8
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.range(5000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, name string")
+    got = sorted(
+        (r["k"], r["v"], r["name"]) for r in skew.salted_join(fact, dim, "k").collect()
+    )
+    want = sorted((r["k"], r["v"], r["name"]) for r in fact.join(dim, "k").collect())
+    assert got == want
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # warehouse dir points at tmp (static conf, set by get_spark). Disable
+    # auto-broadcast so the planner exercises the bucketed path (at real
+    # scale neither side fits in memory — that regime is what bucketing is
+    # for; tiny test tables would otherwise just broadcast).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+        b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+        skew.write_bucketed(a, "t_bucket_a", "k", n_buckets=8, sort_by=["k"])
+        skew.write_bucketed(b, "t_bucket_b", "k", n_buckets=8, sort_by=["k"])
+        ta = skew.read_bucketed(spark, "t_bucket_a")
+        tb = skew.read_bucketed(spark, "t_bucket_b")
+        joined = ta.join(tb, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: no exchange anywhere in the join plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
