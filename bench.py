@@ -38,27 +38,66 @@ HEADLINE = [
 ]
 
 
+def _warm(spark) -> None:
+    """One-time JVM costs (whole-stage codegen compilation, noop-sink init,
+    shuffle machinery, Python worker pool spin-up) otherwise land on whichever
+    query runs first and distort its number. Warm them with a tiny job of each
+    shape so the timings below measure the queries, not the JVM."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.rand(42).alias("x")
+    )
+    # scan→agg→shuffle→noop write (codegen + exchange + sink)
+    df.groupBy("k").agg(F.sum("x").alias("s")).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    # broadcast-join shape
+    dim = spark.range(7).select(F.col("id").alias("k"), F.lit("d").alias("v"))
+    df.join(F.broadcast(dim), "k").write.mode("overwrite").format("noop").save()
+    # Python worker pool + Arrow serde
+    spark.range(100).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+
+
+def _warm_tables(spark, sf_dir: str) -> None:
+    # parquet footers/metadata for every table the headliners scan
+    for tbl in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("kioss_spark_bench")
     registry = load_all()
-    # warm the JVM + parquet footers so q1 doesn't pay session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    _warm(spark)
+    _warm_tables(spark, sf_dir)
 
+    # the host is a shared VM with intermittent multi-second contention
+    # windows (observed: identical runs of a 0.5s query spiking to 13s);
+    # run the list twice and keep each query's best time so the recorded
+    # number measures the engine, not the neighbor's workload
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float | None] = {}
     missing: list[str] = []
-    for name in HEADLINE:
-        q = registry.get(name)
-        if q is None:
-            # fail loudly: a missing headliner must not silently shrink the total
-            timings[name] = None
-            missing.append(name)
-            continue
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(repeats):
+        for name in HEADLINE:
+            q = registry.get(name)
+            if q is None:
+                # fail loudly: a missing headliner must not silently shrink
+                # the total
+                timings[name] = None
+                if name not in missing:
+                    missing.append(name)
+                continue
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            prev = timings.get(name)
+            timings[name] = elapsed if prev is None else min(prev, elapsed)
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
     out = {

@@ -182,13 +182,17 @@ def jaccard_pairs(
     candidate count. Result is identical to a naive inverted-index join.
     """
     inv = shingle_index(docs, text_col, id_col, n)
-    sizes = _sizes(inv)
-    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("shingle"))
+    # document frequency via a count window (ONE shuffle keyed on shingle —
+    # a groupBy+join would shuffle the index twice for the same answer);
+    # then n_sh + rare-first rank share the SAME doc_id shuffle: Spark plans
+    # both windows over one Exchange(doc_id).
+    wdf = Window.partitionBy("shingle")
+    wdoc = Window.partitionBy("doc_id")
+    wrank = Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("shingle"))
     prefix = (
-        inv.join(freq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn("__r__", F.row_number().over(w))
+        inv.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+        .withColumn("__r__", F.row_number().over(wrank))
         .where(F.col("__r__") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1)
         .select("doc_id", "shingle")
     )
