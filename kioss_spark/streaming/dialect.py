@@ -161,6 +161,64 @@ class SStream:
         )
         return self._derive(df, "groupby")
 
+    def groupby_sized(
+        self,
+        key: str,
+        values_of: str,
+        size: int,
+        flush_timeout=None,
+    ) -> "SStream":
+        """The reference's size-policy GroupbyIterator
+        (streamable/iterators.py:213-280): a group is emitted the MOMENT its
+        key reaches ``size`` elements — not at micro-batch edges — and a
+        partial group flushes after ``flush_timeout`` of key inactivity (the
+        reference's oldest-group flush). Built on ``applyInPandasWithState``:
+        per-key state is the buffered remainder (< ``size`` rows), so state
+        is bounded regardless of stream length — the property that lets this
+        run forever at scale. Arrow-batched; no per-row Python.
+        """
+        import pandas as pd  # local: workers import lazily
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        from pyspark.sql.types import ArrayType, StructField, StructType
+
+        fields = {f.name: f.dataType for f in self._df.schema.fields}
+        ktype, vtype = fields[key], fields[values_of]
+        out_schema = StructType(
+            [StructField("key", ktype), StructField("value", ArrayType(vtype))]
+        )
+        state_schema = StructType([StructField("buf", ArrayType(vtype))])
+        timeout_ms = int(_seconds(flush_timeout) * 1000) if flush_timeout else None
+
+        def flush(key_tuple, pdf_iter, state):
+            buf = list(state.get[0]) if state.exists else []
+            for pdf in pdf_iter:
+                buf.extend(pdf[values_of].tolist())
+            out = []
+            while len(buf) >= size:
+                out.append((key_tuple[0], buf[:size]))
+                buf = buf[size:]
+            if timeout_ms is not None and state.hasTimedOut and buf:
+                out.append((key_tuple[0], buf))  # partial flush on inactivity
+                buf = []
+            if buf:
+                state.update((buf,))
+                if timeout_ms is not None:
+                    state.setTimeoutDuration(timeout_ms)
+            elif state.exists:
+                state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=["key", "value"])
+
+        timeout_conf = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        )
+        df = self._df.groupBy(key).applyInPandasWithState(
+            flush, out_schema, state_schema, "append", timeout_conf
+        )
+        return self._derive(df, f"groupby_sized({key!r}, size={size})")
+
     def distinct(
         self, key: Optional[str] = None, within=_dt.timedelta(minutes=10),
         event_time: str = "timestamp",

@@ -96,6 +96,25 @@ def test_observe_metrics_in_progress(spark):
     assert seen is not None and seen["rows"] >= 0
 
 
+def test_groupby_sized_flushes_exact_groups(spark):
+    # the reference's size-policy groupby (iterators.py:213-280): every
+    # emitted group has EXACTLY `size` members; the < size remainder stays
+    # in per-key state (bounded), never emitted while data keeps flowing
+    s = SStream.rate(spark, rows_per_second=200, partitions=2).map(
+        k=(F.col("value") % 2).cast("long"), v=F.col("value")
+    ).groupby_sized("k", values_of="v", size=5)
+    q = s.to_memory("t_gsized")
+    _drain(q, 8)
+    rows = spark.sql("SELECT key, value FROM t_gsized").collect()
+    assert rows, "no sized group emitted in 8s"
+    assert all(len(r["value"]) == 5 for r in rows), [len(r["value"]) for r in rows]
+    assert {r["key"] for r in rows} <= {0, 1}
+    # no element appears in two groups of the same key
+    for k in (0, 1):
+        vals = [v for r in rows if r["key"] == k for v in r["value"]]
+        assert len(vals) == len(set(vals))
+
+
 def test_batch_df_rejected(spark):
     with pytest.raises(TypeError):
         SStream(spark.range(5))
