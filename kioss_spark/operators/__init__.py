@@ -8,6 +8,7 @@ Submodules:
 - ``similarity`` — brute-force + IVF cosine top-k, embedding near-dup
 - ``multimodal`` — binary payload plumbing, Arrow-batched decode stubs
 - ``skew`` — salted agg/join, bucketed-table layout helpers
+- ``asof`` — generic as-of join (union + running-last window; no pair blowup)
 """
 
-from kioss_spark.operators import dedup, multimodal, similarity, skew, text  # noqa: F401
+from kioss_spark.operators import asof, dedup, multimodal, similarity, skew, text  # noqa: F401

@@ -273,6 +273,36 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_purchase",
+    oracle="""
+    SELECT c.event_id, p.ts AS purchase_ts,
+           CAST(floor(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table as-of via the generic operators.asof.asof_join (clicks ←
+    most recent prior purchase per user). One keyed shuffle, no pair blowup;
+    DuckDB's native ASOF JOIN is the oracle."""
+    from kioss_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", values=["ts", "value"])
+    return joined.select(
+        "event_id",
+        F.col("ts_right").alias("purchase_ts"),
+        F.floor(F.col("value_right") * 100).cast("long").alias("purchase_cents"),
+    )
+
+
+@register(
     "zip_customers_suppliers",
     oracle="""
     WITH c AS (SELECT c_name, row_number() OVER (ORDER BY c_custkey) AS idx FROM customer),

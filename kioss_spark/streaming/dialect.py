@@ -259,6 +259,31 @@ class SStream:
             writer = writer.trigger(**self._trigger_kwargs())
         return writer.start()
 
+    def to_files(
+        self,
+        path: str,
+        checkpoint: str,
+        fmt: str = "parquet",
+        output_mode: str = "append",
+        partition_by=None,
+    ):
+        """Durable file sink with exactly-once checkpointing — the production
+        landing path (memory sink is test-only). ``checkpoint`` carries the
+        WAL + state store; on restart the query resumes from it, which is
+        what makes a 100 TB/day ingest pipeline survivable."""
+        writer = (
+            self._df.writeStream.format(fmt)
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode(output_mode)
+        )
+        if partition_by:
+            cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            writer = writer.partitionBy(*cols)
+        if self._trigger:
+            writer = writer.trigger(**self._trigger_kwargs())
+        return writer.start()
+
     def foreach_batch(self, fn: Callable[[DataFrame, int], None], output_mode: str = "append"):
         """Consume per micro-batch — with ``group(interval=)`` upstream,
         ``fn`` receives exactly one group per flush interval (the

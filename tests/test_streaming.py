@@ -115,6 +115,19 @@ def test_groupby_sized_flushes_exact_groups(spark):
         assert len(vals) == len(set(vals))
 
 
+def test_to_files_durable_sink(spark, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    s = SStream.rate(spark, rows_per_second=100).map(v=F.col("value"))
+    q = s.to_files(out, checkpoint=ckpt)
+    _drain(q, 5)
+    df = spark.read.parquet(out)
+    assert df.count() > 0
+    assert "v" in df.columns
+    # checkpoint directory carries the WAL (restart/exactly-once machinery)
+    import os
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
+
+
 def test_batch_df_rejected(spark):
     with pytest.raises(TypeError):
         SStream(spark.range(5))
