@@ -323,9 +323,16 @@ class Stream:
             return self._derive(df, f"map({', '.join(exprs)})")
 
         out_type = returnType or self._value_type
-        src = self if concurrency <= 1 else self._derive(
-            self._df.repartition(concurrency), f"repartition({concurrency})"
-        )
+        # concurrency is a partition FLOOR: raise parallelism for a slow
+        # Python fn, never collapse an already-wider upstream (a plain
+        # repartition(n) would shuffle 100 TB down to n partitions).
+        # getNumPartitions may materialize upstream AQE stages; their
+        # shuffle output is reused by the action, so no work is doubled.
+        src = self
+        if concurrency > 1 and self._df.rdd.getNumPartitions() < concurrency:
+            src = self._derive(
+                self._df.repartition(concurrency), f"repartition({concurrency})"
+            )
         df = src._with_fn_column(transformation, "__mapped__", out_type)
         df = df.select(
             F.col(SEQ_COL), F.col("__mapped__").alias(_VALUE), F.col(ERR_COL)

@@ -35,6 +35,18 @@ def test_map_concurrency_preserves_order(ints):
     assert out == [x * 2 for x in range(N)]
 
 
+def test_map_concurrency_is_partition_floor(spark):
+    from kioss_spark.stream import Stream
+
+    wide = Stream.from_df(spark.range(1000).repartition(16), seq="id")
+    s = wide.map(double, returnType=T.LongType(), concurrency=2)
+    # already-wider upstream must NOT be collapsed to 2 partitions
+    assert s._df.rdd.getNumPartitions() >= 16
+    narrow = Stream.from_df(spark.range(1000).coalesce(1), seq="id")
+    s2 = narrow.map(double, returnType=T.LongType(), concurrency=8)
+    assert s2._df.rdd.getNumPartitions() >= 8
+
+
 def test_map_unordered_same_multiset(ints):
     out = ints.map(double, returnType=T.LongType(), concurrency=4, ordered=False).collect()
     assert sorted(out) == [x * 2 for x in range(N)]
