@@ -1,0 +1,87 @@
+"""Property-based conformance: random operator chains on the Stream facade
+must equal a pure-Python model of the reference's pull-iterator semantics
+(the reference's own tests assert against list/map/filter one-liners,
+/root/reference/tests/test_stream.py — hypothesis generalizes that).
+
+Each example runs real Spark jobs, so example counts are kept small; the
+chains still cover order preservation, error-free composition, and the
+count-order operators' two-phase implementation across partition counts.
+"""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kioss_spark.stream import Stream
+
+
+def _double(x):
+    return x * 2
+
+
+def _odd(x):
+    return x % 2 == 1
+
+
+#: (facade op, python model) pairs over int streams
+_OPS = {
+    "map_fn": (
+        lambda s: s.map(_double, returnType=T.LongType()),
+        lambda xs: [x * 2 for x in xs],
+    ),
+    "map_col": (
+        lambda s: s.map(F.col("value") + 3),
+        lambda xs: [x + 3 for x in xs],
+    ),
+    "filter_fn": (lambda s: s.filter(_odd), lambda xs: [x for x in xs if _odd(x)]),
+    "filter_col": (
+        lambda s: s.filter(F.col("value") % 3 != 0),
+        lambda xs: [x for x in xs if x % 3 != 0],
+    ),
+    "skip2": (lambda s: s.skip(2), lambda xs: xs[2:]),
+    "truncate5": (lambda s: s.truncate(5), lambda xs: xs[:5]),
+    "distinct": (
+        lambda s: s.distinct(),
+        lambda xs: list(dict.fromkeys(xs)),  # keep-FIRST, order preserved
+    ),
+}
+
+_chain = st.lists(st.sampled_from(sorted(_OPS)), min_size=0, max_size=4)
+_data = st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=25)
+
+
+@settings(max_examples=12, deadline=None)
+@given(xs=_data, chain=_chain)
+def test_random_chain_matches_python_model(spark, xs, chain):
+    s = Stream.of(spark, xs, schema=T.StructType([T.StructField("value", T.LongType())]))
+    model = list(xs)
+    for name in chain:
+        op, pyop = _OPS[name]
+        s = op(s)
+        model = pyop(model)
+    assert s.collect() == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(st.integers(0, 99), min_size=0, max_size=40),
+    k=st.integers(0, 45),
+    parts=st.sampled_from([1, 3, 8]),
+)
+def test_skip_truncate_any_partitioning(spark, xs, k, parts):
+    # the two-phase prefix-sum skip/truncate must be exact for every
+    # partition layout, not just the one the optimizer happened to pick
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "seq long, value long"
+    )
+    s = Stream.from_df(df.repartition(parts), seq="seq").map(F.col("value"))
+    assert s.skip(k).collect() == xs[k:]
+    assert s.truncate(k).collect() == xs[:k]
+
+
+@settings(max_examples=6, deadline=None)
+@given(xs=st.lists(st.integers(0, 20), min_size=1, max_size=30), size=st.integers(1, 7))
+def test_group_size_batches_model(spark, xs, size):
+    got = Stream.of(spark, xs).group(size=size).collect()
+    expect = [xs[i : i + size] for i in range(0, len(xs), size)]
+    assert got == expect
