@@ -1,0 +1,92 @@
+"""Dedup operators — unit coverage for the narrow shingle construction and
+the pair pipelines on hand-computed corpora (the oracle gate covers them at
+fixture scale; these pin the edge semantics)."""
+
+from pyspark.sql import functions as F
+
+from kioss_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _shingles(spark, text, n=4):
+    df = _docs(spark, [(1, text)])
+    return sorted(
+        r["shingle"] for r in dedup.shingle_stream(df, n=n).collect()
+    )
+
+
+def test_shingle_stream_basic(spark):
+    # 5 tokens, 4-grams -> 2 shingles, in-row order
+    assert _shingles(spark, "a b c d e") == ["a b c d", "b c d e"]
+
+
+def test_shingle_stream_multispace_and_trim(spark):
+    # empty tokens never appear inside shingles: "a  b" == "a b"
+    assert _shingles(spark, "  a  b   c d  e ") == ["a b c d", "b c d e"]
+
+
+def test_shingle_stream_short_and_empty_docs(spark):
+    # < n tokens -> no shingles; empty/whitespace text -> no rows
+    df = _docs(spark, [(1, "a b c"), (2, ""), (3, "   "), (4, "a b c d")])
+    got = {(r["doc_id"], r["shingle"]) for r in dedup.shingle_stream(df).collect()}
+    assert got == {(4, "a b c d")}
+
+
+def test_shingle_stream_is_multiset_index_is_set(spark):
+    df = _docs(spark, [(1, "x y x y x y x y")])  # "x y x y" appears 3x...
+    stream = dedup.shingle_stream(df).collect()
+    assert len(stream) == 5  # ...in a 5-shingle multiset
+    index = dedup.shingle_index(df, materialize=False).collect()
+    assert len(index) == 2  # {"x y x y", "y x y x"}
+
+
+def test_shingle_stream_plan_has_one_exchange_no_window(spark):
+    df = _docs(spark, [(1, "a b c d e")])
+    plan = dedup.shingle_stream(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # only the doc-level repartition
+    assert "Window" not in plan  # token stream itself never shuffles
+
+
+def test_index_distinct_reuses_doc_partitioning(spark):
+    # the distinct's aggregate must ride the doc_id exchange: still ONE
+    # exchange in the whole index plan (subset clustering)
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d")])
+    plan = dedup.shingle_index(df, materialize=False)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
+def test_exact_dedup_normalizes_and_keeps_min_id(spark):
+    df = _docs(spark, [(5, "Hello World"), (2, "  hello world "), (9, "other")])
+    rows = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert rows == {2: 2, 9: 1}
+
+
+def test_jaccard_pairs_exact_threshold(spark):
+    # doc1/doc2: 5-token docs sharing 4 tokens -> shingle sets {2}∩{2}:
+    # J("a b c d e" vs "a b c d f") = |{a b c d}| / |{a b c d e, b c d e,
+    # a b c d f, b c d f}... compute: s1={abcd,bcde}, s2={abcd,bcdf},
+    # inter=1, union=3 -> J=1/3; with threshold 0.3 the pair survives,
+    # with 0.5 it does not.
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d f"), (3, "zz yy xx ww vv")])
+    lo = dedup.jaccard_pairs(df, threshold=0.3).collect()
+    assert [(r["doc_a"], r["doc_b"], r["n_shared"], r["jaccard_e6"]) for r in lo] == [
+        (1, 2, 1, 333333)
+    ]
+    hi = dedup.jaccard_pairs(df, threshold=0.5).collect()
+    assert hi == []
+
+
+def test_minhash_catches_identical_docs(spark):
+    # identical shingle sets share every band -> always a candidate, J=1
+    df = _docs(spark, [(1, "p q r s t u"), (2, "p q r s t u"), (3, "m n o p q")])
+    got = [(r["doc_a"], r["doc_b"], r["jaccard_e6"]) for r in dedup.minhash_lsh_pairs(df).collect()]
+    assert got == [(1, 2, 1000000)]
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    df = _docs(spark, [(1, "p q r s t u"), (2, "p q r s t u"), (3, "aa bb cc dd ee")])
+    got = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in dedup.simhash_pairs(df).collect()]
+    assert got == [(1, 2, 0)]
