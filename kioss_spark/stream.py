@@ -38,6 +38,7 @@ window runs over one stats row per partition.
 from __future__ import annotations
 
 import logging
+import time
 import warnings
 from typing import Any, Callable, Iterator, Optional
 
@@ -82,12 +83,14 @@ class Stream:
         ordered: bool = True,
         finally_dfs: tuple = (),
         observations: tuple = (),
+        throttle_gap: float = 0.0,
     ) -> None:
         self._df = df
         self._plan = tuple(plan)
         self._ordered = ordered
         self._finally = tuple(finally_dfs)
         self._observations = tuple(observations)
+        self._throttle_gap = float(throttle_gap)
 
     # ------------------------------------------------------------- sources
 
@@ -175,6 +178,7 @@ class Stream:
             ordered=overrides.get("ordered", self._ordered),
             finally_dfs=overrides.get("finally_dfs", self._finally),
             observations=overrides.get("observations", self._observations),
+            throttle_gap=overrides.get("throttle_gap", self._throttle_gap),
         )
 
     def _elements_of(self) -> Callable[[pd.DataFrame], list]:
@@ -733,19 +737,41 @@ class Stream:
     # ------------------------------------------------------------ throttle/observe
 
     def throttle(self, per_second=None, per_minute=None, per_hour=None, interval=None) -> "Stream":
-        """Rate limiting (reference: streamable/stream.py:448-477) is a
-        *processing-time* contract with no batch meaning: Spark-first it maps
-        to streaming source rate options (``rowsPerSecond``,
-        ``maxFilesPerTrigger``, trigger intervals — see kioss_spark.streaming).
-        In batch it records the intent and warns."""
-        warnings.warn(
-            "throttle() has no effect in batch mode; use kioss_spark.streaming "
-            "rate options for a live rate limit"
-        )
+        """Rate limiting (reference: streamable/stream.py:448-477): a minimum
+        gap between successive yields, the tightest of the given constraints.
+
+        The reference slows the pull loop itself; the faithful batch analog
+        is pacing DRIVER-SIDE consumption — ``iter(stream)`` (and
+        ``collect`` on a throttled stream, which routes through it) honors
+        the gap between yielded elements, errors included. Cluster-side
+        actions (``count``, writes) execute distributed and unpaced — pacing
+        a 1000-executor job from the driver would serialize it; for a live
+        source-rate limit use the streaming dialect (``rowsPerSecond``,
+        ``maxFilesPerTrigger``, trigger pacing — kioss_spark.streaming)."""
+        for name, v in (("per_second", per_second), ("per_minute", per_minute),
+                        ("per_hour", per_hour)):
+            if v is not None and v < 1:
+                raise ValueError(f"throttle() {name} must be >= 1, got {v}")
+        if interval is not None:
+            secs = interval.total_seconds() if hasattr(interval, "total_seconds") else float(interval)
+            if secs < 0:
+                raise ValueError(f"throttle() interval must be non-negative, got {interval}")
+        gaps = [self._throttle_gap]
+        if per_second is not None:
+            gaps.append(1.0 / per_second)
+        if per_minute is not None:
+            gaps.append(60.0 / per_minute)
+        if per_hour is not None:
+            gaps.append(3600.0 / per_hour)
+        if interval is not None:
+            gaps.append(
+                interval.total_seconds() if hasattr(interval, "total_seconds") else float(interval)
+            )
         return self._derive(
             self._df,
             f"throttle(per_second={per_second}, per_minute={per_minute}, "
             f"per_hour={per_hour}, interval={interval})",
+            throttle_gap=max(gaps),
         )
 
     def observe(self, what: str = "elements") -> "Stream":
@@ -776,7 +802,8 @@ class Stream:
         df = left.unionByName(right)
         return Stream(df, self._plan + ("+",), self._ordered and other._ordered,
                       self._finally + other._finally,
-                      self._observations + other._observations)
+                      self._observations + other._observations,
+                      throttle_gap=max(self._throttle_gap, other._throttle_gap))
 
     def zip(self, other: "Stream") -> "Stream":
         """Elementwise pairing (reference README pattern, README.md:481-497):
@@ -813,7 +840,8 @@ class Stream:
                 df = df.unionByName(errs)
         return Stream(df, self._plan + ("zip",), self._ordered and other._ordered,
                       self._finally + other._finally,
-                      self._observations + other._observations)
+                      self._observations + other._observations,
+                      throttle_gap=max(self._throttle_gap, other._throttle_gap))
 
     # ------------------------------------------------------------ catch
 
@@ -995,7 +1023,11 @@ class Stream:
 
         Single pass: error rows come back with the data; the positionally
         first uncaught error re-raises driver-side (the reference's
-        consumer-side re-raise in stream position)."""
+        consumer-side re-raise in stream position). On a throttled stream,
+        collection routes through the paced iterator — ``list(stream)`` in
+        the reference is paced, so ours is too."""
+        if self._throttle_gap > 0.0:
+            return list(self)
         df = self._df
         if self._ordered:
             df = df.orderBy(F.col(SEQ_COL))
@@ -1024,14 +1056,23 @@ class Stream:
         iterator (one partition in flight at a time). An uncaught error
         raises mid-iteration AT ITS POSITION — elements before it are
         yielded first, exactly the reference's contract
-        (tests/test_stream.py:555-576)."""
+        (tests/test_stream.py:555-576). A ``throttle`` in the chain paces
+        the yields (errors included — "the upstream exceptions are slowed
+        too", reference stream.py:462)."""
         df = self._df
         if self._ordered:
             df = df.orderBy(F.col(SEQ_COL))
         vcols = self._data_cols
         single = len(vcols) == 1
         cols = vcols + ([ERR_COL] if self._has_err else [])
+        gap = self._throttle_gap
+        next_t = time.monotonic()
         for row in df.select(*cols).toLocalIterator():
+            if gap > 0.0:
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+                next_t = max(next_t + gap, time.monotonic())
             if self._has_err and row[ERR_COL] is not None:
                 e = row[ERR_COL]
                 raise rebuild_exception(e["kind"], e["message"])
