@@ -714,3 +714,139 @@ def op_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m.get("count", 0)), int(m.get("errors", 0) or 0))],
         "observed_count long, observed_errors long",
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H breadth: plan shapes not covered above (exists-semi with inequality,
+# pure-pushdown scan agg, outer-join distribution, having + top-k join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with an inequality correlate -> LEFT SEMI join
+    (never a count-distinct subquery or a join+dedup — the semi join stops
+    probing an order at its first qualifying lineitem). The date filter
+    prunes orders before the shuffle; the agg output is 5 rows."""
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT count(*) AS n_items,
+           round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single scan, every predicate pushed to parquet
+    (range + between + less-than all reach PushedFilters), global agg via
+    partial aggregation — zero shuffles of data, one row out. The purest
+    test that filters actually reach the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join keeps order-less customers (count
+    of a nullable key counts only matches), then a second, much smaller
+    aggregation over the per-customer counts. First agg shuffles by
+    custkey; second input is one row per customer."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, o.o_orderkey, o.o_totalprice,
+           CAST(floor(b.sum_qty * 100) AS BIGINT) AS sum_qty_e2
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregation, join back to orders
+    (keyed shuffle on orderkey), broadcast the customer dim, TakeOrdered
+    top-100 (never a global sort). Deterministic tie-break on o_orderkey so
+    the LIMIT boundary is stable across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.floor(F.col("sum_qty") * 100).cast("long").alias("sum_qty_e2"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
