@@ -646,3 +646,92 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpe").alias("bpe_tokens"),
         F.floor(F.sum("quality_e6") / F.count(F.lit(1))).cast("long").alias("avg_quality_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: deterministic sampling + token budgeting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {sql_h60("text")} % 10000 < 250
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.5% deterministic content-hash sample (250 of 10,000 basis-point
+    buckets). Pure narrow filter — no shuffle, no rand(): the same rows
+    come back on any engine, any partitioning, any rerun. The reproducible
+    alternative to DataFrame.sample for corpus cuts."""
+    from kioss_spark.operators.curation import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), rate_bp=250).select("doc_id", "source", "lang")
+
+
+@register(
+    "budget_cap_per_source",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS} AS t FROM documents),
+    q AS (SELECT doc_id, source,
+                 len(t) AS n_tok,
+                 len(list_distinct(t)) AS n_uniq,
+                 len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+                 list_aggregate(list_transform(t, x ->
+                     CAST(floor((length(x)+3)/4) AS BIGINT)), 'sum') AS bpe
+          FROM toks),
+    scored AS (SELECT doc_id, source, bpe,
+                 CAST(floor((0.4 * (n_uniq / n_tok) + 0.3 * (1 - n_stop / n_tok)
+                      + 0.3 * least(n_tok / 100.0, 1.0)) * 1000000) AS BIGINT) AS quality_e6
+               FROM q),
+    capped AS (SELECT *, sum(bpe) OVER (PARTITION BY source
+                                        ORDER BY quality_e6 DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+               FROM scored)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(bpe) AS tokens_used,
+           min(quality_e6) AS min_quality_e6
+    FROM capped WHERE cum <= 4000
+    GROUP BY source
+    """,
+)
+def budget_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgeting: rank each source's docs by quality
+    (deterministic doc_id tie-break) and keep the best until a 4,000-token
+    quota fills — the standard way a training mix caps over-represented
+    sources. One keyed window shuffle; groups independent (skew = largest
+    source; shard oversized sources upstream at 100 TB)."""
+    from kioss_spark.operators.curation import token_budget_cap
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    n_tok, n_uniq, n_stop, _ = quality_metrics(F.col("t"))
+    bpe = F.aggregate(
+        F.transform(F.col("t"), lambda x: F.floor((F.length(x) + 3) / 4).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        docs.select("doc_id", "source", toks.alias("t"))
+        .select("doc_id", "source",
+                n_tok.alias("n_tok"), n_uniq.alias("n_uniq"), n_stop.alias("n_stop"),
+                bpe.alias("bpe"))
+        .withColumn(
+            "quality_e6",
+            F.floor(
+                (0.4 * (F.col("n_uniq") / F.col("n_tok"))
+                 + 0.3 * (F.lit(1) - F.col("n_stop") / F.col("n_tok"))
+                 + 0.3 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))) * 1000000
+            ).cast("long"),
+        )
+        .select("doc_id", "source", "bpe", "quality_e6")
+    )
+    kept = token_budget_cap(scored, budget=4000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("tokens_used"),
+        F.min("quality_e6").alias("min_quality_e6"),
+    )
