@@ -850,3 +850,41 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "set_ops_half_year",
+    oracle="""
+    WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-07-01'),
+    h2 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01')
+    SELECT (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)) AS n_both,
+           (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT    SELECT * FROM h2)) AS n_only_h1,
+           (SELECT count(*) FROM (SELECT * FROM h2 EXCEPT    SELECT * FROM h1)) AS n_only_h2
+    """,
+)
+def set_ops_half_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY.md §2.5 "Set ops" — the reference only has
+    concat): customers active in both/only-one half of 1996 via
+    ``intersect`` / ``exceptAll`` over distinct key sets. Each set op plans
+    as a keyed shuffle on o_custkey (hash-partitioned aggregate / left-anti
+    shape) — no global sort, no collect."""
+    o = t(spark, sf_dir, "orders")
+    h1 = (
+        o.where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+        .select("o_custkey").distinct()
+    )
+    h2 = (
+        o.where((F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        .select("o_custkey").distinct()
+    )
+    # one declarative plan (single action), not three driver-side counts
+    both = h1.intersect(h2).agg(F.count(F.lit(1)).alias("n_both"))
+    only_h1 = h1.exceptAll(h2).agg(F.count(F.lit(1)).alias("n_only_h1"))
+    only_h2 = h2.exceptAll(h1).agg(F.count(F.lit(1)).alias("n_only_h2"))
+    return both.crossJoin(only_h1).crossJoin(only_h2)
