@@ -888,3 +888,39 @@ def set_ops_half_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_h1 = h1.exceptAll(h2).agg(F.count(F.lit(1)).alias("n_only_h1"))
     only_h2 = h2.exceptAll(h1).agg(F.count(F.lit(1)).alias("n_only_h2"))
     return both.crossJoin(only_h1).crossJoin(only_h2)
+
+
+@register(
+    "range_join_error_windows",
+    oracle="""
+    WITH err AS (SELECT user_id, event_id AS error_id, ts AS w_start,
+                        ts + INTERVAL 10 MINUTE AS w_end
+                 FROM events WHERE event_type = 'error'),
+    clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT e.user_id, e.error_id, count(*) AS n_clicks
+    FROM err e JOIN clk c
+      ON c.user_id = e.user_id AND c.ts >= e.w_start AND c.ts <= e.w_end
+    GROUP BY 1, 2
+    """,
+)
+def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators.rangejoin): clicks inside each user's
+    10-minute post-error window. A naive BETWEEN join without the chunking
+    would plan BroadcastNestedLoop; the chunked interval_join shuffles on
+    (user_id, chunk) with bounded interval fan-out (2 copies at
+    chunk = window length) — the 100 TB-safe shape."""
+    from kioss_spark.operators.rangejoin import interval_join
+
+    ev = t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(clk, err, "ts", "w_start", "w_end",
+                           keys=("user_id",), chunk_seconds=600)
+    return joined.groupBy("user_id", "error_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
