@@ -924,3 +924,33 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "error_id").agg(
         F.count(F.lit(1)).alias("n_clicks")
     )
+
+
+@register(
+    "rollup_hourly_events",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_e2,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: events downsampled to hourly buckets
+    per type (count / sum / distinct users). One keyed shuffle on
+    (bucket, event_type) with map-side partial agg; at 100 TB this is the
+    continuous-aggregate shape — write the result partitioned by bucket and
+    it becomes the serving layer a time-series store materializes."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_e2"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
