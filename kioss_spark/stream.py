@@ -262,16 +262,29 @@ class Stream:
         100x scale-up where ``Window.orderBy(seq)`` would serialize onto one
         core.
 
-        The lazy localCheckpoint is load-bearing: the stats branch and the
-        main branch both consume the ranged partitioning, and without a
-        barrier AQE may re-plan the two exchange instances with DIFFERENT
-        partition counts — spark_partition_id then disagrees across branches
-        and the offsets join silently drops rows (observed at 1M rows).
-        Pinning one RDD makes both branches read the same shuffle output.
+        The lazy ``persist`` is load-bearing: the stats branch and the main
+        branch both consume the ranged partitioning, and as two separate
+        exchange executions they get DIFFERENT range boundaries
+        (RangePartitioner's sample seed involves the RDD id) —
+        spark_partition_id then disagrees across branches and the offsets
+        join silently mis-ranks rows (reproduced: 20-24 batches instead of
+        15). persist() shares ONE InMemoryRelation between both plan
+        references, so the shuffle materializes exactly once — and unlike
+        the earlier localCheckpoint fix it stays lazy: localCheckpoint
+        (even eager=False) finalizes the adaptive plan via toRdd AT PLAN
+        BUILD, executing every upstream stage per declared operator and
+        breaking the declare-then-execute contract. Cache residency is left
+        to LRU (MEMORY_AND_DISK; these consumer-side ops are small by
+        design — see class docstring scale notes).
         """
-        ranged = df.repartitionByRange(F.col(SEQ_COL)).withColumn(
-            "__pid__", F.spark_partition_id()
-        ).localCheckpoint(eager=False)
+        from pyspark.storagelevel import StorageLevel
+
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        ranged = (
+            df.repartitionByRange(n_parts, F.col(SEQ_COL))
+            .withColumn("__pid__", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         stats = ranged.groupBy("__pid__").agg(
             F.sum(flag.cast("long")).alias("__cnt__"), F.min(SEQ_COL).alias("__mn__")
         )
