@@ -954,3 +954,410 @@ def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H breadth, wave 2 (round 2): the remaining classic plan shapes that
+# this testdata's schema supports (no partsupp table -> q2/q9/q11/q16/q20
+# are out of reach; no l_shipmode/l_commitdate -> q12/q21). Each query here
+# exists because its PHYSICAL shape is distinct — role-playing dim joins,
+# conditional-aggregate ratios, scalar-subquery thresholds, disjunctive
+# pushdown, correlated per-key averages, anti-join + global scalar.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension table (nation) plays two roles —
+    supplier nation and customer nation — with a disjunctive pair filter.
+    Scale plan: both nation-filtered sides (supplier+n1, customer+n2) are
+    2/25 selections and broadcast; lineitem⋈orders is the one genuine
+    fact-fact shuffle, taken AFTER the supplier broadcast filter has cut
+    lineitem to ~8%."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = ("NATION_1", "NATION_2")
+    n1 = t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == n1.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_nationkey")
+    ).select("c_custkey", "cust_nation")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+               AS nation_volume,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume
+    FROM lineitem JOIN part     ON p_partkey = l_partkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  JOIN region   ON n2.n_regionkey = r_regionkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): conditional aggregation — one pass
+    computes both the interesting-nation volume and the total. Numerator
+    and denominator are emitted as separate rounded sums instead of a
+    double division (cross-engine float discipline, see module docstring).
+    Scale plan: part is pre-filtered by type then broadcast; supplier and
+    the customer-region side broadcast; orders⋈lineitem is the only
+    fact-fact shuffle."""
+    part = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n2 = t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("n2_key"))
+    cust = t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey")
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))),
+                2,
+            ).alias("nation_volume"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS revenue_e2,
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue_e2 DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. Revenue is integerized PER ROW to cents (round(vol*100) as
+    bigint) before summing — integer sums are accumulation-order-independent,
+    so the rank key is bit-exact across engines and the top-20 cut (custkey
+    tiebreak) is deterministic; round(sum(double),2) at this key count hits
+    representation boundaries. Scale plan: the
+    quarter-filtered orders side broadcasts into lineitem; the final top-k
+    is a TakeOrdered over the small aggregate, never a global sort."""
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_e2")
+        )
+        .select("c_custkey", "c_name", "revenue_e2", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue_e2"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+               AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: single broadcast join + conditional aggregate over
+    one month of shipments. Promo/total are separate rounded sums (no
+    cross-engine double division). The month filter is a pushed-down scan
+    predicate — at 100 TB with date-partitioned parquet this prunes to
+    ~1/36 of files before any compute."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))), 2
+            ).alias("promo_revenue"),
+            F.round(F.sum(vol), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: scalar subquery — supplier(s) whose quarterly
+    revenue equals the global max. The equality key is the ROUNDED revenue
+    (exact across engines). Scale plan: revenue agg is one keyed shuffle;
+    the 1-row max is broadcast back (no second scan of lineitem: the agg
+    result is reused for both sides); supplier joins via broadcast."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx__"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx__"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk, count(*) AS cnt,
+                 sum(CAST(l_quantity AS BIGINT)) AS tot
+          FROM lineitem GROUP BY l_partkey) stats ON stats.pk = l_partkey
+    WHERE p_brand = 'Brand#5' AND p_size < 15
+      AND 5 * CAST(l_quantity AS BIGINT) * cnt < tot
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-key average — lineitems whose
+    quantity is below 20% of their part's average quantity. The threshold
+    is evaluated in EXACT integer arithmetic (quantities are integral:
+    q < 0.2*tot/cnt  <=>  5*q*cnt < tot), so no float boundary can flip a
+    row between engines. Scale plan: the brand-filtered part side is
+    broadcast FIRST so the per-part stats aggregate only the surviving
+    ~1/25 of lineitem — a window over one keyed shuffle, not a self-join
+    re-scan of the fact table."""
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    q = F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("tot", F.sum(q).over(w))
+        .where(F.lit(5) * q * F.col("cnt") < F.col("tot"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_disjunctive_pushdown",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_matches
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges across the join. Scale plan: the part side is pre-filtered to
+    the UNION of the brand/size arms (so the broadcast hash table holds
+    ~3/25 of part), the quantity envelope (1..30) is pushed into the
+    lineitem scan, and the exact per-arm predicate is evaluated post-join
+    in codegen — Catalyst cannot push the cross-table disjunction itself,
+    so we hoist each side's weakest envelope by hand."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    arm = [
+        ("Brand#1", 5, 1, 11),
+        ("Brand#10", 10, 10, 20),
+        ("Brand#20", 15, 20, 30),
+    ]
+    part_pred = None
+    for brand, mxsize, _, _ in arm:
+        p = (F.col("p_brand") == brand) & F.col("p_size").between(1, mxsize)
+        part_pred = p if part_pred is None else (part_pred | p)
+    part = t(spark, sf_dir, "part").where(part_pred).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    full_pred = None
+    for brand, mxsize, qlo, qhi in arm:
+        p = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, mxsize)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        full_pred = p if full_pred is None else (full_pred | p)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(full_pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar threshold (avg positive balance) +
+    anti join (high-balance customers with no RECENT orders — every
+    customer has *some* order at these ratios, so the classic no-orders
+    form is vacuously empty), grouped by nation. Scale plan: the 1-row
+    average broadcasts; orders is date-filtered then pre-aggregated to
+    distinct custkeys BEFORE the anti join so the anti side shuffles
+    keys, not rows — at 100 TB that is |customers| keys instead of
+    |orders| rows."""
+    cust = t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg__")
+    )
+    order_keys = (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg__"))
+        .join(order_keys, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
