@@ -16,6 +16,8 @@ iterators.py:150-280,411-469). Spark-first, those semantics land on:
 | ``distinct(key)``            | ``dropDuplicatesWithinWatermark``             |
 | ``observe``                  | ``df.observe`` + StreamingQueryListener       |
 | consume / ``__call__``       | ``start()`` + ``awaitTermination``            |
+| (beyond the reference)       | event-time ``window_agg`` (tumbling/sliding)  |
+|                              | and ``session_agg`` with watermarked state    |
 
 Design notes for scale: rate limiting is a SOURCE property in Spark (a
 mid-stream throttle would just shift buffering upstream — backpressure is
@@ -231,6 +233,64 @@ class SStream:
         cols = [key] if key else [c for c in self._df.columns if c != event_time]
         df = wm.dropDuplicatesWithinWatermark(cols)
         return self._derive(df, f"distinct(within={secs}s)")
+
+    def window_agg(
+        self,
+        window,
+        *aggs: Column,
+        slide=None,
+        event_time: str = "timestamp",
+        watermark=None,
+        keys: tuple = (),
+    ) -> "SStream":
+        """Event-time tumbling (or, with ``slide``, sliding) windowed
+        aggregation with watermark-bounded late data — the streaming form of
+        the hypertable rollup (see queries.relational.rollup_hourly_events):
+        same bucketing semantics, but incremental, with state evicted once
+        the watermark passes a window's end. ``watermark`` defaults to one
+        window length; ``aggs`` default to a row count. At 100 TB/day this
+        is the continuous-aggregate serving path: each window's partial
+        state lives in the state store only until watermark + window, so
+        state is O(active windows × keys), independent of stream length."""
+        wsecs = _seconds(window)
+        win_args = [F.col(event_time), f"{wsecs} seconds"]
+        if slide is not None:
+            win_args.append(f"{_seconds(slide)} seconds")
+        wm_secs = _seconds(watermark) if watermark is not None else wsecs
+        ms = aggs or (F.count(F.lit(1)).alias("count"),)
+        df = (
+            self._df.withWatermark(event_time, f"{wm_secs} seconds")
+            .groupBy(F.window(*win_args).alias("window"), *[F.col(k) for k in keys])
+            .agg(*ms)
+        )
+        label = f"window_agg({wsecs}s" + (f", slide={_seconds(slide)}s" if slide else "") + ")"
+        return self._derive(df, label)
+
+    def session_agg(
+        self,
+        gap,
+        *aggs: Column,
+        event_time: str = "timestamp",
+        watermark=None,
+        keys: tuple = (),
+    ) -> "SStream":
+        """Session windows: rows closer than ``gap`` merge into one session
+        per key (the streaming form of queries.relational.sessionize_events'
+        lag-gap sessionization — there the gap cut is a lag window over
+        history; here sessions close incrementally when the watermark passes
+        last_event + gap). State per open session, evicted at close."""
+        gsecs = _seconds(gap)
+        wm_secs = _seconds(watermark) if watermark is not None else gsecs
+        ms = aggs or (F.count(F.lit(1)).alias("count"),)
+        df = (
+            self._df.withWatermark(event_time, f"{wm_secs} seconds")
+            .groupBy(
+                F.session_window(F.col(event_time), f"{gsecs} seconds").alias("session"),
+                *[F.col(k) for k in keys],
+            )
+            .agg(*ms)
+        )
+        return self._derive(df, f"session_agg(gap={gsecs}s)")
 
     def observe(self, name: str = "observe", *metrics: Column) -> "SStream":
         """Streaming metrics via ``df.observe`` — surfaced per micro-batch in

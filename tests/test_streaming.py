@@ -131,3 +131,67 @@ def test_to_files_durable_sink(spark, tmp_path):
 def test_batch_df_rejected(spark):
     with pytest.raises(TypeError):
         SStream(spark.range(5))
+
+
+def test_window_agg_tumbling_event_time(spark, tmp_path):
+    # explicit event times via a file source: 2 one-minute windows of
+    # 3 and 2 events; watermark bounds state, counts are exact
+    src = str(tmp_path / "win_src")
+    rows = [
+        ("2024-01-01 00:00:05", "a"),
+        ("2024-01-01 00:00:20", "b"),
+        ("2024-01-01 00:00:59", "c"),
+        ("2024-01-01 00:01:10", "d"),
+        ("2024-01-01 00:01:30", "e"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, k string").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "k"
+    )
+    df.write.mode("overwrite").parquet(src)
+    s = SStream.files(spark, src, schema="timestamp timestamp, k string").window_agg(
+        60, F.count(F.lit(1)).alias("n")
+    )
+    q = s.to_memory("t_winagg", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = {
+            r["start"].isoformat(): r["n"]
+            for r in spark.sql(
+                "SELECT window.start AS start, n FROM t_winagg"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        "2024-01-01T00:00:00": 3,
+        "2024-01-01T00:01:00": 2,
+    }, got
+
+
+def test_session_agg_gap_merges(spark, tmp_path):
+    # events 10s apart merge into one session; a 5-minute silence opens a
+    # second one — mirrors the batch sessionize_events contract
+    src = str(tmp_path / "sess_src")
+    rows = [
+        ("2024-01-01 00:00:00", "u1"),
+        ("2024-01-01 00:00:10", "u1"),
+        ("2024-01-01 00:00:20", "u1"),
+        ("2024-01-01 00:05:30", "u1"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user string").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "user"
+    )
+    df.write.mode("overwrite").parquet(src)
+    s = SStream.files(
+        spark, src, schema="timestamp timestamp, user string"
+    ).session_agg(60, F.count(F.lit(1)).alias("n"), keys=("user",))
+    q = s.to_memory("t_sessagg", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["user"], r["n"])
+            for r in spark.sql("SELECT user, n FROM t_sessagg").collect()
+        )
+    finally:
+        q.stop()
+    assert got == [("u1", 1), ("u1", 3)], got
