@@ -378,3 +378,56 @@ def simhash_pairs(
         .distinct()
     )
     return cands.where(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation connected components: (id, cluster_id) where
+    cluster_id is the smallest id reachable through ``edges``.
+
+    The driver loop iterates O(component diameter) rounds — near-dup
+    clusters are short chains, so single digits in practice — while the
+    data never leaves the cluster: each round is one keyed shuffle
+    (neighbor min per node) exactly like GraphX/GraphFrames CC. Lineage is
+    truncated per round with an eager localCheckpoint (an iterative
+    algorithm re-plans from its previous materialized state; without the
+    cut, round k replays rounds 1..k-1). The convergence probe rides the
+    SAME job pattern: a changed-row existence check with an early-out
+    limit(1).
+
+    Deterministic: integer ids, min-label — no floats anywhere.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

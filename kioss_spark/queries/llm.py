@@ -208,6 +208,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+@register(
+    "dedup_cluster_keep",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    )
+    SELECT CAST(src AS BIGINT) AS doc_id,
+           CAST(min(dst) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: Jaccard near-dup pairs -> connected components ->
+    survivor per cluster (min doc_id). This is what a training-data
+    pipeline actually ships — pair lists don't decide which doc to keep
+    when near-dups chain (A~B, B~C, A!~C must still collapse to one
+    survivor). The Spark side iterates distributed min-label propagation
+    (operators.dedup.connected_components, O(diameter) keyed shuffles);
+    the oracle reproduces it with a recursive-CTE transitive closure —
+    feasible for DuckDB at sf0.01, which is exactly why the cluster path
+    needs the iterative form instead."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs, docs)
+    return labels.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("cluster_id") == F.col("doc_id")).cast("long").alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -90,3 +90,34 @@ def test_simhash_identical_docs_hamming_zero(spark):
     df = _docs(spark, [(1, "p q r s t u"), (2, "p q r s t u"), (3, "aa bb cc dd ee")])
     got = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in dedup.simhash_pairs(df).collect()]
     assert got == [(1, 2, 0)]
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # chain 1-2-3 (transitive: 1!~3 still one cluster), pair 10-11,
+    # singletons 20, 21
+    from pyspark.sql import functions as F
+
+    from kioss_spark.operators import dedup
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(edges, ids).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    # a 12-node chain needs ~log-diameter rounds of min-label propagation;
+    # all nodes must still collapse to the head
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    from kioss_spark.operators import dedup
+
+    rows = dedup.connected_components(edges, ids).collect()
+    assert all(r["cluster_id"] == 0 for r in rows)
