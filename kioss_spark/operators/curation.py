@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from kioss_spark.operators.text import h60
 
-__all__ = ["hash_sample", "token_budget_cap"]
+__all__ = ["hash_sample", "token_budget_cap", "hash_split", "pack_contiguous"]
 
 
 def hash_sample(df: DataFrame, rate_bp: int, key_col: str = "text") -> DataFrame:
@@ -67,3 +67,59 @@ def token_budget_cap(
         .where(F.col("__cum__") <= budget)
         .drop("__cum__")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "text",
+    train_bp: int = 9000,
+    val_bp: int = 500,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from content-hash basis
+    points (defaults: 90/5/5).
+
+    The property that matters for training pipelines: a document's split is
+    a pure function of its CONTENT — stable under repartitioning, corpus
+    growth, and re-runs, and reproducible in any engine. rand()-based
+    splits silently leak val into train on every recompute; this cannot.
+    Narrow (no shuffle): a projection over the scan.
+    """
+    bucket = F.pmod(h60(F.col(key_col)), F.lit(10000))
+    label = (
+        F.when(bucket < train_bp, F.lit("train"))
+        .when(bucket < train_bp + val_bp, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn(split_col, label)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    tokens_col: str = "n_tok",
+    id_col: str = "doc_id",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Contiguous sequence packing: per group, walk documents in id order
+    and assign each to the training bin where its token offset starts
+    (``bin = floor(start_offset / budget)``).
+
+    This is the shuffle-light form of sequence packing: one keyed window
+    (cumulative tokens per group) instead of a stateful first-fit packer,
+    and fully deterministic integer arithmetic. Bins are budget-sized by
+    offset; a document straddling a boundary stays in the bin where it
+    starts, so overflow is bounded by one document (standard for
+    chunk-by-offset packing — the trainer's sample cutter handles the
+    tail). First-fit-decreasing would pack ~1% tighter but needs
+    sequential state per bin; at 100 TB the windowed form wins.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(tokens_col).cast("long")
+    start = F.sum(tok).over(w) - tok
+    return df.withColumn(bin_col, F.floor(start / F.lit(budget)).cast("long"))

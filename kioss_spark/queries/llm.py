@@ -727,6 +727,61 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN {sql_h60("text")} % 10000 < 9000 THEN 'train'
+                WHEN {sql_h60("text")} % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content hash — the
+    split survives repartitioning, corpus growth, and re-runs, and any
+    engine reproduces it (this oracle does). Narrow: no shuffle."""
+    from kioss_spark.operators.curation import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split"
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source,
+                         CAST(len({SQL_TOKS}) AS BIGINT) AS n_tok
+                  FROM documents),
+    c AS (SELECT source, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok AS start
+          FROM toks)
+    SELECT source, CAST(floor(start / 512) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_tok) AS bin_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token contiguous bins per source
+    (operators.curation.pack_contiguous): one keyed window shuffle, exact
+    integer arithmetic, overflow bounded by one document. Emits per-bin
+    occupancy — the shape a trainer's data loader consumes."""
+    from kioss_spark.operators.curation import pack_contiguous
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    packed = pack_contiguous(toks, budget=512)
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("bin_tokens"),
+    )
+
+
+@register(
     "budget_cap_per_source",
     oracle=f"""
     WITH toks AS (SELECT doc_id, source, {SQL_TOKS} AS t FROM documents),

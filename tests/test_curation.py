@@ -1,0 +1,57 @@
+"""Curation-operator unit tests: determinism is the contract."""
+
+from pyspark.sql import functions as F
+
+from kioss_spark.operators.curation import hash_split, pack_contiguous
+
+
+def test_hash_split_deterministic_and_partition_stable(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(300)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    # same content, different physical layout -> identical assignment
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(7)).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    # ~90% train with generous slack (hash buckets, 300 samples)
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 < frac < 1.0
+
+
+def test_hash_split_is_content_function_not_row_function(spark):
+    # duplicate content -> same split, regardless of id
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert rows[1] == rows[2]
+
+
+def test_pack_contiguous_bins_by_start_offset(spark):
+    # one group, budget 10: tokens 4,4,4 -> starts 0,4,8 -> bins 0,0,0;
+    # next doc starts at 12 -> bin 1
+    rows = [(i, "s", 4) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    got = {
+        r["doc_id"]: r["bin"] for r in pack_contiguous(df, budget=10).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1}
+
+
+def test_pack_contiguous_groups_independent(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 600), (2, "a", 600), (1, "b", 600)],
+        "doc_id long, source string, n_tok int",
+    )
+    got = {
+        (r["source"], r["doc_id"]): r["bin"]
+        for r in pack_contiguous(df, budget=512).collect()
+    }
+    # each group restarts at offset 0
+    assert got[("a", 1)] == 0 and got[("a", 2)] == 1 and got[("b", 1)] == 0
