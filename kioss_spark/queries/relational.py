@@ -3,8 +3,14 @@ categories the reference lacks and Catalyst supplies free, SURVEY.md §2.5)
 plus facade-operator demonstrations wired to DuckDB oracles.
 
 Scale design notes, applied throughout:
-- dimension tables (region/nation/supplier/customer at these ratios) join via
-  ``F.broadcast`` — no shuffle of the fact table;
+- **broadcast policy**: ``F.broadcast`` hints are reserved for relations
+  whose size is CONSTANT in the scale factor — nation (25 rows), region
+  (5), and tiny derived relations (1-row scalar aggregates, per-partition
+  stats). Tables that scale linearly (orders, customer, supplier, part)
+  carry NO hint: AQE sizes them at runtime, broadcasting at bench SF and
+  shuffle-joining at 100 TB, where a hard hint on a 2 TB side would OOM
+  every executor. A hint is a promise about all future data sizes; only
+  make promises the schema can keep;
 - aggregations go through map-side partial aggregation (Spark default for
   ``groupBy().agg``);
 - windows partition by a key wherever semantics allow (global-order windows
@@ -153,9 +159,11 @@ def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter broadcast into two fact joins,
-    then a top-k — at scale the customer side is broadcast, lineitem never
-    shuffles for the dim join, and the top-10 is a TakeOrdered, not a sort."""
+    """TPC-H Q3 shape: selective filters on both join sides, then a top-k.
+    Join strategy is AQE-sized (customer/orders scale with the data — see
+    module broadcast policy): at bench SF both sides broadcast at runtime;
+    at 100 TB they shuffle on their keys. The top-10 is a TakeOrdered,
+    never a global sort."""
     cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -164,7 +172,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
@@ -189,8 +197,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: five joins; every dimension side is broadcast so the
-    only shuffle left is the final small groupBy."""
+    """TPC-H Q5 shape: five joins. nation/region (constant size) are
+    hinted broadcast; supplier/orders/customer are AQE-sized (broadcast at
+    bench SF, keyed shuffle at 100 TB — module broadcast policy). The
+    final groupBy is 25 rows."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
@@ -202,9 +212,9 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
-        .join(F.broadcast(cust),
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, li.l_suppkey == dims.s_suppkey)
+        .join(cust,
               (F.col("o_custkey") == cust.c_custkey)
               & (cust.c_nationkey == F.col("s_nationkey")))
         .groupBy("n_name")
@@ -827,7 +837,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING on a fact aggregation, join back to orders
-    (keyed shuffle on orderkey), broadcast the customer dim, TakeOrdered
+    (keyed shuffle on orderkey), AQE-sized customer join, TakeOrdered
     top-100 (never a global sort). Deterministic tie-break on o_orderkey so
     the LIMIT boundary is stable across engines."""
     li = t(spark, sf_dir, "lineitem")
@@ -840,7 +850,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             "c_name",
             "o_orderkey",
@@ -987,10 +997,11 @@ def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: the same dimension table (nation) plays two roles —
     supplier nation and customer nation — with a disjunctive pair filter.
-    Scale plan: both nation-filtered sides (supplier+n1, customer+n2) are
-    2/25 selections and broadcast; lineitem⋈orders is the one genuine
-    fact-fact shuffle, taken AFTER the supplier broadcast filter has cut
-    lineitem to ~8%."""
+    Scale plan: the nation lookups (constant 25 rows) are hinted
+    broadcast; the supplier/customer sides are 2/25 selections but scale
+    linearly, so they are AQE-sized (broadcast at bench SF, keyed shuffle
+    at 100 TB). The supplier join runs first either way, cutting lineitem
+    to ~8% before the lineitem⋈orders fact-fact shuffle."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1013,9 +1024,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "cust_nation")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -1056,8 +1067,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes both the interesting-nation volume and the total. Numerator
     and denominator are emitted as separate rounded sums instead of a
     double division (cross-engine float discipline, see module docstring).
-    Scale plan: part is pre-filtered by type then broadcast; supplier and
-    the customer-region side broadcast; orders⋈lineitem is the only
+    Scale plan: nation/region lookups are hinted broadcast; the
+    type-filtered part, supplier, and region-filtered customer sides scale
+    linearly and are AQE-sized; orders⋈lineitem is the only unavoidable
     fact-fact shuffle."""
     part = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
     n1 = t(spark, sf_dir, "nation").select(
@@ -1080,10 +1092,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
@@ -1119,9 +1131,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint) before summing — integer sums are accumulation-order-independent,
     so the rank key is bit-exact across engines and the top-20 cut (custkey
     tiebreak) is deterministic; round(sum(double),2) at this key count hits
-    representation boundaries. Scale plan: the
-    quarter-filtered orders side broadcasts into lineitem; the final top-k
-    is a TakeOrdered over the small aggregate, never a global sort."""
+    representation boundaries. Scale plan: the quarter-filtered orders and
+    customer sides are AQE-sized (still ~1 TB at SF100k — no hint); the
+    final top-k is a TakeOrdered over the small aggregate, never a global
+    sort."""
     orders = t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1132,8 +1145,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.sum(
@@ -1161,7 +1174,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: single broadcast join + conditional aggregate over
+    """TPC-H Q14 shape: one AQE-sized part join + conditional aggregate over
     one month of shipments. Promo/total are separate rounded sums (no
     cross-engine double division). The month filter is a pushed-down scan
     predicate — at 100 TB with date-partitioned parquet this prunes to
@@ -1173,7 +1186,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))), 2
@@ -1202,8 +1215,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: scalar subquery — supplier(s) whose quarterly
     revenue equals the global max. The equality key is the ROUNDED revenue
     (exact across engines). Scale plan: revenue agg is one keyed shuffle;
-    the 1-row max is broadcast back (no second scan of lineitem: the agg
-    result is reused for both sides); supplier joins via broadcast."""
+    the 1-row max is hinted broadcast (a size that IS constant); the
+    supplier join is AQE-sized. No second scan of lineitem: the agg result
+    is reused for both sides."""
     li = t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1220,7 +1234,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx__"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -1243,8 +1257,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity is below 20% of their part's average quantity. The threshold
     is evaluated in EXACT integer arithmetic (quantities are integral:
     q < 0.2*tot/cnt  <=>  5*q*cnt < tot), so no float boundary can flip a
-    row between engines. Scale plan: the brand-filtered part side is
-    broadcast FIRST so the per-part stats aggregate only the surviving
+    row between engines. Scale plan: the brand-filtered part join runs
+    FIRST (AQE-sized) so the per-part stats aggregate only the surviving
     ~1/25 of lineitem — a window over one keyed shuffle, not a self-join
     re-scan of the fact table."""
     part = t(spark, sf_dir, "part").where(
@@ -1254,7 +1268,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey")
     q = F.col("l_quantity").cast("long")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .withColumn("cnt", F.count(F.lit(1)).over(w))
         .withColumn("tot", F.sum(q).over(w))
         .where(F.lit(5) * q * F.col("cnt") < F.col("tot"))
@@ -1279,8 +1293,8 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
     ranges across the join. Scale plan: the part side is pre-filtered to
-    the UNION of the brand/size arms (so the broadcast hash table holds
-    ~3/25 of part), the quantity envelope (1..30) is pushed into the
+    the UNION of the brand/size arms (~3/25 of part, AQE-sized join), the
+    quantity envelope (1..30) is pushed into the
     lineitem scan, and the exact per-arm predicate is evaluated post-join
     in codegen — Catalyst cannot push the cross-table disjunction itself,
     so we hoist each side's weakest envelope by hand."""
@@ -1308,7 +1322,7 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         full_pred = p if full_pred is None else (full_pred | p)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(full_pred)
         .agg(
             F.round(

@@ -13,8 +13,13 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
+    # linear-scaling join sides carry no broadcast hint (module broadcast
+    # policy in queries/relational.py): the broadcast decision is AQE's,
+    # visible only in the FINAL adaptive plan — execute, then read.
     q = load_all()[name]
-    return q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    df = q.fn(spark, SF_DIR)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 @pytest.mark.parametrize(
@@ -29,6 +34,8 @@ def _plan(spark, name):
     ],
 )
 def test_wave2_dims_broadcast_never_cartesian(spark, name):
+    # at test SF every join side is tiny, so AQE must land on broadcast
+    # joins; at 100 TB the same plan degrades to keyed shuffles, not OOM
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
