@@ -563,6 +563,111 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quality_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n_tok,
+                    CASE WHEN len(t) >= 3
+                         THEN list_transform(range(1, len(t)-1),
+                                             i -> array_to_string(t[i:i+2], ' '))
+                         ELSE []::VARCHAR[] END AS tri,
+                    CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)),
+                                             i -> array_to_string(t[i:i+1], ' '))
+                         ELSE []::VARCHAR[] END AS bg
+             FROM toks),
+    g AS (SELECT doc_id, x AS g
+          FROM (SELECT doc_id, t || bg AS grams FROM base), UNNEST(grams) u(x)),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+    tops AS (SELECT doc_id,
+                    max(CASE WHEN NOT contains(g, ' ') THEN c END) AS top_tok,
+                    max(CASE WHEN contains(g, ' ') THEN c END) AS top_bg
+             FROM counts GROUP BY 1)
+    SELECT b.doc_id, b.n_tok,
+           len(b.tri) AS tri_total,
+           CAST(floor(CASE WHEN len(b.tri) > 0
+                           THEN (len(b.tri) - len(list_distinct(b.tri)))
+                                / len(b.tri)
+                           ELSE 0.0 END * 1000000) AS BIGINT) AS dup_tri_e6,
+           CAST(floor(CASE WHEN b.n_tok > 0
+                           THEN coalesce(t.top_bg, 0) * 2 / b.n_tok
+                           ELSE 0.0 END * 1000000) AS BIGINT) AS top_bg_e6,
+           CAST(floor(CASE WHEN b.n_tok > 0
+                           THEN coalesce(t.top_tok, 0) / b.n_tok
+                           ELSE 0.0 END * 1000000) AS BIGINT) AS top_tok_e6,
+           (CAST(floor(CASE WHEN len(b.tri) > 0
+                            THEN (len(b.tri) - len(list_distinct(b.tri)))
+                                 / len(b.tri)
+                            ELSE 0.0 END * 1000000) AS BIGINT) > 300000
+            OR CAST(floor(CASE WHEN b.n_tok > 0
+                               THEN coalesce(t.top_bg, 0) * 2 / b.n_tok
+                               ELSE 0.0 END * 1000000) AS BIGINT) > 180000)
+               AS flag_repetitive
+    FROM base b LEFT JOIN tops t ON b.doc_id = t.doc_id
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-quality signals per document (Rae et al.
+    2021 repetition filters, adapted to the fixture's single-line text):
+    duplicate-trigram fraction, top-bigram token share (x2: a bigram covers
+    two tokens), top-token share, and a combined repetitive flag at the
+    published thresholds (dup-trigram > 0.30 or top-bigram > 0.18).
+
+    Scale plan: the trigram signal is pure array algebra in one projection
+    (zero shuffles); the top-gram signals ride ONE explode of
+    unigrams+bigrams (never colliding: bigrams contain a space) into two
+    keyed aggregations — shuffles keyed by (doc_id, gram) then doc_id,
+    per-key cardinality bounded by document length, so no skew at corpus
+    scale. The final joins are doc_id-keyed and AQE-sized. Thresholds
+    compare integerized e6 ratios (int/int division -> identical doubles
+    on both engines -> identical floors)."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    tri = shingles(F.col("t"), n=3, distinct=False)
+    base = d.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(tri).alias("tri_total"),
+        F.size(F.array_distinct(tri)).alias("tri_uniq"),
+    )
+    grams = F.concat(F.col("t"), shingles(F.col("t"), n=2, distinct=False))
+    tops = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(~F.col("g").contains(" "), F.col("c"))).alias("top_tok"),
+            F.max(F.when(F.col("g").contains(" "), F.col("c"))).alias("top_bg"),
+        )
+    )
+    j = base.join(tops, "doc_id", "left")
+    dup_tri = F.when(
+        F.col("tri_total") > 0,
+        (F.col("tri_total") - F.col("tri_uniq")) / F.col("tri_total"),
+    ).otherwise(F.lit(0.0))
+    top_bg = F.when(
+        F.col("n_tok") > 0,
+        F.coalesce(F.col("top_bg"), F.lit(0)) * 2 / F.col("n_tok"),
+    ).otherwise(F.lit(0.0))
+    top_tok = F.when(
+        F.col("n_tok") > 0,
+        F.coalesce(F.col("top_tok"), F.lit(0)) / F.col("n_tok"),
+    ).otherwise(F.lit(0.0))
+    dup_tri_e6 = F.floor(dup_tri * 1000000).cast("long")
+    top_bg_e6 = F.floor(top_bg * 1000000).cast("long")
+    return j.select(
+        "doc_id",
+        "n_tok",
+        "tri_total",
+        dup_tri_e6.alias("dup_tri_e6"),
+        top_bg_e6.alias("top_bg_e6"),
+        F.floor(top_tok * 1000000).cast("long").alias("top_tok_e6"),
+        ((dup_tri_e6 > 300000) | (top_bg_e6 > 180000)).alias("flag_repetitive"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
