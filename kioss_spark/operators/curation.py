@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 from kioss_spark.operators.text import h60
 
-__all__ = ["hash_sample", "token_budget_cap", "hash_split", "pack_contiguous"]
+__all__ = [
+    "hash_sample",
+    "token_budget_cap",
+    "hash_split",
+    "pack_contiguous",
+    "importance_score",
+]
 
 
 def hash_sample(df: DataFrame, rate_bp: int, key_col: str = "text") -> DataFrame:
@@ -123,3 +129,77 @@ def pack_contiguous(
     tok = F.col(tokens_col).cast("long")
     start = F.sum(tok).over(w) - tok
     return df.withColumn(bin_col, F.floor(start / F.lit(budget)).cast("long"))
+
+
+def importance_score(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    tokens_col: str = "t",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Hashed-unigram importance scoring (DSIR-style, Xie et al. 2023
+    "Data Selection for Language Models via Importance Resampling"): score
+    each document by how much more its tokens look like a TARGET slice of
+    the corpus than like the corpus overall.
+
+    Per hash bucket ``b`` the weight is the Laplace-smoothed probability
+    gap, integerized so summation is order-independent::
+
+        w_e6(b) = floor(1e6*(tcnt+1)/(ttot+B)) - floor(1e6*(ccnt+1)/(ctot+B))
+
+    and a document's score is the sum of ``w_e6`` over its token instances
+    (linear surrogate for the log-likelihood ratio — log would make the
+    cross-engine float contract unverifiable; the integer form is exact).
+
+    Scale plan: one explode of the token stream feeds a groupBy on the
+    hash bucket — map-side combine collapses every task's contribution to
+    <= ``n_buckets`` rows, so the shuffle is O(tasks x buckets) regardless
+    of corpus size. The bucket-weight table is CONSTANT-size
+    (``n_buckets`` rows), so it takes a hard broadcast hint back onto the
+    token stream; the final aggregation shuffles on the document id.
+    Nothing in the plan grows super-linearly with corpus size.
+
+    ``target`` is a boolean Column marking target-domain rows. Returns
+    ``(id_col, n_tok, score_e6)``; zero-token documents drop out (they
+    have no tokens to score).
+    """
+    b = df.select(
+        id_col,
+        F.col(tokens_col).alias("__t__"),
+        target.alias("__tgt__"),
+    ).select(
+        id_col,
+        "__tgt__",
+        F.explode("__t__").alias("__tk__"),
+    ).select(
+        id_col,
+        "__tgt__",
+        F.pmod(h60(F.col("__tk__")), F.lit(n_buckets)).alias("__bkt__"),
+    )
+    counts = b.groupBy("__bkt__").agg(
+        F.count(F.lit(1)).alias("__ccnt__"),
+        F.sum(F.col("__tgt__").cast("long")).alias("__tcnt__"),
+    )
+    tots = counts.agg(
+        F.sum("__ccnt__").alias("__ctot__"), F.sum("__tcnt__").alias("__ttot__")
+    )
+    weights = counts.crossJoin(F.broadcast(tots)).select(
+        "__bkt__",
+        (
+            F.floor(
+                (F.col("__tcnt__") + 1) * 1000000.0 / (F.col("__ttot__") + n_buckets)
+            ).cast("long")
+            - F.floor(
+                (F.col("__ccnt__") + 1) * 1000000.0 / (F.col("__ctot__") + n_buckets)
+            ).cast("long")
+        ).alias("__w_e6__"),
+    )
+    return (
+        b.join(F.broadcast(weights), "__bkt__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("__w_e6__").alias("score_e6"),
+        )
+    )

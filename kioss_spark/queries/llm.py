@@ -668,6 +668,71 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dsir_importance",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, source, x AS tk FROM toks, UNNEST(t) u(x)),
+    b AS (SELECT doc_id, source,
+                 {sql_h60('tk')} % 4096 AS bkt
+          FROM tok),
+    counts AS (SELECT bkt, count(*) AS ccnt,
+                      sum(CASE WHEN source IN ('src0','src1','src2')
+                               THEN 1 ELSE 0 END) AS tcnt
+               FROM b GROUP BY 1),
+    tots AS (SELECT sum(ccnt) AS ctot, sum(tcnt) AS ttot FROM counts),
+    w AS (SELECT bkt,
+                 CAST(floor((tcnt+1) * 1000000.0 / (ttot+4096)) AS BIGINT)
+               - CAST(floor((ccnt+1) * 1000000.0 / (ctot+4096)) AS BIGINT)
+                     AS w_e6
+          FROM counts, tots),
+    res AS (SELECT d.doc_id, any_value(d.source) AS source,
+                   count(*) AS n_tok, sum(w.w_e6) AS score_e6
+            FROM b d JOIN w USING (bkt) GROUP BY 1)
+    SELECT doc_id, source, n_tok, score_e6, rank_in_source,
+           rank_in_source <= 5 AS selected
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY score_e6 DESC, doc_id)
+                        AS rank_in_source
+          FROM res)
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023): rate every document
+    by how target-like its hashed-unigram distribution is (target = the
+    ``src0``-``src2`` slice), then keep the top 5 per source.
+
+    Scale plan (see operators.curation.importance_score): the bucket-count
+    aggregation collapses map-side to <= 4096 rows/task; the weight table
+    is constant-size and hard-broadcast back onto the token stream; the
+    per-document sum is one keyed shuffle of integers. The final ranking
+    is a PARTITIONED window (per source), never a global sort."""
+    from pyspark.sql import Window
+
+    from kioss_spark.operators.curation import importance_score
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", tokens(F.col("text")).alias("t")
+    )
+    scored = importance_score(
+        d, F.col("source").isin("src0", "src1", "src2"), n_buckets=4096
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score_e6").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "score_e6",
+            "rank_in_source",
+            (F.col("rank_in_source") <= 5).alias("selected"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -1375,3 +1375,128 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS as semi/anti
+    SELF-joins on the fact table — suppliers (from two target nations) who
+    were the ONLY late supplier on a multi-supplier order. The schema has
+    no l_commitdate/l_receiptdate, so "late" is adapted to
+    l_shipdate > o_orderdate + 90 days (documented divergence; the plan
+    shape — double self-join correlate — is the point).
+
+    Scale plan: the late-lines relation is derived ONCE (lineitem |><|
+    orders on the order key, AQE-sized) and reused for both the outer rows
+    and the NOT-EXISTS side, so the exchange is shared rather than
+    recomputed; both the semi and the anti join shuffle on l_orderkey with
+    a residual suppkey-inequality predicate (equi-keyed SMJ/SHJ — never a
+    nested loop). The nation filter broadcasts (constant 25-row dim) and
+    restricts the outer side BEFORE the self-joins; the final count per
+    supplier is a tiny keyed aggregate, ordered with a deterministic
+    (numwait DESC, s_name) tie-break for the LIMIT."""
+    nat = (
+        t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("n_nationkey")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    outer = late.join(supp, late.l_suppkey == supp.s_suppkey)
+    others = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    return (
+        outer.join(
+            others,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH pp AS (SELECT l_partkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS part_value
+                FROM lineitem GROUP BY 1),
+    tot AS (SELECT sum(part_value) AS total FROM pp)
+    SELECT l_partkey, part_value
+    FROM pp, tot
+    WHERE part_value > total * 0.00058
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a share of the GLOBAL total — parts
+    whose revenue exceeds 0.058% of all revenue (the schema has no
+    partsupp, so part value is lineitem revenue; the plan shape — grouped
+    aggregate filtered by a scalar-subquery fraction of its own total — is
+    the point).
+
+    Scale plan: ONE aggregation of the fact table produces the per-part
+    values; the grand total re-aggregates that result (2k rows at sf0.01,
+    |parts| rows in general — never a second fact-table scan) into a 1-row
+    relation that is hint-broadcast (constant size) for the threshold
+    filter. The threshold compares values derived from the SAME rounded
+    aggregate on both engines, so no float boundary can disagree."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pp = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("part_value")
+    )
+    tot = pp.agg(F.sum("part_value").alias("__total__"))
+    return (
+        pp.join(F.broadcast(tot))
+        .where(F.col("part_value") > F.col("__total__") * 0.00058)
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )

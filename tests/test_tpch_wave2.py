@@ -70,3 +70,52 @@ def test_q22_anti_join_on_preaggregated_keys(spark):
     assert "LeftAnti" in plan, plan
     # orders side reduced to distinct keys before the anti join
     assert "HashAggregate" in plan
+
+
+# --------------------------------------------------------------------------
+# wave 3: q21 / q11 / dsir_importance plan guards
+# --------------------------------------------------------------------------
+
+
+def _final(plan: str) -> str:
+    # AQE's toString renders "== Final Plan ==" followed by
+    # "== Initial Plan ==": node COUNTS must only see the final section
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_q21_semi_anti_self_joins_equi_keyed(spark):
+    # the EXISTS / NOT EXISTS correlates must compile to equi-keyed
+    # semi/anti joins on l_orderkey — never a nested loop or cartesian
+    plan = _plan(spark, "q21_sole_late_supplier")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_single_scalar_cross_join_only(spark):
+    # the only non-equi join is the 1-row grand-total broadcast; the
+    # per-part aggregate must come from ONE lineitem aggregation pattern
+    plan = _final(_plan(spark, "q11_important_parts"))
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # the per-part aggregate exchange is REUSED for the grand total —
+    # lineitem is not aggregated twice
+    assert "ReusedExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_broadcast_onto_token_stream(spark):
+    # the 4096-row weight table must broadcast (constant size — hard
+    # hint); the doc join likewise; the only BNLJ is the 1-row totals
+    plan = _final(_plan(spark, "dsir_importance"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_rank_window_is_partitioned(spark):
+    import re as _re
+
+    plan = _plan(spark, "dsir_importance")
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("source" in s for s in specs), plan
