@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality",
+    "quality_repetition",
+    "dsir_importance",
 ]
 
 
