@@ -9,6 +9,22 @@ Submodules:
 - ``multimodal`` — binary payload plumbing, Arrow-batched decode stubs
 - ``skew`` — salted agg/join, bucketed-table layout helpers
 - ``asof`` — generic as-of join (union + running-last window; no pair blowup)
+- ``curation`` — deterministic sampling/splits, token budgeting, packing,
+  DSIR importance, shard shuffle
+- ``contamination`` — benchmark n-gram decontamination (broadcast semi-join)
+- ``privacy`` — PII scan/redaction (JVM regex, zero-shuffle)
+- ``rangejoin`` — chunked interval join (equi-join on overlap chunks)
 """
 
-from kioss_spark.operators import asof, dedup, multimodal, similarity, skew, text  # noqa: F401
+from kioss_spark.operators import (  # noqa: F401
+    asof,
+    contamination,
+    curation,
+    dedup,
+    multimodal,
+    privacy,
+    rangejoin,
+    similarity,
+    skew,
+    text,
+)

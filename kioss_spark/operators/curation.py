@@ -22,10 +22,12 @@ from kioss_spark.operators.text import h60
 
 __all__ = [
     "hash_sample",
+    "stratified_sample",
     "token_budget_cap",
     "hash_split",
     "pack_contiguous",
     "importance_score",
+    "shard_shuffle",
 ]
 
 
@@ -40,6 +42,62 @@ def hash_sample(df: DataFrame, rate_bp: int, key_col: str = "text") -> DataFrame
     """
     bucket = F.pmod(h60(F.col(key_col)), F.lit(10000))
     return df.where(bucket < rate_bp)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_bp: dict[str, int],
+    group_col: str = "lang",
+    key_col: str = "text",
+    default_bp: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each ``group_col`` value gets its
+    own basis-point keep rate (the standard rebalancing move — e.g. keep
+    all of a rare language, downsample the dominant one).
+
+    The stratum rate table is a handful of literals, so it compiles to a
+    CASE chain — the whole operator stays a narrow filter over the scan
+    (no join, no shuffle, nothing to broadcast). Like :func:`hash_sample`,
+    selection is a pure function of content, so the sample is stable under
+    repartitioning and reruns and reproducible in any engine.
+    """
+    bucket = F.pmod(h60(F.col(key_col)), F.lit(10000))
+    rate = F.lit(default_bp)
+    for group, bp in sorted(rates_bp.items()):
+        rate = F.when(F.col(group_col) == group, F.lit(bp)).otherwise(rate)
+    return df.where(bucket < rate)
+
+
+def shard_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "shuffle",
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global permutation for training-order shuffling,
+    expressed scale-safely as ``(shard, pos)``: shard = hash bucket of the
+    content (seeded), pos = rank within the shard by (hash, id). Reading
+    shards in order [0..n_shards) and each shard by ``pos`` visits the
+    corpus in a reproducible pseudorandom order.
+
+    Scale plan: ONE hash-partitioned shuffle on ``shard`` feeds
+    per-partition windows — there is deliberately no global
+    ``row_number`` (single-partition scale-killer; see Stream._ranked).
+    With ``n_shards`` in the thousands a 100 TB corpus gives ~GB-sized
+    shards, each sorted independently; the trainer's data loader consumes
+    shards as files, which is exactly how Pile/C4-style corpora ship.
+    Collision ties within a shard break on ``id_col``, keeping the
+    permutation total and deterministic.
+    """
+    h = h60(F.concat(F.lit(f"{seed}|"), F.col(key_col)))
+    w = Window.partitionBy("shard").orderBy("__h__", id_col)
+    return (
+        df.withColumn("__h__", h)
+        .withColumn("shard", F.pmod(F.col("__h__"), F.lit(n_shards)).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h__")
+    )
 
 
 def token_budget_cap(

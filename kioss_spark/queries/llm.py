@@ -1015,3 +1015,220 @@ def budget_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpe").alias("tokens_used"),
         F.min("quality_e6").alias("min_quality_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus safety & assembly: decontamination, PII, stratified sampling,
+# deterministic shuffle, vocabulary
+# ---------------------------------------------------------------------------
+
+#: distinct word 6-gram shingles (decontamination-length n-grams)
+SQL_SHINGLES6 = (
+    "list_distinct(CASE WHEN len(t) >= 6 "
+    "THEN list_transform(range(1, len(t)-4), i -> array_to_string(t[i:i+5], ' ')) "
+    "ELSE []::VARCHAR[] END)"
+)
+
+
+@register(
+    "decontaminate_eval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {sql_h60('text')} % 20 = 0 AS is_eval,
+                  {SQL_SHINGLES6} AS s
+           FROM toks),
+    ev AS (SELECT DISTINCT {sql_h60('x')} AS h
+           FROM sh, UNNEST(s) u(x) WHERE is_eval),
+    tr AS (SELECT doc_id, s FROM sh WHERE NOT is_eval),
+    inv AS (SELECT doc_id, {sql_h60('x')} AS h FROM tr, UNNEST(s) u(x)),
+    hits AS (SELECT doc_id, count(*) AS n_overlap
+             FROM inv JOIN ev USING (h) GROUP BY 1)
+    SELECT tr.doc_id,
+           CAST(len(tr.s) AS INTEGER) AS n_shingles,
+           CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(h.n_overlap, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap filter):
+    a deterministic ~5% hash slice of `documents` plays the eval suite;
+    every remaining training doc is scored by how many of its distinct
+    6-gram shingles appear anywhere in that suite.
+
+    Scale plan (operators.contamination): eval suites are constant-size,
+    so the distinct eval-shingle-hash set takes a hard broadcast hint and
+    the 100 TB train side flows through a map-side hash join — the token
+    stream is never shuffled; the only shuffle is the per-doc overlap
+    count keyed on doc_id. Shingles travel as 60-bit md5 longs, not
+    strings."""
+    from kioss_spark.operators.contamination import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    is_eval = F.pmod(h60(F.col("text")), F.lit(20)) == 0
+    return ngram_overlap(
+        docs.where(~is_eval), docs.where(is_eval), n=6, broadcast_eval=True
+    )
+
+
+def _pii_oracle() -> str:
+    from kioss_spark.operators.privacy import PII_PATTERNS
+
+    graft = (
+        "text || CASE doc_id % 3 "
+        "WHEN 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' "
+        "WHEN 1 THEN ' host 10.0.' || (doc_id % 200)::VARCHAR || '.7 up' "
+        "ELSE ' acct ' || (4000000000000000 + doc_id)::VARCHAR || ' ok' END"
+    )
+    counts = ",\n           ".join(
+        "CAST(len(regexp_extract_all(t2, '" + pat + "')) AS BIGINT) AS n_" + name
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "t2"
+    for _, pat, repl in PII_PATTERNS:
+        red = "regexp_replace(" + red + ", '" + pat + "', '" + repl + "', 'g')"
+    return (
+        "WITH g AS (SELECT doc_id, " + graft + " AS t2 FROM documents)\n"
+        "    SELECT doc_id,\n           " + counts + ",\n"
+        "           md5(" + red + ") AS redacted_md5,\n"
+        "           CAST(length(" + red + ") AS BIGINT) AS n_chars_red\n"
+        "    FROM g"
+    )
+
+
+@register("pii_redact", oracle=_pii_oracle())
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (operators.privacy): count and strip emails,
+    IPv4s, and 13-16-digit account numbers. The fixture text carries no
+    PII, so a deterministic per-doc PII span is grafted on first (doc_id
+    mod 3 picks the kind) — the operator under test then finds exactly
+    those spans.
+
+    Scale plan: pure JVM regex expressions (regexp_count/regexp_replace)
+    in one narrow projection — zero shuffles, zero Python, pushdown-safe.
+    Patterns restricted to the Java-regex/RE2 common subset so the oracle
+    runs the identical strings."""
+    from kioss_spark.operators.privacy import pii_scan
+
+    docs = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    graft = (
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+            F.concat(
+                F.lit(" host 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+                F.lit(".7 up"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" acct "),
+                (F.lit(4000000000000000) + F.col("doc_id")).cast("string"),
+                F.lit(" ok"),
+            )
+        )
+    )
+    t2 = F.concat(F.col("text"), graft)
+    cols = pii_scan(t2)
+    return docs.select(
+        "doc_id",
+        cols["n_email"].alias("n_email"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_idnum"].alias("n_idnum"),
+        F.md5(cols["redacted"]).alias("redacted_md5"),
+        F.length(cols["redacted"]).cast("long").alias("n_chars_red"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {sql_h60('text')} % 10000 <
+          CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 10000 ELSE 5000 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample dominant English to
+    20%, keep all Chinese, 50% everything else — the classic language
+    rebalance for a training mix. A content-hash bucket against a CASE
+    rate table: narrow filter, no shuffle, no rand(), reproducible in any
+    engine (operators.curation.stratified_sample)."""
+    from kioss_spark.operators.curation import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs, {"en": 2000, "zh": 10000}, group_col="lang", default_bp=5000
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "shuffle_shards",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      {sql_h60("'epoch0|' || text")} AS hv
+               FROM documents)
+    SELECT doc_id, hv % 8 AS shard,
+           row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+    FROM h
+    """,
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle as (shard, position): seeded content
+    hash buckets the corpus into shards; rank within shard orders it.
+    Reading shard 0..N-1 each in pos order visits documents in a
+    reproducible pseudorandom order — how training corpora actually ship
+    (sharded files), with no global sort anywhere.
+
+    Scale plan (operators.curation.shard_shuffle): ONE hash shuffle on
+    shard + per-shard windows; shard count scales with corpus size so
+    window partitions stay ~GB. Re-seeding (epoch1, ...) reshuffles
+    without touching source data."""
+    from kioss_spark.operators.curation import shard_shuffle
+
+    docs = _docs(spark, sf_dir)
+    return shard_shuffle(docs, n_shards=8, seed="epoch0").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    inv AS (SELECT doc_id, x AS term FROM toks, UNNEST(t) u(x))
+    SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM inv GROUP BY 1
+    ORDER BY tf DESC, term
+    LIMIT 100
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 terms by collection frequency with
+    document frequency — the first artifact any tokenizer/quality effort
+    builds over a new corpus.
+
+    Scale plan: explode -> two-level aggregation. tf gets map-side
+    combine; exact df is the two-phase distinct expansion keyed on (term,
+    doc_id) — bounded by vocabulary x docs-per-term, the standard exact
+    form (swap in approx_count_distinct at 100 TB when +-2% is fine; kept
+    exact here for the oracle). Top-100 is TakeOrdered (per-partition
+    heaps), never a global sort; (tf desc, term) is a total order so the
+    cut is deterministic."""
+    docs = _docs(spark, sf_dir)
+    inv = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        inv.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(100)
+    )
