@@ -163,6 +163,34 @@ class SStream:
         )
         return self._derive(df, "groupby")
 
+    def enrich(
+        self,
+        static: DataFrame,
+        on: Any,
+        how: str = "left",
+        broadcast_static: bool = True,
+    ) -> "SStream":
+        """Stream-static enrichment join: attach dimension attributes to
+        every event as it arrives (the canonical production pattern —
+        events x user/product/geo tables).
+
+        The reference can only express this as ``map`` with a lookup
+        closure (streamable/stream.py:372-392), re-resolving the dim per
+        element in Python; here it is a JVM-side stream-static join that
+        Structured Streaming re-plans PER MICRO-BATCH, so dimension
+        updates are picked up between batches without restarting the
+        query.
+
+        ``broadcast_static=True`` (default) hints the static side: dims
+        are constant-size relative to the stream, and a broadcast keeps
+        the unbounded side shuffle-free — state-store-free too (unlike
+        stream-stream joins, no watermark bookkeeping). Pass ``False``
+        for large static sides and let AQE decide per micro-batch.
+        """
+        s = F.broadcast(static) if broadcast_static else static
+        df = self._df.join(s, on, how)
+        return self._derive(df, f"enrich({how})")
+
     def groupby_sized(
         self,
         key: str,

@@ -195,3 +195,34 @@ def test_session_agg_gap_merges(spark, tmp_path):
     finally:
         q.stop()
     assert got == [("u1", 1), ("u1", 3)], got
+
+
+def test_enrich_stream_static_join(spark):
+    dims = spark.createDataFrame(
+        [(0, "mod0"), (1, "mod1"), (2, "mod2")], "k long, name string"
+    )
+    s = (
+        SStream.rate(spark, rows_per_second=100)
+        .map(k=F.col("value") % 3)
+        .enrich(dims, on="k")
+    )
+    q = s.to_memory("t_enrich")
+    _drain(q, 4)
+    rows = spark.sql("SELECT k, name FROM t_enrich").collect()
+    assert rows, "no micro-batch arrived in 4s"
+    assert all(r["name"] == f"mod{r['k']}" for r in rows)
+
+
+def test_enrich_left_join_keeps_unmatched(spark):
+    dims = spark.createDataFrame([(0, "zero")], "k long, name string")
+    s = (
+        SStream.rate(spark, rows_per_second=100)
+        .map(k=F.col("value") % 2)
+        .enrich(dims, on="k", how="left")
+    )
+    q = s.to_memory("t_enrich_left")
+    _drain(q, 4)
+    rows = spark.sql("SELECT k, name FROM t_enrich_left").collect()
+    assert rows
+    assert any(r["name"] is None for r in rows if r["k"] == 1)
+    assert all(r["name"] == "zero" for r in rows if r["k"] == 0)
