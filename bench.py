@@ -37,6 +37,7 @@ HEADLINE = [
     "text_quality",
     "quality_repetition",
     "dsir_importance",
+    "decontaminate_eval",
 ]
 
 

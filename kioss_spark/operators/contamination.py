@@ -42,35 +42,31 @@ def ngram_overlap(
     ``broadcast_eval=True`` (default) is correct when the eval side is a
     benchmark suite (constant-size). Pass ``False`` for corpus-vs-corpus
     decontamination, where AQE should pick the join strategy.
+
+    Single-pass shape: the train side is scanned (and shingled) exactly
+    once — ``explode_outer`` keeps zero-shingle docs alive as a null row,
+    the broadcast LEFT join marks hits per shingle, and one grouped
+    aggregation recovers both the shingle count and the overlap count.
+    No second scan, no re-join against a base relation.
     """
     sh = shingles(tokens(F.col(text_col)), n=n)  # distinct per doc
-    tr = train.select(
-        F.col(id_col),
-        F.size(sh).alias("n_shingles"),
-        sh.alias("__s__"),
-    )
-    tr_inv = tr.select(id_col, "n_shingles", F.explode("__s__").alias("__g__")).select(
-        id_col, "n_shingles", h60(F.col("__g__")).alias("__h__")
-    )
+    tr_inv = train.select(
+        F.col(id_col), F.explode_outer(sh).alias("__g__")
+    ).select(id_col, h60(F.col("__g__")).alias("__h__"))
     ev = (
         eval_df.select(F.explode(shingles(tokens(F.col(text_col)), n=n)).alias("__g__"))
         .select(h60(F.col("__g__")).alias("__h__"))
         .distinct()
+        .withColumn("__hit__", F.lit(1))
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
-    hits = (
-        tr_inv.join(ev, "__h__")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__n_overlap__"))
-    )
-    base = tr.select(id_col, "n_shingles")
     return (
-        base.join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_shingles",
-            F.coalesce(F.col("__n_overlap__"), F.lit(0)).cast("long").alias("n_overlap"),
+        tr_inv.join(ev, "__h__", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__h__").alias("n_shingles"),
+            F.count("__hit__").alias("n_overlap"),
         )
         .withColumn("contaminated", F.col("n_overlap") > 0)
     )

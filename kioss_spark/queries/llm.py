@@ -1044,7 +1044,7 @@ SQL_SHINGLES6 = (
     hits AS (SELECT doc_id, count(*) AS n_overlap
              FROM inv JOIN ev USING (h) GROUP BY 1)
     SELECT tr.doc_id,
-           CAST(len(tr.s) AS INTEGER) AS n_shingles,
+           CAST(len(tr.s) AS BIGINT) AS n_shingles,
            CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
            coalesce(h.n_overlap, 0) > 0 AS contaminated
     FROM tr LEFT JOIN hits h USING (doc_id)
