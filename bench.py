@@ -83,8 +83,9 @@ def main() -> None:
     # run the list twice and keep each query's best time so the recorded
     # number measures the engine, not the neighbor's workload
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float | None] = {}
+    timings: dict[str, float | str | None] = {}
     missing: list[str] = []
+    errors: list[str] = []
     for _ in range(repeats):
         for name in HEADLINE:
             q = registry.get(name)
@@ -95,14 +96,26 @@ def main() -> None:
                 if name not in missing:
                     missing.append(name)
                 continue
+            if isinstance(timings.get(name), str):
+                continue  # errored on an earlier repeat; don't re-raise
             t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                # per-query isolation: one broken headliner must never take
+                # down the whole bench (round-2 regression: BENCH_r02 was
+                # rc=1 with no numbers because one query threw mid-list)
+                df = q.fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001
+                timings[name] = f"ERR:{type(exc).__name__}"
+                if name not in errors:
+                    errors.append(name)
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                continue
             elapsed = round(time.perf_counter() - t0, 3)
             prev = timings.get(name)
             timings[name] = elapsed if prev is None else min(prev, elapsed)
 
-    total = round(sum(v for v in timings.values() if v is not None), 3)
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -112,6 +125,8 @@ def main() -> None:
     }
     if missing:
         out["missing"] = missing
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

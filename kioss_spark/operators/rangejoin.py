@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kioss_spark.functions.timeutil import epoch_us
+
 __all__ = ["interval_join"]
 
 
@@ -43,14 +45,17 @@ def interval_join(
     Both inputs must have disjoint column names apart from ``keys``.
     ``how='left'`` keeps unmatched points (interval columns null).
     """
+    # epoch arithmetic via timeutil.epoch_us: timestamps are canonical
+    # TIMESTAMP_NTZ (unix_micros hard-fails on NTZ, and implicit coercion
+    # would be session-timezone-dependent)
     w = int(chunk_seconds) * 1_000_000  # micros
-    p = points.withColumn("__chunk__", F.floor(F.unix_micros(F.col(point_ts)) / w))
+    p = points.withColumn("__chunk__", F.floor(epoch_us(F.col(point_ts)) / w))
     i = intervals.withColumn(
         "__chunk__",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / w),
-                F.floor(F.unix_micros(F.col(end_col)) / w),
+                F.floor(epoch_us(F.col(start_col)) / w),
+                F.floor(epoch_us(F.col(end_col)) / w),
             )
         ),
     )

@@ -47,12 +47,26 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id")
 
 
 def cosine_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 10, decimals: int = 5
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    decimals: int = 5,
+    partial: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
     Inputs are ``with_norm`` outputs. Scores are rounded *before* ranking
     (cross-engine float discipline) with id as the deterministic tiebreak.
+
+    ``partial=True`` inserts a per-batch partial top-k between scoring and
+    the rank window: scoring stays JVM-side (zip_with/aggregate under
+    codegen), then each Arrow batch keeps only its local best k per query —
+    a narrow, bounded-output stage — so the window shuffles
+    |queries| × k × batches rows instead of |queries| × |corpus|. Global
+    top-k is preserved exactly: every true top-k row is by definition in its
+    own batch's top-k. (A pure-DataFrame map-side top-k isn't expressible —
+    collect_list partial-agg state is unbounded — so this is the documented
+    Pandas-UDF seam, per the engine's UDF policy.)
     """
     scored = corpus.alias("c").crossJoin(F.broadcast(queries.alias("q"))).select(
         F.col("q.vec_id").alias("query_id"),
@@ -61,6 +75,20 @@ def cosine_topk(
             _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nv") * F.col("c.nv")) * 100000
         ).cast("long").alias("score_e5"),
     )
+    if partial:
+
+        def _local_topk(batches):
+            for pdf in batches:
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "score_e5", "cand_id"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+        scored = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.col("score_e5").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kioss_spark.functions.timeutil import epoch_us
 from kioss_spark.queries import register
 from kioss_spark.sources import load_table
 from kioss_spark.stream import Stream
@@ -61,7 +62,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -166,10 +167,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort."""
     cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
     )
     li = t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
     )
     return (
         li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
@@ -390,13 +391,15 @@ def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + gap>30min flag + count — per-key windows only
-    (shuffles once on user_id; no global order anywhere)."""
+    (shuffles once on user_id; no global order anywhere). Gap arithmetic via
+    timeutil.epoch_us: ``ts`` is canonical TIMESTAMP_NTZ (F.unix_micros
+    hard-fails on NTZ, and any NTZ→TIMESTAMP coercion would be
+    session-timezone-dependent)."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    new_sess = (
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1800 * 1_000_000)
-    ).cast("long")
+    ts_us = epoch_us("ts")
+    prev_us = F.lag(ts_us).over(w)
+    new_sess = (prev_us.isNull() | (ts_us - prev_us > 1800 * 1_000_000)).cast("long")
     return (
         ev.select("user_id", new_sess.alias("new_session"))
         .groupBy("user_id")
@@ -751,8 +754,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing an order at its first qualifying lineitem). The date filter
     prunes orders before the shuffle; the agg output is 5 rows."""
     o = t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
     )
     li = t(spark, sf_dir, "lineitem")
     sem = o.join(
@@ -783,8 +786,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return (
         li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         ).agg(
@@ -884,13 +887,13 @@ def set_ops_half_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape) — no global sort, no collect."""
     o = t(spark, sf_dir, "orders")
     h1 = (
-        o.where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+        o.where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz")))
         .select("o_custkey").distinct()
     )
     h2 = (
-        o.where((F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+        o.where((F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")))
         .select("o_custkey").distinct()
     )
     # one declarative plan (single action), not three driver-side counts
@@ -939,9 +942,9 @@ def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_hourly_events",
     oracle="""
-    SELECT date_trunc('hour', ts) AS bucket, event_type,
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_e2,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events
     GROUP BY 1, 2
@@ -952,11 +955,19 @@ def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     per type (count / sum / distinct users). One keyed shuffle on
     (bucket, event_type) with map-side partial agg; at 100 TB this is the
     continuous-aggregate shape — write the result partitioned by bucket and
-    it becomes the serving layer a time-series store materializes."""
+    it becomes the serving layer a time-series store materializes.
+
+    The bucket is emitted as epoch SECONDS (bigint), not a raw timestamp:
+    ``F.date_trunc`` on an NTZ column silently coerces to session-zoned
+    TIMESTAMP (the round-2 hash-mismatch), and integer buckets hash
+    identically across engines by construction. (The oracle's
+    ``sum(BIGINT)`` also needs an outer CAST — DuckDB widens it to HUGEINT,
+    which drivers render as float.)"""
     ev = t(spark, sf_dir, "events")
+    hour_s = (F.floor(epoch_us("ts") / F.lit(3_600_000_000)) * 3600).cast("long")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            hour_s.alias("bucket"),
             "event_type",
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -1003,8 +1014,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB). The supplier join runs first either way, cutting lineitem
     to ~8% before the lineitem⋈orders fact-fact shuffle."""
     li = t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     pair = ("NATION_1", "NATION_2")
     n1 = t(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
@@ -1086,8 +1097,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
     ).select("c_custkey")
     orders = t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     li = t(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1111,8 +1122,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-               AS revenue_e2,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e2,
            c_acctbal, n_name
     FROM customer JOIN orders   ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -1136,8 +1147,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k is a TakeOrdered over the small aggregate, never a global
     sort."""
     orders = t(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     nation = t(spark, sf_dir, "nation")
@@ -1180,8 +1191,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate — at 100 TB with date-partitioned parquet this prunes to
     ~1/36 of files before any compute."""
     li = t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
     )
     part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1219,8 +1230,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier join is AQE-sized. No second scan of lineitem: the agg result
     is reused for both sides."""
     li = t(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
@@ -1361,7 +1372,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order_keys = (
         t(spark, sf_dir, "orders")
-        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
         .select("o_custkey")
         .distinct()
     )

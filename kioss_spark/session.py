@@ -36,10 +36,6 @@ def get_spark(app_name: str = "kioss_spark", shuffle_partitions: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # driver testdata stores events.ts as TIMESTAMP(NANOS); Spark reads it
-        # as long-nanos with this flag (see kioss_spark.sources.load_table,
-        # which also sets it at read time for plain sessions)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # bucketed-table tests/demos need a writable warehouse; keep it out
         # of the repo (static conf — must be set before session creation)
         .config(

@@ -52,22 +52,19 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table, e.g. load_table(spark, sf_dir, 'lineitem').
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as
-    long-nanos (session flag ``spark.sql.legacy.parquet.nanosAsLong``); it is
-    normalized here to a microsecond TimestampType — the same truncation
-    DuckDB applies when casting TIMESTAMP_NS to TIMESTAMP.
+    ``events.ts`` is stored as TIMESTAMP(NANOS, isAdjustedToUTC=false); the
+    canonical in-engine type is ``TIMESTAMP_NTZ`` (wall clock — matches the
+    DuckDB oracle's naive TIMESTAMP semantics in every session timezone).
+    Spark 4's default read already delivers NTZ micros with the same
+    truncation DuckDB applies; sessions built with the legacy
+    ``nanosAsLong`` flag deliver epoch-nanos bigint instead — ``to_ntz``
+    normalizes every variant (see kioss_spark.functions.timeutil).
     """
-    if name == "events":
-        # The driver's harness builds a plain SparkSession; a runtime conf set
-        # is honored by the parquet reader, so set it here rather than relying
-        # on session-construction time (kioss_spark.session.get_spark).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        from kioss_spark.functions.timeutil import to_ntz
 
-        # integer DIV, not `/`: epoch-nanos (~1.7e18) overflow double precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = to_ntz(df, "ts")
     return df
 
 

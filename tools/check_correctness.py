@@ -3,11 +3,19 @@ entry on Spark and its oracle_sql() on DuckDB at the given sf, compare
 row count + schema-ish + order-insensitive value multiset.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+Env:
+  PLAIN=1       use a bare SparkSession (driver parity: no UTC pin, no
+                nanosAsLong, no arrow/AQE tuning) instead of get_spark()
+  PLAIN_TZ=...  with PLAIN=1, also pin a hostile session timezone (e.g.
+                America/New_York) to smoke out session-dependent timestamp
+                semantics
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -20,6 +28,19 @@ from kioss_spark.session import get_spark  # noqa: E402
 from kioss_spark.sources import TABLES  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def plain_spark():
+    """Mimic the driver's session: SparkSession.builder with no configs."""
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.master("local[8]").appName("check_plain")
+    tz = os.environ.get("PLAIN_TZ")
+    if tz:
+        b = b.config("spark.sql.session.timeZone", tz)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
 
 def norm(v):
@@ -42,7 +63,7 @@ def multiset(rows, colnames):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("check_correctness")
+    spark = plain_spark() if os.environ.get("PLAIN") else get_spark("check_correctness")
     con = duckdb.connect()
     for tbl in TABLES:
         con.sql(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
