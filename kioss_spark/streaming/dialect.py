@@ -197,42 +197,78 @@ class SStream:
         values_of: str,
         size: int,
         flush_timeout=None,
+        interval=None,
     ) -> "SStream":
-        """The reference's size-policy GroupbyIterator
-        (streamable/iterators.py:213-280): a group is emitted the MOMENT its
-        key reaches ``size`` elements — not at micro-batch edges — and a
-        partial group flushes after ``flush_timeout`` of key inactivity (the
-        reference's oldest-group flush). Built on ``applyInPandasWithState``:
-        per-key state is the buffered remainder (< ``size`` rows), so state
-        is bounded regardless of stream length — the property that lets this
+        """The reference's size+interval-policy GroupbyIterator
+        (streamable/iterators.py:213-280). Flush policies, in the
+        reference's order of precedence:
+
+        1. **size** — a group is emitted the MOMENT its key reaches
+           ``size`` elements (not at micro-batch edges);
+        2. **interval** — when the interval elapses without a full group,
+           the reference pops its single LARGEST buffered group. That
+           selection exists because the reference is a single consumer
+           emitting one group per ``next()``; in a keyed parallel engine
+           every key flushes independently, so the scale-correct
+           generalization is the same latency contract applied per key:
+           a key holding a partial buffer emits it once ``interval`` has
+           elapsed since that key's last flush — no cross-key coordination
+           (a global "largest" pick would serialize every trigger through
+           one task);
+        3. **flush_timeout** — a partial group flushes after this much key
+           *inactivity* (the reference's at-exhaustion oldest-group drain,
+           expressed as an idle timeout since streams don't exhaust).
+
+        Built on ``applyInPandasWithState``: per-key state is the buffered
+        remainder (< ``size`` rows) plus a last-flush stamp, so state is
+        bounded regardless of stream length — the property that lets this
         run forever at scale. Arrow-batched; no per-row Python.
         """
         import pandas as pd  # local: workers import lazily
         from pyspark.sql.streaming.state import GroupStateTimeout
-        from pyspark.sql.types import ArrayType, StructField, StructType
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
         fields = {f.name: f.dataType for f in self._df.schema.fields}
         ktype, vtype = fields[key], fields[values_of]
         out_schema = StructType(
             [StructField("key", ktype), StructField("value", ArrayType(vtype))]
         )
-        state_schema = StructType([StructField("buf", ArrayType(vtype))])
+        state_schema = StructType(
+            [StructField("buf", ArrayType(vtype)), StructField("last_flush", LongType())]
+        )
         timeout_ms = int(_seconds(flush_timeout) * 1000) if flush_timeout else None
+        interval_ms = int(_seconds(interval) * 1000) if interval else None
 
         def flush(key_tuple, pdf_iter, state):
-            buf = list(state.get[0]) if state.exists else []
+            if state.exists:
+                buf, last_flush = list(state.get[0]), state.get[1]
+            else:
+                buf, last_flush = [], None
             for pdf in pdf_iter:
                 buf.extend(pdf[values_of].tolist())
+            now = state.getCurrentProcessingTimeMs()
+            if last_flush is None:
+                last_flush = now  # new key: first interval starts at first sight
             out = []
             while len(buf) >= size:
                 out.append((key_tuple[0], buf[:size]))
                 buf = buf[size:]
-            if timeout_ms is not None and state.hasTimedOut and buf:
-                out.append((key_tuple[0], buf))  # partial flush on inactivity
+                last_flush = now
+            if buf and (
+                (interval_ms is not None and now - last_flush >= interval_ms)
+                or (timeout_ms is not None and state.hasTimedOut)
+            ):
+                out.append((key_tuple[0], buf))  # partial flush: cadence/idle
                 buf = []
+                last_flush = now
             if buf:
-                state.update((buf,))
-                if timeout_ms is not None:
+                state.update((buf, last_flush))
+                if interval_ms is not None:
+                    # wake this key at its next cadence edge even if idle
+                    state.setTimeoutDuration(
+                        max(interval_ms - (now - last_flush), 1)
+                    )
+                elif timeout_ms is not None:
                     state.setTimeoutDuration(timeout_ms)
             elif state.exists:
                 state.remove()
@@ -241,7 +277,7 @@ class SStream:
 
         timeout_conf = (
             GroupStateTimeout.ProcessingTimeTimeout
-            if timeout_ms is not None
+            if (timeout_ms is not None or interval_ms is not None)
             else GroupStateTimeout.NoTimeout
         )
         df = self._df.groupBy(key).applyInPandasWithState(

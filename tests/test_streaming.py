@@ -226,3 +226,38 @@ def test_enrich_left_join_keeps_unmatched(spark):
     assert rows
     assert any(r["name"] is None for r in rows if r["k"] == 1)
     assert all(r["name"] == "zero" for r in rows if r["k"] == 0)
+
+
+def test_groupby_sized_interval_flush_partials(spark):
+    # the reference's interval policy (iterators.py:213-280): when the
+    # interval elapses without any group reaching `size`, buffered partial
+    # groups flush anyway (latency bound). size=10_000 is unreachable at
+    # this rate, so EVERY emitted group is an interval-cadence partial.
+    s = SStream.rate(spark, rows_per_second=100, partitions=2).map(
+        k=(F.col("value") % 2).cast("long"), v=F.col("value")
+    ).groupby_sized("k", values_of="v", size=10_000, interval=2)
+    q = s.to_memory("t_ginterval")
+    _drain(q, 12)
+    rows = spark.sql("SELECT key, value FROM t_ginterval").collect()
+    assert rows, "no interval-cadence partial group emitted in 12s"
+    # partials only (size never reached), each non-empty
+    assert all(0 < len(r["value"]) < 10_000 for r in rows)
+    # the reference's ordering contract within a key: flushed elements are
+    # disjoint across flushes and arrive in stream order
+    for k in (0, 1):
+        vals = [v for r in rows if r["key"] == k for v in r["value"]]
+        assert len(vals) == len(set(vals))
+        assert vals == sorted(vals)
+
+
+def test_groupby_sized_size_beats_interval(spark):
+    # full groups flush the moment they fill, never waiting for the
+    # interval edge: with size=5 at 200 rows/s, exact 5-groups dominate
+    s = SStream.rate(spark, rows_per_second=200, partitions=2).map(
+        k=(F.col("value") % 2).cast("long"), v=F.col("value")
+    ).groupby_sized("k", values_of="v", size=5, interval=30)
+    q = s.to_memory("t_gsizefirst")
+    _drain(q, 8)
+    rows = spark.sql("SELECT key, value FROM t_gsizefirst").collect()
+    assert rows, "no sized group emitted in 8s"
+    assert all(len(r["value"]) == 5 for r in rows), [len(r["value"]) for r in rows]
