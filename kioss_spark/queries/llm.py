@@ -487,9 +487,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT source, {SQL_TOKS} AS t FROM documents)
     SELECT source, count(*) AS n_docs,
-           sum(len(t)) AS ws_tokens,
-           sum(list_aggregate(list_transform(t, x ->
-               CAST(floor((length(x)+3)/4) AS BIGINT)), 'sum')) AS bpe_est_tokens,
+           CAST(sum(len(t)) AS BIGINT) AS ws_tokens,
+           CAST(sum(list_aggregate(list_transform(t, x ->
+               CAST(floor((length(x)+3)/4) AS BIGINT)), 'sum')) AS BIGINT) AS bpe_est_tokens,
            CAST(floor(sum(len(t)) / count(*) * 1000000) AS BIGINT) AS avg_tokens_e6
     FROM toks GROUP BY source
     """,
@@ -687,7 +687,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS w_e6
           FROM counts, tots),
     res AS (SELECT d.doc_id, any_value(d.source) AS source,
-                   count(*) AS n_tok, sum(w.w_e6) AS score_e6
+                   count(*) AS n_tok, CAST(sum(w.w_e6) AS BIGINT) AS score_e6
             FROM b d JOIN w USING (bkt) GROUP BY 1)
     SELECT doc_id, source, n_tok, score_e6, rank_in_source,
            rank_in_source <= 5 AS selected
@@ -815,7 +815,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     final AS (SELECT * FROM kept_q WHERE doc_id NOT IN (SELECT doc_b FROM dups))
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(bpe) AS bpe_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
            CAST(floor(sum(quality_e6) / count(*)) AS BIGINT) AS avg_quality_e6
     FROM final GROUP BY source
     """,
@@ -929,7 +929,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM toks)
     SELECT source, CAST(floor(start / 512) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_tok) AS bin_tokens
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
     FROM c GROUP BY source, bin
     """,
 )
@@ -972,7 +972,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM scored)
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(bpe) AS tokens_used,
+           CAST(sum(bpe) AS BIGINT) AS tokens_used,
            min(quality_e6) AS min_quality_e6
     FROM capped WHERE cum <= 4000
     GROUP BY source
