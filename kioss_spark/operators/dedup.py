@@ -50,9 +50,11 @@ __all__ = [
     "shingle_stream",
     "shingle_index",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_pairs",
+    "connected_components",
 ]
 
 #: default word-n-gram width. 4-grams keep the candidate space sparse even on
@@ -264,6 +266,71 @@ def jaccard_pairs(
         .distinct()
     )
     return _verified_pairs(cands, inv, threshold)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_N,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: (doc_inner, doc_outer) with
+    ``C(inner→outer) = |S_inner ∩ S_outer| / |S_inner| >= threshold``.
+
+    Jaccard misses subset duplication — a paragraph pasted into a larger
+    document scores J = |A|/|B| ≈ 0 however exact the copy — which is why
+    corpus pipelines check containment alongside it (the same quantity
+    suffix-array dedup targets). Containment admits the same PPJoin prefix
+    bound on the INNER side only: C >= t ⇒ |∩| >= t·|inner|, so one of
+    inner's first ``|inner| − ⌈t·|inner|⌉ + 1`` rare-first shingles must
+    hit the outer doc. The outer side has no such bound (nothing relates t
+    to |outer|), so candidates come from inner-prefix × full index — still
+    keyed on rare prefix shingles, never all-pairs.
+
+    Output is directional: both (a→b) and (b→a) can appear (near-equal
+    docs contain each other).
+    """
+    inv = shingle_index(docs, text_col, id_col, n)
+    wdf = Window.partitionBy("shingle")
+    wdoc = Window.partitionBy("doc_id")
+    wrank = Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("shingle"))
+    prefix = (
+        inv.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+        .withColumn("__r__", F.row_number().over(wrank))
+        .where(F.col("__r__") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1)
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(inv.alias("b"), on="shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = _sizes(inv)
+    shared = (
+        cands.join(inv.alias("ia"), F.col("doc_a") == F.col("ia.doc_id"))
+        .join(
+            inv.alias("ib"),
+            (F.col("doc_b") == F.col("ib.doc_id"))
+            & (F.col("ia.shingle") == F.col("ib.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    c = F.col("n_shared") / F.col("sa.n_sh")
+    return (
+        shared.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .select(
+            F.col("doc_a").alias("doc_inner"),
+            F.col("doc_b").alias("doc_outer"),
+            "n_shared",
+            F.floor(c * 1000000).cast("long").alias("containment_e6"),
+        )
+        .where(F.col("containment_e6") >= int(threshold * 1_000_000))
+    )
 
 
 def minhash_lsh_pairs(

@@ -15,7 +15,7 @@ path except the deliberately-Arrow-batched multimodal decode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kioss_spark.operators import dedup, multimodal, similarity
@@ -107,6 +107,34 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is keyed on rare prefix shingles: never an
     all-pairs product."""
     return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_inner, doc_outer, n_shared,
+           CAST(floor(n_shared / len(sa.s) * 1000000) AS BIGINT) AS containment_e6
+    FROM shared
+    JOIN shn sa ON doc_inner = sa.doc_id
+    WHERE CAST(floor(n_shared / len(sa.s) * 1000000) AS BIGINT) >= 800000
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (C >= 0.8): catches subset duplication
+    — a document pasted inside a larger one — that Jaccard structurally
+    misses (J = |A|/|B| ≈ 0 for a small exact copy). Inner-side PPJoin
+    prefix filtering keeps candidates keyed on rare shingles
+    (operators.dedup.containment_pairs)."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
 def _minhash_oracle(k: int = 32, bands: int = 8) -> str:
@@ -263,6 +291,90 @@ def dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_best",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    q AS (SELECT doc_id,
+                 CAST(floor((0.4 * (len(list_distinct(t)) / len(t))
+                      + 0.3 * (1 - len(list_filter(t, x ->
+                            x IN ('the','a','of','and','to'))) / len(t))
+                      + 0.3 * least(len(t) / 100.0, 1.0)) * 1000000) AS BIGINT)
+                     AS quality_e6
+          FROM toks),
+    r AS (SELECT l.doc_id, l.cluster_id, q.quality_e6,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY q.quality_e6 DESC, l.doc_id) AS pos
+          FROM labels l JOIN q USING (doc_id))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           quality_e6,
+           CAST(CASE WHEN pos = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM r
+    """,
+)
+def dedup_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup keeping the BEST document (highest quality score, id
+    tiebreak) instead of the smallest id — what production pipelines
+    actually do: near-dup clusters usually hold one clean copy and several
+    mangled ones, and min-id keeps an arbitrary one. Same connected
+    components; the survivor pick adds one per-cluster rank window over
+    one row per doc (not per shingle), so the added cost is negligible
+    next to the pair join."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs, docs)
+    toks = tokens(F.col("text"))
+    n_tok, n_uniq, n_stop, _ = quality_metrics(F.col("t"))
+    quality = (
+        0.4 * (n_uniq / n_tok)
+        + 0.3 * (F.lit(1) - n_stop / n_tok)
+        + 0.3 * F.least(n_tok / 100.0, F.lit(1.0))
+    )
+    q = docs.select(F.col("doc_id"), toks.alias("t")).select(
+        "doc_id", F.floor(quality * 1000000).cast("long").alias("quality_e6")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_e6").desc(), F.col("doc_id")
+    )
+    return (
+        labels.join(q, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "quality_e6",
+            (F.col("pos") == 1).cast("long").alias("kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -329,6 +441,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = nn.where(F.col("vec_id") < 16)
     c = nn.where(F.col("vec_id") >= 16)
     return similarity.ivf_topk(q, c, k=5)
+
+
+@register(
+    "ann_ivf_multiprobe",
+    oracle=_ANN_BASE
+    + f""",
+    qc AS (SELECT *, {_sql_cell('v')} AS cell0 FROM q),
+    qp AS (SELECT vec_id, v, nv,
+                  CASE u.i WHEN 0 THEN cell0 ELSE xor(cell0, 1 << (u.i - 1)) END AS cell
+           FROM qc, UNNEST(range(0, 9)) u(i)),
+    cc AS (SELECT *, {_sql_cell('v')} AS cell FROM c),
+    s AS (
+        SELECT qp.vec_id AS query_id, cc.vec_id AS cand_id,
+               CAST(floor(list_dot_product(qp.v, cc.v) / (qp.nv * cc.nv) * 100000) AS BIGINT)
+                   AS score_e5
+        FROM cc JOIN qp ON cc.cell = qp.cell
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_e5 DESC, cand_id) AS rnk FROM s)
+    SELECT query_id, cand_id, score_e5, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with Hamming-1 multi-probe (9 cells/query): recovers the
+    recall single-probe loses at sign boundaries for ~9/256 of brute-force
+    cost. Candidate generation stays a keyed equi-join on cell; the probe
+    count is the recall/cost dial (operators.similarity.ivf_multiprobe_topk)."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.ivf_multiprobe_topk(q, c, k=5)
 
 
 _CELL4 = " + ".join(f"(CASE WHEN v[{i+1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4))
@@ -1232,3 +1375,57 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "term")
         .limit(100)
     )
+
+
+@register(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    inv AS (SELECT doc_id, x AS term FROM toks, UNNEST(t) u(x)),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM inv GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM inv GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 tf.tf * CAST(floor(1000000.0 * n.n_docs / df.df) AS BIGINT)
+                     AS score_e6
+          FROM tf JOIN df USING (term), n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score_e6 DESC, term) AS rnk
+          FROM s)
+    SELECT doc_id, term, tf, df, score_e6, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the standard corpus-exploration
+    / topic-tagging primitive. IDF is the rational form
+    ``floor(1e6 * N / df)`` (integer-exact across engines; the usual
+    ``log`` idf ranks identically for top-k since log is monotonic, but its
+    doubles are libm-dependent).
+
+    Scale plan: one explode feeds BOTH aggregations — tf is a keyed
+    (doc_id, term) groupBy with map-side combine; df is a term-keyed
+    distinct count; the df table (vocabulary-sized, sublinear in corpus) is
+    AQE-sized for the join back, and the corpus-count scalar rides a
+    broadcast crossJoin. Final top-3 is a per-doc rank window — keyed,
+    never global."""
+    docs = _docs(spark, sf_dir)
+    inv = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = inv.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = inv.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(F.lit(1000000.0) * F.col("n_docs") / F.col("df")).cast("long")
+            ).alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), F.col("term"))
+    return s.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
