@@ -55,3 +55,26 @@ def test_pack_contiguous_groups_independent(spark):
     }
     # each group restarts at offset 0
     assert got[("a", 1)] == 0 and got[("a", 2)] == 1 and got[("b", 1)] == 0
+
+
+def test_ivf_multiprobe_recovers_sign_boundary_neighbor(spark):
+    # query and its true nearest neighbor straddle the sign boundary on
+    # dimension 1 (+0.01 vs -0.01): single-probe IVF puts them in different
+    # cells and misses the match; Hamming-1 multi-probe recovers it
+    from pyspark.sql import functions as F
+
+    from kioss_spark.operators import similarity
+
+    rows = [
+        (0, [0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),   # query
+        (16, [-0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # near-dup, flipped sign
+        (17, [1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),  # far away
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    nn = similarity.with_norm(df)
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    single = {r["cand_id"] for r in similarity.ivf_topk(q, c, k=1).collect()}
+    multi = {r["cand_id"] for r in similarity.ivf_multiprobe_topk(q, c, k=1).collect()}
+    assert 16 not in single  # sign boundary loss
+    assert multi == {16}     # recovered by the Hamming-1 probe

@@ -121,3 +121,34 @@ def test_connected_components_converges_on_long_chain(spark):
 
     rows = dedup.connected_components(edges, ids).collect()
     assert all(r["cluster_id"] == 0 for r in rows)
+
+
+def test_containment_catches_subset_duplication(spark):
+    # doc 1 is pasted verbatim inside doc 2 (with a long unrelated tail):
+    # Jaccard is small (|A|/|B|), containment(1 -> 2) is exactly 1.0
+    inner = "w1 w2 w3 w4 w5 w6"
+    outer = inner + " t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16"
+    df = _docs(spark, [(1, inner), (2, outer)])
+    pairs = {
+        (r["doc_inner"], r["doc_outer"]): r["containment_e6"]
+        for r in dedup.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert pairs == {(1, 2): 1_000_000}
+    # Jaccard at the same threshold misses it entirely
+    assert dedup.jaccard_pairs(df, threshold=0.8).count() == 0
+
+
+def test_containment_is_directional(spark):
+    # near-equal docs contain each other -> both directions emitted
+    a = "w1 w2 w3 w4 w5 w6 w7"
+    df = _docs(spark, [(1, a), (2, a)])
+    got = {
+        (r["doc_inner"], r["doc_outer"]) for r in dedup.containment_pairs(df).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_containment_below_threshold_absent(spark):
+    # 2 of 4 shingles shared -> C = 0.5 < 0.8 in both directions
+    df = _docs(spark, [(1, "a b c d e f g"), (2, "c d e f x y z")])
+    assert dedup.containment_pairs(df, threshold=0.8).count() == 0
