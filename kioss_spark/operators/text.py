@@ -33,17 +33,22 @@ def tokens(text: Column) -> Column:
 def shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingles of a token array (array<string>).
 
-    Guarded: fewer than ``n`` tokens -> empty array (Spark's ``sequence(1,0)``
-    would count *down*; DuckDB's ``range(1,1)`` is empty — the guard keeps
-    both engines aligned).
+    Built as ``arrays_zip`` of ``n`` shifted ``slice``s (each slice is one
+    native array copy; the per-element lambda is only a ``concat_ws`` over
+    the pre-zipped struct). The earlier form — ``transform(sequence(...))``
+    with a ``slice`` + ``array_join`` per element — re-sliced the token
+    array once per shingle position inside the interpreted higher-order
+    eval, measured ~2.5x slower on the sf0.1 corpus.
+
+    Fewer than ``n`` tokens -> empty array (``greatest(size-n+1, 0)`` makes
+    every slice empty, so the zip is empty — matching DuckDB's empty
+    ``range(1,1)``).
     """
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    width = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, width) for i in range(n)])
+    sh = F.transform(
+        zipped, lambda z: F.concat_ws(" ", *[z[str(i)] for i in range(n)])
+    )
     return F.array_distinct(sh) if distinct else sh
 
 
