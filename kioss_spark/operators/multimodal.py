@@ -126,6 +126,70 @@ def frame_sample(
     return src.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+)
+
+
+def audio_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    hop: int = 16,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """"Audio" chunking: overlapping hop windows over the sample stream —
+    the standard feature-extraction shape (hop < window, unlike
+    frame_sample's strided non-overlap). One "sample" = one char of the
+    synthetic payload; a real deployment decodes PCM first (see
+    ``decode_image_real`` for the gated-decoder pattern).
+
+    Emits (chunk_idx, start_ms, n_samples, md5) per window; the final
+    ragged tail window is kept (n_samples < window), matching what an STFT
+    framer does with ``pad_mode=None``. mapInPandas: 1→N fan-out, narrow,
+    Arrow-batched — at 100 TB the chunk stream partitions exactly like its
+    parent scan.
+    """
+    src = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, sizes, hashes = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                idx = 0
+                for off in range(0, max(n, 1), hop):
+                    piece = text[off : off + window]
+                    if not piece:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    starts.append(off * 1000 // sample_rate)
+                    sizes.append(len(piece))
+                    hashes.append(hashlib.md5(piece.encode("utf-8")).hexdigest())
+                    idx += 1
+                    if off + window >= n:
+                        break  # tail window consumed the rest
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_idx": idxs,
+                    "start_ms": starts,
+                    "n_samples": sizes,
+                    "chunk_md5": hashes,
+                }
+            )
+
+    return src.mapInPandas(chunk, schema=AUDIO_CHUNK_SCHEMA)
+
+
 def decode_image_real(payload: bytes):  # pragma: no cover - gated stub
     """The seam for a real decoder. Image/audio libraries are not available
     in this environment by design; a deployment would replace this with

@@ -918,6 +918,32 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(_docs(spark, sf_dir))
 
 
+@register(
+    "mm_audio_chunks",
+    oracle="""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                      length(text) AS n FROM documents WHERE length(text) > 0),
+    c AS (SELECT doc_id, text, n,
+                 CAST(u.i AS BIGINT) AS chunk_idx
+          FROM d, UNNEST(range(0, CAST(greatest(ceil((n - 64) / 16.0), 0) AS BIGINT) + 1))
+                  u(i))
+    SELECT doc_id, chunk_idx,
+           CAST(floor(chunk_idx * 16 * 1000 / 16000) AS BIGINT) AS start_ms,
+           CAST(length(substr(text, CAST(chunk_idx AS INTEGER) * 16 + 1, 64)) AS BIGINT)
+               AS n_samples,
+           md5(substr(text, CAST(chunk_idx AS INTEGER) * 16 + 1, 64)) AS chunk_md5
+    FROM c
+    """,
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' chunking: overlapping hop windows (window=64, hop=16 — the
+    STFT-framer shape, unlike frame sampling's strided non-overlap) with
+    per-chunk start-time metadata at a nominal 16 kHz. Ragged tail window
+    kept. Arrow-batched mapInPandas 1->N fan-out
+    (operators.multimodal.audio_chunks)."""
+    return multimodal.audio_chunks(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline
 # ---------------------------------------------------------------------------
