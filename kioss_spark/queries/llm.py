@@ -1455,3 +1455,53 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score_e6").desc(), F.col("term"))
     return s.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
+
+
+@register(
+    "profile_corpus",
+    oracle=f"""
+    WITH m AS (SELECT source, lang, len({SQL_TOKS}) AS n_tok FROM documents),
+    q AS (SELECT source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(min(n_tok) AS BIGINT) AS min_tok,
+                 CAST(max(n_tok) AS BIGINT) AS max_tok,
+                 quantile_cont(n_tok, [0.25, 0.5, 0.75, 0.95]) AS p
+          FROM m GROUP BY source)
+    SELECT source, n_docs, n_langs, min_tok, max_tok,
+           CAST(floor(p[1] * 1000000) AS BIGINT) AS p25_e6,
+           CAST(floor(p[2] * 1000000) AS BIGINT) AS p50_e6,
+           CAST(floor(p[3] * 1000000) AS BIGINT) AS p75_e6,
+           CAST(floor(p[4] * 1000000) AS BIGINT) AS p95_e6
+    FROM q
+    """,
+)
+def profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc counts, language spread, token-length
+    extremes and EXACT interpolated quantiles (p25/p50/p75/p95) — the
+    first-look dashboard any corpus effort builds.
+
+    Uses ``F.percentile`` (exact) rather than ``percentile_approx``: the
+    interpolation formula h=(n-1)p matches DuckDB's quantile_cont
+    bit-for-bit on integer token counts (verified to the last ulp), so the
+    oracle hash-matches. At 100 TB swap in ``percentile_approx`` (a
+    mergeable t-digest-style sketch, one pass, bounded memory) and accept
+    the documented rank error — the exact form needs per-group sorted
+    collection. Grouping is one keyed shuffle with map-side partials for
+    every other aggregate."""
+    docs = _docs(spark, sf_dir)
+    m = docs.select("source", "lang", F.size(tokens(F.col("text"))).alias("n_tok"))
+    agg = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.percentile("n_tok", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)])).alias("p"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_langs", "min_tok", "max_tok",
+        *[
+            F.floor(F.element_at("p", i + 1) * 1000000).cast("long").alias(name)
+            for i, name in enumerate(("p25_e6", "p50_e6", "p75_e6", "p95_e6"))
+        ],
+    )
