@@ -123,6 +123,71 @@ class SStream:
     def filter(self, when: Column) -> "SStream":
         return self._derive(self._df.where(when), "filter")
 
+    def validate(self, when: Column, kind: Any = ValueError, message: Any = None) -> "SStream":
+        """Errors-as-data on the unbounded stream — the reference does not
+        distinguish batch from streaming, so the error model must carry over
+        (same ``__err__`` struct as ``Stream.validate``). Rows failing
+        ``when`` get ``__err__`` filled; stateless projection, so it runs
+        per micro-batch with no state store and composes with every
+        downstream operator including ``catch``."""
+        from kioss_spark.errors import ERR_COL, ERR_TYPE, mro_names
+
+        name = kind.__name__ if isinstance(kind, type) else str(kind)
+        kinds = (
+            mro_names(kind)
+            if isinstance(kind, type)
+            else [name, "Exception", "BaseException"]
+        )
+        msg = message if isinstance(message, Column) else F.lit(message or name)
+        new_err = F.struct(
+            F.lit(name).alias("kind"),
+            F.array(*[F.lit(k) for k in kinds]).alias("kinds"),
+            msg.cast("string").alias("message"),
+        )
+        df = self._df
+        if ERR_COL not in df.columns:
+            df = df.withColumn(ERR_COL, F.lit(None).cast(ERR_TYPE))
+        df = df.withColumn(
+            ERR_COL,
+            F.when(F.col(ERR_COL).isNull() & ~when, new_err).otherwise(F.col(ERR_COL)),
+        )
+        return self._derive(df, f"validate({name})")
+
+    def catch(self, kind: Any = Exception, replacement: Optional[dict] = None) -> "SStream":
+        """Swallow matching error rows mid-stream: drop them, or (with
+        ``replacement`` = {column: value}) repair the columns and clear
+        ``__err__``. Kind matching is isinstance-style over the carried MRO
+        names, exactly like ``Stream.catch``. The batch-only parameters
+        don't exist here by design: ``when=`` (a Python callable per error)
+        and ``finally_raise`` both need an action boundary, and an unbounded
+        stream has none — use ``foreach_batch`` for per-batch error
+        handling with Python in the loop."""
+        from kioss_spark.errors import ERR_COL, ERR_TYPE
+
+        if ERR_COL not in self._df.columns:
+            return self._derive(self._df, "catch(no-op)")
+        name = kind.__name__ if isinstance(kind, type) else str(kind)
+        matches = F.col(ERR_COL).isNotNull()
+        if name not in ("Exception", "BaseException"):
+            matches = matches & F.coalesce(
+                F.array_contains(F.col(ERR_COL)["kinds"], name),
+                F.col(ERR_COL)["kind"] == name,
+            )
+        if replacement is not None:
+            df = self._df
+            for col, value in replacement.items():
+                v = value if isinstance(value, Column) else F.lit(value)
+                df = df.withColumn(col, F.when(matches, v).otherwise(F.col(col)))
+            df = df.withColumn(
+                ERR_COL,
+                F.when(matches, F.lit(None).cast(ERR_TYPE)).otherwise(F.col(ERR_COL)),
+            )
+        else:
+            df = self._df.where(~matches)
+        return self._derive(
+            df, f"catch({name}, replacement={replacement is not None})"
+        )
+
     def throttle(self, per_second: Optional[int] = None, interval=None) -> "SStream":
         """Rate limiting. For sources that carry their own rate option the
         limit belongs there (``rate``/``files`` classmethods); mid-stream,

@@ -261,3 +261,57 @@ def test_groupby_sized_size_beats_interval(spark):
     rows = spark.sql("SELECT key, value FROM t_gsizefirst").collect()
     assert rows, "no sized group emitted in 8s"
     assert all(len(r["value"]) == 5 for r in rows), [len(r["value"]) for r in rows]
+
+
+def test_validate_catch_drop_streaming(spark):
+    # errors-as-data carries to the unbounded stream: odd values become
+    # error rows, catch drops them — the sink only ever sees evens
+    s = (
+        SStream.rate(spark, rows_per_second=200)
+        .map(v=F.col("value"))
+        .validate(F.col("v") % 2 == 0, ValueError, message="odd")
+        .catch(ValueError)
+    )
+    q = s.to_memory("t_vcatch")
+    _drain(q, 5)
+    rows = spark.sql("SELECT v FROM t_vcatch").collect()
+    assert rows, "no micro-batch arrived in 5s"
+    assert all(r["v"] % 2 == 0 for r in rows)
+
+
+def test_validate_catch_replacement_streaming(spark):
+    # replacement repairs the column and clears __err__ (no rows lost)
+    s = (
+        SStream.rate(spark, rows_per_second=200)
+        .map(v=F.col("value"))
+        .validate(F.col("v") % 2 == 0, ValueError)
+        .catch(ValueError, replacement={"v": -1})
+    )
+    q = s.to_memory("t_vrepl")
+    _drain(q, 5)
+    rows = spark.sql("SELECT v, __err__ FROM t_vrepl").collect()
+    assert rows, "no micro-batch arrived in 5s"
+    assert all(r["__err__"] is None for r in rows)
+    vals = [r["v"] for r in rows]
+    assert -1 in vals and any(v > 0 and v % 2 == 0 for v in vals)
+    assert all(v == -1 or v % 2 == 0 for v in vals)
+
+
+def test_catch_kind_mro_streaming(spark):
+    # catch(LookupError) swallows KeyError rows (MRO match) but a
+    # ValueError row passes through untouched
+    s = (
+        SStream.rate(spark, rows_per_second=200)
+        .map(v=F.col("value"))
+        .validate(F.col("v") % 3 != 0, KeyError)     # multiples of 3 -> KeyError
+        .validate(F.col("v") % 3 != 1, ValueError)   # v%3==1 -> ValueError
+        .catch(LookupError)                           # catches KeyError only
+    )
+    q = s.to_memory("t_vmro")
+    _drain(q, 5)
+    rows = spark.sql("SELECT v, __err__ FROM t_vmro").collect()
+    assert rows, "no micro-batch arrived in 5s"
+    assert all(r["v"] % 3 != 0 for r in rows)  # KeyError rows dropped
+    kinds = {r["__err__"]["kind"] for r in rows if r["__err__"] is not None}
+    assert kinds <= {"ValueError"}
+    assert any(r["__err__"] is not None for r in rows)
