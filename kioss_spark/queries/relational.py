@@ -1511,3 +1511,71 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
+
+
+@register(
+    "skew_salted_event_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation via explicit two-stage salting
+    (operators.skew.salted_agg): events carry only a handful of
+    event_type values, so a plain groupBy funnels the whole table through
+    ~5 reducers; stage 1 groups on (key, salt=16) spreading each hot key
+    over 16 reducers, stage 2 merges 16 partial rows per key. The result
+    is algebraically identical to the plain groupBy (the oracle), which
+    is the point — salting changes the shuffle shape, never the answer.
+    Values are integerized to cents pre-shuffle so partial sums are
+    order-independent across engines."""
+    from kioss_spark.operators.skew import salted_agg
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+    return salted_agg(ev, key="event_type", value="v_e2", salt_buckets=16)
+
+
+@register(
+    "sql_balance_quartiles",
+    oracle="""
+    WITH q AS (SELECT n_name, c_name, c_acctbal,
+                      ntile(4) OVER (PARTITION BY n_name
+                                     ORDER BY c_acctbal DESC, c_custkey) AS quartile
+               FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT n_name, quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(floor(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / count(*))
+                AS BIGINT) AS avg_balance_e2
+    FROM q GROUP BY n_name, quartile
+    """,
+)
+def sql_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry path (kioss_spark.sql): NTILE quartiles of customer
+    balance within each nation, aggregated per (nation, quartile) — the
+    text-declared twin of the DataFrame queries; Catalyst compiles both to
+    the same logical algebra, so SQL users get the identical physical plan
+    (keyed window + keyed agg; the nation join broadcasts by size). The
+    custkey tiebreak makes NTILE assignment total-order deterministic
+    across engines."""
+    from kioss_spark.sql import sql
+
+    return sql(
+        spark,
+        sf_dir,
+        """
+        WITH q AS (SELECT n_name, c_name, c_acctbal,
+                          ntile(4) OVER (PARTITION BY n_name
+                                         ORDER BY c_acctbal DESC, c_custkey) AS quartile
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        SELECT n_name, quartile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(floor(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / count(*))
+                    AS BIGINT) AS avg_balance_e2
+        FROM q GROUP BY n_name, quartile
+        """,
+    )
