@@ -1437,7 +1437,11 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     inv = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = inv.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = inv.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from tf, not from a second explode: tf's rows are already
+    # the distinct (doc, term) pairs, so counting them per term IS the
+    # document frequency — one scan of the token stream instead of two
+    # (Spark re-executes shared unmaterialized subplans per reference)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     s = (
         tf.join(df, "term")

@@ -589,6 +589,63 @@ class Stream:
             )
         return self._derive(out, f"group(size={size}, by={by is not None or None})")
 
+    def group_within_partitions(self, size: int) -> "Stream":
+        """Partition-local batching: arrays of up to ``size`` elements in
+        partition-arrival order, never crossing a partition boundary.
+
+        THE 100 TB form of ``group(size)``: the global variant needs a
+        total order (two-phase prefix sum + keyed shuffle on batch id);
+        this one is a single narrow Arrow pass — no shuffle, no ordering
+        requirement — at the cost of one ragged (< ``size``) group per
+        partition instead of one per stream. That trade is exactly what
+        batched writers/inference want (group locality, not global batch
+        numbering). Error rows pass through positionally with a null
+        group, matching ``group(size)``.
+        """
+        if size is None or size < 1:
+            raise ValueError("group_within_partitions() needs size >= 1")
+        vcol = self._data_cols[0]
+        elem_t = self._value_type
+        df = self._ensure_err()
+        out_schema = T.StructType(
+            [_seq_field(), T.StructField(_VALUE, T.ArrayType(elem_t), True), _err_field()]
+        )
+
+        def batch(partition):
+            buf_s: list = []
+            buf_v: list = []
+
+            def drain(out):
+                out[SEQ_COL].append(buf_s[0])
+                out[_VALUE].append(list(buf_v))
+                out[ERR_COL].append(None)
+                buf_s.clear()
+                buf_v.clear()
+
+            for pdf in partition:
+                out = {SEQ_COL: [], _VALUE: [], ERR_COL: []}
+                for s, v, e in zip(pdf[SEQ_COL], pdf[vcol], pdf[ERR_COL]):
+                    if e is not None:
+                        out[SEQ_COL].append(s)
+                        out[_VALUE].append(None)
+                        out[ERR_COL].append(e)
+                        continue
+                    buf_s.append(s)
+                    buf_v.append(v)
+                    if len(buf_s) >= size:
+                        drain(out)
+                if out[SEQ_COL]:
+                    yield pd.DataFrame(out)
+            if buf_s:  # ragged tail group of this partition
+                out = {SEQ_COL: [], _VALUE: [], ERR_COL: []}
+                drain(out)
+                yield pd.DataFrame(out)
+
+        return self._derive(
+            df.mapInPandas(batch, schema=out_schema),
+            f"group_within_partitions(size={size})",
+        )
+
     def groupby(self, key: Any, size: Optional[int] = None, interval=None) -> "Stream":
         """Like ``group(by=key)`` but yields ``(key, values)`` pairs
         (reference: streamable/stream.py:348-370) → columns ``key, value``.

@@ -305,3 +305,37 @@ def test_laziness_no_jobs_until_action(spark):
     assert s.count() > 0
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert len(after) > len(before), "the action must run at least one job"
+
+
+def test_group_within_partitions_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).repartition(4).select(F.col("id").alias("value"))
+    s = Stream.from_df(df, seq="value").group_within_partitions(size=8)
+    out = s.to_df(ordered=False)
+    # narrow: the only Exchange is the test's own repartition(4) upstream —
+    # the grouping itself adds none
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "RoundRobinPartitioning(4)" in plan
+    rows = out.collect()
+    groups = [r["value"] for r in rows]
+    assert all(1 <= len(g) <= 8 for g in groups)
+    assert sorted(x for g in groups for x in g) == list(range(100))
+    # at most one ragged group per partition
+    assert sum(1 for g in groups if len(g) < 8) <= 4
+
+
+def test_group_within_partitions_error_passthrough(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    s = (
+        Stream.of(spark, range(10), schema=T.LongType())
+        .validate(F.col("value") != 5, ValueError)
+        .group_within_partitions(size=3)
+    )
+    rows = s.to_df(ordered=False, keep_err=True).collect()
+    err_rows = [r for r in rows if r["__err__"] is not None]
+    assert len(err_rows) == 1 and err_rows[0]["value"] is None
+    ok_vals = sorted(x for r in rows if r["__err__"] is None for x in r["value"])
+    assert ok_vals == [0, 1, 2, 3, 4, 6, 7, 8, 9]
