@@ -38,6 +38,15 @@ HEADLINE = [
     "quality_repetition",
     "dsir_importance",
     "decontaminate_eval",
+    # round-3 additions (containment dedup, multi-probe-family ANN, TF-IDF,
+    # corpus profiling, multimodal fan-out, salted agg, SQL entry path)
+    "dedup_containment_pairs",
+    "ann_ivf_topk",
+    "tfidf_keywords",
+    "profile_corpus",
+    "mm_audio_chunks",
+    "skew_salted_event_totals",
+    "sql_balance_quartiles",
 ]
 
 

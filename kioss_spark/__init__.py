@@ -15,7 +15,12 @@ Public surface:
     star, sidify    — function adapters (kioss_spark.functions.adapters)
     get_spark       — tuned local SparkSession builder (kioss_spark.session)
     operators       — LLM-data operators: dedup / similarity / text /
-                      multimodal (kioss_spark.operators)
+                      multimodal / curation / contamination / privacy /
+                      skew (kioss_spark.operators)
+    register_views  — driver tables as temp views for spark.sql users
+                      (kioss_spark.sql)
+    timeutil        — session-independent TIMESTAMP_NTZ algebra
+                      (kioss_spark.functions.timeutil)
     PlanVisitor     — public plan-walk hook (kioss_spark.plans)
 """
 
@@ -24,7 +29,17 @@ from kioss_spark.stream import Stream
 from kioss_spark.streaming import SStream
 from kioss_spark.functions.adapters import sidify, star
 from kioss_spark.plans import PlanVisitor
+from kioss_spark.sql import register_views
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
-__all__ = ["Stream", "SStream", "get_spark", "star", "sidify", "PlanVisitor", "__version__"]
+__all__ = [
+    "Stream",
+    "SStream",
+    "get_spark",
+    "star",
+    "sidify",
+    "PlanVisitor",
+    "register_views",
+    "__version__",
+]
