@@ -85,3 +85,41 @@ def test_group_size_batches_model(spark, xs, size):
     got = Stream.of(spark, xs).group(size=size).collect()
     expect = [xs[i : i + size] for i in range(0, len(xs), size)]
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(st.integers(-50, 50), min_size=0, max_size=30),
+    threshold=st.integers(-40, 40),
+)
+def test_validate_catch_model(spark, xs, threshold):
+    # errors-as-data round trip: validate(pred) + catch(drop) == filter;
+    # validate(pred) + catch(replacement=r) == conditional replacement —
+    # for every error position pattern the data generates
+    schema = T.StructType([T.StructField("value", T.LongType())])
+    pred = F.col("value") >= threshold
+
+    dropped = (
+        Stream.of(spark, xs, schema=schema).validate(pred, ValueError).catch(ValueError)
+    )
+    assert dropped.collect() == [x for x in xs if x >= threshold]
+
+    repaired = (
+        Stream.of(spark, xs, schema=schema)
+        .validate(pred, ValueError)
+        .catch(ValueError, replacement=-999)
+    )
+    assert repaired.collect() == [x if x >= threshold else -999 for x in xs]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    xs=st.lists(st.integers(0, 99), min_size=0, max_size=20),
+    ys=st.lists(st.integers(0, 99), min_size=0, max_size=20),
+)
+def test_zip_matches_python_zip(spark, xs, ys):
+    schema = T.StructType([T.StructField("value", T.LongType())])
+    a = Stream.of(spark, xs, schema=schema)
+    b = Stream.of(spark, ys, schema=schema)
+    got = [(r["left"], r["right"]) for r in a.zip(b).to_df().collect()]
+    assert got == list(zip(xs, ys))
