@@ -900,6 +900,56 @@ class Stream:
                       self._observations + other._observations,
                       throttle_gap=max(self._throttle_gap, other._throttle_gap))
 
+    def join(
+        self,
+        other: Any,
+        on: Any,
+        how: str = "inner",
+        broadcast_other: bool = False,
+    ) -> "Stream":
+        """Relational join — engine extension (the reference has no joins,
+        SURVEY.md §2.5; pairing there means ``zip``). ``other`` is a Stream
+        (its internal columns are stripped) or a plain DataFrame; ``on``
+        is name-based. Left error rows follow SQL semantics for ``how``
+        (inner drops them — their join key is null; left/outer keeps them
+        with null right columns). ``broadcast_other=True`` hints a
+        constant-size right side; otherwise AQE sizes the strategy — the
+        100 TB rule: only hint what is constant in the scale factor.
+
+        One row's seq can fan out (1:N match); downstream ordered actions
+        sort by seq with matches of one element adjacent but unordered
+        among themselves — pass ``ordered=False`` or a fresh seq when that
+        matters.
+        """
+        odf = other.to_df(ordered=False) if isinstance(other, Stream) else other
+        if broadcast_other:
+            odf = F.broadcast(odf)
+        df = self._df.join(odf, on=on, how=how)
+        return self._derive(df, f"join({how}, broadcast={broadcast_other})")
+
+    def asof_join(
+        self,
+        other: Any,
+        on: str,
+        by: Any = None,
+        values: Any = None,
+        direction: str = "backward",
+        tolerance=None,
+    ) -> "Stream":
+        """As-of join — attach each row's most recent (or next) match from
+        ``other`` (operators.asof.asof_join: union + per-key running-last
+        window, one keyed shuffle, no pair blowup). ``other`` may be a
+        Stream or DataFrame; joined columns keep their names, suffixed
+        ``_right`` only on collision with left-side names."""
+        from kioss_spark.operators.asof import asof_join as _asof
+
+        odf = other.to_df(ordered=False) if isinstance(other, Stream) else other
+        df = _asof(
+            self._df, odf, on=on, by=by, values=values,
+            direction=direction, tolerance=tolerance,
+        )
+        return self._derive(df, f"asof_join({direction})")
+
     def zip(self, other: "Stream") -> "Stream":
         """Elementwise pairing (reference README pattern, README.md:481-497):
         index each side with a global ``row_number`` and equi-join — result

@@ -339,3 +339,54 @@ def test_group_within_partitions_error_passthrough(spark):
     assert len(err_rows) == 1 and err_rows[0]["value"] is None
     ok_vals = sorted(x for r in rows if r["__err__"] is None for x in r["value"])
     assert ok_vals == [0, 1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_facade_join_inner_and_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    s = Stream.from_df(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        seq="k",
+    )
+    dim = spark.createDataFrame([(1, 10), (2, 20)], "k long, w long")
+    j = s.join(dim, on="k", how="inner", broadcast_other=True)
+    out = j.to_df(ordered=False)
+    assert {(r["k"], r["v"], r["w"]) for r in out.collect()} == {(1, "a", 10), (2, "b", 20)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_facade_join_left_keeps_error_rows(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    s = (
+        Stream.from_df(
+            spark.createDataFrame([(1,), (2,), (3,)], "k long"), seq="k"
+        )
+        .map(k=F.col("k"))
+        .validate(F.col("k") != 2, ValueError)
+    )
+    dim = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, w long")
+    rows = s.join(dim, on="k", how="left").to_df(ordered=False, keep_err=True).collect()
+    errs = [r for r in rows if r["__err__"] is not None]
+    assert len(errs) == 1  # error row survives a left join
+
+
+def test_facade_asof_join(spark):
+    quotes = Stream.from_df(
+        spark.createDataFrame(
+            [("A", 3, 0), ("A", 7, 0), ("B", 5, 0)], "sym string, t long, z long"
+        ).select("sym", "t"),
+        seq="t",
+    )
+    trades = spark.createDataFrame(
+        [("A", 1, 100), ("A", 6, 110), ("B", 9, 200)], "sym string, t long, px long"
+    )
+    got = {
+        (r["sym"], r["t"], r["px"])
+        for r in quotes.asof_join(trades, on="t", by="sym", values=["px"])
+        .to_df(ordered=False)
+        .collect()
+    }
+    assert got == {("A", 3, 100), ("A", 7, 110), ("B", 5, None)}
