@@ -70,9 +70,11 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -111,7 +113,7 @@ def main() -> int:
             print(f"FAIL  {name}: value mismatch; sample diff: {sample}")
             continue
         print(f"OK    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} pass")
+    print(f"\n{n_checked - len(failures)}/{n_checked} pass")
     return 1 if failures else 0
 
 
