@@ -1509,3 +1509,71 @@ def profile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, name in enumerate(("p25_e6", "p50_e6", "p75_e6", "p95_e6"))
         ],
     )
+
+
+#: distinct word 5-gram shingles (boilerplate-length n-grams)
+SQL_SHINGLES5 = (
+    "list_distinct(CASE WHEN len(t) >= 5 "
+    "THEN list_transform(range(1, len(t)-3), i -> array_to_string(t[i:i+4], ' ')) "
+    "ELSE []::VARCHAR[] END)"
+)
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES5} AS s FROM toks),
+    inv AS (SELECT doc_id, x AS g FROM sh, UNNEST(s) u(x)),
+    dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY 1),
+    per AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+            FROM inv JOIN dfreq USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0) AS n_shingles,
+           coalesce(p.n_boiler, 0) AS n_boiler,
+           CAST(CASE WHEN coalesce(p.n_shingles, 0) > 0
+                     THEN floor(p.n_boiler / p.n_shingles * 1000000)
+                     ELSE 0 END AS BIGINT) AS boiler_frac_e6,
+           coalesce(p.n_boiler / p.n_shingles > 0.5, FALSE) AS flag_boilerplate
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: a 5-gram occurring in >= 3
+    DISTINCT documents is boilerplate (headers, licenses, navigation
+    chrome — the cross-document analog of quality_repetition's
+    within-document signals); each document reports what fraction of its
+    shingles are boilerplate, flagged above 50%.
+
+    Scale plan: the (doc, shingle) index is distinct per doc, so the
+    shingle-keyed document-frequency aggregation is one map-side-combining
+    shuffle; the join back to the index is shingle-keyed (AQE picks
+    broadcast at bench SF — the df table is vocabulary-sized — and a
+    shuffle join at 100 TB); the per-doc rollup rides the doc-level
+    partitioning. Zero-shingle docs survive via the final left join."""
+    docs = _docs(spark, sf_dir)
+    sh = shingles(tokens(F.col("text")), n=5)
+    inv = docs.select("doc_id", F.explode(sh).alias("g"))
+    dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per = (
+        inv.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") >= 3).cast("long")).cast("long").alias("n_boiler"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.floor(F.col("n_boiler") / F.col("n_shingles") * 1000000),
+        ).otherwise(F.lit(0)).cast("long").alias("boiler_frac_e6"),
+        F.coalesce(
+            F.col("n_boiler") / F.col("n_shingles") > 0.5, F.lit(False)
+        ).alias("flag_boilerplate"),
+    )
