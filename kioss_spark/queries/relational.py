@@ -1579,3 +1579,45 @@ def sql_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q GROUP BY n_name, quartile
         """,
     )
+
+
+@register(
+    "funnel_click_purchase",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT c.user_id, c.ts,
+                 (SELECT min(p.ts) FROM p
+                  WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                    AND p.ts <= c.ts + INTERVAL 1 HOUR) AS conv_ts
+          FROM c)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(count(conv_ts) AS BIGINT) AS n_converted,
+           CAST(floor(count(conv_ts) / count(*) * 1000000) AS BIGINT) AS conv_rate_e6
+    FROM m GROUP BY user_id
+    """,
+)
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: for every click, the user's next purchase within
+    one hour (forward as-of join with tolerance — the event-analytics twin
+    of the backward trade/quote match), rolled up to per-user conversion
+    rates. The oracle's correlated min-subquery is the quadratic form this
+    operator exists to avoid: the as-of composition is a union + one keyed
+    running-last window — one shuffle on user_id, no pair materialization
+    (operators/asof.py)."""
+    from kioss_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = asof_join(
+        clicks, purchases, on="ts", by="user_id", values=["ts"],
+        direction="forward", tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    conv = F.col("ts_right")
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.count(conv).cast("long").alias("n_converted"),
+        F.floor(F.count(conv) / F.count(F.lit(1)) * 1000000).cast("long").alias("conv_rate_e6"),
+    )
