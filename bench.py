@@ -47,6 +47,8 @@ HEADLINE = [
     "mm_audio_chunks",
     "skew_salted_event_totals",
     "sql_balance_quartiles",
+    "boilerplate_ngrams",
+    "funnel_click_purchase",
 ]
 
 
