@@ -108,7 +108,7 @@ def main() -> None:
                     missing.append(name)
                 continue
             if isinstance(timings.get(name), str):
-                continue  # errored on an earlier repeat; don't re-raise
+                continue  # errored with no good timing yet; don't re-raise
             t0 = time.perf_counter()
             try:
                 # per-query isolation: one broken headliner must never take
@@ -117,7 +117,11 @@ def main() -> None:
                 df = q.fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
             except Exception as exc:  # noqa: BLE001
-                timings[name] = f"ERR:{type(exc).__name__}"
+                # keep any successful earlier timing: a flaky later repeat
+                # (shared-VM contention, OOM blip) must not discard a good
+                # measurement and silently shrink the total
+                if not isinstance(timings.get(name), float):
+                    timings[name] = f"ERR:{type(exc).__name__}"
                 if name not in errors:
                     errors.append(name)
                 print(f"bench: {name} failed: {exc}", file=sys.stderr)

@@ -42,13 +42,16 @@ def shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
 
     Fewer than ``n`` tokens -> empty array (``greatest(size-n+1, 0)`` makes
     every slice empty, so the zip is empty — matching DuckDB's empty
-    ``range(1,1)``).
+    ``range(1,1)``). A NULL token array also yields an empty array (the
+    ``coalesce``): direct ``size()``/array consumers see 0, not -1, matching
+    the oracle's empty-list convention.
     """
     width = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(toks, i + 1, width) for i in range(n)])
     sh = F.transform(
         zipped, lambda z: F.concat_ws(" ", *[z[str(i)] for i in range(n)])
     )
+    sh = F.coalesce(sh, F.array().cast("array<string>"))
     return F.array_distinct(sh) if distinct else sh
 
 

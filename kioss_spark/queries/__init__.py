@@ -36,12 +36,48 @@ def register(name: str, oracle: Optional[str]):
     return deco
 
 
+# Queries with a green driver CORRECTNESS_r03 row (first-50 snapshot).  The
+# driver only samples the first 50 ``load_all()`` entries per round, so we
+# rotate: anything WITHOUT a hard driver verdict yet (the r3 tail plus any
+# newly added query) is ordered first; the already-verified set follows.
+# Next round, swap this set for the r4 snapshot to rotate coverage again.
+_DRIVER_VERIFIED = frozenset(
+    {
+        "q1_pricing_summary", "rollup_order_counts", "pivot_status_revenue",
+        "agg_distinct_stats", "q3_shipping_priority", "q5_nation_revenue",
+        "semi_parts_ordered", "anti_customers_no_pending", "asof_last_signup",
+        "asof_last_purchase", "zip_customers_suppliers",
+        "top3_customers_per_segment", "running_total_per_customer",
+        "sessionize_events", "op_map_revenue", "op_filter_highvalue",
+        "op_flatten_tokens", "op_groupby_key", "op_group_batches",
+        "op_distinct_first", "op_skip_truncate", "op_concat_streams",
+        "op_catch_replacement", "op_catch_pyfn", "op_amap_enrich",
+        "op_foreach_passthrough", "op_observe_metrics", "q4_order_priority",
+        "q6_forecast_revenue", "q13_customer_distribution", "q18_large_orders",
+        "set_ops_half_year", "range_join_error_windows", "rollup_hourly_events",
+        "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+        "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
+        "q19_disjunctive_pushdown", "q22_dormant_customers",
+        "q21_sole_late_supplier", "q11_important_parts",
+        "skew_salted_event_totals", "sql_balance_quartiles",
+        "funnel_click_purchase", "dedup_exact", "dedup_jaccard_pairs",
+        "dedup_containment_pairs",
+    }
+)
+
+
 def load_all() -> dict[str, QueryDef]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module (side effect: fills REGISTRY).
+
+    Returns the registry reordered so driver-unverified queries come first
+    (the driver's correctness snapshot samples the first 50 entries).
+    """
     from kioss_spark.queries import relational  # noqa: F401
 
     try:
         from kioss_spark.queries import llm  # noqa: F401
     except ImportError:  # pragma: no cover - built incrementally
         pass
-    return REGISTRY
+    unverified = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_VERIFIED}
+    verified = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED}
+    return {**unverified, **verified}

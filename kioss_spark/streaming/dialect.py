@@ -147,11 +147,25 @@ class SStream:
         df = self._df
         if ERR_COL not in df.columns:
             df = df.withColumn(ERR_COL, F.lit(None).cast(ERR_TYPE))
+        # materialize the predicate BEFORE overwriting __err__ (it reads it)
+        df = df.withColumn("__fails__", F.col(ERR_COL).isNull() & ~when)
         df = df.withColumn(
             ERR_COL,
-            F.when(F.col(ERR_COL).isNull() & ~when, new_err).otherwise(F.col(ERR_COL)),
+            F.when(F.col("__fails__"), new_err).otherwise(F.col(ERR_COL)),
         )
-        return self._derive(df, f"validate({name})")
+        # batch-parity error model (stream.py Stream.validate): with exactly
+        # one data column the failing row's value is nulled, so uncaught
+        # error rows can't leak invalid values into downstream aggregations;
+        # multi-column rows keep their values on both sides, by the same rule
+        data_cols = [c for c in df.columns if c not in (ERR_COL, "__fails__")]
+        if len(data_cols) == 1:
+            col = data_cols[0]
+            df = df.withColumn(
+                col,
+                F.when(F.col("__fails__"), F.lit(None).cast(df.schema[col].dataType))
+                .otherwise(F.col(col)),
+            )
+        return self._derive(df.drop("__fails__"), f"validate({name})")
 
     def catch(self, kind: Any = Exception, replacement: Optional[dict] = None) -> "SStream":
         """Swallow matching error rows mid-stream: drop them, or (with
