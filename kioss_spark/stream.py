@@ -77,6 +77,9 @@ class Stream:
     """Immutable fluent pipeline over a DataFrame. Use the ``from_*`` / ``of``
     classmethods to construct; every operator returns a new Stream."""
 
+    #: warn when a global-order op would cache an input estimated above this
+    _RANKED_WARN_BYTES = 8 << 30
+
     def __init__(
         self,
         df: DataFrame,
@@ -85,6 +88,7 @@ class Stream:
         finally_dfs: tuple = (),
         observations: tuple = (),
         throttle_gap: float = 0.0,
+        caches: tuple = (),
     ) -> None:
         self._df = df
         self._plan = tuple(plan)
@@ -92,6 +96,10 @@ class Stream:
         self._finally = tuple(finally_dfs)
         self._observations = tuple(observations)
         self._throttle_gap = float(throttle_gap)
+        self._caches = tuple(caches)
+        #: (ranked_df, skip_count) left by ``skip(count)`` so an immediately
+        #: following ``truncate(count)`` fuses onto the same rank pass
+        self._pending_rank = None
 
     # ------------------------------------------------------------- sources
 
@@ -180,6 +188,7 @@ class Stream:
             finally_dfs=overrides.get("finally_dfs", self._finally),
             observations=overrides.get("observations", self._observations),
             throttle_gap=overrides.get("throttle_gap", self._throttle_gap),
+            caches=overrides.get("caches", self._caches),
         )
 
     def _elements_of(self) -> Callable[[pd.DataFrame], list]:
@@ -274,12 +283,32 @@ class Stream:
         the earlier localCheckpoint fix it stays lazy: localCheckpoint
         (even eager=False) finalizes the adaptive plan via toRdd AT PLAN
         BUILD, executing every upstream stage per declared operator and
-        breaking the declare-then-execute contract. Cache residency is left
-        to LRU (MEMORY_AND_DISK; these consumer-side ops are small by
-        design — see class docstring scale notes).
+        breaking the declare-then-execute contract.
+
+        Returns ``(ranked_df, cache_handle)``; the handle is threaded into
+        the derived Stream's ``_caches`` so terminal actions can release the
+        blocks (``release()``) instead of leaving residency to LRU.  A
+        stats-estimated input above ``_RANKED_WARN_BYTES`` warns: global-
+        order ops cache their input, which is a consumer-side pattern, not a
+        100 TB one.
         """
         from pyspark.storagelevel import StorageLevel
 
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # pragma: no cover - stats estimation best-effort
+            est = -1
+        if est > Stream._RANKED_WARN_BYTES:
+            warnings.warn(
+                f"global-order operator caches its ~{est >> 30} GiB input "
+                "(group(size)/skip(count)/truncate(count)/zip are consumer-"
+                "side ops); at scale prefer keyed forms "
+                "(group_within_partitions, group(by=...), key joins)",
+                ResourceWarning,
+                stacklevel=3,
+            )
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         ranged = (
             df.repartitionByRange(n_parts, F.col(SEQ_COL))
@@ -298,13 +327,14 @@ class Stream:
             .orderBy(F.col(SEQ_COL))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        return (
+        ranked = (
             ranged.join(F.broadcast(offsets), "__pid__")
             .withColumn(
                 "__rn__", (F.col("__off__") + F.sum(flag.cast("long")).over(w_loc)).cast("long")
             )
             .drop("__pid__", "__off__")
         )
+        return ranked, ranged
 
     def _plan_width(self) -> int:
         """Metadata-only estimate of this plan's output partition width.
@@ -335,6 +365,10 @@ class Stream:
                 continue  # broadcast is replication, not a width change
             if "Exchange SinglePartition" in line:
                 return 1
+            m = re.search(r"Coalesce (\d+)", line)
+            if m:
+                # narrow cap: output width = min(N, child); N is the bound
+                return int(m.group(1))
             m = re.search(r"Exchange \w*artitioning\((\d+)\)", line)
             if m:
                 return int(m.group(1))
@@ -568,6 +602,7 @@ class Stream:
             warnings.warn("group(interval=...) is a no-op in batch; see kioss_spark.streaming")
         vcol = self._data_cols[0]
         elem_t = self._value_type
+        caches = self._caches
         df = self._ensure_err()
         ok = df.where(F.col(ERR_COL).isNull())
         err_frames = []
@@ -587,8 +622,10 @@ class Stream:
         else:
             if size is None:
                 raise ValueError("group() needs size=, by=, or interval=")
+            ranked, rank_cache = self._ranked(ok, F.lit(True))
+            caches = caches + (rank_cache,)
             grouped = (
-                self._ranked(ok, F.lit(True))
+                ranked
                 .withColumn("__bid__", ((F.col("__rn__") - 1) / size).cast("long"))
                 .groupBy("__bid__").agg(sv.alias("__sv__"))
             )
@@ -613,7 +650,8 @@ class Stream:
                     F.col(ERR_COL),
                 )
             )
-        return self._derive(out, f"group(size={size}, by={by is not None or None})")
+        return self._derive(out, f"group(size={size}, by={by is not None or None})",
+                            caches=caches)
 
     def group_within_partitions(self, size: int) -> "Stream":
         """Partition-local batching: arrays of up to ``size`` elements in
@@ -805,6 +843,8 @@ class Stream:
         still propagate (reference: streamable/iterators.py:295-297)."""
         df, pred = self._pred_df(until)
         out = df
+        ranked = None
+        caches = self._caches
         if until is not None:
             first = out.where(pred).agg(F.min(SEQ_COL).alias("__from__"))
             out = out.crossJoin(F.broadcast(first)).where(
@@ -812,39 +852,66 @@ class Stream:
                                 & (F.col(SEQ_COL) >= F.col("__from__")))
             ).drop("__from__")
         elif count is not None:
-            out = self._ranked(out, self._ok_on(out))
-            out = out.where(
-                self._err_or_on(out, F.col("__rn__") > count)
+            ranked, rank_cache = self._ranked(out, self._ok_on(out))
+            caches = caches + (rank_cache,)
+            out = ranked.where(
+                self._err_or_on(ranked, F.col("__rn__") > count)
             ).drop("__rn__")
         else:
             raise ValueError("skip() needs count= or until=")
         out = out.drop("__pred__")
-        return self._derive(out, f"skip(count={count}, until={until is not None or None})")
+        s = self._derive(
+            out, f"skip(count={count}, until={until is not None or None})",
+            caches=caches,
+        )
+        if ranked is not None:
+            # an immediately following truncate(count) fuses onto this rank
+            # pass instead of paying a second two-phase prefix sum
+            s._pending_rank = (ranked, count)
+        return s
 
     def truncate(self, count: Optional[int] = None, when: Any = None) -> "Stream":
         """Stop after ``count`` elements or at the first ``when``-truthy
         element (exclusive); both set → whichever cuts first (reference:
         streamable/stream.py:479-493, tests/test_stream.py:937-947). Errors
         are not counted (tests/test_stream.py:900-911)."""
+        if count is not None and when is None and self._pending_rank is not None:
+            # fused skip(k).truncate(count): reuse the skip's rank pass —
+            # ok rows keep ranks (k, k+count]; error rows (never counted)
+            # surface while fewer than `count` post-skip yields precede
+            # them, i.e. global rank < k+count
+            ranked, k = self._pending_rank
+            out = ranked.where(
+                F.when(
+                    self._ok_on(ranked),
+                    (F.col("__rn__") > k) & (F.col("__rn__") <= k + count),
+                ).otherwise(F.col("__rn__") < k + count)
+            ).drop("__rn__")
+            return self._derive(out, f"truncate(count={count}, when=None)")
         df, pred = self._pred_df(when)
         out = df
+        caches = self._caches
         if when is not None:
             first = out.where(pred).agg(F.min(SEQ_COL).alias("__upto__"))
             out = out.crossJoin(F.broadcast(first)).where(
                 F.col("__upto__").isNull() | (F.col(SEQ_COL) < F.col("__upto__"))
             ).drop("__upto__")
         if count is not None:
-            out = self._ranked(out, self._ok_on(out))
-            out = out.where(
+            ranked, rank_cache = self._ranked(out, self._ok_on(out))
+            caches = caches + (rank_cache,)
+            out = ranked.where(
                 # ok rows: first `count` yields; error rows surface only while
                 # fewer than `count` yields happened before them
-                F.when(self._ok_on(out), F.col("__rn__") <= count)
+                F.when(self._ok_on(ranked), F.col("__rn__") <= count)
                 .otherwise(F.col("__rn__") < count)
             ).drop("__rn__")
         if count is None and when is None:
             raise ValueError("truncate() needs count= or when=")
         out = out.drop("__pred__")
-        return self._derive(out, f"truncate(count={count}, when={when is not None or None})")
+        return self._derive(
+            out, f"truncate(count={count}, when={when is not None or None})",
+            caches=caches,
+        )
 
     def _pred_df(self, predicate: Any):
         """Materialize a predicate column (JVM for Column, Arrow for callable)."""
@@ -988,10 +1055,10 @@ class Stream:
         — zipping never swallows an upstream failure."""
         lv, rv = self._data_cols[0], other._data_cols[0]
         lt, rt = self._value_type, other._value_type
-        ldf = self._ranked(self._df.where(self._ok()), F.lit(True)).select(
-            F.col("__rn__").alias("__idx__"), F.col(lv).alias("left"))
-        rdf = self._ranked(other._df.where(other._ok()), F.lit(True)).select(
-            F.col("__rn__").alias("__idx__"), F.col(rv).alias("right"))
+        lranked, lcache = self._ranked(self._df.where(self._ok()), F.lit(True))
+        rranked, rcache = self._ranked(other._df.where(other._ok()), F.lit(True))
+        ldf = lranked.select(F.col("__rn__").alias("__idx__"), F.col(lv).alias("left"))
+        rdf = rranked.select(F.col("__rn__").alias("__idx__"), F.col(rv).alias("right"))
         df = (
             ldf.join(rdf, "__idx__", "inner")
             .select(
@@ -1012,7 +1079,8 @@ class Stream:
         return Stream(df, self._plan + ("zip",), self._ordered and other._ordered,
                       self._finally + other._finally,
                       self._observations + other._observations,
-                      throttle_gap=max(self._throttle_gap, other._throttle_gap))
+                      throttle_gap=max(self._throttle_gap, other._throttle_gap),
+                      caches=self._caches + other._caches + (lcache, rcache))
 
     # ------------------------------------------------------------ catch
 
@@ -1152,7 +1220,28 @@ class Stream:
             e = row[ERR_COL]
             raise rebuild_exception(e["kind"], e["message"])
 
+    def release(self, blocking: bool = False) -> "Stream":
+        """Free the blocks of every rank-pass cache this plan persisted.
+
+        ``unpersist`` then re-``persist`` (lazily): the storage is released
+        NOW, but the share-one-materialization contract survives — a later
+        re-execution of the same plan materializes the cache once again
+        instead of running the ranged shuffle per branch (which would give
+        divergent range boundaries and silently mis-rank; see ``_ranked``).
+        Called automatically after ``collect``/``count``/``iter`` exhaustion;
+        call it manually after consuming a ``to_df`` handoff."""
+        from pyspark.storagelevel import StorageLevel
+
+        for c in self._caches:
+            try:
+                c.unpersist(blocking=blocking)
+                c.persist(StorageLevel.MEMORY_AND_DISK)
+            except Exception:  # pragma: no cover - session teardown races
+                pass
+        return self
+
     def _post_action(self) -> None:
+        self.release()
         # finally_raise: most-downstream catch raises first
         for caught in reversed(self._finally):
             row = caught.orderBy(F.col(SEQ_COL)).first()
