@@ -1621,3 +1621,86 @@ def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(conv).cast("long").alias("n_converted"),
         F.floor(F.count(conv) / F.count(F.lit(1)) * 1000000).cast("long").alias("conv_rate_e6"),
     )
+
+
+@register(
+    "salted_join_event_weights",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT event_type,
+                        CAST(length(event_type) AS BIGINT) AS type_len
+                 FROM events)
+    SELECT e.event_type, d.type_len,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_e2
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.type_len
+    """,
+)
+def salted_join_event_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-and-salt join (operators.skew.salted_join) gated by the
+    plain-join oracle: events carry ~5 hot event_type values, so a shuffle
+    join funnels each key through one reducer; salting spreads every hot
+    key over 8 buckets (fact rows get a deterministic salt, the dim row
+    set is exploded 8x) and the join runs on (key, salt). Salting changes
+    the shuffle shape, never the answer — the oracle is the unsalted join.
+    Values are integerized to cents pre-agg so sums are order-independent
+    across engines."""
+    from kioss_spark.operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_len", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(ev, dim, key="event_type", salt_buckets=8)
+    return joined.groupBy("event_type", "type_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_e2").cast("long").alias("total_e2"),
+    )
+
+
+@register(
+    "bucketed_user_event_totals",
+    oracle="""
+    WITH per_type AS (SELECT user_id, event_type,
+                             CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                                  AS BIGINT) AS t_e2
+                      FROM events GROUP BY user_id, event_type),
+    per_user AS (SELECT user_id,
+                        CAST(sum(CAST(round(value * 100) AS BIGINT))
+                             AS BIGINT) AS user_total_e2
+                 FROM events GROUP BY user_id)
+    SELECT p.user_id, p.event_type, p.n, p.t_e2, u.user_total_e2
+    FROM per_type p JOIN per_user u ON p.user_id = u.user_id
+    """,
+)
+def bucketed_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout co-location (operators.skew.write_bucketed /
+    read_bucketed): events are persisted bucketed by user_id, then BOTH
+    aggregations (per-(user,type) and per-user) and the join between them
+    consume the bucketed scan's hash distribution — zero exchanges at
+    query time (HashPartitioning(user_id) satisfies clustering on
+    (user_id, event_type) by the subset rule, and the join keys match the
+    bucket key). This is the durable form of the per-query repartition the
+    dedup operators do; at 100 TB the write cost amortizes over every
+    downstream join/agg on the key. The oracle is the same algebra over
+    the unbucketed table — layout changes the plan, never the answer."""
+    from kioss_spark.operators.skew import read_bucketed, write_bucketed
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+    write_bucketed(ev, "kioss_ev_bucketed", bucket_by="user_id", n_buckets=8)
+    b = read_bucketed(spark, "kioss_ev_bucketed")
+    per_type = b.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_e2").cast("long").alias("t_e2"),
+    )
+    per_user = b.groupBy("user_id").agg(
+        F.sum("v_e2").cast("long").alias("user_total_e2")
+    )
+    return per_type.join(per_user, "user_id")
