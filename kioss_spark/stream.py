@@ -965,8 +965,15 @@ class Stream:
     def observe(self, what: str = "elements") -> "Stream":
         """Progress metrics (reference: streamable/stream.py:413-430) via
         ``DataFrame.observe`` — zero-cost accumulators evaluated inline with
-        the plan, logged after each action (the reference logs at log2
-        cadence during iteration; Spark actions are the natural checkpoints).
+        the plan, logged after each action.
+
+        Progressive cadence (reference: streamable/iterators.py:351-394
+        logs at log2 cadence DURING iteration, never flooding): driver-side
+        iteration (``iter(stream)``) logs yields/errors at 1, 2, 4, 8, ...
+        elements plus once at exhaustion; cluster-side actions
+        (``collect``/``count``) run a log2-cadence heartbeat thread over the
+        scheduler's status tracker (1 s, 2 s, 4 s, ...) so a long job is
+        never silent, then log the observation once the action lands.
         """
         obs = Observation(f"observe_{len(self._observations)}_{what}")
         vcols = self._data_cols
@@ -1249,12 +1256,76 @@ class Stream:
                 e = row[ERR_COL]
                 raise rebuild_exception(e["kind"], e["message"])
 
+    @staticmethod
+    def _obs_metrics(obs: Observation) -> Optional[dict]:
+        """Non-blocking observation read. ``Observation.get`` BLOCKS until a
+        full query execution completes — after ``toLocalIterator``-based
+        consumption that event never fires and ``get`` hangs the driver
+        forever (reproduced); ``getRowOrEmpty`` returns None instead."""
+        jo = getattr(obs, "_jo", None)
+        if jo is None:
+            return None
+        try:
+            opt = jo.getRowOrEmpty()
+            if not opt.isDefined():
+                return None
+            from pyspark.serializers import CPickleSerializer
+
+            utils = getattr(obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
+            row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
+            return row.asDict(recursive=False)
+        except Exception:  # pragma: no cover - jvm teardown races
+            return None
+
     def _log_observations(self) -> None:
         for what, obs in self._observations:
+            metrics = self._obs_metrics(obs)
+            if metrics is not None:
+                logger.info("observe[%s]: %s", what, metrics)
+
+    def _heartbeat(self):
+        """Log2-cadence heartbeat (1 s, 2 s, 4 s, ...) over the scheduler's
+        status tracker while a cluster-side action runs — the job-granular
+        analog of the reference's per-element log2 observe cadence
+        (streamable/iterators.py:351-394): a long action is never silent,
+        a short one logs nothing (first beat only after 1 s)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def beat():
+            if not self._observations:
+                yield
+                return
+            import threading
+
+            stop = threading.Event()
+            sc = self._df.sparkSession.sparkContext
+            what = self._observations[-1][0]
+            t0 = time.perf_counter()
+
+            def run() -> None:
+                delay = 1.0
+                while not stop.wait(delay):
+                    try:
+                        st = sc.statusTracker()
+                        logger.info(
+                            "observe[%s]: action running %.0fs, active jobs=%d stages=%d",
+                            what, time.perf_counter() - t0,
+                            len(st.getActiveJobsIds()), len(st.getActiveStageIds()),
+                        )
+                    except Exception:  # pragma: no cover - tracker teardown
+                        pass
+                    delay *= 2
+
+            th = threading.Thread(target=run, daemon=True, name="kioss-observe")
+            th.start()
             try:
-                logger.info("observe[%s]: %s", what, obs.get)
-            except Exception:  # pragma: no cover - observation not triggered
-                pass
+                yield
+            finally:
+                stop.set()
+                th.join(timeout=1)
+
+        return beat()
 
     def count(self) -> int:
         """Exhaust and count yields (reference: streamable/stream.py:133-141).
@@ -1263,16 +1334,17 @@ class Stream:
         (no second lineage execution — VERDICT r1 "what's wrong" #3); only
         when it reports uncaught errors does a small failure-path job fetch
         the first one to re-raise."""
-        if not self._has_err:
-            n = self._df.count()
-        else:
-            obs = Observation()
-            df = self._df.observe(
-                obs, F.sum(F.col(ERR_COL).isNotNull().cast("long")).alias("errors")
-            )
-            n = df.count()
-            if (obs.get.get("errors") or 0) > 0:
-                self._raise_first_error()
+        with self._heartbeat():
+            if not self._has_err:
+                n = self._df.count()
+            else:
+                obs = Observation()
+                df = self._df.observe(
+                    obs, F.sum(F.col(ERR_COL).isNotNull().cast("long")).alias("errors")
+                )
+                n = df.count()
+                if (obs.get.get("errors") or 0) > 0:
+                    self._raise_first_error()
         self._log_observations()
         self._post_action()
         return n
@@ -1293,7 +1365,8 @@ class Stream:
             df = df.orderBy(F.col(SEQ_COL))
         vcols = self._data_cols
         cols = vcols + ([ERR_COL] if self._has_err else [])
-        rows = df.select(*cols).collect()
+        with self._heartbeat():
+            rows = df.select(*cols).collect()
         if self._has_err:
             for r in rows:
                 e = r[ERR_COL]
@@ -1327,6 +1400,23 @@ class Stream:
         cols = vcols + ([ERR_COL] if self._has_err else [])
         gap = self._throttle_gap
         next_t = time.monotonic()
+        # log2-cadence progress (reference: streamable/iterators.py:351-394):
+        # log at 1, 2, 4, 8, ... pulls (errors counted too) + at exhaustion
+        progressive = bool(self._observations)
+        what = self._observations[-1][0] if progressive else "elements"
+        n_yields = n_errors = logged = 0
+        threshold = 1
+        t0 = time.perf_counter()
+
+        def _plog() -> None:
+            nonlocal logged, threshold
+            logger.info(
+                "observe[%s]: %d yields, %d errors, %.3fs",
+                what, n_yields, n_errors, time.perf_counter() - t0,
+            )
+            logged = n_yields + n_errors
+            threshold = 2 * logged if logged else 1
+
         for row in df.select(*cols).toLocalIterator():
             if gap > 0.0:
                 delay = next_t - time.monotonic()
@@ -1334,9 +1424,17 @@ class Stream:
                     time.sleep(delay)
                 next_t = max(next_t + gap, time.monotonic())
             if self._has_err and row[ERR_COL] is not None:
+                n_errors += 1
+                if progressive:
+                    _plog()
                 e = row[ERR_COL]
                 raise rebuild_exception(e["kind"], e["message"])
             yield row[0] if single else (row[:len(vcols)] if self._has_err else row)
+            n_yields += 1
+            if progressive and n_yields + n_errors >= threshold:
+                _plog()
+        if progressive and n_yields + n_errors != logged:
+            _plog()
         self._log_observations()
         self._post_action()
 

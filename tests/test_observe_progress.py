@@ -1,0 +1,60 @@
+"""Progressive observe (round-3 verdict #6): log2-cadence progress during
+iteration (reference: streamable/iterators.py:351-394) and a heartbeat for
+long cluster-side actions — one log line per action minimum, never a flood.
+"""
+
+import logging
+import time
+
+from pyspark.sql import types as T
+
+from kioss_spark.stream import Stream
+
+
+def _progress_lines(caplog):
+    return [r for r in caplog.records if "observe[" in r.getMessage()]
+
+
+def test_iter_logs_log2_cadence(spark, caplog):
+    caplog.set_level(logging.INFO, logger="kioss_spark")
+    s = Stream.range(spark, 20).observe("nums")
+    assert list(s) == list(range(20))
+    msgs = [r.getMessage() for r in _progress_lines(caplog)]
+    cadence = [m for m in msgs if "yields" in m]
+    # 1, 2, 4, 8, 16 + final 20 = 6 lines; never one per element
+    assert 4 <= len(cadence) <= 7, msgs
+    assert any("20 yields" in m for m in cadence)
+
+
+def test_iter_without_observe_is_silent(spark, caplog):
+    caplog.set_level(logging.INFO, logger="kioss_spark")
+    assert list(Stream.range(spark, 20)) == list(range(20))
+    assert not [m for m in _progress_lines(caplog) if "yields" in m.getMessage()]
+
+
+def test_fast_action_no_heartbeat_flood(spark, caplog):
+    caplog.set_level(logging.INFO, logger="kioss_spark")
+    s = Stream.range(spark, 100).observe("fast")
+    assert s.count() == 100
+    beats = [r for r in _progress_lines(caplog) if "action running" in r.getMessage()]
+    assert beats == []  # first beat only after 1s; a fast action logs none
+    # ...but the per-action observation line still fires (one line per action)
+    assert any("observe[fast]" in r.getMessage() for r in _progress_lines(caplog))
+
+
+def test_slow_action_heartbeat(spark, caplog):
+    caplog.set_level(logging.INFO, logger="kioss_spark")
+
+    def slow(x):
+        time.sleep(0.8)
+        return x
+
+    s = (
+        Stream.from_df(spark.range(4).coalesce(1), seq="id")
+        .map(slow, returnType=T.LongType())
+        .observe("slowjob")
+    )
+    assert s.count() == 4
+    beats = [r for r in _progress_lines(caplog) if "action running" in r.getMessage()]
+    # ~3.2s of work: beats at 1s, 3s (log2 cadence) -> at least one, never >4
+    assert 1 <= len(beats) <= 4, [r.getMessage() for r in beats]
