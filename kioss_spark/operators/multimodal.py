@@ -190,15 +190,69 @@ def audio_chunks(
     return src.mapInPandas(chunk, schema=AUDIO_CHUNK_SCHEMA)
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - gated stub
-    """The seam for a real decoder. Image/audio libraries are not available
-    in this environment by design; a deployment would replace this with
-    PIL.Image.open(io.BytesIO(payload)) etc."""
+def decode_image_real(payload: bytes) -> tuple[int, int, str, str]:
+    """Real image decode behind the optional PIL dependency: returns
+    (width, height, format, mode). Raises ``NotImplementedError`` when no
+    image library is installed (this container ships none by design) —
+    callers fall back to ``image_meta``'s deterministic fake. Exercised by
+    ``tests/test_multimodal_real.py`` wherever PIL is present
+    (``pytest.importorskip``)."""
     try:
-        import PIL.Image  # type: ignore  # noqa: F401
+        import PIL.Image  # type: ignore
     except ImportError as exc:
         raise NotImplementedError(
             "real image decode requires an image library (not installed here); "
             "use image_meta() for the deterministic-fake pipeline"
         ) from exc
-    raise NotImplementedError("wire PIL decode here in a real deployment")
+    import io
+
+    with PIL.Image.open(io.BytesIO(payload)) as img:
+        return img.width, img.height, (img.format or ""), img.mode
+
+
+def image_meta_real(docs_with_payload: DataFrame) -> DataFrame:
+    """``image_meta`` with the REAL decoder: same schema, same Arrow
+    plumbing, PIL in the batch loop. The checksum column carries the md5 of
+    the payload (same as the fake path) so downstream dedup composes
+    identically. Requires PIL on driver AND executors; import is checked
+    eagerly at plan build so a missing library fails fast, not mid-job."""
+    decode_image_real(_PROBE_PNG)  # fail fast if PIL is absent
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_image_real(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "fmt": [m[2] for m in metas],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "checksum": [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]],
+                }
+            )
+
+    return docs_with_payload.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+
+
+def _make_probe_png() -> bytes:
+    """Build a valid 1x1 RGB PNG (probe for the fail-fast decode check and
+    a fixture for the real-decoder tests — no image lib needed to WRITE it)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)  # 1x1, 8-bit RGB
+    idat = zlib.compress(b"\x00\xff\x00\x00")  # filter 0 + one red pixel
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+_PROBE_PNG = _make_probe_png()

@@ -1,0 +1,65 @@
+"""Real image decode seam (round-3 verdict #9): the PIL-backed path runs
+wherever an image library exists (skip-if-absent), and the gated stub fails
+with the documented NotImplementedError where it doesn't — both sides of the
+seam are pinned, so the plumbing is exercised in every environment.
+"""
+
+import pytest
+
+from kioss_spark.operators import multimodal as M
+
+
+def test_probe_png_is_wellformed():
+    p = M._PROBE_PNG
+    assert p.startswith(b"\x89PNG\r\n\x1a\n")
+    assert b"IHDR" in p and b"IDAT" in p and p.endswith(b"IEND\xaeB`\x82")
+
+
+def test_decode_real_raises_without_pil():
+    try:
+        import PIL  # type: ignore  # noqa: F401
+
+        pytest.skip("PIL installed; covered by test_decode_real_with_pil")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="image library"):
+        M.decode_image_real(M._PROBE_PNG)
+
+
+def test_decode_real_with_pil():
+    pytest.importorskip("PIL")
+    w, h, fmt, mode = M.decode_image_real(M._PROBE_PNG)
+    assert (w, h) == (1, 1)
+    assert fmt == "PNG"
+
+
+def test_image_meta_real_pipeline(spark):
+    pytest.importorskip("PIL")
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"]).select(
+        F.col("doc_id").cast("long"),
+        F.lit(M._PROBE_PNG).alias("payload"),
+        F.struct(F.lit("image/png").alias("fmt"), F.lit(len(M._PROBE_PNG)).cast("long").alias("n_bytes")).alias("meta"),
+    )
+    out = M.image_meta_real(docs).collect()
+    assert len(out) == 2
+    assert all(r["width"] == 1 and r["height"] == 1 and r["fmt"] == "PNG" for r in out)
+
+
+def test_image_meta_real_fails_fast_without_pil(spark):
+    try:
+        import PIL  # type: ignore  # noqa: F401
+
+        pytest.skip("PIL installed")
+    except ImportError:
+        pass
+    from pyspark.sql import functions as F
+
+    docs = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.lit(M._PROBE_PNG).alias("payload"),
+        F.struct(F.lit("x").alias("fmt"), F.lit(0).cast("long").alias("n_bytes")).alias("meta"),
+    )
+    with pytest.raises(NotImplementedError):
+        M.image_meta_real(docs)  # plan build, before any job
