@@ -49,6 +49,13 @@ HEADLINE = [
     "sql_balance_quartiles",
     "boilerplate_ngrams",
     "funnel_click_purchase",
+    # round-4 additions: the end-to-end curation composite (the pipeline the
+    # operator set exists for), trained-quantizer ANN, and the skew/layout
+    # join pair
+    "pipeline_curation",
+    "ann_ivf_trained",
+    "salted_join_event_weights",
+    "bucketed_user_event_totals",
 ]
 
 
