@@ -1634,3 +1634,45 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_boiler") / F.col("n_shingles") > 0.5, F.lit(False)
         ).alias("flag_boilerplate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_distinct_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT lang, unnest({SQL_TOKS}) AS tok FROM documents),
+    hashed AS (SELECT DISTINCT lang,
+                      CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+               FROM toks),
+    ranked AS (SELECT lang, h,
+                      row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+               FROM hashed),
+    agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS mk
+            FROM ranked WHERE r <= 64 GROUP BY lang)
+    SELECT lang, n_kept,
+           CAST(CASE WHEN n_kept < 64 THEN n_kept
+                     ELSE floor(63.0 * 1152921504606846976.0 / mk)
+                END AS BIGINT) AS est_distinct
+    FROM agg
+    """,
+)
+def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via a KMV (bottom-k) sketch
+    (operators.sketch.kmv_distinct, k=64): the mergeable approximate-
+    distinct operator a 100 TB corpus profile needs — HLL-shaped tools
+    can't be oracle-gated across engines (different registers), KMV on the
+    md5 hash family can, bit-for-bit including the final IEEE division.
+    The partial path bounds what the shuffle carries to ~k hashes per
+    (group, batch) instead of every distinct token hash."""
+    from kioss_spark.operators.sketch import kmv_distinct
+    from kioss_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return kmv_distinct(toks, value=F.col("tok"), by=["lang"], k=64)
