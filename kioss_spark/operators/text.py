@@ -21,6 +21,7 @@ __all__ = [
     "shingles",
     "h60",
     "quality_metrics",
+    "chunk_windows",
     "LANG_MARKERS",
 ]
 
@@ -94,6 +95,37 @@ def _isin(x: Column, markers: tuple[str, ...]) -> Column:
     for m in markers[1:]:
         pred = pred | (x == F.lit(m))
     return pred
+
+
+def chunk_windows(toks: Column, window: int = 32, stride: int = 24) -> Column:
+    """Overlapping token-window chunks (the retrieval/RAG chunking shape):
+    array of structs (chunk_idx, n_tok, chunk_text), windows of ``window``
+    tokens every ``stride`` tokens (overlap = window - stride), last window
+    ragged, empty token array -> empty result.
+
+    Pure column algebra — ``sequence`` over chunk starts, one ``slice`` per
+    chunk — so chunking is narrow codegen that partitions exactly like the
+    parent scan; at 100 TB the chunk stream inherits the corpus layout.
+    Chunk count uses integer-exact float division (values << 2^53), so the
+    DuckDB oracle reproduces the boundaries bit-for-bit.
+    """
+    n = F.size(toks)
+    n_chunks = (
+        F.lit(1).cast("long")
+        + F.floor((F.greatest(n - F.lit(window), F.lit(0)) + F.lit(stride - 1))
+                  / F.lit(float(stride))).cast("long")
+    )
+    idxs = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.size(F.slice(toks, i * stride + 1, window)).cast("long").alias("n_tok"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, window)).alias("chunk_text"),
+        ),
+    )
 
 
 def quality_metrics(toks: Column):

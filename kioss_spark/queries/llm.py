@@ -1676,3 +1676,43 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
     return kmv_distinct(toks, value=F.col("tok"), by=["lang"], k=64)
+
+
+@register(
+    "chunk_text_windows",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    c AS (SELECT doc_id, t,
+                 unnest(range(0, CASE WHEN n > 0
+                        THEN 1 + CAST(floor((greatest(n - 32, 0) + 23) / 24.0)
+                                      AS BIGINT)
+                        ELSE 0 END)) AS chunk_idx
+          FROM sized)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+                AS BIGINT) AS n_tok,
+           md5(array_to_string(list_slice(t, chunk_idx * 24 + 1,
+                                          chunk_idx * 24 + 32), ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval/RAG chunking: overlapping 32-token windows every 24 tokens
+    (operators.text.chunk_windows), fingerprinted per chunk. Narrow column
+    algebra end-to-end — sequence over chunk starts + one slice per chunk,
+    no Python, no shuffle — so the chunk stream partitions exactly like the
+    documents scan at any scale."""
+    from kioss_spark.operators.text import chunk_windows, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(chunk_windows(tokens(F.col("text")), window=32, stride=24)).alias("c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+    )
