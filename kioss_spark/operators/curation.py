@@ -28,6 +28,7 @@ __all__ = [
     "pack_contiguous",
     "importance_score",
     "shard_shuffle",
+    "interleave_weighted",
 ]
 
 
@@ -260,4 +261,43 @@ def importance_score(
             F.count(F.lit(1)).alias("n_tok"),
             F.sum("__w_e6__").alias("score_e6"),
         )
+    )
+
+
+def interleave_weighted(
+    df: DataFrame,
+    by: str,
+    weights: dict,
+    order: Column,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted interleave — the training-data MIXING schedule:
+    group ``by`` (source/domain/language), emit each group's rows at evenly
+    spaced mix positions proportional to 1/weight, so a weight-2.0 group
+    appears twice as often per unit of schedule as a weight-1.0 one
+    (the deterministic form of temperature/mixture sampling).
+
+    Appends (r_in_group, mix_key_e6): rank within group by the
+    deterministic ``order`` column, and the integerized schedule key
+    ``floor(r * 1e6 / w)``. A consumer materializes the training order by
+    sorting on (mix_key_e6, by, r) — typically per output shard, never as
+    one global sort. One keyed shuffle (the per-group rank window); weights
+    ride a broadcast literal map. ``1e6 * r`` and the IEEE double division
+    are exact/correctly-rounded in both engines, so the schedule is
+    oracle-reproducible bit-for-bit.
+    """
+    pairs = []
+    for k, v in weights.items():
+        pairs += [F.lit(k), F.lit(float(v))]
+    wmap = F.create_map(*pairs) if pairs else None
+    w_col = (
+        F.coalesce(wmap[F.col(by)], F.lit(float(default_weight)))
+        if wmap is not None
+        else F.lit(float(default_weight))
+    )
+    win = Window.partitionBy(by).orderBy(order)
+    r = F.row_number().over(win).cast("long")
+    return df.withColumn("r_in_group", r).withColumn(
+        "mix_key_e6",
+        F.floor(F.col("r_in_group") * 1000000 / w_col).cast("long"),
     )

@@ -1716,3 +1716,43 @@ def chunk_text_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tok").alias("n_tok"),
         F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
     )
+
+
+@register(
+    "mix_weighted_order",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                 AS BIGINT),
+                            doc_id) AS BIGINT) AS r_in_group
+        FROM documents)
+    SELECT doc_id, lang, r_in_group,
+           CAST(floor(r_in_group * 1000000 /
+                      CASE lang WHEN 'en' THEN 1.0 ELSE 2.0 END) AS BIGINT)
+               AS mix_key_e6
+    FROM ranked
+    """,
+)
+def mix_weighted_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixing schedule (operators.curation.interleave_weighted):
+    per-language rank in a deterministic pseudorandom order (md5 of doc_id)
+    and the weighted interleave key — non-English weighted 2.0, so its docs
+    appear twice as densely per unit of schedule (the deterministic form of
+    temperature mixture sampling). One keyed shuffle (per-group rank
+    window); a shard writer sorts by (mix_key_e6, lang, r) per shard, never
+    globally."""
+    from kioss_spark.operators.curation import interleave_weighted
+    from kioss_spark.operators.text import h60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = interleave_weighted(
+        docs,
+        by="lang",
+        weights={"en": 1.0},
+        order=[h60(F.col("doc_id").cast("string")), F.col("doc_id")],
+        default_weight=2.0,
+    )
+    return out.select("doc_id", "lang", "r_in_group", "mix_key_e6")
