@@ -23,6 +23,8 @@ AQE coalescing the tail.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -286,26 +288,35 @@ def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 0):
     return cents
 
 
-def _dist2_e6(vec: Column, cv: list, cc: float) -> Column:
+def _dist2_e6(vec: Column, cv: list, cc: float, vv: Optional[Column] = None) -> Column:
     """Integerized squared L2 distance to a literal centroid:
     ``floor((v.v - 2*v.c + c.c) * 1e6)`` with the same fold order on both
-    engines (``c.c`` precomputed driver-side with the same left fold)."""
+    engines (``c.c`` precomputed driver-side with the same left fold).
+    Pass a precomputed ``vv`` (= v.v) column to evaluate the self-dot once
+    per row instead of once per centroid."""
     lit_c = F.array(*[F.lit(float(x)) for x in cv])
+    if vv is None:
+        vv = _dot(vec, vec)
     return F.floor(
-        (_dot(vec, vec) - 2 * _dot(vec, lit_c) + F.lit(cc)) * 1000000
+        (vv - 2 * _dot(vec, lit_c) + F.lit(cc)) * 1000000
     ).cast("long")
 
 
-def trained_cells(vec: Column, centroids, nprobe: int = 1) -> Column:
+def trained_cells(
+    vec: Column, centroids, nprobe: int = 1, vv: Optional[Column] = None
+) -> Column:
     """Nearest-centroid cell id(s) as a pure column expression (no join,
     no shuffle — the centroid table is folded into codegen as literals).
 
     ``nprobe=1`` returns the argmin cell (cid tiebreak); ``nprobe>1``
     returns an array of the ``nprobe`` nearest cells (query-side
-    multi-probe — the standard IVF recall dial)."""
+    multi-probe — the standard IVF recall dial). ``vv`` (precomputed v.v)
+    shrinks the expression tree ~2x — the argmin is unaffected by the
+    shared v.v term's value, but the integerized distances must round
+    identically to the oracle's, so it stays in the formula."""
     structs = [
         F.struct(
-            _dist2_e6(vec, cv, _dot_py(cv, cv)).alias("d"),
+            _dist2_e6(vec, cv, _dot_py(cv, cv), vv=vv).alias("d"),
             F.lit(int(cid)).cast("long").alias("cid"),
         )
         for cid, cv in centroids
@@ -331,13 +342,21 @@ def ivf_topk_trained(
     per-query top-k — corpus assignment itself is narrow codegen.
     """
     cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
-    cc = corpus.withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1))
+    vv = F.col("__vv__")
+    cc = (
+        corpus.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+        .withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
+        .drop("__vv__")
+    )
+    qpre = queries.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
     if nprobe == 1:
-        qc = queries.withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1))
+        qc = qpre.withColumn(
+            "cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv)
+        ).drop("__vv__")
     else:
-        qc = queries.select(
+        qc = qpre.select(
             "vec_id", "v", "nv",
-            F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe)).alias("cell"),
+            F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe, vv=vv)).alias("cell"),
         )
     scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
         F.col("q.vec_id").alias("query_id"),
