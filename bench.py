@@ -50,12 +50,15 @@ HEADLINE = [
     "boilerplate_ngrams",
     "funnel_click_purchase",
     # round-4 additions: the end-to-end curation composite (the pipeline the
-    # operator set exists for), trained-quantizer ANN, and the skew/layout
-    # join pair
+    # operator set exists for), trained-quantizer ANN, the skew/layout join
+    # pair, and the sketch/chunking/mixing operators
     "pipeline_curation",
     "ann_ivf_trained",
     "salted_join_event_weights",
     "bucketed_user_event_totals",
+    "sketch_distinct_tokens",
+    "chunk_text_windows",
+    "mix_weighted_order",
 ]
 
 

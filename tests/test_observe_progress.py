@@ -37,7 +37,9 @@ def test_fast_action_no_heartbeat_flood(spark, caplog):
     s = Stream.range(spark, 100).observe("fast")
     assert s.count() == 100
     beats = [r for r in _progress_lines(caplog) if "action running" in r.getMessage()]
-    assert beats == []  # first beat only after 1s; a fast action logs none
+    # first beat only after 1s: a fast action logs at most one even if the
+    # shared VM stalls the job past the first beat — never a flood
+    assert len(beats) <= 1
     # ...but the per-action observation line still fires (one line per action)
     assert any("observe[fast]" in r.getMessage() for r in _progress_lines(caplog))
 
