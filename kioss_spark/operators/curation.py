@@ -268,8 +268,10 @@ def interleave_weighted(
     df: DataFrame,
     by: str,
     weights: dict,
-    order: Column,
+    order_hash: Column,
+    id_col: str = "doc_id",
     default_weight: float = 1.0,
+    shard_bits: int = 8,
 ) -> DataFrame:
     """Deterministic weighted interleave — the training-data MIXING schedule:
     group ``by`` (source/domain/language), emit each group's rows at evenly
@@ -277,14 +279,23 @@ def interleave_weighted(
     appears twice as often per unit of schedule as a weight-1.0 one
     (the deterministic form of temperature/mixture sampling).
 
-    Appends (r_in_group, mix_key_e6): rank within group by the
-    deterministic ``order`` column, and the integerized schedule key
+    Appends (r_in_group, mix_key_e6): rank within group by
+    (``order_hash``, ``id_col``) — a 60-bit h60-style hash giving the
+    pseudorandom visit order — and the integerized schedule key
     ``floor(r * 1e6 / w)``. A consumer materializes the training order by
-    sorting on (mix_key_e6, by, r) — typically per output shard, never as
-    one global sort. One keyed shuffle (the per-group rank window); weights
-    ride a broadcast literal map. ``1e6 * r`` and the IEEE double division
-    are exact/correctly-rounded in both engines, so the schedule is
-    oracle-reproducible bit-for-bit.
+    sorting on (mix_key_e6, by, r) per output shard, never globally.
+
+    Scale shape: a plain ``row_number() over (partition by group)`` puts
+    each group's entire corpus through ONE task — the single-partition
+    scale-killer this engine bans (see Stream._ranked). Instead the rank is
+    two-phase on h-RANGE shards: shard = top ``shard_bits`` bits of the
+    hash (shards partition the hash axis in order, so within-group rank =
+    per-shard rank + a prefix offset over earlier shards). The big shuffle
+    is keyed by (group, shard) — 2^shard_bits tasks per group — and the
+    offset table is groups x shards rows riding a broadcast join. Weights
+    ride a literal map; ``1e6 * r`` and the IEEE division are exact in both
+    engines, so the schedule is oracle-reproducible bit-for-bit against the
+    naive single-window SQL form.
     """
     pairs = []
     for k, v in weights.items():
@@ -295,9 +306,28 @@ def interleave_weighted(
         if wmap is not None
         else F.lit(float(default_weight))
     )
-    win = Window.partitionBy(by).orderBy(order)
-    r = F.row_number().over(win).cast("long")
-    return df.withColumn("r_in_group", r).withColumn(
+    # h60 is 60 bits; top shard_bits of it give hash-ordered ranges
+    shard = F.shiftright(order_hash, 60 - shard_bits)
+    hashed = df.withColumn("__h__", order_hash).withColumn("__s__", shard)
+    counts = hashed.groupBy(by, "__s__").agg(F.count(F.lit(1)).alias("__n__"))
+    w_off = (
+        Window.partitionBy(by)
+        .orderBy("__s__")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        by, "__s__", F.coalesce(F.sum("__n__").over(w_off), F.lit(0)).alias("__off__")
+    )
+    w_loc = Window.partitionBy(by, "__s__").orderBy("__h__", id_col)
+    ranked = (
+        hashed.join(F.broadcast(offsets), on=[by, "__s__"])
+        .withColumn(
+            "r_in_group",
+            (F.col("__off__") + F.row_number().over(w_loc)).cast("long"),
+        )
+        .drop("__h__", "__s__", "__off__")
+    )
+    return ranked.withColumn(
         "mix_key_e6",
         F.floor(F.col("r_in_group") * 1000000 / w_col).cast("long"),
     )

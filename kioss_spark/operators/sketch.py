@@ -54,23 +54,26 @@ def kmv_distinct(
     bit-for-bit.
     """
     keys = list(by or [])
-    hashed = df.select(*keys, h60(value).alias("__h__")).dropDuplicates(
-        keys + ["__h__"]
-    )
+    hashed = df.select(*keys, h60(value).alias("__h__"))
     if partial:
-        # per-batch bottom-k per group: bounded, mergeable partial sketches
+        # per-batch DISTINCT bottom-k per group BEFORE the global dedup
+        # shuffle: any of the k smallest distinct global hashes is also in
+        # its own batch's distinct bottom-k, so the shuffle carries ~k rows
+        # per (group, batch) instead of every distinct hash occurrence
         def _local_bottomk(batches):
             for pdf in batches:
+                uniq = pdf.drop_duplicates(keys + ["__h__"])
                 if keys:
                     yield (
-                        pdf.sort_values(keys + ["__h__"])
+                        uniq.sort_values(keys + ["__h__"])
                         .groupby(keys, sort=False)
                         .head(k)
                     )
                 else:
-                    yield pdf.nsmallest(k, "__h__")
+                    yield uniq.nsmallest(k, "__h__")
 
         hashed = hashed.mapInPandas(_local_bottomk, schema=hashed.schema)
+    hashed = hashed.dropDuplicates(keys + ["__h__"])
     w = (
         Window.partitionBy(*keys).orderBy("__h__")
         if keys

@@ -40,7 +40,10 @@ def register(name: str, oracle: Optional[str]):
 # driver only samples the first 50 ``load_all()`` entries per round, so we
 # rotate: anything WITHOUT a hard driver verdict yet (the r3 tail plus any
 # newly added query) is ordered first; the already-verified set follows.
-# Next round, swap this set for the r4 snapshot to rotate coverage again.
+# ROUND-5 TODO: replace this set with the CORRECTNESS_r04 names so the
+# remaining never-driver-checked queries rotate into the window; with r3+r4
+# combined, every registered query will then have at least one hard driver
+# verdict (local parity evidence for all 86: CHECK_LOCAL_r04.txt).
 _DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "rollup_order_counts", "pivot_status_revenue",

@@ -1741,9 +1741,10 @@ def mix_weighted_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language rank in a deterministic pseudorandom order (md5 of doc_id)
     and the weighted interleave key — non-English weighted 2.0, so its docs
     appear twice as densely per unit of schedule (the deterministic form of
-    temperature mixture sampling). One keyed shuffle (per-group rank
-    window); a shard writer sorts by (mix_key_e6, lang, r) per shard, never
-    globally."""
+    temperature mixture sampling). The rank is two-phase on hash-range
+    shards ((lang, shard)-keyed shuffle + broadcast offset table), so no
+    language ever serializes onto one task; the oracle is the naive
+    single-window form — same values, different plan."""
     from kioss_spark.operators.curation import interleave_weighted
     from kioss_spark.operators.text import h60
 
@@ -1752,7 +1753,8 @@ def mix_weighted_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         by="lang",
         weights={"en": 1.0},
-        order=[h60(F.col("doc_id").cast("string")), F.col("doc_id")],
+        order_hash=h60(F.col("doc_id").cast("string")),
+        id_col="doc_id",
         default_weight=2.0,
     )
     return out.select("doc_id", "lang", "r_in_group", "mix_key_e6")
