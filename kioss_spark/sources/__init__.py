@@ -49,6 +49,13 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar ORC scan — same pushdown/pruning story as parquet (both are
+    native vectorized formats; avro/delta need external packages this
+    environment doesn't ship, so they are deliberately absent)."""
+    return spark.read.orc(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table, e.g. load_table(spark, sf_dir, 'lineitem').
 

@@ -149,6 +149,10 @@ class Stream:
         )
 
     @classmethod
+    def read_orc(cls, spark: SparkSession, path: str) -> "Stream":
+        return cls(cls._attach_seq(sources.read_orc(spark, path)), plan=(f"read_orc({path})",))
+
+    @classmethod
     def range(cls, spark: SparkSession, n: int, column: str = _VALUE) -> "Stream":
         return cls(cls._attach_seq(sources.spark_range(spark, n, column)), plan=(f"range({n})",))
 
@@ -1459,6 +1463,9 @@ class Stream:
 
     def write_json(self, path: str, mode: str = "error") -> None:
         self._write(path, "json", mode, None)
+
+    def write_orc(self, path: str, mode: str = "error", partition_by=None) -> None:
+        self._write(path, "orc", mode, partition_by)
 
     def _write(self, path: str, fmt: str, mode: str, partition_by) -> None:
         df = self.to_df(ordered=False)  # never sort before a write

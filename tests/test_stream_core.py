@@ -278,6 +278,9 @@ def test_sources_and_sinks_roundtrip(spark, tmp_path):
     s.write_json(base + "/j")
     json_back = Stream.read_json(spark, base + "/j", schema="value long, doubled long")
     assert sorted(r["value"] for r in json_back.to_df().collect()) == list(range(20))
+    s.write_orc(base + "/o", partition_by="doubled")
+    orc_back = Stream.read_orc(spark, base + "/o")
+    assert sorted(r["value"] for r in orc_back.to_df().collect()) == list(range(20))
 
 
 def test_laziness_no_jobs_until_action(spark):
