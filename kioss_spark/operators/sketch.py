@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from kioss_spark.operators.text import h60
 
-__all__ = ["kmv_distinct"]
+__all__ = [
+    "kmv_distinct",
+    "theta_overlap_matrix",
+    "hll_rollup",
+    "kll_quantiles",
+]
 
 #: hash domain size (h60 is 60 bits) — exactly representable as a double
 _DOMAIN = float(1 << 60)
@@ -93,3 +98,139 @@ def kmv_distinct(
     return agg.select(
         *keys, "n_kept", est.cast("long").alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Apache Datasketches family (Spark 4 built-ins: theta / HLL / KLL)
+#
+# These complement kmv_distinct: KMV is the cross-engine-reproducible sketch
+# (oracle-exact at ANY scale); the Datasketches built-ins are the
+# industry-standard mergeable binary sketches with JVM-side set algebra.
+# Their estimates are EXACT while the sketch is below its retention
+# capacity (theta: k=4096 retained hashes; HLL: sparse mode; KLL: fewer
+# items than k) and approximate beyond it — each wrapper documents the
+# regime, and the gated queries ride fixtures inside the exact regime so
+# the oracle checks real values, while at 100 TB the same plan degrades
+# gracefully to (mergeable, bounded-error) estimates instead of OOM.
+# ---------------------------------------------------------------------------
+
+
+def theta_overlap_matrix(
+    df: DataFrame, value: Column, by: str, lg_k: int = 12
+) -> DataFrame:
+    """Pairwise set-overlap matrix between groups via theta sketches:
+    one ``theta_sketch_agg`` per group, then JVM-side
+    union/intersection/difference estimates for every unordered group
+    pair (group_a < group_b). Returns (group_a, group_b, n_a, n_b,
+    n_union, n_intersect, n_diff_ab, jaccard_e6).
+
+    The cross-source overlap/contamination audit a corpus needs: with G
+    groups the pairwise stage touches G^2/2 SKETCHES (bytes), never
+    re-scanning the corpus — the scan is one map-side-combining keyed
+    aggregation, and sketches are mergeable so partial aggregation
+    composes across 100 TB of input splits. Estimates are exact while
+    each group retains < 2^lg_k distinct hashes (theta exact mode);
+    beyond that they carry the standard ~1/sqrt(k) relative error.
+    """
+    sk = df.groupBy(by).agg(
+        F.theta_sketch_agg(value, F.lit(lg_k)).alias("__sk__"),
+        F.theta_sketch_estimate(F.theta_sketch_agg(value, F.lit(lg_k)))
+        .cast("long")
+        .alias("__n__"),
+    )
+    a = sk.select(
+        F.col(by).alias("group_a"),
+        F.col("__sk__").alias("__ska__"),
+        F.col("__n__").alias("n_a"),
+    )
+    b = sk.select(
+        F.col(by).alias("group_b"),
+        F.col("__sk__").alias("__skb__"),
+        F.col("__n__").alias("n_b"),
+    )
+    # the per-group sketch table is tiny (one row per group) — broadcast
+    # the self-join so the pairwise stage never shuffles
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    u = F.theta_sketch_estimate(F.theta_union("__ska__", "__skb__")).cast("long")
+    i = F.theta_sketch_estimate(F.theta_intersection("__ska__", "__skb__")).cast(
+        "long"
+    )
+    d = F.theta_sketch_estimate(F.theta_difference("__ska__", "__skb__")).cast("long")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        u.alias("n_union"),
+        i.alias("n_intersect"),
+        d.alias("n_diff_ab"),
+        F.floor(i * F.lit(1000000) / u).cast("long").alias("jaccard_e6"),
+    )
+
+
+def hll_rollup(
+    df: DataFrame,
+    value: Column,
+    fine: Sequence[str],
+    coarse: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Two-level mergeable distinct-count rollup: HLL partial sketches at
+    the ``fine`` grain, ``hll_union_agg`` merged up to the ``coarse``
+    grain — the shape a 100 TB per-shard profile uses (shard-level
+    sketches persisted once, every coarser rollup is a cheap sketch
+    merge, no corpus re-scan). Returns (coarse..., n_parts,
+    est_distinct). Estimates are exact in HLL's sparse regime (distinct
+    count well under 2^lg_k) and ~1.6% (lg_k=12) beyond.
+    """
+    fine_sk = df.groupBy(*fine).agg(
+        F.hll_sketch_agg(value, F.lit(lg_k)).alias("__sk__")
+    )
+    return (
+        fine_sk.groupBy(*coarse)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.hll_sketch_estimate(F.hll_union_agg("__sk__"))
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value: Column,
+    by: Optional[Sequence[str]] = None,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    k: int = 1024,
+) -> DataFrame:
+    """Per-group quantiles of a bigint measure via a KLL sketch — the
+    mergeable bounded-memory quantile summary (Karnin-Lang-Liberty 2016).
+    Returns (by..., n, q_50, q_90, ... one column per requested quantile,
+    labeled by percentage with an e-suffix for fractional parts).
+
+    While a group holds fewer than ~k items the sketch retains them all
+    and each quantile is the EXACT order statistic (datasketches
+    inclusive rank rule == DuckDB ``quantile_disc``); beyond that rank
+    error is ~1.65% * (200/k)^0.9. One map-side-combining keyed agg; the
+    per-group state is O(k) regardless of corpus size.
+    """
+    keys = list(by or [])
+    v = value.cast("bigint")
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    agg = grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.kll_sketch_agg_bigint(v, F.lit(k)).alias("__sk__"),
+    )
+    cols = [*keys, "n"]
+    for q in quantiles:
+        pct = q * 100
+        label = f"q_{int(pct)}" if float(pct).is_integer() else (
+            "q_" + f"{pct:g}".replace(".", "_")
+        )
+        cols.append(
+            F.kll_sketch_get_quantile_bigint(F.col("__sk__"), F.lit(float(q)))
+            .cast("long")
+            .alias(label)
+        )
+    return agg.select(*cols)

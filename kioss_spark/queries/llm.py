@@ -1758,3 +1758,109 @@ def mix_weighted_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_weight=2.0,
     )
     return out.select("doc_id", "lang", "r_in_group", "mix_key_e6")
+
+
+_SQL_SH3 = (
+    "list_distinct(CASE WHEN len(t) >= 3 "
+    "THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) "
+    "ELSE []::VARCHAR[] END)"
+)
+
+
+@register(
+    "sketch_theta_source_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT source, {SQL_TOKS} AS t FROM documents),
+    sh AS (SELECT source, unnest({_SQL_SH3}) AS s FROM toks),
+    u AS (SELECT DISTINCT source, s FROM sh),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+    i AS (SELECT x.source AS ga, y.source AS gb, CAST(count(*) AS BIGINT) AS ni
+          FROM u x JOIN u y ON x.s = y.s AND x.source < y.source GROUP BY 1, 2)
+    SELECT a.source AS group_a, b.source AS group_b, a.n AS n_a, b.n AS n_b,
+           a.n + b.n - coalesce(i.ni, 0) AS n_union,
+           coalesce(i.ni, 0) AS n_intersect,
+           a.n - coalesce(i.ni, 0) AS n_diff_ab,
+           CAST(floor(coalesce(i.ni, 0) * 1000000
+                      / (a.n + b.n - coalesce(i.ni, 0))) AS BIGINT) AS jaccard_e6
+    FROM n a JOIN n b ON a.source < b.source
+    LEFT JOIN i ON i.ga = a.source AND i.gb = b.source
+    """,
+)
+def sketch_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix via theta sketches
+    (operators.sketch.theta_overlap_matrix): one mergeable sketch of each
+    source's distinct 3-gram shingles, then JVM-side set algebra
+    (union/intersection/difference) for every source pair — the
+    contamination/duplication audit between ingest feeds, without ever
+    joining corpora pairwise. One keyed agg scans the corpus; the
+    pairwise stage operates on G sketch rows (bytes each).
+
+    Oracle regime: theta sketches are EXACT below 2^lg_k=4096 retained
+    hashes per set; this fixture keeps ~1.3k shingles per source at
+    sf0.01 (gate) so the oracle checks true set counts. At sf0.1+ the
+    same plan returns ~1/sqrt(k) estimates (the honest 100 TB behavior —
+    see the operator docstring)."""
+    from kioss_spark.operators.sketch import theta_overlap_matrix
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "source", F.explode(shingles(tokens(F.col("text")), n=3)).alias("s")
+    )
+    return theta_overlap_matrix(sh, F.col("s"), by="source", lg_k=12)
+
+
+@register(
+    "sketch_hll_lang_rollup",
+    oracle=f"""
+    WITH toks AS (SELECT lang, source, unnest({SQL_TOKS}) AS tok FROM documents),
+    fine AS (SELECT DISTINCT lang, source FROM toks),
+    parts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_parts FROM fine GROUP BY 1),
+    d AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS est_distinct
+          FROM toks GROUP BY 1)
+    SELECT lang, n_parts, est_distinct FROM parts JOIN d USING (lang)
+    """,
+)
+def sketch_hll_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HLL distinct-token rollup (operators.sketch.hll_rollup):
+    per-(lang, source) partial sketches merged by ``hll_union_agg`` up to
+    per-language estimates — the persist-shard-sketches-once,
+    merge-anywhere profile shape (a 100 TB re-profile touches sketch
+    rows, not the corpus). Oracle regime: HLL's sparse mode is exact at
+    this fixture's vocabulary (~31 tokens/lang); at real vocabulary
+    scale the merged estimate carries ~1.6% error (lg_k=12)."""
+    from kioss_spark.operators.sketch import hll_rollup
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return hll_rollup(
+        toks, F.col("tok"), fine=["lang", "source"], coarse=["lang"], lg_k=12
+    )
+
+
+@register(
+    "sketch_kll_doclen",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS q_50,
+           CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS q_90,
+           CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS q_99
+    FROM documents GROUP BY 1
+    """,
+)
+def sketch_kll_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles via a KLL sketch
+    (operators.sketch.kll_quantiles, k=1024): the mergeable
+    bounded-memory quantile profile (median / p90 / p99 of n_chars) that
+    replaces exact percentile's full-sort at corpus scale. Oracle
+    regime: below k items per group KLL retains everything and each
+    quantile is the exact order statistic (== DuckDB quantile_disc);
+    beyond, rank error is bounded (~0.4% at k=1024) and the plan is
+    unchanged — one map-side-combining keyed agg."""
+    from kioss_spark.operators.sketch import kll_quantiles
+
+    docs = _docs(spark, sf_dir)
+    return kll_quantiles(
+        docs, F.col("n_chars"), by=["lang"], quantiles=(0.5, 0.9, 0.99), k=1024
+    )

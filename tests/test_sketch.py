@@ -41,3 +41,76 @@ def test_global_sketch_no_group(spark):
     out = kmv_distinct(df, F.col("x"), by=None, k=64).collect()[0]
     assert out["n_kept"] == 64
     assert abs(out["est_distinct"] - 300) / 300 < 0.55
+
+
+# ---------------------------------------------------------------------------
+# Datasketches built-ins (theta / HLL / KLL)
+# ---------------------------------------------------------------------------
+
+def test_theta_overlap_exact_regime(spark):
+    # g1 = {0..99}, g2 = {50..149}: intersect 50, union 150, diff_ab 50
+    rows = [("g1", str(i)) for i in range(100)] + [
+        ("g2", str(i)) for i in range(50, 150)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    from kioss_spark.operators.sketch import theta_overlap_matrix
+
+    out = theta_overlap_matrix(df, F.col("v"), by="g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["group_a"], r["group_b"]) == ("g1", "g2")
+    assert (r["n_a"], r["n_b"]) == (100, 100)
+    assert (r["n_union"], r["n_intersect"], r["n_diff_ab"]) == (150, 50, 50)
+    assert r["jaccard_e6"] == 50 * 1000000 // 150
+
+
+def test_theta_disjoint_and_duplicates_ignored(spark):
+    # duplicates must not affect set cardinality; disjoint -> jaccard 0
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    from kioss_spark.operators.sketch import theta_overlap_matrix
+
+    r = theta_overlap_matrix(df, F.col("v"), by="g").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_intersect"], r["jaccard_e6"]) == (2, 1, 0, 0)
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    # distinct values overlap across fine parts: the merged coarse estimate
+    # must equal a directly-computed coarse sketch (mergeability), and be
+    # exact in the sparse regime
+    rows = [("l1", f"s{i % 4}", str(i % 37)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["lang", "source", "tok"])
+    from kioss_spark.operators.sketch import hll_rollup
+
+    out = hll_rollup(
+        df, F.col("tok"), fine=["lang", "source"], coarse=["lang"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_parts"] == 4
+    assert out[0]["est_distinct"] == 37
+    direct = df.groupBy("lang").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias("d")
+    ).collect()[0]["d"]
+    assert out[0]["est_distinct"] == direct
+
+
+def test_kll_quantiles_exact_below_k(spark):
+    # 1..100 per group: q50=50, q90=90, q99=99 under the inclusive rank rule
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1, 101)], ["g", "x"]
+    )
+    from kioss_spark.operators.sketch import kll_quantiles
+
+    r = kll_quantiles(df, F.col("x"), by=["g"], k=1024).collect()[0]
+    assert r["n"] == 100
+    assert (r["q_50"], r["q_90"], r["q_99"]) == (50, 90, 99)
+
+
+def test_kll_bounded_error_above_k(spark):
+    # n >> k: estimates must stay within the documented rank-error bound
+    n = 50_000
+    df = spark.range(1, n + 1).select(F.lit("g").alias("g"), F.col("id").alias("x"))
+    from kioss_spark.operators.sketch import kll_quantiles
+
+    r = kll_quantiles(df, F.col("x"), by=["g"], quantiles=(0.5,), k=256).collect()[0]
+    assert abs(r["q_50"] - n // 2) / n < 0.02
