@@ -367,3 +367,49 @@ def ivf_topk_trained(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score_e5").desc(), F.col("cand_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def semantic_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the TRAINED coarse
+    quantizer (``train_ivf`` — deterministic Forgy sample, optional
+    integerized Lloyd), then emit all within-cell pairs with
+    cosine >= threshold. Returns (id_a, id_b, cell, cosine_e5).
+
+    This is the trained-centroid upgrade of ``embedding_dup_pairs``: sign-bit
+    cells split space by coordinate signs regardless of density, so on real
+    (anisotropic) embeddings most mass lands in a few huge cells — the
+    pairwise stage degrades toward corpus². Trained centroids follow the
+    density, keeping cells balanced, and SemDeDup's semantics ARE
+    within-cluster comparison, so candidate generation is exactly the cell
+    equi-join: cost ∝ Σ cell², never corpus². Assignment is literal-folded
+    codegen (zero shuffle); the only shuffles are the self-join's hash
+    exchange on cell. Deterministic end-to-end, so the DuckDB oracle
+    reproduces candidates AND scores exactly (iters=0 form).
+    """
+    cents = train_ivf(vectors, n_centroids=n_centroids, iters=iters)
+    vv = F.col("__vv__")
+    cells = (
+        vectors.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+        .withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
+        .drop("__vv__")
+    )
+    pairs = (
+        cells.alias("a")
+        .join(cells.alias("b"), on="cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("cell"),
+            F.floor(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")) * 100000
+            ).cast("long").alias("cosine_e5"),
+        )
+    )
+    return pairs.where(F.col("cosine_e5") >= int(threshold * 100000))

@@ -1864,3 +1864,44 @@ def sketch_kll_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles(
         docs, F.col("n_chars"), by=["lang"], quantiles=(0.5, 0.9, 0.99), k=1024
     )
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    cent AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, cv
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h,
+                     vec_id, v AS cv
+              FROM n)
+        ORDER BY h, vec_id LIMIT 16
+    ),
+    ca AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_D2.format(t='t')} AS d2
+           FROM n t CROSS JOIN cent),
+    cbest AS (SELECT vec_id, v, nv, cid AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM ca)
+              WHERE rn = 1)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+           CAST(floor(list_dot_product(a.v, b.v) / (a.nv * b.nv) * 100000) AS BIGINT)
+               AS cosine_e5
+    FROM cbest a JOIN cbest b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE CAST(floor(list_dot_product(a.v, b.v) / (a.nv * b.nv) * 100000) AS BIGINT)
+          >= 40000
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs
+    (operators.similarity.semantic_dup_pairs): embeddings clustered by the
+    TRAINED Forgy quantizer (16 cells), pairwise cosine >= 0.40 within each
+    cell — the trained-centroid member of the dedup family, alongside
+    sign-bit ``dedup_embedding`` (fixed planes) and the text-side
+    MinHash/SimHash. Threshold matches dedup_embedding's fixture-scaled
+    0.40 (real embeddings would use ~0.95, see that query's note).
+    Deterministic training -> the oracle reproduces the exact candidate
+    set, including recall."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    return similarity.semantic_dup_pairs(nn, threshold=0.40, n_centroids=16, iters=0)

@@ -69,3 +69,22 @@ def test_trained_topk_scores_match_brute_on_probed_cells(spark):
     got = {(r["query_id"], r["cand_id"], r["score_e5"]) for r in out.collect()}
     want = {(r["query_id"], r["cand_id"], r["score_e5"]) for r in brute.collect()}
     assert got == want
+
+
+def test_semantic_dup_pairs_within_cell_only(spark):
+    c = _corpus(spark)
+    cents = S.train_ivf(c, n_centroids=4, iters=0)
+    cell_of = dict(
+        c.select(
+            "vec_id", S.trained_cells(F.col("v"), cents, nprobe=1).alias("cell")
+        ).collect()
+    )
+    out = S.semantic_dup_pairs(c, threshold=-1.0, n_centroids=4).collect()
+    assert out  # threshold -1 keeps every within-cell pair
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert cell_of[r["id_a"]] == cell_of[r["id_b"]] == r["cell"]
+    # threshold filters monotonically
+    tight = S.semantic_dup_pairs(c, threshold=0.99, n_centroids=4).collect()
+    assert len(tight) <= len(out)
+    assert all(r["cosine_e5"] >= 99000 for r in tight)
