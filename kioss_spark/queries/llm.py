@@ -1905,3 +1905,72 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, including recall."""
     nn = similarity.with_norm(_emb(spark, sf_dir))
     return similarity.semantic_dup_pairs(nn, threshold=0.40, n_centroids=16, iters=0)
+
+
+@register(
+    "quality_unigram_icf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    inv AS (SELECT doc_id, x AS term FROM toks, UNNEST(t) u(x)),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM inv GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM inv),
+    w AS (SELECT term, CAST(floor(1000000.0 * n.n_total / tf.tf) AS BIGINT) AS wt
+          FROM tf, n),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(wt) AS BIGINT) AS sum_wt
+            FROM inv JOIN w USING (term) GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(p.n_tok, 0) AS n_tok,
+           CAST(CASE WHEN coalesce(p.n_tok, 0) > 0
+                     THEN floor(p.sum_wt / p.n_tok) ELSE 0 END AS BIGINT)
+               AS icf_mean_e6,
+           coalesce(p.sum_wt, 0) AS icf_sum_e6
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+)
+def quality_unigram_icf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score, rational-integer form: train a
+    unigram LM on the corpus itself (collection frequencies), then score
+    each document by its mean inverse collection frequency
+    ``floor(1e6 * N / tf)`` per token occurrence — the portable analog of
+    mean unigram surprisal (-log p ranks identically for thresholding
+    since log is monotonic, but its doubles are libm-dependent; the
+    rational form is bit-exact on both engines — same discipline as
+    tfidf_keywords). High score = rare-token-heavy (gibberish,
+    boilerplate codes, OCR noise); low = stopword-heavy. The
+    perplexity-style filter every corpus-quality pipeline runs, with no
+    external LM dependency.
+
+    Scale plan: one explode feeds both the LM (term-keyed agg with
+    map-side combine; vocabulary-sized output) and the scoring join
+    (term-keyed; the weight table is vocabulary-sized so AQE broadcasts
+    it at bench SF and shuffle-joins at 100 TB); the corpus-total scalar
+    rides a broadcast crossJoin; per-doc rollup is doc-keyed. Empty docs
+    survive via the final left join."""
+    docs = _docs(spark, sf_dir)
+    inv = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = inv.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    n = inv.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w = tf.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.floor(F.lit(1000000.0) * F.col("n_total") / F.col("tf"))
+        .cast("long")
+        .alias("wt"),
+    )
+    per = (
+        inv.join(w, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("wt").cast("long").alias("sum_wt"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        F.when(
+            F.coalesce("n_tok", F.lit(0)) > 0,
+            F.floor(F.col("sum_wt") / F.col("n_tok")),
+        ).otherwise(F.lit(0)).cast("long").alias("icf_mean_e6"),
+        F.coalesce("sum_wt", F.lit(0)).alias("icf_sum_e6"),
+    )
