@@ -56,6 +56,36 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False, line_sep=None
+) -> DataFrame:
+    """Text scan: one row per line in a ``value`` string column (the raw
+    ingest shape for log/JSONL-ish corpora before schema is imposed).
+    ``whole=True`` reads one row per FILE instead (document-per-file
+    corpora) — at scale prefer line-oriented: whole-file rows are bounded
+    by file size, not ``maxPartitionBytes``, so one giant file becomes one
+    giant row. ``line_sep`` overrides the newline delimiter."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    if whole:
+        reader = reader.option("wholetext", "true")
+    return reader.text(path)
+
+
+def read_binaryfiles(spark: SparkSession, path: str, glob=None) -> DataFrame:
+    """binaryFile scan: (path, modificationTime, length, content) — the
+    multimodal ingest source (images/audio/video as opaque bytes +
+    metadata, feeding operators.multimodal). ``glob`` is a
+    ``pathGlobFilter`` (e.g. ``*.png``) applied at listing time, so
+    non-matching files are never opened. Spark caps a single row at 2 GiB;
+    ship larger media as chunked rows or reference columns instead."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table, e.g. load_table(spark, sf_dir, 'lineitem').
 

@@ -153,6 +153,26 @@ class Stream:
         return cls(cls._attach_seq(sources.read_orc(spark, path)), plan=(f"read_orc({path})",))
 
     @classmethod
+    def read_text(
+        cls, spark: SparkSession, path: str, whole: bool = False, line_sep=None
+    ) -> "Stream":
+        """One row per line (``value`` column); ``whole=True`` = one row
+        per file. See sources.read_text for the scale note."""
+        return cls(
+            cls._attach_seq(sources.read_text(spark, path, whole=whole, line_sep=line_sep)),
+            plan=(f"read_text({path})",),
+        )
+
+    @classmethod
+    def read_binaryfiles(cls, spark: SparkSession, path: str, glob=None) -> "Stream":
+        """Opaque-bytes multimodal ingest: (path, modificationTime, length,
+        content), optional ``pathGlobFilter``."""
+        return cls(
+            cls._attach_seq(sources.read_binaryfiles(spark, path, glob=glob)),
+            plan=(f"read_binaryfiles({path})",),
+        )
+
+    @classmethod
     def range(cls, spark: SparkSession, n: int, column: str = _VALUE) -> "Stream":
         return cls(cls._attach_seq(sources.spark_range(spark, n, column)), plan=(f"range({n})",))
 
@@ -1466,6 +1486,14 @@ class Stream:
 
     def write_orc(self, path: str, mode: str = "error", partition_by=None) -> None:
         self._write(path, "orc", mode, partition_by)
+
+    def write_text(self, path: str, mode: str = "error", column: str = "value") -> None:
+        """Line-oriented text sink: writes ``column`` (one string per row).
+        The text writer accepts exactly one string column, so everything
+        else is projected away here — serialize multi-column rows to the
+        string yourself (e.g. ``F.to_json(F.struct(...))`` for JSONL)."""
+        df = self.to_df(ordered=False)
+        df.select(F.col(column).cast("string").alias("value")).write.mode(mode).text(path)
 
     def _write(self, path: str, fmt: str, mode: str, partition_by) -> None:
         df = self.to_df(ordered=False)  # never sort before a write

@@ -393,3 +393,28 @@ def test_facade_asof_join(spark):
         .collect()
     }
     assert got == {("A", 3, 100), ("A", 7, 110), ("B", 5, None)}
+
+
+def test_text_source_sink_roundtrip(spark, tmp_path):
+    base = str(tmp_path)
+    s = Stream.range(spark, 10).map(value=F.concat(F.lit("line-"), F.col("value")))
+    s.write_text(base + "/t")
+    back = Stream.read_text(spark, base + "/t")
+    assert sorted(r["value"] for r in back.to_df().collect()) == sorted(
+        f"line-{i}" for i in range(10)
+    )
+    # whole=True: one row per file, content preserved incl. newlines
+    whole = Stream.read_text(spark, base + "/t", whole=True).to_df().collect()
+    assert sum(r["value"].count("line-") for r in whole) == 10
+
+
+def test_binaryfiles_source_with_glob(spark, tmp_path):
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-ish-bytes")
+    (d / "b.wav").write_bytes(b"RIFF-ish-bytes")
+    all_rows = Stream.read_binaryfiles(spark, str(d)).to_df().collect()
+    assert {r["path"].rsplit("/", 1)[-1] for r in all_rows} == {"a.png", "b.wav"}
+    assert all(r["length"] == len(bytes(r["content"])) for r in all_rows)
+    png = Stream.read_binaryfiles(spark, str(d), glob="*.png").to_df().collect()
+    assert len(png) == 1 and bytes(png[0]["content"]) == b"\x89PNG-ish-bytes"
