@@ -59,6 +59,12 @@ HEADLINE = [
     "sketch_distinct_tokens",
     "chunk_text_windows",
     "mix_weighted_order",
+    # round-4 late additions: Datasketches set algebra / quantiles, SemDeDup,
+    # and the self-trained unigram-LM quality filter
+    "sketch_theta_source_overlap",
+    "sketch_kll_doclen",
+    "dedup_semantic",
+    "quality_unigram_icf",
 ]
 
 

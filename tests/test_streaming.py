@@ -315,3 +315,38 @@ def test_catch_kind_mro_streaming(spark):
     kinds = {r["__err__"]["kind"] for r in rows if r["__err__"] is not None}
     assert kinds <= {"ValueError"}
     assert any(r["__err__"] is not None for r in rows)
+
+
+def test_distinct_count_approx_windowed(spark, tmp_path):
+    # window 1: values {x, y} seen with repeats -> 2; window 2: {x} -> 1.
+    # sparse-regime HLL is exact, so the assert is equality, not tolerance
+    src = str(tmp_path / "hll_src")
+    rows = [
+        ("2024-01-01 00:00:05", "x"),
+        ("2024-01-01 00:00:10", "x"),
+        ("2024-01-01 00:00:20", "y"),
+        ("2024-01-01 00:00:50", "y"),
+        ("2024-01-01 00:01:10", "x"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, v string").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "v"
+    )
+    df.write.mode("overwrite").parquet(src)
+    s = SStream.files(
+        spark, src, schema="timestamp timestamp, v string"
+    ).distinct_count_approx("v", 60)
+    q = s.to_memory("t_hll", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = {
+            r["start"].isoformat(): r["est_distinct"]
+            for r in spark.sql(
+                "SELECT window.start AS start, est_distinct FROM t_hll"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        "2024-01-01T00:00:00": 2,
+        "2024-01-01T00:01:00": 1,
+    }, got
