@@ -1704,3 +1704,55 @@ def bucketed_user_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_e2").cast("long").alias("user_total_e2")
     )
     return per_type.join(per_user, "user_id")
+
+
+@register(
+    "gapfill_hourly_locf",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+                       CAST(round(value * 100) AS BIGINT) AS v_e2 FROM events),
+    per AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(v_e2) AS BIGINT) AS sum_value_e2 FROM ev GROUP BY 1, 2),
+    span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM per GROUP BY 1),
+    grid AS (SELECT user_id, CAST(unnest(range(b0, b1 + 1, 3600)) AS BIGINT) AS bucket
+             FROM span),
+    j AS (SELECT g.user_id, g.bucket, p.n_events, p.sum_value_e2
+          FROM grid g LEFT JOIN per p USING (user_id, bucket))
+    SELECT user_id, bucket,
+           coalesce(n_events, 0) AS n_events,
+           last_value(sum_value_e2 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_e2,
+           n_events IS NULL AS is_gap
+    FROM j
+    """,
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF (operators.timeseries.gapfill_locf):
+    each user's hourly activity series densified onto every hour between
+    their first and last event — counts zero-filled, the hourly value
+    total carried forward (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf``), gaps flagged. The serving-side regularization every
+    downstream anomaly/forecast consumer wants after the
+    rollup_hourly_events continuous aggregate.
+
+    Scale plan: grid generation is a narrow per-user sequence/explode
+    (fan-out = span/step); the observation join is keyed on
+    (user, bucket); LOCF is a keyed running window. Bound the span at
+    the scan (time-range predicate) before gap-filling at 100 TB."""
+    from kioss_spark.operators.timeseries import gapfill_locf
+
+    ev = t(spark, sf_dir, "events")
+    hour_s = (F.floor(epoch_us("ts") / F.lit(3_600_000_000)) * 3600).cast("long")
+    per = ev.groupBy(F.col("user_id"), hour_s.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sum_value_e2"),
+    )
+    return gapfill_locf(
+        per,
+        keys=["user_id"],
+        bucket="bucket",
+        step=3600,
+        zero_cols=["n_events"],
+        locf_cols=["sum_value_e2"],
+    )
