@@ -65,6 +65,7 @@ HEADLINE = [
     "sketch_kll_doclen",
     "dedup_semantic",
     "quality_unigram_icf",
+    "gapfill_hourly_locf",
 ]
 
 

@@ -123,3 +123,41 @@ def test_zip_matches_python_zip(spark, xs, ys):
     b = Stream.of(spark, ys, schema=schema)
     got = [(r["left"], r["right"]) for r in a.zip(b).to_df().collect()]
     assert got == list(zip(xs, ys))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 60), min_size=1, max_size=40),
+    b=st.lists(st.integers(0, 60), min_size=1, max_size=40),
+)
+def test_theta_overlap_matches_set_algebra(spark, a, b):
+    """Exact-regime theta sketches must reproduce Python set algebra for
+    any input multisets (duplicates ignored, empty intersections kept)."""
+    from kioss_spark.operators.sketch import theta_overlap_matrix
+
+    rows = [("a", str(x)) for x in a] + [("b", str(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, v string")
+    r = theta_overlap_matrix(df, F.col("v"), by="g").collect()[0]
+    sa, sb = set(a), set(b)
+    assert (r["n_a"], r["n_b"]) == (len(sa), len(sb))
+    assert r["n_union"] == len(sa | sb)
+    assert r["n_intersect"] == len(sa & sb)
+    assert r["n_diff_ab"] == len(sa - sb)
+    assert r["jaccard_e6"] == len(sa & sb) * 1000000 // len(sa | sb)
+
+
+@settings(max_examples=8, deadline=None)
+@given(xs=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60))
+def test_kll_exact_regime_is_order_statistic(spark, xs):
+    """Below k, every KLL quantile equals the inclusive-rule order
+    statistic ceil(q*n) of the sorted data (== DuckDB quantile_disc)."""
+    import math
+
+    from kioss_spark.operators.sketch import kll_quantiles
+
+    df = spark.createDataFrame([("g", x) for x in xs], "g string, x long")
+    r = kll_quantiles(df, F.col("x"), by=["g"], quantiles=(0.5, 0.9), k=1024).collect()[0]
+    srt = sorted(xs)
+    for q, col in ((0.5, "q_50"), (0.9, "q_90")):
+        want = srt[max(0, math.ceil(q * len(srt)) - 1)]
+        assert r[col] == want, (xs, q, r[col], want)
