@@ -66,6 +66,9 @@ HEADLINE = [
     "dedup_semantic",
     "quality_unigram_icf",
     "gapfill_hourly_locf",
+    # adapted TPC-H analogs (the q9 shape is the heaviest: 5-table profit rollup)
+    "q9_profit_adapted",
+    "q16_supplier_variety_adapted",
 ]
 
 

@@ -1756,3 +1756,282 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero_cols=["n_events"],
         locf_cols=["sum_value_e2"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3 — ADAPTED analogs of the five fixture-blocked TPC-H literals.
+#
+# The driver parquet lacks partsupp and the l_shipmode/l_commitdate columns,
+# so literal q2/q9/q12/q16/q20 cannot be expressed (documented at the wave-2
+# header). Each adaptation below preserves the PLAN SHAPE the literal
+# exercises — the join graph, the correlation pattern, the aggregation
+# structure — swapping only the unavailable column for an available analog,
+# so the engine demonstrably runs every classic TPC-H shape:
+#   q2  : correlated per-group max over a multi-dim dimension join
+#   q9  : 5-table profit rollup by (nation, year) with a LIKE part filter
+#   q12 : join + CASE-bucketed conditional aggregation
+#   q16 : distinct-pair relationship count with an exclusion anti-join
+#   q20 : nested semi-join with a correlated share-of-total threshold
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_profit_adapted",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - 80 * CAST(round(p_retailprice * 100) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_profit_e4
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_profit_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation/year), ADAPTED:
+    ps_supplycost does not exist in the fixtures, so unit cost is proxied
+    as 80% of p_retailprice — the join graph (lineitem x part x supplier x
+    nation x orders), the LIKE part filter, and the (nation, year) rollup
+    are the literal's. nation is hinted broadcast (constant size);
+    part/supplier/orders are AQE-sized; the LIKE filter reaches the part
+    scan as a pushed predicate."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    # exact integer profit in e4 units (cents x percent): the fixtures are
+    # 2-decimal prices / 2-decimal discounts / integral quantities, so the
+    # aggregate is order-independent — a round(sum(double), 2) here was
+    # observed to straddle a rounding boundary between engines
+    amount_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        - 80 * F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount_e4).cast("long").alias("sum_profit_e4"))
+    )
+
+
+@register(
+    "q12_shipclass_adapted",
+    oracle="""
+    SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_shipclass_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority audit), ADAPTED: the
+    fixtures have no l_shipmode/l_commitdate, so lines are bucketed by
+    actual shipping delay (shipdate >= orderdate + 60 days = SLOW) — the
+    literal's join + CASE-bucketed conditional aggregation is intact.
+    The date range is pushed to the lineitem scan; the per-class rollup
+    is 2 rows out of one keyed agg with map-side combine."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(
+                F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("SLOW"),
+            ).otherwise(F.lit("FAST")).alias("ship_class")
+        )
+        .agg(
+            F.sum(high.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("long")).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_variety_adapted",
+    oracle="""
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok AS (SELECT rel.* FROM rel
+           WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ok JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 11, 17, 23, 29, 37, 41)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_variety_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part segment), ADAPTED: the
+    partsupp relationship table is role-played by the DISTINCT
+    (l_partkey, l_suppkey) pairs actually traded, and the literal's
+    complaint-supplier exclusion becomes a negative-balance exclusion
+    (same anti-join structure). Distinct-pair extraction is one keyed
+    shuffle; the exclusion is a broadcast anti-join (supplier is the
+    small side); the final distinct count is the two-phase expansion
+    keyed on the (brand, type, size) segment."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 11, 17, 23, 29, 37, 41)
+    )
+    bad = t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    ok = rel.join(bad, rel.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        ok.join(part, ok.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_dominant_supplier_adapted",
+    oracle="""
+    WITH q96 AS (
+        SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty96
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2),
+    tot AS (
+        SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_all
+        FROM lineitem GROUP BY 1),
+    dominant AS (
+        SELECT DISTINCT l_suppkey
+        FROM q96
+        JOIN tot USING (l_partkey)
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%' AND 10 * qty96 > qty_all)
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def q20_dominant_supplier_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers holding excess stock of filtered
+    parts), ADAPTED: ps_availqty's share-of-demand correlate becomes a
+    share-of-shipments correlate — a supplier is 'dominant' for a
+    'small%' part if its 1996 shipments alone exceed 10% of the part's
+    all-time shipped quantity (1996 is ~15% of the fixture's span, so a
+    >10% single-year share marks a genuinely outsized supplier). The literal's nested structure is intact: inner
+    per-(part, supplier) agg, correlated threshold against a per-part
+    agg, part-name semi-filter, outer semi-join into supplier x nation.
+    Quantities are summed as BIGINT (fixtures are integral) so the
+    threshold compare is integer-exact on both engines; the final
+    membership is a left_semi join, never IN-collect."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    q96 = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty96"))
+    )
+    tot = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty_all")
+    )
+    dominant = (
+        q96.join(tot, "l_partkey")
+        .join(part, q96.l_partkey == part.p_partkey)
+        .where(10 * F.col("qty96") > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q2_best_supplier_adapted",
+    oracle="""
+    WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    sup AS (
+        SELECT rel.l_partkey AS partkey, s_suppkey, s_name, s_acctbal, n_name
+        FROM rel
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'),
+    best AS (SELECT partkey, max(s_acctbal) AS best_bal FROM sup GROUP BY 1)
+    SELECT p_partkey, p_brand, s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+    FROM part
+    JOIN sup ON sup.partkey = p_partkey
+    JOIN best ON best.partkey = p_partkey AND s_acctbal = best_bal
+    WHERE p_type = 'ECONOMY' AND p_size <= 15
+    """,
+)
+def q2_best_supplier_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part in a region),
+    ADAPTED: ps_supplycost's correlated MIN becomes a correlated MAX over
+    s_acctbal among the suppliers that actually traded the part (the
+    DISTINCT lineitem relationship again role-playing partsupp) — the
+    literal's structure is intact: multi-dim supplier x nation x region
+    join, per-part correlated extremum, equality join back on the
+    extremum (ties keep all rows, as in the literal). region/nation are
+    broadcast (constant size); the correlated agg and the join back are
+    both keyed on partkey. s_acctbal passes through round(2) untouched
+    (fixtures are 2-decimal) purely to pin the float contract."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    rel = li.select("l_partkey", "l_suppkey").distinct()
+    sup = (
+        rel.join(supp, rel.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_suppkey", "s_name", "s_acctbal", "n_name",
+        )
+    )
+    best = (
+        sup.groupBy("partkey")
+        .agg(F.max("s_acctbal").alias("best_bal"))
+        .withColumnRenamed("partkey", "best_partkey")  # break self-lineage ambiguity
+    )
+    return (
+        part.join(sup, part.p_partkey == sup.partkey)
+        .join(
+            best,
+            (F.col("partkey") == F.col("best_partkey"))
+            & (F.col("s_acctbal") == F.col("best_bal")),
+        )
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
