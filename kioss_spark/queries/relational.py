@@ -979,8 +979,10 @@ def rollup_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # TPC-H breadth, wave 2 (round 2): the remaining classic plan shapes that
-# this testdata's schema supports (no partsupp table -> q2/q9/q11/q16/q20
-# are out of reach; no l_shipmode/l_commitdate -> q12/q21). Each query here
+# this testdata's schema supports (no partsupp table -> LITERAL
+# q2/q9/q11/q16/q20 are out of reach; no l_shipmode/l_commitdate ->
+# q12/q21 — wave 3 below adds ADAPTED analogs preserving each blocked
+# literal's plan shape with available columns). Each query here
 # exists because its PHYSICAL shape is distinct — role-playing dim joins,
 # conditional-aggregate ratios, scalar-subquery thresholds, disjunctive
 # pushdown, correlated per-key averages, anti-join + global scalar.

@@ -435,6 +435,53 @@ class SStream:
         )
         return self._derive(df, f"session_agg(gap={gsecs}s)")
 
+    def join_stream(
+        self,
+        other: "SStream",
+        keys,
+        within,
+        event_time: str = "timestamp",
+        how: str = "inner",
+        suffix: str = "_r",
+    ) -> "SStream":
+        """Stream-stream equi-join bounded by an event-time range: left and
+        right rows pair when their ``keys`` match AND the right event lands
+        within ``[t_left - within, t_left + within]``. The time-range
+        predicate is MANDATORY state hygiene, not decoration — it is what
+        lets Structured Streaming evict buffered rows once the watermark
+        passes (an unconstrained stream-stream join buffers both streams
+        forever). Both sides get a watermark of ``2 x within`` (late bound
+        + join range, the standard sizing); right-side columns are
+        suffixed to avoid collisions. State per side is O(rows within the
+        watermark horizon), independent of stream length — the funnel/
+        correlation join (click ⋈ purchase, request ⋈ response) at any
+        scale. ``how`` supports inner and the outer forms Structured
+        Streaming allows (leftOuter/rightOuter/fullOuter emit unmatched
+        rows only after the watermark closes their window)."""
+        secs = int(_seconds(within))
+        klist = [keys] if isinstance(keys, str) else list(keys)
+        lt, rt = event_time, event_time + suffix
+        left = self._df.withWatermark(event_time, f"{2 * secs} seconds")
+        right = other._df
+        for c in right.columns:
+            if c in klist:
+                continue
+            right = right.withColumnRenamed(c, c + suffix)
+        right = right.withWatermark(rt, f"{2 * secs} seconds")
+        cond = None
+        for k in klist:
+            c = left[k] == right[k]
+            cond = c if cond is None else (cond & c)
+        cond = cond & right[rt].between(
+            left[lt] - F.expr(f"INTERVAL {secs} SECONDS"),
+            left[lt] + F.expr(f"INTERVAL {secs} SECONDS"),
+        )
+        joined = left.join(right, cond, how)
+        # drop the duplicated key columns from the right side post-join
+        for k in klist:
+            joined = joined.drop(right[k])
+        return self._derive(joined, f"join_stream(within={secs}s, {how})")
+
     def distinct_count_approx(
         self,
         value,

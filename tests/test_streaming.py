@@ -350,3 +350,29 @@ def test_distinct_count_approx_windowed(spark, tmp_path):
         "2024-01-01T00:00:00": 2,
         "2024-01-01T00:01:00": 1,
     }, got
+
+
+def test_join_stream_within_interval(spark, tmp_path):
+    # clicks join purchases per user when the purchase lands within 60s of
+    # the click; u1's purchase at +30s matches, u2's at +300s does not
+    lsrc, rsrc = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks = [("2024-01-01 00:00:00", "u1", "c1"), ("2024-01-01 00:10:00", "u2", "c2")]
+    buys = [("2024-01-01 00:00:30", "u1", "p1"), ("2024-01-01 00:15:00", "u2", "p2")]
+    spark.createDataFrame(clicks, "ts string, user string, click_id string").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "user", "click_id"
+    ).write.mode("overwrite").parquet(lsrc)
+    spark.createDataFrame(buys, "ts string, user string, buy_id string").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "user", "buy_id"
+    ).write.mode("overwrite").parquet(rsrc)
+    schema_l = "timestamp timestamp, user string, click_id string"
+    schema_r = "timestamp timestamp, user string, buy_id string"
+    s = SStream.files(spark, lsrc, schema=schema_l).join_stream(
+        SStream.files(spark, rsrc, schema=schema_r), keys="user", within=60
+    )
+    q = s.to_memory("t_ssjoin", output_mode="append")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user, click_id, buy_id_r FROM t_ssjoin").collect()
+    finally:
+        q.stop()
+    assert [(r["user"], r["click_id"], r["buy_id_r"]) for r in rows] == [("u1", "c1", "p1")]
