@@ -14,6 +14,9 @@ Submodules:
 - ``contamination`` — benchmark n-gram decontamination (broadcast semi-join)
 - ``privacy`` — PII scan/redaction (JVM regex, zero-shuffle)
 - ``rangejoin`` — chunked interval join (equi-join on overlap chunks)
+- ``sketch`` — mergeable sketches: KMV distinct-count (oracle-exact),
+  theta set algebra, two-level HLL rollup, KLL quantiles
+- ``timeseries`` — dense-grid gap-fill + LOCF regularization
 """
 
 from kioss_spark.operators import (  # noqa: F401
@@ -25,6 +28,8 @@ from kioss_spark.operators import (  # noqa: F401
     privacy,
     rangejoin,
     similarity,
+    sketch,
     skew,
     text,
+    timeseries,
 )
