@@ -413,3 +413,24 @@ def semantic_dup_pairs(
         )
     )
     return pairs.where(F.col("cosine_e5") >= int(threshold * 100000))
+
+
+def quantize_int8(
+    vectors: DataFrame, vec_col: str = "v", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for embedding storage:
+    scale = max(|v_i|), q_i = round(v_i / scale * 127) — the 4x storage /
+    bandwidth reduction every vector store applies before ANN serving
+    (dequantize as q_i * scale / 127; cosine on int8 is exact enough for
+    candidate generation, rescore survivors in float). Returns
+    (id, scale, q array<int>). Zero vectors quantize to zeros with
+    scale 0. Pure column algebra — narrow, zero shuffle, partitioned
+    exactly like the input scan at any corpus size."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale * 127).cast("int"))
+    )
+    return vectors.select(
+        F.col(id_col), scale.alias("scale"), q.alias("q")
+    )

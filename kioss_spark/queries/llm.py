@@ -1974,3 +1974,31 @@ def quality_unigram_icf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0)).cast("long").alias("icf_mean_e6"),
         F.coalesce("sum_wt", F.lit(0)).alias("icf_sum_e6"),
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(v, x -> 0)
+                ELSE list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER))
+           END AS q
+    FROM s
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (operators.similarity.quantize_int8):
+    symmetric max-abs per-vector scaling to int8 codes — the storage
+    format the ANN family would serve from at corpus scale. The oracle
+    checks every code of every vector (the scale is a read+abs+max with
+    no accumulation, so the division inputs are bit-identical on both
+    engines; round half-away ties match Spark's HALF_UP on the same
+    doubles)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return similarity.quantize_int8(e)

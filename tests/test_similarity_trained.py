@@ -88,3 +88,19 @@ def test_semantic_dup_pairs_within_cell_only(spark):
     tight = S.semantic_dup_pairs(c, threshold=0.99, n_centroids=4).collect()
     assert len(tight) <= len(out)
     assert all(r["cosine_e5"] >= 99000 for r in tight)
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    c = _corpus(spark)
+    out = S.quantize_int8(c).collect()
+    vecs = {r["vec_id"]: r["v"] for r in c.collect()}
+    for r in out:
+        v = vecs[r["vec_id"]]
+        assert all(-127 <= x <= 127 for x in r["q"])
+        if r["scale"] == 0:
+            assert all(x == 0 for x in r["q"])
+            continue
+        # dequantized reconstruction error <= half a quantization step
+        step = r["scale"] / 127
+        for orig, code in zip(v, r["q"]):
+            assert abs(orig - code * step) <= step / 2 + 1e-12
