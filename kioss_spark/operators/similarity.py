@@ -434,3 +434,69 @@ def quantize_int8(
     return vectors.select(
         F.col(id_col), scale.alias("scale"), q.alias("q")
     )
+
+
+def _dequant(q: Column, scale: Column) -> Column:
+    """Dequantize int8 codes: dq_i = q_i * scale / 127 (per-element, no
+    accumulation — bit-identical on both engines)."""
+    return F.transform(q, lambda x: x.cast("double") * scale / 127)
+
+
+def ivf_topk_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """The ANN SERVING path: trained-IVF candidate generation, scoring on
+    DEQUANTIZED int8 codes (what a vector store holds in memory — 4x the
+    corpus per node vs float32), exact float rescore carried alongside.
+    Returns (query_id, cand_id, score_int8_e5, score_exact_e5, rnk) —
+    ranked by the int8 score, with the float score exposing the
+    quantization error the serving tier accepts.
+
+    Composition of the existing pieces: train_ivf centroids (literal-
+    folded assignment, zero shuffle), quantize_int8 codes, cell equi-join
+    with broadcast query side, per-query rank window. Deterministic
+    end-to-end (codes, scales, and both scores), so the oracle reproduces
+    the full serving pipeline including its approximation error.
+    """
+    cents = train_ivf(corpus, n_centroids=n_centroids, iters=0)
+    vv = F.col("__vv__")
+
+    def with_codes(df):
+        qz = quantize_int8(df, vec_col="v", id_col="vec_id").withColumnRenamed(
+            "vec_id", "__qid__"
+        )
+        return df.join(qz, df["vec_id"] == qz["__qid__"]).drop("__qid__")
+
+    cc = (
+        with_codes(corpus)
+        .withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+        .withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
+        .drop("__vv__")
+    )
+    qpre = with_codes(queries).withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+    qc = qpre.select(
+        "vec_id", "v", "nv", "scale", "q",
+        F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe, vv=vv)).alias("cell"),
+    )
+    dq_q = _dequant(F.col("q.q"), F.col("q.scale"))
+    dq_c = _dequant(F.col("c.q"), F.col("c.scale"))
+    scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("cand_id"),
+        F.floor(
+            _dot(dq_q, dq_c)
+            / (F.sqrt(_dot(dq_q, dq_q)) * F.sqrt(_dot(dq_c, dq_c)))
+            * 100000
+        ).cast("long").alias("score_int8_e5"),
+        F.floor(
+            _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nv") * F.col("c.nv")) * 100000
+        ).cast("long").alias("score_exact_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_int8_e5").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

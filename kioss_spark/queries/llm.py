@@ -2002,3 +2002,68 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return similarity.quantize_int8(e)
+
+
+_SQL_DQ = "list_transform({t}.q8, c -> CAST(c AS DOUBLE) * {t}.scale / 127)"
+
+
+@register(
+    "ann_int8_rescore",
+    oracle=_ANN_BASE
+    + f""",
+    cent AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, cv
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h,
+                     vec_id, v AS cv
+              FROM c)
+        ORDER BY h, vec_id LIMIT 16
+    ),
+    cz AS (SELECT *, list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER)) AS q8
+           FROM (SELECT *, list_max(list_transform(v, x -> abs(x))) AS scale FROM c)),
+    qz AS (SELECT *, list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER)) AS q8
+           FROM (SELECT *, list_max(list_transform(v, x -> abs(x))) AS scale FROM q)),
+    ca AS (SELECT t.*, cent.cid, {_D2.format(t='t')} AS d2
+           FROM cz t CROSS JOIN cent),
+    cbest AS (SELECT * EXCLUDE (cid, d2, rn), cid AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM ca)
+              WHERE rn = 1),
+    qa AS (SELECT t.*, cent.cid, {_D2.format(t='t')} AS d2
+           FROM qz t CROSS JOIN cent),
+    qprobe AS (SELECT * EXCLUDE (cid, d2, rn), cid AS cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cid) AS rn FROM qa)
+               WHERE rn <= 3),
+    s AS (
+        SELECT qprobe.vec_id AS query_id, cbest.vec_id AS cand_id,
+               CAST(floor(list_dot_product({_SQL_DQ.format(t='qprobe')},
+                                           {_SQL_DQ.format(t='cbest')})
+                          / (sqrt(list_dot_product({_SQL_DQ.format(t='qprobe')},
+                                                   {_SQL_DQ.format(t='qprobe')}))
+                             * sqrt(list_dot_product({_SQL_DQ.format(t='cbest')},
+                                                     {_SQL_DQ.format(t='cbest')})))
+                          * 100000) AS BIGINT) AS score_int8_e5,
+               CAST(floor(list_dot_product(qprobe.v, cbest.v)
+                          / (qprobe.nv * cbest.nv) * 100000) AS BIGINT)
+                   AS score_exact_e5
+        FROM cbest JOIN qprobe ON cbest.cell = qprobe.cell
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_int8_e5 DESC, cand_id) AS rnk
+          FROM s)
+    SELECT query_id, cand_id, score_int8_e5, score_exact_e5, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving path (operators.similarity.ivf_topk_int8): trained-IVF
+    candidates (16 Forgy cells, query nprobe=3) scored on DEQUANTIZED
+    int8 codes — the memory format a 100 TB vector tier actually serves
+    from — ranked by the int8 score with the exact float score alongside
+    (the rescore column quantifies the accepted quantization error per
+    result). Deterministic end-to-end, so the oracle verifies codes,
+    both scores, and the final ranking."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.ivf_topk_int8(q, c, k=5, n_centroids=16, nprobe=3)
