@@ -2067,3 +2067,72 @@ def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = nn.where(F.col("vec_id") < 16)
     c = nn.where(F.col("vec_id") >= 16)
     return similarity.ivf_topk_int8(q, c, k=5, n_centroids=16, nprobe=3)
+
+
+@register(
+    "profile_dup_rate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    dup_docs AS (SELECT DISTINCT doc_id FROM
+                 (SELECT doc_a AS doc_id FROM pairs
+                  UNION ALL SELECT doc_b FROM pairs)),
+    per AS (SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs
+            FROM documents d LEFT JOIN dup_docs dd ON d.doc_id = dd.doc_id
+            GROUP BY 1)
+    SELECT source, n_docs, n_dup_docs,
+           CAST(floor(n_dup_docs * 1000000 / n_docs) AS BIGINT) AS dup_rate_e6
+    FROM per
+    """,
+)
+def profile_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-rate profile — the corpus-health metric a
+    curation run reports before and after dedup: for each ingest source,
+    how many documents participate in at least one exact-Jaccard near-dup
+    pair (J >= 0.5, the same lossless PPJoin machinery as
+    dedup_jaccard_pairs) and the resulting rate. A source with an
+    outsized dup rate is a crawler/feed bug surfacing as wasted tokens.
+
+    Scale plan: rides the PPJoin pair generation unchanged (keyed prefix
+    joins, candidate-only verification), then one distinct-projection of
+    pair endpoints, a doc-keyed membership left join, and a source-keyed
+    rollup — nothing new shuffles wider than the pair stage itself."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup__", F.lit(1))
+    )
+    per = (
+        docs.select("doc_id", "source")
+        .join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("__dup__", F.lit(0))).cast("long").alias("n_dup_docs"),
+        )
+    )
+    return per.select(
+        "source", "n_docs", "n_dup_docs",
+        F.floor(F.col("n_dup_docs") * 1000000 / F.col("n_docs"))
+        .cast("long").alias("dup_rate_e6"),
+    )
