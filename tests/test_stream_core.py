@@ -418,3 +418,18 @@ def test_binaryfiles_source_with_glob(spark, tmp_path):
     assert all(r["length"] == len(bytes(r["content"])) for r in all_rows)
     png = Stream.read_binaryfiles(spark, str(d), glob="*.png").to_df().collect()
     assert len(png) == 1 and bytes(png[0]["content"]) == b"\x89PNG-ish-bytes"
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    # a filter on the partition column must become a PartitionFilter (prunes
+    # directories at listing time), not a post-scan Filter — the layout lever
+    # write_parquet(partition_by=...) exists for
+    base = str(tmp_path / "part")
+    Stream.range(spark, 100).map(
+        value=F.col("value"), bucket=(F.col("value") % 10)
+    ).write_parquet(base, partition_by="bucket")
+    df = spark.read.parquet(base).where(F.col("bucket") == 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert df.count() == 10
