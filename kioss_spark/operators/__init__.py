@@ -14,6 +14,7 @@ Submodules:
 - ``contamination`` — benchmark n-gram decontamination (broadcast semi-join)
 - ``privacy`` — PII scan/redaction (JVM regex, zero-shuffle)
 - ``rangejoin`` — chunked interval join (equi-join on overlap chunks)
+- ``fuzzy`` — FastSS deletion-neighborhood edit-distance joins
 - ``sketch`` — mergeable sketches: KMV distinct-count (oracle-exact),
   theta set algebra, two-level HLL rollup, KLL quantiles
 - ``timeseries`` — dense-grid gap-fill + LOCF regularization
@@ -24,6 +25,7 @@ from kioss_spark.operators import (  # noqa: F401
     contamination,
     curation,
     dedup,
+    fuzzy,
     multimodal,
     privacy,
     rangejoin,

@@ -2037,3 +2037,28 @@ def q2_best_supplier_adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s_acctbal", 2).alias("s_acctbal"),
         )
     )
+
+
+@register(
+    "fuzzy_part_names",
+    oracle="""
+    WITH v AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM v a JOIN v b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 1
+    """,
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance<=1 fuzzy join over the part-name vocabulary
+    (operators.fuzzy.ed1_pairs, FastSS deletion neighborhoods): candidate
+    pairs come from a variant-keyed equi-join — never a quadratic name
+    product — and exact levenshtein verifies candidates only. The oracle
+    is deliberately the brute-force quadratic form: the deletion-1 scheme
+    is COMPLETE for ed<=1, so matching the brute-force output verifies
+    completeness, not just precision (same values, different plan — the
+    mix_weighted_order discipline)."""
+    from kioss_spark.operators.fuzzy import ed1_pairs
+
+    part = t(spark, sf_dir, "part")
+    return ed1_pairs(part, col="p_name", verify_max=1)
