@@ -69,11 +69,20 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 
+#: queries whose only hard driver verdict is from round 2 (VERDICT.md r3
+#: "4 had one in r2") — ordered AFTER the never-driver-checked set so the
+#: 50-entry driver snapshot prioritizes queries with no verdict in any round
+_DRIVER_VERIFIED_R2 = frozenset(
+    {"dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_keep", "ann_cosine_topk"}
+)
+
+
 def load_all() -> dict[str, QueryDef]:
     """Import every query module (side effect: fills REGISTRY).
 
-    Returns the registry reordered so driver-unverified queries come first
-    (the driver's correctness snapshot samples the first 50 entries).
+    Returns the registry reordered: never-driver-checked queries first,
+    then round-2-verified, then round-3-verified (the driver's correctness
+    snapshot samples the first 50 entries).
     """
     from kioss_spark.queries import relational  # noqa: F401
 
@@ -81,6 +90,11 @@ def load_all() -> dict[str, QueryDef]:
         from kioss_spark.queries import llm  # noqa: F401
     except ImportError:  # pragma: no cover - built incrementally
         pass
-    unverified = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_VERIFIED}
-    verified = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED}
-    return {**unverified, **verified}
+    never = {
+        k: v
+        for k, v in REGISTRY.items()
+        if k not in _DRIVER_VERIFIED and k not in _DRIVER_VERIFIED_R2
+    }
+    r2 = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED_R2}
+    r3 = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED}
+    return {**never, **r2, **r3}
