@@ -69,6 +69,10 @@ HEADLINE = [
     # adapted TPC-H analogs (the q9 shape is the heaviest: 5-table profit rollup)
     "q9_profit_adapted",
     "q16_supplier_variety_adapted",
+    # serving-path + entity-resolution + corpus-health additions
+    "ann_int8_rescore",
+    "fuzzy_part_names",
+    "profile_dup_rate",
 ]
 
 
