@@ -2062,3 +2062,53 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = t(spark, sf_dir, "part")
     return ed1_pairs(part, col="p_name", verify_max=1)
+
+
+@register(
+    "rolling_7d_user_value",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+                       CAST(round(value * 100) AS BIGINT) AS v_e2
+                FROM events)
+    SELECT event_id, user_id, t_s,
+           CAST(sum(v_e2) OVER (
+               PARTITION BY user_id ORDER BY t_s
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sum_7d_e2,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY t_s
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_7d
+    FROM ev
+    """,
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling aggregate per user at event grain — the
+    time-RANGE window frame (rangeBetween over epoch seconds) none of the
+    other window queries exercise: running_total is cumulative rows,
+    rollup buckets are tumbling; this is the sliding time frame a
+    monitoring/feature pipeline computes (trailing spend, trailing event
+    count). Keyed by user — never a global window; ties in t_s share the
+    frame on both engines because RANGE (not ROWS) semantics include all
+    peer rows. Values are integerized (epoch seconds, cents) so the
+    windowed sums are order-independent and engine-exact."""
+    from kioss_spark.functions.timeutil import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(epoch_us("ts") / F.lit(1_000_000)).cast("long").alias("t_s"),
+        F.round(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_s")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return base.select(
+        "event_id", "user_id", "t_s",
+        F.sum("v_e2").over(w).cast("long").alias("sum_7d_e2"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+    )
