@@ -2112,3 +2112,40 @@ def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_e2").over(w).cast("long").alias("sum_7d_e2"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
     )
+
+
+@register(
+    "cube_status_segment",
+    oracle="""
+    SELECT o_orderstatus, c_mktsegment,
+           CAST(GROUPING(o_orderstatus, c_mktsegment) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_e2
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY CUBE (o_orderstatus, c_mktsegment)
+    """,
+)
+def cube_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping_id — the full grouping-sets lattice
+    (status x segment, status-only, segment-only, grand total in one
+    pass), completing the multi-level-aggregate family next to
+    rollup_order_counts' hierarchy form. Spark expands the cube map-side
+    and partially aggregates before the single keyed shuffle; gid is the
+    standard bitmask (1 bit per aggregated-away column) and identical
+    across engines. Price totals are integerized cents so every lattice
+    cell is order-independent and engine-exact."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_e2"),
+        )
+        .select("o_orderstatus", "c_mktsegment", "gid", "n_orders", "sum_price_e2")
+    )
