@@ -2149,3 +2149,42 @@ def cube_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "c_mktsegment", "gid", "n_orders", "sum_price_e2")
     )
+
+
+@register(
+    "json_props_stats",
+    oracle="""
+    WITH p AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM p GROUP BY 1
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the JSON ``props`` payload parsed with a
+    DECLARED schema (``from_json`` — single parse per row, typed columns,
+    malformed/missing keys become NULLs that aggregate correctly) and
+    rolled up per event type. The schema-declared form is the 100 TB
+    discipline: ``get_json_object`` per key re-parses the document per
+    extraction, and schema inference would need an extra pass; from_json
+    parses once into a struct the optimizer can prune. One keyed agg with
+    map-side combine."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
