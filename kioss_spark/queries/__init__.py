@@ -40,10 +40,12 @@ def register(name: str, oracle: Optional[str]):
 # driver only samples the first 50 ``load_all()`` entries per round, so we
 # rotate: anything WITHOUT a hard driver verdict yet (the r3 tail plus any
 # newly added query) is ordered first; the already-verified set follows.
-# ROUND-5 TODO: replace this set with the CORRECTNESS_r04 names so the
-# remaining never-driver-checked queries rotate into the window; with r3+r4
-# combined, every registered query will then have at least one hard driver
-# verdict (local parity evidence for all 86: CHECK_LOCAL_r04.txt).
+# ROUND-5 TODO: merge the CORRECTNESS_r04 names into these sets; the 50
+# never-driver-checked queries exactly fill round 4's snapshot window, so
+# with r2+r3+r4 combined every registered query (104) will then have at
+# least one hard driver verdict (local parity evidence for all 104:
+# CHECK_LOCAL_r04.txt). Do NOT register new queries without rotating —
+# the never-checked tier is at exactly 50/50 window capacity.
 _DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "rollup_order_counts", "pivot_status_revenue",
