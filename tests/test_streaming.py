@@ -376,3 +376,77 @@ def test_join_stream_within_interval(spark, tmp_path):
     finally:
         q.stop()
     assert [(r["user"], r["click_id"], r["buy_id_r"]) for r in rows] == [("u1", "c1", "p1")]
+
+
+def test_join_stream_left_outer_emits_unmatched(spark, tmp_path):
+    # leftOuter: u2's click has no purchase within 60s -> emitted with NULL
+    # right side once the watermark passes (processAllAvailable + an extra
+    # batch closes the window for file sources with no more data... file
+    # sources advance watermark only on new data, so feed a late row)
+    lsrc, rsrc = str(tmp_path / "lclicks"), str(tmp_path / "lbuys")
+    clicks = [("2024-01-01 00:00:00", "u1", "c1"), ("2024-01-01 00:10:00", "u2", "c2")]
+    buys = [("2024-01-01 00:00:30", "u1", "p1")]
+
+    def _write(rows, schema, path, mode):
+        cols = [c.strip().split(" ")[0] for c in schema.split(",")][1:]
+        spark.createDataFrame(rows, "ts string, " + ", ".join(
+            f"{c} string" for c in cols
+        )).select(F.col("ts").cast("timestamp").alias("timestamp"), *cols).write.mode(
+            mode
+        ).parquet(path)
+
+    _write(clicks, "ts, user, click_id", lsrc, "overwrite")
+    _write(buys, "ts, user, buy_id", rsrc, "overwrite")
+    s = SStream.files(
+        spark, lsrc, schema="timestamp timestamp, user string, click_id string"
+    ).join_stream(
+        SStream.files(spark, rsrc, schema="timestamp timestamp, user string, buy_id string"),
+        keys="user", within=60, how="leftOuter",
+    )
+    q = s.to_memory("t_ssjoin_lo", output_mode="append")
+    try:
+        q.processAllAvailable()
+        # outer results emit only after the watermark passes the unmatched
+        # row's join window AND a subsequent batch evaluates with it —
+        # feed much-later rows to both sides, twice (watermark update at
+        # batch N is used by batch N+1)
+        for ts in ("2024-01-01 01:00:00", "2024-01-01 02:00:00"):
+            _write([(ts, "u9", "cx")], "ts, user, click_id", lsrc, "append")
+            _write([(ts, "u9", "px")], "ts, user, buy_id", rsrc, "append")
+            q.processAllAvailable()
+        rows = {
+            (r["user"], r["click_id"], r["buy_id_r"])
+            for r in spark.sql("SELECT user, click_id, buy_id_r FROM t_ssjoin_lo").collect()
+        }
+    finally:
+        q.stop()
+    assert ("u1", "c1", "p1") in rows
+    # u2 unmatched row appears with NULL right side (left-outer contract)
+    assert ("u2", "c2", None) in rows
+
+
+def test_distinct_count_approx_keyed(spark, tmp_path):
+    src = str(tmp_path / "hll_keyed")
+    rows = [
+        ("2024-01-01 00:00:05", "a", "x"),
+        ("2024-01-01 00:00:10", "a", "y"),
+        ("2024-01-01 00:00:20", "b", "x"),
+        ("2024-01-01 00:00:25", "b", "x"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, g string, v string").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "g", "v"
+    )
+    df.write.mode("overwrite").parquet(src)
+    s = SStream.files(
+        spark, src, schema="timestamp timestamp, g string, v string"
+    ).distinct_count_approx("v", 60, keys=("g",))
+    q = s.to_memory("t_hll_k", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = {
+            r["g"]: r["est_distinct"]
+            for r in spark.sql("SELECT g, est_distinct FROM t_hll_k").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {"a": 2, "b": 1}
