@@ -161,3 +161,38 @@ def test_kll_exact_regime_is_order_statistic(spark, xs):
     for q, col in ((0.5, "q_50"), (0.9, "q_90")):
         want = srt[max(0, math.ceil(q * len(srt)) - 1)]
         assert r[col] == want, (xs, q, r[col], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 12), st.integers(-5, 5)),
+        min_size=1, max_size=15, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_gapfill_locf_matches_python_model(spark, obs):
+    """Random sparse per-key series: the dense grid, zero-fill, LOCF, and
+    gap flags must match a direct Python model."""
+    from kioss_spark.operators.timeseries import gapfill_locf
+
+    rows = [(f"k{k}", b * 10, 1, v) for k, b, v in obs]
+    df = spark.createDataFrame(rows, "g string, bucket long, n long, x long")
+    out = {
+        (r["g"], r["bucket"]): (r["n"], r["x"], r["is_gap"])
+        for r in gapfill_locf(
+            df, keys=["g"], step=10, zero_cols=["n"], locf_cols=["x"]
+        ).collect()
+    }
+    model = {}
+    by_key = {}
+    for g, b, _, x in [(f"k{k}", b * 10, 1, v) for k, b, v in obs]:
+        by_key.setdefault(g, {})[b] = x
+    for g, series in by_key.items():
+        last = None
+        for b in range(min(series), max(series) + 1, 10):
+            if b in series:
+                last = series[b]
+                model[(g, b)] = (1, last, False)
+            else:
+                model[(g, b)] = (0, last, True)
+    assert out == model
