@@ -20,7 +20,7 @@ import hashlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -256,3 +256,38 @@ def _make_probe_png() -> bytes:
 
 
 _PROBE_PNG = _make_probe_png()
+
+
+def scene_cuts(frames: DataFrame, cut_hamming: int = 20) -> DataFrame:
+    """Scene-cut detection over sampled frame fingerprints (the output of
+    ``frame_sample``): derive a 60-bit signature per frame from its md5,
+    mark a cut wherever the Hamming distance to the PREVIOUS kept frame
+    is >= ``cut_hamming`` (identical/near-identical frames hash close to
+    0 apart only when equal — md5 is not locality-sensitive, so this is
+    the exact-change detector appropriate for fingerprints; a real
+    perceptual pipeline would swap in a pHash signature with the same
+    plumbing), and number scenes per video with a running sum of cuts.
+
+    Pure column algebra over the frame stream: one keyed lag window +
+    one keyed running sum (both partitioned by doc), no Python — the
+    shot-segmentation step a video curation pipeline runs after frame
+    decode, at any corpus size. Returns (doc_id, frame_idx, hamming_prev,
+    is_cut, scene_id)."""
+    sig = F.conv(F.substring("frame_md5", 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    with_sig = frames.withColumn("__sig__", sig).withColumn(
+        "__prev__", F.lag("__sig__").over(w)
+    )
+    dist = F.bit_count(F.col("__sig__").bitwiseXOR(F.col("__prev__")))
+    flagged = with_sig.select(
+        "doc_id",
+        "frame_idx",
+        F.coalesce(dist, F.lit(-1)).cast("long").alias("hamming_prev"),
+        (F.col("__prev__").isNull() | (dist >= cut_hamming)).alias("is_cut"),
+    )
+    scene = F.sum(F.col("is_cut").cast("long")).over(
+        Window.partitionBy("doc_id").orderBy("frame_idx").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return flagged.withColumn("scene_id", (scene - 1).cast("long"))

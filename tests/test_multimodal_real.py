@@ -63,3 +63,32 @@ def test_image_meta_real_fails_fast_without_pil(spark):
     )
     with pytest.raises(NotImplementedError):
         M.image_meta_real(docs)  # plan build, before any job
+
+
+def test_scene_cuts_segments_on_frame_change(spark):
+    from kioss_spark.operators.multimodal import frame_sample, scene_cuts
+
+    # 3 identical 48-char "frames" of A, then 2 of B, then 1 of C:
+    # scene boundaries exactly at the A->B and B->C transitions
+    text = "A" * 144 + "B" * 96 + "C" * 48
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    frames = frame_sample(docs, frame_chars=48, stride=1)
+    out = sorted(
+        (r["frame_idx"], r["is_cut"], r["scene_id"])
+        for r in scene_cuts(frames, cut_hamming=1).collect()
+    )
+    assert out == [
+        (0, True, 0), (1, False, 0), (2, False, 0),
+        (3, True, 1), (4, False, 1),
+        (5, True, 2),
+    ], out
+
+
+def test_scene_cuts_single_scene_when_static(spark):
+    from kioss_spark.operators.multimodal import frame_sample, scene_cuts
+
+    docs = spark.createDataFrame([(7, "Z" * 480)], "doc_id long, text string")
+    frames = frame_sample(docs, frame_chars=48, stride=1)
+    rows = scene_cuts(frames, cut_hamming=1).collect()
+    assert all(r["scene_id"] == 0 for r in rows)
+    assert sum(r["is_cut"] for r in rows) == 1  # only the opening frame
