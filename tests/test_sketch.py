@@ -114,3 +114,15 @@ def test_kll_bounded_error_above_k(spark):
 
     r = kll_quantiles(df, F.col("x"), by=["g"], quantiles=(0.5,), k=256).collect()[0]
     assert abs(r["q_50"] - n // 2) / n < 0.02
+
+
+def test_theta_union_agg_global_rollup(spark):
+    # per-group theta sketches merged with theta_union_agg == global
+    # distinct (exact regime) — the re-profile-without-rescan path
+    rows = [(f"g{i % 4}", str(i % 53)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    sk = df.groupBy("g").agg(F.theta_sketch_agg("v").alias("sk"))
+    est = sk.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).cast("long").alias("n")
+    ).collect()[0]["n"]
+    assert est == 53
