@@ -15,6 +15,8 @@ Submodules:
 - ``privacy`` — PII scan/redaction (JVM regex, zero-shuffle)
 - ``rangejoin`` — chunked interval join (equi-join on overlap chunks)
 - ``fuzzy`` — FastSS deletion-neighborhood edit-distance joins
+- ``bpe`` — BPE tokenizer-merge training (one corpus scan, then
+  vocabulary-table iterations)
 - ``sketch`` — mergeable sketches: KMV distinct-count (oracle-exact),
   theta set algebra, two-level HLL rollup, KLL quantiles
 - ``timeseries`` — dense-grid gap-fill + LOCF regularization
@@ -22,6 +24,7 @@ Submodules:
 
 from kioss_spark.operators import (  # noqa: F401
     asof,
+    bpe,
     contamination,
     curation,
     dedup,
