@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 
 from kioss_spark.operators.text import tokens
 
-__all__ = ["word_counts", "train_bpe", "segment_word"]
+__all__ = ["word_counts", "train_bpe", "segment_word", "apply_bpe"]
 
 _VOCAB_SCHEMA = T.StructType(
     [
@@ -134,3 +134,44 @@ def segment_word(word: str, merges: List[Tuple[str, str]]) -> List[str]:
                 i += 1
         syms = out
     return syms
+
+
+_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_words", T.LongType()),
+        T.StructField("n_subwords", T.LongType()),
+    ]
+)
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed application of a learned merge list: per document,
+    whitespace words segmented by the merges, reporting word and subword
+    counts — the token-accounting pass a training run does with its real
+    tokenizer. The merge list is tiny and ships inside the Arrow task
+    closure (the broadcast pattern); the pass is a single narrow
+    mapInPandas over the corpus — one scan, zero shuffles."""
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nw, ns = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").split(" ") if w]
+                total = 0
+                for w in words:
+                    total += len(segment_word(w, merges))
+                ids.append(doc_id)
+                nw.append(len(words))
+                ns.append(total)
+            yield pd.DataFrame({"doc_id": ids, "n_words": nw, "n_subwords": ns})
+
+    return src.mapInPandas(seg, schema=_SEG_SCHEMA)

@@ -70,3 +70,19 @@ def test_word_counts_single_scan_shape(spark):
     docs = spark.createDataFrame([("a a b",), ("b c",)], ["text"])
     got = {r["w"]: r["tf"] for r in word_counts(docs).collect()}
     assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_apply_bpe_counts(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    merges = train_bpe(docs, n_merges=8)
+    from kioss_spark.operators.bpe import apply_bpe
+
+    got = {r["doc_id"]: (r["n_words"], r["n_subwords"]) for r in apply_bpe(docs, merges).collect()}
+    for i, line in enumerate(CORPUS):
+        words = line.split()
+        want_sub = sum(len(segment_word(w, merges)) for w in words)
+        assert got[i] == (len(words), want_sub)
+    # merges compress: subwords strictly fewer than characters
+    assert all(ns < sum(len(w) for w in CORPUS[i].split()) for i, (_, ns) in got.items())
