@@ -73,13 +73,20 @@ def train_bpe(
     break lexicographically, so two runs (and a single-process reference
     implementation) agree exactly. Training is an action by design
     (like ``train_ivf`` — computed once, then broadcast/applied)."""
+    # vocabulary-sized — the one materialization of corpus-derived data.
+    # persist (not localCheckpoint): checkpoint RDDs outlive
+    # DataFrame.unpersist and would leak session cache; persisted frames
+    # release cleanly, and each iteration reads its cached parent so the
+    # corpus-sized word_counts job runs exactly once
+    from pyspark import StorageLevel
+
     vocab = word_counts(docs, text_col).select(
         "tf",
         F.transform(
             F.sequence(F.lit(1), F.length("w")),
             lambda i: F.substring(F.col("w"), i, F.lit(1)),
         ).alias("syms"),
-    ).localCheckpoint()  # vocabulary-sized — the one materialization
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     merges: List[Tuple[str, str]] = []
     for _ in range(n_merges):
         idx = F.when(
@@ -110,11 +117,13 @@ def train_bpe(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        new_vocab = vocab.mapInPandas(_merge_pass(a, b), schema=_VOCAB_SCHEMA)
-        new_vocab = new_vocab.localCheckpoint()
-        vocab.unpersist()
+        new_vocab = vocab.mapInPandas(_merge_pass(a, b), schema=_VOCAB_SCHEMA).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        new_vocab.count()  # materialize child before releasing parent
+        vocab.unpersist(blocking=True)
         vocab = new_vocab
-    vocab.unpersist()
+    vocab.unpersist(blocking=True)
     return merges
 
 
