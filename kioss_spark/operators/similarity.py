@@ -466,10 +466,15 @@ def ivf_topk_int8(
     vv = F.col("__vv__")
 
     def with_codes(df):
-        qz = quantize_int8(df, vec_col="v", id_col="vec_id").withColumnRenamed(
-            "vec_id", "__qid__"
+        # inline the quantization columns (same expressions as
+        # quantize_int8) — a join back on vec_id would add a shuffle for
+        # what is narrow per-row algebra
+        v = F.col("v")
+        scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+            F.transform(v, lambda x: F.round(x / scale * 127).cast("int"))
         )
-        return df.join(qz, df["vec_id"] == qz["__qid__"]).drop("__qid__")
+        return df.withColumn("scale", scale).withColumn("q", q)
 
     cc = (
         with_codes(corpus)
