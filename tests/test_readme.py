@@ -36,3 +36,19 @@ def test_readme_block_dedup_pipeline(spark):
     docs = ns["docs"]
     # dedup keeps cluster representatives: non-empty, no more than the corpus
     assert 0 < clean.count() <= docs.count()
+
+
+def test_readme_block_sketch_profiling(spark):
+    code = BLOCKS[2]
+    ns = {"sf_dir": SF, "load_table": None}
+    from kioss_spark.sources import load_table
+
+    ns["load_table"] = load_table
+    ns["spark"] = spark
+    exec(compile(code, "README.md[2]", "exec"), ns)
+    prof = {r["lang"]: r for r in ns["length_profile"].collect()}
+    assert prof and all(
+        r["q_50"] <= r["q_90"] <= r["q_99"] for r in prof.values()
+    )
+    ov = ns["overlap"].collect()
+    assert ov and all(r["n_intersect"] <= r["n_union"] for r in ov)
