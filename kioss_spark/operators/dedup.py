@@ -464,37 +464,67 @@ def connected_components(
     (neighbor min per node) exactly like GraphX/GraphFrames CC. Lineage is
     truncated per round with an eager localCheckpoint (an iterative
     algorithm re-plans from its previous materialized state; without the
-    cut, round k replays rounds 1..k-1). The convergence probe rides the
-    SAME job pattern: a changed-row existence check with an early-out
-    limit(1).
+    cut, round k replays rounds 1..k-1).
+
+    Scale shape (and why there are three extra moves around the loop):
+
+    - The symmetric edge list is **persisted once** before the loop. Its
+      lineage is the whole candidate-pair pipeline (PPJoin / LSH join);
+      every round joins against it, and without the persist each round
+      would re-execute that pipeline from the parquet scan up. Unpersisted
+      after the loop — the final labels are checkpointed, so nothing
+      downstream re-reads it.
+    - Only nodes that appear in an edge enter the loop. Everything else is
+      a singleton cluster by construction, and in a near-dup corpus that
+      is the overwhelming majority — at 100 TB the loop iterates over the
+      duplicate-pair node set (|pairs|-sized), not the corpus. Singletons
+      are stitched back with one left join at the end.
+    - The convergence probe carries the previous label as a column through
+      the checkpoint, so "did anything change?" is a limit(1) filter scan
+      of the just-materialized round — no extra join against the previous
+      round.
 
     Deterministic: integer ids, min-label — no floats anywhere.
     """
+    from pyspark import StorageLevel
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nlabel"))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        labels = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("label"))
         )
-        new = (
-            labels.join(nbr, labels["id"] == nbr["dst"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(labels, sym["src"] == labels["id"])
+                .groupBy("dst")
+                .agg(F.min("label").alias("nlabel"))
             )
-            .localCheckpoint(eager=True)
+            new = (
+                labels.join(nbr, labels["id"] == nbr["dst"], "left")
+                .select(
+                    "id",
+                    F.col("label").alias("old"),
+                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                        "label"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new.where(F.col("label") != F.col("old")).limit(1).count()
+            labels = new.select("id", "label")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("label", "id").alias("cluster_id"),
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    )
