@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from kioss_spark.operators.text import h60, shingles, tokens
 
-__all__ = ["ngram_overlap"]
+__all__ = ["ngram_overlap", "transitive_reach"]
 
 
 def ngram_overlap(
@@ -69,4 +69,65 @@ def ngram_overlap(
             F.count("__hit__").alias("n_overlap"),
         )
         .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+
+
+def transitive_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 2,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Min-hop BFS distance from a seed set through an undirected pair
+    graph: ``(id_col, hop)`` for every node within ``max_hops`` of a seed
+    (seeds themselves at hop 0).
+
+    Why it exists: contamination spreads transitively — a near-duplicate
+    of a benchmark-overlapping document carries the same leaked content
+    even if its own n-grams were perturbed past the direct filter. Serious
+    pipelines therefore drop the near-dup NEIGHBORHOOD of flagged docs,
+    not just the flagged docs (same reasoning for takedown/PII blast
+    radius). The reference has no graph surface at all.
+
+    Scale shape mirrors ``dedup.connected_components``: the symmetric edge
+    list is persisted once (its lineage is the candidate-pair pipeline —
+    each BFS level joins against it), each level is one keyed join +
+    distinct + anti-join against the already-reached set, and levels are
+    checkpointed so level k does not replay levels 1..k-1. The frontier
+    monotonically shrinks into the unreached set; with max_hops small
+    (2-3 in practice) this is a handful of |E|-bounded jobs. Early-out
+    when a frontier goes empty.
+    """
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        frontier = (
+            seeds.select(F.col(id_col).alias("id"))
+            .distinct()
+            .withColumn("hop", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        reached = frontier
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                sym.join(frontier, sym["src"] == frontier["id"])
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(reached.select("id"), "id", "left_anti")
+                .withColumn("hop", F.lit(hop))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            reached = reached.union(nxt)
+            frontier = nxt
+    finally:
+        sym.unpersist()
+    return reached.select(
+        F.col("id").alias(id_col), F.col("hop").cast("long").alias("hop")
     )

@@ -79,6 +79,16 @@ _DRIVER_VERIFIED_R2 = frozenset(
 )
 
 
+#: registered AFTER round 4's driver snapshot window filled (the 50
+#: never-driver-checked names exactly occupy it) — ordered right after that
+#: tier so they are next in line for a driver verdict in round 5; their
+#: round-4 evidence is the committed local hostile-tz parity sweep
+#: (CHECK_LOCAL_r04.txt).
+_LOCAL_EVIDENCE_R4 = frozenset(
+    {"dedup_substring_spans", "contamination_reach", "split_leakage_pairs"}
+)
+
+
 def load_all() -> dict[str, QueryDef]:
     """Import every query module (side effect: fills REGISTRY).
 
@@ -95,8 +105,11 @@ def load_all() -> dict[str, QueryDef]:
     never = {
         k: v
         for k, v in REGISTRY.items()
-        if k not in _DRIVER_VERIFIED and k not in _DRIVER_VERIFIED_R2
+        if k not in _DRIVER_VERIFIED
+        and k not in _DRIVER_VERIFIED_R2
+        and k not in _LOCAL_EVIDENCE_R4
     }
+    r4new = {k: v for k, v in REGISTRY.items() if k in _LOCAL_EVIDENCE_R4}
     r2 = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED_R2}
     r3 = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED}
-    return {**never, **r2, **r3}
+    return {**never, **r4new, **r2, **r3}

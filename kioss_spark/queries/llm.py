@@ -2136,3 +2136,174 @@ def profile_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_dup_docs") * 1000000 / F.col("n_docs"))
         .cast("long").alias("dup_rate_e6"),
     )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, p AS pos, array_to_string(t[p+1:p+8], ' ') AS gram
+          FROM toks, UNNEST(range(0, greatest(len(t)-7, 0))) u(p)),
+    dup AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+                              FROM g GROUP BY 1) WHERE nd >= 2),
+    fl AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    nw AS (SELECT doc_id, count(*) AS dup_windows FROM fl GROUP BY 1),
+    cov AS (SELECT doc_id, count(*) AS ncov FROM (
+                SELECT DISTINCT doc_id, cp
+                FROM fl, UNNEST(range(pos, pos + 8)) c(cp)) GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tok,
+           CAST(coalesce(nw.dup_windows, 0) AS BIGINT) AS dup_windows,
+           CAST(CASE WHEN len(t.t) > 0
+                THEN floor(coalesce(cov.ncov, 0) / len(t.t) * 1000000)
+                ELSE 0 END AS BIGINT) AS dup_cov_e6
+    FROM toks t LEFT JOIN nw USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (span) duplication scoring — Lee et al. 2022's
+    ExactSubstr dedup re-expressed relationally: flag every 8-token window
+    occurring verbatim in >= 2 documents, report per-doc flagged-window
+    count and the fraction of tokens covered by the union of flagged
+    spans. Catches boilerplate pasted into otherwise-distinct documents,
+    which whole-document Jaccard dedup misses entirely.
+
+    Scale plan (operators.dedup.substring_spans): the positional n-gram
+    stream is built narrow; exactly two gram-keyed shuffles (frequency
+    agg, dup-set join back); the span union is doc-local. Same asymptotics
+    as the suffix-array pipeline in the paper, as two keyed shuffles."""
+    return dedup.substring_spans(_docs(spark, sf_dir), n=8, min_docs=2)
+
+
+@register(
+    "contamination_reach",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, text, {SQL_TOKS} AS t FROM documents),
+    marked AS (SELECT doc_id, t, {sql_h60('text')} % 20 = 0 AS is_eval FROM toks),
+    evh AS (SELECT DISTINCT {sql_h60('x')} AS h
+            FROM (SELECT {SQL_SHINGLES6} AS s FROM marked WHERE is_eval), UNNEST(s) u(x)),
+    tr AS (SELECT doc_id, t FROM marked WHERE NOT is_eval),
+    seeds AS (SELECT DISTINCT doc_id
+              FROM (SELECT doc_id, {SQL_SHINGLES6} AS s FROM tr), UNNEST(s) u(x)
+              WHERE {sql_h60('x')} IN (SELECT h FROM evh)),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM tr),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(id, hop) AS (
+        SELECT doc_id, 0 FROM seeds
+        UNION
+        SELECT e.d, r.hop + 1 FROM reach r JOIN edges e ON e.s = r.id
+        WHERE r.hop < 2
+    )
+    SELECT id AS doc_id, CAST(min(hop) AS BIGINT) AS hop FROM reach GROUP BY 1
+    """,
+)
+def contamination_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive benchmark-contamination removal: direct 6-gram overlap
+    with the eval slice seeds a BFS through the near-dup (J >= 0.5) graph,
+    so near-duplicates of contaminated documents — which carry the leaked
+    content with perturbed n-grams — are flagged too (hop = graph distance,
+    0 = direct overlap). Production pipelines drop the whole neighborhood,
+    not just the directly-matching docs.
+
+    Scale plan: seeds ride the broadcast semi-join of decontaminate_eval
+    (the 100 TB train token stream is never shuffled); edges ride the
+    PPJoin pair machinery; the BFS (operators.contamination.transitive_reach)
+    persists the edge list once and runs max_hops keyed join+anti-join
+    levels over frontier-sized state with per-level checkpoints."""
+    from kioss_spark.operators.contamination import ngram_overlap, transitive_reach
+
+    docs = _docs(spark, sf_dir)
+    is_eval = F.pmod(h60(F.col("text")), F.lit(20)) == 0
+    train = docs.where(~is_eval)
+    seeds = (
+        ngram_overlap(train, docs.where(is_eval), n=6)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+    )
+    pairs = dedup.jaccard_pairs(train, threshold=0.5)
+    return transitive_reach(pairs, seeds, max_hops=2)
+
+
+@register(
+    "split_leakage_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                    AS BIGINT) AS jaccard_e6
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    sp AS (SELECT doc_id,
+                  CASE WHEN {sql_h60("text")} % 10000 < 9000 THEN 'train'
+                       WHEN {sql_h60("text")} % 10000 < 9500 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM documents)
+    SELECT p.doc_a, p.doc_b, p.jaccard_e6,
+           sa.split AS split_a, sb.split AS split_b,
+           sa.split != sb.split AS crosses
+    FROM pairs p
+    JOIN sp sa ON p.doc_a = sa.doc_id
+    JOIN sp sb ON p.doc_b = sb.doc_id
+    """,
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: near-dup pairs (J >= 0.5) labeled with
+    the content-hash split of each endpoint; ``crosses`` marks pairs that
+    straddle a split boundary — exactly the leakage that inflates eval
+    scores (Lewis et al. 2021 measured ~30% train/test overlap in open-QA
+    benchmarks). A clean pipeline dedups BEFORE splitting; this query is
+    the audit proving it (or quantifying the damage when it didn't).
+
+    Scale plan: rides the PPJoin pair stage; the split label is a narrow
+    content-hash projection; the two labeling joins are keyed on doc_id
+    against the (small) pair set — AQE broadcasts the pair side."""
+    from kioss_spark.operators.curation import hash_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", "jaccard_e6"
+    )
+    sp = hash_split(docs).select("doc_id", "split")
+    return (
+        pairs.join(sp.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sp.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_e6",
+            F.col("sa.split").alias("split_a"),
+            F.col("sb.split").alias("split_b"),
+            (F.col("sa.split") != F.col("sb.split")).alias("crosses"),
+        )
+    )

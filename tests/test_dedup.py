@@ -152,3 +152,69 @@ def test_containment_below_threshold_absent(spark):
     # 2 of 4 shingles shared -> C = 0.5 < 0.8 in both directions
     df = _docs(spark, [(1, "a b c d e f g"), (2, "c d e f x y z")])
     assert dedup.containment_pairs(df, threshold=0.8).count() == 0
+
+
+def test_substring_spans_flags_shared_window_only(spark):
+    # docs 1 and 2 share the verbatim 8-token run w1..w8 at different
+    # offsets; doc 3 is unrelated. Coverage counts the span union, and the
+    # unique remainder of each doc stays unflagged.
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " u1 u2 u3 u4"),            # 12 toks, spans 0-7
+            (2, "v1 v2 " + shared),                   # 10 toks, spans 2-9
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),    # no shared window
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_tok"], r["dup_windows"], r["dup_cov_e6"])
+        for r in dedup.substring_spans(df, n=8, min_docs=2).collect()
+    }
+    assert got[1] == (12, 1, 666666)   # 8/12 covered
+    assert got[2] == (10, 1, 800000)   # 8/10 covered
+    assert got[3] == (10, 0, 0)
+
+
+def test_substring_spans_overlapping_windows_union_not_double_counted(spark):
+    # 9 shared tokens = two overlapping flagged 8-windows; union = 9, not 16
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"
+    df = _docs(spark, [(1, shared + " a1"), (2, shared + " b1")])
+    got = {
+        r["doc_id"]: (r["n_tok"], r["dup_windows"], r["dup_cov_e6"])
+        for r in dedup.substring_spans(df, n=8, min_docs=2).collect()
+    }
+    # windows at pos 0 and 1 both flagged; covered = 9 of 10 tokens
+    assert got[1] == (10, 2, 900000)
+    assert got[2] == (10, 2, 900000)
+
+
+def test_substring_spans_short_docs_score_zero(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    got = {r["doc_id"]: r["dup_cov_e6"] for r in dedup.substring_spans(df, n=8).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_transitive_reach_hops_and_cutoff(spark):
+    # seed 1; chain 1-2-3-4: hop(2)=1, hop(3)=2, 4 beyond max_hops=2,
+    # 99 disconnected
+    from kioss_spark.operators.contamination import transitive_reach
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "doc_id long")
+    got = {r["doc_id"]: r["hop"] for r in transitive_reach(edges, seeds, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_transitive_reach_min_hop_over_multiple_paths(spark):
+    # two seeds; node 3 reachable at hop 1 from seed 4 and hop 2 from seed 1
+    from kioss_spark.operators.contamination import transitive_reach
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], "doc_a long, doc_b long"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    got = {r["doc_id"]: r["hop"] for r in transitive_reach(edges, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
