@@ -295,22 +295,52 @@ def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 0):
     return cents
 
 
-def _dist2_e6(vec: Column, cv: list, cc: float, vv: Optional[Column] = None) -> Column:
+def _sql_double(x: float) -> str:
+    """Spark-SQL double literal whose parsed value is bit-identical to the
+    Python float (repr round-trips; Double.parseDouble rounds to the same
+    nearest double)."""
+    return repr(float(x)) + "D"
+
+
+def _sql_col(c) -> str:
+    """Render a column reference for embedding in a SQL-string expression.
+    Accepts a plain name or a simple named Column (the repr text between
+    the quotes); complex Column expressions are not supported here."""
+    if isinstance(c, str):
+        return c
+    text = str(c)  # "Column<'v'>"
+    return text[len("Column<'") : -len("'>")]
+
+
+def _dist2_sql(vec_sql: str, cv: list, cc: float, vv_sql: Optional[str] = None) -> str:
     """Integerized squared L2 distance to a literal centroid:
     ``floor((v.v - 2*v.c + c.c) * 1e6)`` with the same fold order on both
     engines (``c.c`` precomputed driver-side with the same left fold).
-    Pass a precomputed ``vv`` (= v.v) column to evaluate the self-dot once
-    per row instead of once per centroid."""
-    lit_c = F.array(*[F.lit(float(x)) for x in cv])
-    if vv is None:
-        vv = _dot(vec, vec)
-    return F.floor(
-        (vv - 2 * _dot(vec, lit_c) + F.lit(cc)) * 1000000
-    ).cast("long")
+    Rendered as a SQL STRING, not a Column tree: building this expression
+    out of F.array(*[F.lit(x) ...]) costs 65 py4j round-trips per centroid
+    per reference — with 16 centroids referenced ~2x per query that is
+    ~15k driver-side calls, measured as ~2.3s of plan-BUILD time (vs 0.25s
+    of training and ~1.5s of execution) in the trained-IVF queries. One
+    F.expr parse replaces all of it; the parsed plan is the same literal
+    arithmetic either way."""
+    arr = "array(" + ",".join(_sql_double(x) for x in cv) + ")"
+    dot = (
+        "aggregate(zip_with(" + vec_sql + "," + arr + ",(x,y)->x*y),"
+        "CAST(0.0D AS DOUBLE),(acc,x)->acc+x)"
+    )
+    if vv_sql is None:
+        vv_sql = (
+            "aggregate(zip_with(" + vec_sql + "," + vec_sql + ",(x,y)->x*y),"
+            "CAST(0.0D AS DOUBLE),(acc,x)->acc+x)"
+        )
+    return (
+        "CAST(floor((" + vv_sql + " - 2 * " + dot + " + " + _sql_double(cc)
+        + ") * 1000000) AS BIGINT)"
+    )
 
 
 def trained_cells(
-    vec: Column, centroids, nprobe: int = 1, vv: Optional[Column] = None
+    vec, centroids, nprobe: int = 1, vv=None
 ) -> Column:
     """Nearest-centroid cell id(s) as a pure column expression (no join,
     no shuffle — the centroid table is folded into codegen as literals).
@@ -320,18 +350,25 @@ def trained_cells(
     multi-probe — the standard IVF recall dial). ``vv`` (precomputed v.v)
     shrinks the expression tree ~2x — the argmin is unaffected by the
     shared v.v term's value, but the integerized distances must round
-    identically to the oracle's, so it stays in the formula."""
+    identically to the oracle's, so it stays in the formula.
+
+    ``vec``/``vv`` take a column NAME or a simple named Column; the whole
+    argmin tree is rendered as one SQL string and parsed with a single
+    F.expr call (see _dist2_sql for why)."""
+    vec_sql = _sql_col(vec)
+    vv_sql = None if vv is None else _sql_col(vv)
     structs = [
-        F.struct(
-            _dist2_e6(vec, cv, _dot_py(cv, cv), vv=vv).alias("d"),
-            F.lit(int(cid)).cast("long").alias("cid"),
-        )
+        "named_struct('d',"
+        + _dist2_sql(vec_sql, cv, _dot_py(cv, cv), vv_sql)
+        + ",'cid',CAST(" + str(int(cid)) + " AS BIGINT))"
         for cid, cv in centroids
     ]
-    arr = F.array_sort(F.array(*structs))
+    arr = "array_sort(array(" + ",".join(structs) + "))"
     if nprobe == 1:
-        return arr[0]["cid"]
-    return F.transform(F.slice(arr, 1, nprobe), lambda s: s["cid"])
+        return F.expr(arr + "[0].cid")
+    return F.expr(
+        "transform(slice(" + arr + ",1," + str(int(nprobe)) + "),s->s.cid)"
+    )
 
 
 def ivf_topk_trained(
