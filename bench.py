@@ -73,6 +73,9 @@ HEADLINE = [
     "ann_int8_rescore",
     "fuzzy_part_names",
     "profile_dup_rate",
+    # span-level dedup + split-leakage audit (both ride the gram machinery)
+    "dedup_substring_spans",
+    "split_leakage_pairs",
 ]
 
 
