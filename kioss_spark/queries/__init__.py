@@ -85,7 +85,12 @@ _DRIVER_VERIFIED_R2 = frozenset(
 #: round-4 evidence is the committed local hostile-tz parity sweep
 #: (CHECK_LOCAL_r04.txt).
 _LOCAL_EVIDENCE_R4 = frozenset(
-    {"dedup_substring_spans", "contamination_reach", "split_leakage_pairs"}
+    {
+        "dedup_substring_spans",
+        "contamination_reach",
+        "split_leakage_pairs",
+        "pagerank_dup_graph",
+    }
 )
 
 

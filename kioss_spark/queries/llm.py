@@ -2307,3 +2307,81 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sa.split") != F.col("sb.split")).alias("crosses"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer-PageRank iterations (operators.graph.pagerank):
+    damping 17/20 with BIGINT floor division, teleport floor(0.15e9/N) —
+    DuckDB `//` is the same positive-integer floor division, and the
+    HUGEINT-widening sum is cast back per iteration."""
+    its = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        its.append(f"""
+    i{k} AS (
+        SELECT d0.id, d0.deg,
+               CAST(150000000 // (SELECT n FROM nn) AS BIGINT)
+               + coalesce(inf.s, 0) AS rank
+        FROM r0 d0 LEFT JOIN (
+            SELECT e.dd AS id,
+                   CAST(sum((17 * p.rank) // (20 * p.deg)) AS BIGINT) AS s
+            FROM sym e JOIN {prev} p ON e.s = p.id GROUP BY 1) inf USING (id))""")
+        prev = f"i{k}"
+    return (
+        f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    sym AS (SELECT doc_a AS s, doc_b AS dd FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT s AS id, deg,
+                  CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+           FROM deg),"""
+        + ",".join(its)
+        + f"""
+    SELECT id AS doc_id, CAST(deg AS BIGINT) AS deg,
+           CAST(rank AS BIGINT) AS rank_e9
+    FROM {prev}
+    """
+    )
+
+
+@register("pagerank_dup_graph", oracle=_pagerank_oracle(3))
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integerized PageRank over the near-dup pair graph (J >= 0.5):
+    centrality-based survivor ranking — within a duplicate community the
+    highest-rank document is the canonical copy every variant resembles,
+    a more robust pick than min-id and cheaper than a quality model.
+    Completes the iterative-graph family (connected components, BFS reach,
+    Lloyd refinement) with weighted propagation.
+
+    Scale plan (operators.graph.pagerank): the symmetric edge list with
+    out-degrees is persisted once (its lineage is the PPJoin pipeline),
+    each of the 3 fixed rounds is one keyed join + keyed integer sum +
+    checkpoint over one-row-per-node state. All arithmetic BIGINT
+    (damping as the rational 17/20), so every engine reproduces the run
+    bit-for-bit — no float summation order anywhere."""
+    from kioss_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    return pagerank(pairs, iters=3).select(
+        F.col("id").alias("doc_id"), "deg", "rank_e9"
+    )

@@ -1,0 +1,50 @@
+"""PageRank — integer-exact parity with a single-process model, plus
+structural sanity (hub outranks leaves, symmetry ties)."""
+
+from kioss_spark.operators.graph import SCALE, TELEPORT_E9, pagerank
+
+
+def _model(edges, iters=3):
+    sym = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    base = TELEPORT_E9 // n
+    rank = {v: SCALE // n for v in deg}
+    for _ in range(iters):
+        inflow = {}
+        for s, d in sym:
+            inflow[d] = inflow.get(d, 0) + (17 * rank[s]) // (20 * deg[s])
+        rank = {v: base + inflow.get(v, 0) for v in deg}
+    return deg, rank
+
+
+def _run(spark, edges, iters=3):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r["id"]: (r["deg"], r["rank_e9"])
+        for r in pagerank(df, iters=iters).collect()
+    }
+
+
+def test_pagerank_matches_python_model_star_plus_chain(spark):
+    # star around 0 (hub) plus a 3-chain community
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12)]
+    deg, rank = _model(edges)
+    got = _run(spark, edges)
+    assert got == {v: (deg[v], rank[v]) for v in deg}
+
+
+def test_pagerank_hub_outranks_leaves_and_ties_are_exact(spark):
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    got = _run(spark, edges)
+    hub = got[0][1]
+    leaves = [got[v][1] for v in (1, 2, 3, 4)]
+    assert all(hub > leaf for leaf in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves rank identically
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert pagerank(df).collect() == []
