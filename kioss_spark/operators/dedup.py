@@ -57,6 +57,7 @@ __all__ = [
     "connected_components",
     "shingle_stream_pos",
     "substring_spans",
+    "incremental_jaccard_pairs",
 ]
 
 #: default word-n-gram width. 4-grams keep the candidate space sparse even on
@@ -346,20 +347,7 @@ def jaccard_pairs(
     candidate count. Result is identical to a naive inverted-index join.
     """
     inv = shingle_index(docs, text_col, id_col, n)
-    # document frequency via a count window (ONE shuffle keyed on shingle —
-    # a groupBy+join would shuffle the index twice for the same answer);
-    # then n_sh + rare-first rank share the SAME doc_id shuffle: Spark plans
-    # both windows over one Exchange(doc_id).
-    wdf = Window.partitionBy("shingle")
-    wdoc = Window.partitionBy("doc_id")
-    wrank = Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("shingle"))
-    prefix = (
-        inv.withColumn("df", F.count(F.lit(1)).over(wdf))
-        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
-        .withColumn("__r__", F.row_number().over(wrank))
-        .where(F.col("__r__") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1)
-        .select("doc_id", "shingle")
-    )
+    prefix = _prefix(inv, threshold)
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), on="shingle")
@@ -368,6 +356,92 @@ def jaccard_pairs(
         .distinct()
     )
     return _verified_pairs(cands, inv, threshold)
+
+
+def _prefix(inv: DataFrame, threshold: float) -> DataFrame:
+    """Rare-first PPJoin prefix of the inverted index: the first
+    ``n_sh - ceil(t*n_sh) + 1`` shingles per doc in ascending-document-
+    frequency order. Document frequency via a count window (ONE shuffle
+    keyed on shingle — a groupBy+join would shuffle the index twice for
+    the same answer); then n_sh + rare-first rank share the SAME doc_id
+    shuffle: Spark plans both windows over one Exchange(doc_id)."""
+    wdf = Window.partitionBy("shingle")
+    wdoc = Window.partitionBy("doc_id")
+    wrank = Window.partitionBy("doc_id").orderBy(F.col("df"), F.col("shingle"))
+    return (
+        inv.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+        .withColumn("__r__", F.row_number().over(wrank))
+        .where(F.col("__r__") <= F.col("n_sh") - F.ceil(F.col("n_sh") * threshold) + 1)
+        .select("doc_id", "shingle")
+    )
+
+
+def incremental_jaccard_pairs(
+    docs: DataFrame,
+    is_new,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DEFAULT_N,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup pairs: every J >= threshold pair with AT LEAST
+    ONE endpoint in the new batch (``is_new`` a boolean Column over
+    ``docs``) — the production daily-crawl shape, where today's documents
+    are deduped against the accumulated corpus WITHOUT re-pairing the
+    corpus against itself.
+
+    Returns ``(doc_a, doc_b, n_shared, jaccard_e6, both_new)``;
+    ``both_new`` distinguishes new-vs-new pairs from new-vs-corpus hits
+    (a new doc with only ``both_new = false`` partners is a re-crawl of
+    existing content; one with ``both_new = true`` partners is a same-day
+    duplicate).
+
+    Lossless by the same prefix theorem as ``jaccard_pairs``: a
+    qualifying pair shares a prefix shingle, and one of its endpoints is
+    new, so joining prefix(new) against prefix(all) finds it. The join is
+    |prefix(new)| x keyed — per-batch cost is O(batch candidates), never
+    O(corpus^2); old x old pairs are structurally excluded, not filtered.
+    At scale the corpus-side index and prefix are precomputed once and
+    stored bucketed by shingle (see shingle_index); each daily run then
+    shuffles only the new batch's shingle stream."""
+    inv = shingle_index(docs, text_col, id_col, n)
+    prefix = _prefix(inv, threshold)
+    new_ids = docs.where(is_new).select(F.col(id_col).alias("doc_id"))
+    pnew = prefix.join(new_ids, "doc_id")
+    cands = (
+        pnew.alias("a")
+        .join(prefix.alias("b"), on="shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = _verified_pairs(cands, inv, threshold)
+    flag = new_ids.withColumn("__new__", F.lit(True))
+    return (
+        verified.join(
+            flag.select(F.col("doc_id").alias("doc_a"), F.col("__new__").alias("__na__")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            flag.select(F.col("doc_id").alias("doc_b"), F.col("__new__").alias("__nb__")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "jaccard_e6",
+            (F.coalesce("__na__", F.lit(False)) & F.coalesce("__nb__", F.lit(False))).alias(
+                "both_new"
+            ),
+        )
+    )
 
 
 def containment_pairs(

@@ -90,6 +90,7 @@ _LOCAL_EVIDENCE_R4 = frozenset(
         "contamination_reach",
         "split_leakage_pairs",
         "pagerank_dup_graph",
+        "dedup_incremental_pairs",
     }
 )
 

@@ -2385,3 +2385,49 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs, iters=3).select(
         F.col("id").alias("doc_id"), "deg", "rank_e9"
     )
+
+
+@register(
+    "dedup_incremental_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, n_shared,
+               CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                    AS BIGINT) AS jaccard_e6
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    nw AS (SELECT doc_id FROM documents WHERE {sql_h60('text')} % 10 = 3)
+    SELECT p.doc_a, p.doc_b, p.n_shared, p.jaccard_e6,
+           (p.doc_a IN (SELECT doc_id FROM nw))
+           AND (p.doc_b IN (SELECT doc_id FROM nw)) AS both_new
+    FROM pairs p
+    WHERE p.doc_a IN (SELECT doc_id FROM nw)
+       OR p.doc_b IN (SELECT doc_id FROM nw)
+    """,
+)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production daily-crawl shape: a ~10%
+    content-hash slice of `documents` plays today's batch; every J >= 0.5
+    pair touching the batch is found (new-vs-corpus and new-vs-new), while
+    corpus-vs-corpus pairs are STRUCTURALLY excluded from candidate
+    generation, not filtered afterward. Per-batch cost is O(batch
+    candidates); the accumulated corpus is never re-paired against itself
+    (operators.dedup.incremental_jaccard_pairs; at scale the corpus index
+    and prefix live bucketed on disk and only the batch's shingles
+    shuffle)."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.pmod(h60(F.col("text")), F.lit(10)) == 3
+    return dedup.incremental_jaccard_pairs(docs, is_new, threshold=0.5)

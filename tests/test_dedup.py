@@ -218,3 +218,22 @@ def test_transitive_reach_min_hop_over_multiple_paths(spark):
     seeds = spark.createDataFrame([(1,), (4,)], "doc_id long")
     got = {r["doc_id"]: r["hop"] for r in transitive_reach(edges, seeds, max_hops=3).collect()}
     assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_incremental_pairs_excludes_corpus_vs_corpus(spark):
+    # docs 1,2 are old near-identical (an old-old pair the full dedup would
+    # emit); doc 3 is NEW and duplicates old doc 1; docs 4,5 are both NEW
+    # duplicates of each other. Only pairs touching a new doc may appear.
+    base = "t1 t2 t3 t4 t5 t6 t7 t8"
+    other = "z1 z2 z3 z4 z5 z6 z7 z8"
+    df = _docs(
+        spark,
+        [(1, base), (2, base), (3, base), (4, other), (5, other)],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["both_new"]
+        for r in dedup.incremental_jaccard_pairs(
+            df, F.col("doc_id").isin(3, 4, 5), threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 3): False, (2, 3): False, (4, 5): True}
