@@ -91,6 +91,7 @@ _LOCAL_EVIDENCE_R4 = frozenset(
         "split_leakage_pairs",
         "pagerank_dup_graph",
         "dedup_incremental_pairs",
+        "winsorize_event_values",
     }
 )
 

@@ -2431,3 +2431,60 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     is_new = F.pmod(h60(F.col("text")), F.lit(10)) == 3
     return dedup.incremental_jaccard_pairs(docs, is_new, threshold=0.5)
+
+
+@register(
+    "winsorize_event_values",
+    oracle="""
+    WITH v AS (SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(floor(quantile_cont(v, 0.05)) AS BIGINT) AS p05_e4,
+                 CAST(floor(quantile_cont(v, 0.95)) AS BIGINT) AS p95_e4
+          FROM v GROUP BY 1)
+    SELECT s.event_type, s.n_events, s.p05_e4, s.p95_e4,
+           CAST(sum(least(greatest(v.v, s.p05_e4), s.p95_e4)) AS BIGINT)
+               AS sum_clipped_e4,
+           CAST(sum(CASE WHEN v.v < s.p05_e4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN v.v > s.p95_e4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high
+    FROM v JOIN s USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key winsorization (robust outlier clipping): clip each event's
+    value to its event_type's [p05, p95] band and report the clipped sum
+    plus how many rows hit each bound — the standard defense against
+    sensor glitches / bot bursts polluting a mean. Values are integerized
+    (floor e4) BEFORE the percentile so the whole query is engine-exact:
+    integer order statistics interpolate identically (the profile_corpus
+    parity result) and the clipped aggregate is a BIGINT sum.
+
+    Scale plan: pass 1 computes per-key exact percentiles (one keyed
+    shuffle; F.percentile needs the sorted group — at 100 TB swap in
+    percentile_approx's mergeable sketch and accept documented rank
+    error); the per-key stats table is constant-size (|event_type|), so
+    pass 2 clips via a BROADCAST join — the event stream itself is
+    shuffled once for the final keyed rollup and never for the stats
+    lookup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 10000).cast("long").alias("v")
+    ).where(F.col("v").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.floor(F.percentile("v", F.lit(0.05))).cast("long").alias("p05_e4"),
+        F.floor(F.percentile("v", F.lit(0.95))).cast("long").alias("p95_e4"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    clipped = F.least(F.greatest(F.col("v"), F.col("p05_e4")), F.col("p95_e4"))
+    return j.groupBy("event_type", "n_events", "p05_e4", "p95_e4").agg(
+        F.sum(clipped).cast("long").alias("sum_clipped_e4"),
+        F.sum(F.when(F.col("v") < F.col("p05_e4"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("v") > F.col("p95_e4"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+    )
