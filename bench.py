@@ -73,9 +73,12 @@ HEADLINE = [
     "ann_int8_rescore",
     "fuzzy_part_names",
     "profile_dup_rate",
-    # span-level dedup + split-leakage audit (both ride the gram machinery)
+    # span-level dedup + split-leakage audit (both ride the gram machinery),
+    # incremental batch dedup, robust winsorization
     "dedup_substring_spans",
     "split_leakage_pairs",
+    "dedup_incremental_pairs",
+    "winsorize_event_values",
 ]
 
 
