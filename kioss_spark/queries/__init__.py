@@ -40,12 +40,13 @@ def register(name: str, oracle: Optional[str]):
 # driver only samples the first 50 ``load_all()`` entries per round, so we
 # rotate: anything WITHOUT a hard driver verdict yet (the r3 tail plus any
 # newly added query) is ordered first; the already-verified set follows.
-# ROUND-5 TODO: merge the CORRECTNESS_r04 names into these sets; the 50
-# never-driver-checked queries exactly fill round 4's snapshot window, so
-# with r2+r3+r4 combined every registered query (104) will then have at
-# least one hard driver verdict (local parity evidence for all 104:
-# CHECK_LOCAL_r04.txt). Do NOT register new queries without rotating —
-# the never-checked tier is at exactly 50/50 window capacity.
+# ROUND-5 TODO: merge the CORRECTNESS_r04 names into these sets. The 50
+# never-driver-checked queries exactly fill round 4's snapshot window;
+# with r2+r3+r4 combined, 104 of the 110 registered queries will then
+# have a hard driver verdict, and the 6 _LOCAL_EVIDENCE_R4 names (added
+# after the window filled; local parity evidence for all 110 in
+# CHECK_LOCAL_r04.txt) move to the front of round 5's window. Do NOT
+# register new queries without checking the window arithmetic again.
 _DRIVER_VERIFIED = frozenset(
     {
         "q1_pricing_summary", "rollup_order_counts", "pivot_status_revenue",

@@ -8,6 +8,8 @@ chains still cover order preservation, error-free composition, and the
 count-order operators' two-phase implementation across partition counts.
 """
 
+import math
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -196,3 +198,82 @@ def test_gapfill_locf_matches_python_model(spark, obs):
             else:
                 model[(g, b)] = (0, last, True)
     assert out == model
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=14),
+        min_size=2, max_size=6,
+    ),
+    n=st.integers(2, 4),
+)
+def test_substring_spans_matches_python_model(spark, docs, n):
+    """Random small-token corpora: flagged-window counts and span-union
+    coverage must equal a direct Python model of the Lee-et-al semantics."""
+    from kioss_spark.operators.dedup import substring_spans
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tok"], r["dup_windows"], r["dup_cov_e6"])
+        for r in substring_spans(df, n=n, min_docs=2).collect()
+    }
+    # model
+    grams = {}  # gram -> set(doc)
+    per_doc = []  # [(toks, [(pos, gram), ...])]
+    for i, toks in enumerate(docs):
+        g = [
+            (p, tuple(toks[p : p + n]))
+            for p in range(max(0, len(toks) - n + 1))
+        ]
+        per_doc.append((toks, g))
+        for _, gram in g:
+            grams.setdefault(gram, set()).add(i)
+    model = {}
+    for i, (toks, g) in enumerate(per_doc):
+        flagged = [(p, gram) for p, gram in g if len(grams[gram]) >= 2]
+        covered = set()
+        for p, _ in flagged:
+            covered.update(range(p, p + n))
+        cov = 0 if not toks else math.floor(len(covered) / len(toks) * 1_000_000)
+        model[i] = (len(toks), len(flagged), cov)
+    assert out == model, (docs, n)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=12,
+    ).map(lambda es: [(a, b) for a, b in es if a != b]),
+    iters=st.integers(1, 3),
+)
+def test_pagerank_matches_python_model_random_graphs(spark, edges, iters):
+    """Random multigraphs (parallel edges allowed — they weight the walk,
+    matching the operator's count semantics): integer-exact parity."""
+    from hypothesis import assume
+
+    assume(edges)
+    from kioss_spark.operators.graph import SCALE, TELEPORT_E9, pagerank
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: (r["deg"], r["rank_e9"])
+        for r in pagerank(df, iters=iters).collect()
+    }
+    sym = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    nmodel = len(deg)
+    base = TELEPORT_E9 // nmodel
+    rank = {v: SCALE // nmodel for v in deg}
+    for _ in range(iters):
+        inflow = {}
+        for s, d in sym:
+            inflow[d] = inflow.get(d, 0) + (17 * rank[s]) // (20 * deg[s])
+        rank = {v: base + inflow.get(v, 0) for v in deg}
+    assert got == {v: (deg[v], rank[v]) for v in deg}, (edges, iters)
