@@ -52,3 +52,19 @@ def test_readme_block_sketch_profiling(spark):
     )
     ov = ns["overlap"].collect()
     assert ov and all(r["n_intersect"] <= r["n_union"] for r in ov)
+
+
+def test_readme_block_audit_graph(spark):
+    # fourth python block: contamination reach + pagerank + span dedup
+    code = BLOCKS[3]
+    ns = {"sf_dir": SF, "spark": spark}
+    # reuse load_table from the pipeline block's import
+    exec(compile("from kioss_spark.sources import load_table\n" + code,
+                 "README.md[3]", "exec"), ns)
+    blast = ns["blast_radius"]
+    authority = ns["authority"]
+    spans = ns["spans"]
+    assert set(blast.columns) == {"doc_id", "hop"}
+    assert set(authority.columns) == {"id", "deg", "rank_e9"}
+    rows = spans.limit(5).collect()
+    assert all(r["dup_cov_e6"] >= 0 for r in rows)
