@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from kioss_spark.operators.text import h60
 
 __all__ = [
+    "snapshot_diff",
     "hash_sample",
     "stratified_sample",
     "token_budget_cap",
@@ -330,4 +331,34 @@ def interleave_weighted(
     return ranked.withColumn(
         "mix_key_e6",
         F.floor(F.col("r_in_group") * 1000000 / w_col).cast("long"),
+    )
+
+
+def snapshot_diff(
+    prev: DataFrame,
+    curr: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Corpus version diff: classify every id across two snapshots as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` by comparing a
+    content hash — the audit a daily-refresh pipeline runs before
+    retraining decisions (how much actually moved?) and the batch analog
+    of a MERGE source-vs-target classification.
+
+    One keyed full-outer join on the id. In production both snapshots are
+    written bucketed by id, so this is a zero-shuffle sort-merge of
+    co-located buckets; hashes (16-byte md5 here) travel instead of
+    payloads, so the join carries ~32 bytes/doc regardless of document
+    size."""
+    p = prev.select(F.col(id_col), F.col(hash_col).alias("__hp__"))
+    c = curr.select(F.col(id_col), F.col(hash_col).alias("__hc__"))
+    status = (
+        F.when(F.col("__hp__").isNull(), F.lit("added"))
+        .when(F.col("__hc__").isNull(), F.lit("removed"))
+        .when(F.col("__hp__") != F.col("__hc__"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return p.join(c, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
     )

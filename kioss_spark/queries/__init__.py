@@ -93,6 +93,7 @@ _LOCAL_EVIDENCE_R4 = frozenset(
         "pagerank_dup_graph",
         "dedup_incremental_pairs",
         "winsorize_event_values",
+        "corpus_snapshot_diff",
     }
 )
 

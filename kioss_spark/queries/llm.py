@@ -2488,3 +2488,64 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_clipped_high"),
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source, {sql_h60('text')} AS h60 FROM documents),
+    prev AS (SELECT doc_id,
+                    CASE WHEN h60 % 13 = 0 THEN md5(doc_id::VARCHAR || '~v1')
+                         ELSE md5(doc_id::VARCHAR || '~' || h60::VARCHAR) END
+                        AS content_hash
+             FROM h WHERE h60 % 17 != 0),
+    curr AS (SELECT doc_id,
+                    md5(doc_id::VARCHAR || '~' || h60::VARCHAR) AS content_hash
+             FROM h WHERE h60 % 11 != 0),
+    d AS (SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+                 CASE WHEN p.doc_id IS NULL THEN 'added'
+                      WHEN c.doc_id IS NULL THEN 'removed'
+                      WHEN p.content_hash != c.content_hash THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM prev p FULL OUTER JOIN curr c USING (doc_id))
+    SELECT h.source, d.status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d JOIN h USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (operators.curation.snapshot_diff): two
+    deterministic hash slices of `documents` play yesterday's and today's
+    snapshots (a ~6% slice exists only in prev -> removed, a ~9% slice
+    only in curr -> added, a ~8% slice changed content between versions),
+    classified by one keyed full-outer join on content hashes and rolled
+    up per source — the refresh audit run before retraining decisions.
+
+    Scale plan: snapshots bucketed by id make the diff a zero-shuffle
+    co-located merge; only 16-byte hashes travel, never document
+    payloads."""
+    from kioss_spark.operators.curation import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    h = docs.select("doc_id", "source", h60(F.col("text")).alias("h60"))
+    cur_hash = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("~"), F.col("h60").cast("string"))
+    )
+    prev = h.where(F.pmod(F.col("h60"), F.lit(17)) != 0).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("h60"), F.lit(13)) == 0,
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("~v1"))),
+        )
+        .otherwise(cur_hash)
+        .alias("content_hash"),
+    )
+    curr = h.where(F.pmod(F.col("h60"), F.lit(11)) != 0).select(
+        "doc_id", cur_hash.alias("content_hash")
+    )
+    d = snapshot_diff(prev, curr)
+    return (
+        d.join(h.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
