@@ -78,3 +78,16 @@ def test_ivf_multiprobe_recovers_sign_boundary_neighbor(spark):
     multi = {r["cand_id"] for r in similarity.ivf_multiprobe_topk(q, c, k=1).collect()}
     assert 16 not in single  # sign boundary loss
     assert multi == {16}     # recovered by the Hamming-1 probe
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    from kioss_spark.operators.curation import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [(1, "h1"), (2, "h2"), (3, "h3")], "doc_id long, content_hash string"
+    )
+    curr = spark.createDataFrame(
+        [(2, "h2"), (3, "h3x"), (4, "h4")], "doc_id long, content_hash string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(prev, curr).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
