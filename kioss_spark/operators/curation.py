@@ -351,12 +351,19 @@ def snapshot_diff(
     co-located buckets; hashes (16-byte md5 here) travel instead of
     payloads, so the join carries ~32 bytes/doc regardless of document
     size."""
-    p = prev.select(F.col(id_col), F.col(hash_col).alias("__hp__"))
-    c = curr.select(F.col(id_col), F.col(hash_col).alias("__hc__"))
+    # presence tracked by explicit marker columns, NOT hash nullness — a
+    # snapshot with a nullable hash column would otherwise misclassify
+    # (prev-only row with NULL hash -> 'added')
+    p = prev.select(
+        F.col(id_col), F.col(hash_col).alias("__hp__"), F.lit(True).alias("__in_p__")
+    )
+    c = curr.select(
+        F.col(id_col), F.col(hash_col).alias("__hc__"), F.lit(True).alias("__in_c__")
+    )
     status = (
-        F.when(F.col("__hp__").isNull(), F.lit("added"))
-        .when(F.col("__hc__").isNull(), F.lit("removed"))
-        .when(F.col("__hp__") != F.col("__hc__"), F.lit("changed"))
+        F.when(F.col("__in_p__").isNull(), F.lit("added"))
+        .when(F.col("__in_c__").isNull(), F.lit("removed"))
+        .when(~F.col("__hp__").eqNullSafe(F.col("__hc__")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return p.join(c, id_col, "full_outer").select(

@@ -664,7 +664,16 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # confine the graph to `ids` BEFORE symmetrizing: an edge endpoint
+    # outside `ids` must neither receive a label nor bridge two ids-nodes
+    # (the pre-round-4 contract — labels existed only for ids and
+    # propagation never left the ids set)
+    idset = ids.select(F.col(id_col).alias("__id__"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .join(idset, F.col("src") == F.col("__id__"), "left_semi")
+        .join(idset, F.col("dst") == F.col("__id__"), "left_semi")
+    )
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     try:

@@ -70,7 +70,13 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
-        n = deg.count()
+        # node table, N, and the initial ranks all derive from the
+        # PERSISTED withdeg — the first action here materializes the
+        # candidate-pair pipeline exactly once; deriving them from the
+        # raw deg/sym lineage instead would re-execute that pipeline
+        # once per consumer (measured 3x on pagerank_dup_graph)
+        node_deg = withdeg.select("s", "deg").distinct()
+        n = node_deg.count()
         if n == 0:
             return (
                 edges.sparkSession.createDataFrame(
@@ -78,7 +84,7 @@ def pagerank(
                 )
             )
         base = TELEPORT_E9 // n
-        ranks = deg.select(
+        ranks = node_deg.select(
             F.col("s").alias("id"),
             F.col("deg").cast("long").alias("deg"),
             F.lit(SCALE // n).cast("long").alias("rank"),

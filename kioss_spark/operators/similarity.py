@@ -23,6 +23,7 @@ AQE coalescing the tail.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
@@ -304,12 +305,21 @@ def _sql_double(x: float) -> str:
 
 def _sql_col(c) -> str:
     """Render a column reference for embedding in a SQL-string expression.
-    Accepts a plain name or a simple named Column (the repr text between
-    the quotes); complex Column expressions are not supported here."""
+    Accepts a plain name or a SIMPLE named Column; anything else (computed
+    columns, exotic reprs, a future Column.__repr__ format change) raises
+    instead of silently rendering a different SQL expression."""
     if isinstance(c, str):
-        return c
-    text = str(c)  # "Column<'v'>"
-    return text[len("Column<'") : -len("'>")]
+        text = c
+    else:
+        text = str(c)  # "Column<'v'>"
+        if text.startswith("Column<'") and text.endswith("'>"):
+            text = text[len("Column<'") : -len("'>")]
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", text):
+        raise ValueError(
+            f"trained_cells needs a plain column name or simple named Column; "
+            f"got {text!r}"
+        )
+    return text
 
 
 def _dist2_sql(vec_sql: str, cv: list, cc: float, vv_sql: Optional[str] = None) -> str:

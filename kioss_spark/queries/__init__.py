@@ -42,9 +42,9 @@ def register(name: str, oracle: Optional[str]):
 # newly added query) is ordered first; the already-verified set follows.
 # ROUND-5 TODO: merge the CORRECTNESS_r04 names into these sets. The 50
 # never-driver-checked queries exactly fill round 4's snapshot window;
-# with r2+r3+r4 combined, 104 of the 110 registered queries will then
-# have a hard driver verdict, and the 6 _LOCAL_EVIDENCE_R4 names (added
-# after the window filled; local parity evidence for all 110 in
+# with r2+r3+r4 combined, 104 of the 111 registered queries will then
+# have a hard driver verdict, and the 7 _LOCAL_EVIDENCE_R4 names (added
+# after the window filled; local parity evidence for all 111 in
 # CHECK_LOCAL_r04.txt) move to the front of round 5's window. Do NOT
 # register new queries without checking the window arithmetic again.
 _DRIVER_VERIFIED = frozenset(

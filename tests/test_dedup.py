@@ -196,12 +196,12 @@ def test_substring_spans_short_docs_score_zero(spark):
 
 
 def test_transitive_reach_hops_and_cutoff(spark):
-    # seed 1; chain 1-2-3-4: hop(2)=1, hop(3)=2, 4 beyond max_hops=2,
-    # 99 disconnected
+    # seed 1; chain 1-2-3-4: hop(2)=1, hop(3)=2, 4 beyond max_hops=2;
+    # the 99-100 component is disconnected from the seed and must be absent
     from kioss_spark.operators.contamination import transitive_reach
 
     edges = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+        [(1, 2), (2, 3), (3, 4), (99, 100)], "doc_a long, doc_b long"
     )
     seeds = spark.createDataFrame([(1,)], "doc_id long")
     got = {r["doc_id"]: r["hop"] for r in transitive_reach(edges, seeds, max_hops=2).collect()}
