@@ -632,7 +632,9 @@ def connected_components(
     max_iter: int = 25,
 ) -> DataFrame:
     """Min-label propagation connected components: (id, cluster_id) where
-    cluster_id is the smallest id reachable through ``edges``.
+    cluster_id is the smallest id reachable through ``edges``. The graph
+    is confined to ``ids``: an edge endpoint outside ``ids`` neither
+    receives a label nor bridges two ids-nodes.
 
     The driver loop iterates O(component diameter) rounds — near-dup
     clusters are short chains, so single digits in practice — while the
