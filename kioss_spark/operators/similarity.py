@@ -428,6 +428,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     n_centroids: int = 16,
     iters: int = 0,
+    scorer: str = "exact",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the TRAINED coarse
@@ -445,6 +446,21 @@ def semantic_dup_pairs(
     codegen (zero shuffle); the only shuffles are the self-join's hash
     exchange on cell. Deterministic end-to-end, so the DuckDB oracle
     reproduces candidates AND scores exactly (iters=0 form).
+
+    ``scorer`` picks the pairwise stage:
+
+    - ``"exact"`` (default): JVM cell self-join + per-pair fold dot —
+      oracle-bit-exact, but the interpreted higher-order dot is the
+      bottleneck once cells hold thousands of vectors (measured: 20k
+      corpus / 128 cells / ~3M candidate pairs = 160s on local[32]).
+    - ``"arrow"``: per-cell Arrow group + one numpy float64 matmul per
+      cell — the SCALE path (same 20k corpus: ~4s). Scores differ from
+      the fold order only in the last ulp, so floor(x*1e5) can flip ±1
+      at the boundary; pair membership can therefore differ EXACTLY at
+      cosine == threshold (property-tested agreement away from the
+      boundary). Constraint: one cell must fit in one task's memory —
+      the same bound SemDeDup's own per-cluster comparison has; raise
+      ``n_centroids`` (∝ corpus size, cells stay ~constant) to hold it.
     """
     cents = train_ivf(vectors, n_centroids=n_centroids, iters=iters)
     vv = F.col("__vv__")
@@ -453,6 +469,38 @@ def semantic_dup_pairs(
         .withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
         .drop("__vv__")
     )
+    if scorer == "arrow":
+        min_e5 = int(threshold * 100000)
+
+        def _per_cell(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.stack(pdf["v"].to_numpy())[order]
+            nv = pdf["nv"].to_numpy()[order]
+            S = (V @ V.T) / np.outer(nv, nv)
+            iu = np.triu_indices(len(ids), k=1)
+            sc = np.floor(S[iu] * 100000).astype("int64")
+            m = sc >= min_e5
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[0][m]],
+                    "id_b": ids[iu[1][m]],
+                    "cell": np.full(int(m.sum()), key[0], dtype="int64"),
+                    "cosine_e5": sc[m],
+                }
+            )
+
+        return (
+            cells.select("vec_id", "v", "nv", "cell")
+            .groupBy("cell")
+            .applyInPandas(
+                _per_cell, "id_a long, id_b long, cell long, cosine_e5 long"
+            )
+        )
     pairs = (
         cells.alias("a")
         .join(cells.alias("b"), on="cell")

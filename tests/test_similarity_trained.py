@@ -104,3 +104,27 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
         step = r["scale"] / 127
         for orig, code in zip(v, r["q"]):
             assert abs(orig - code * step) <= step / 2 + 1e-12
+
+
+def test_semantic_dup_pairs_arrow_scorer_agrees_with_exact(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((60, 8)).astype(float)
+    emb[11] = emb[3] + 0.001  # a near-identical pair
+    pdf = pd.DataFrame({"vec_id": np.arange(60, dtype="int64"), "embedding": list(emb)})
+    nn = S.with_norm(spark.createDataFrame(pdf))
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_e5"]
+        for r in S.semantic_dup_pairs(nn, 0.4, n_centroids=4, scorer="exact").collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"]): r["cosine_e5"]
+        for r in S.semantic_dup_pairs(nn, 0.4, n_centroids=4, scorer="arrow").collect()
+    }
+    assert exact and (3, 11) in exact
+    # membership may legitimately differ ONLY for scores exactly at the
+    # threshold boundary (last-ulp fold-order divergence); none here
+    assert set(exact) == set(arrow)
+    assert all(abs(exact[k] - arrow[k]) <= 1 for k in exact)
