@@ -182,10 +182,68 @@ def ivf_multiprobe_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def _pairwise_cells(cells: DataFrame, threshold: float, scorer: str) -> DataFrame:
+    """Shared within-cell pairwise cosine stage for the dup-pair operators:
+    (id_a, id_b, cell, cosine_e5) for every same-cell pair at or above the
+    threshold. ``scorer="exact"`` = JVM self-join + fold dot (oracle-bit-
+    exact); ``scorer="arrow"`` = one numpy float64 matmul per cell via
+    applyInPandas (the scale path — measured 9x at 20k vectors; last-ulp
+    divergence possible only for pairs exactly at the threshold; one cell
+    must fit in one task's memory, so scale the cell count with the
+    corpus)."""
+    if scorer == "arrow":
+        min_e5 = int(threshold * 100000)
+
+        def _per_cell(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            ids = pdf["vec_id"].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.stack(pdf["v"].to_numpy())[order]
+            nv = pdf["nv"].to_numpy()[order]
+            S = (V @ V.T) / np.outer(nv, nv)
+            iu = np.triu_indices(len(ids), k=1)
+            sc = np.floor(S[iu] * 100000).astype("int64")
+            m = sc >= min_e5
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[0][m]],
+                    "id_b": ids[iu[1][m]],
+                    "cell": np.full(int(m.sum()), key[0], dtype="int64"),
+                    "cosine_e5": sc[m],
+                }
+            )
+
+        return (
+            cells.select("vec_id", "v", "nv", "cell")
+            .groupBy("cell")
+            .applyInPandas(
+                _per_cell, "id_a long, id_b long, cell long, cosine_e5 long"
+            )
+        )
+    pairs = (
+        cells.alias("a")
+        .join(cells.alias("b"), on="cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("cell"),
+            F.floor(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")) * 100000
+            ).cast("long").alias("cosine_e5"),
+        )
+    )
+    return pairs.where(F.col("cosine_e5") >= int(threshold * 100000))
+
+
 def embedding_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_bits: int = 8,
+    scorer: str = "exact",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
     cosine >= threshold, candidates bucketed by the sign-bit cell.
@@ -198,19 +256,7 @@ def embedding_dup_pairs(
     DuckDB oracle reproduces the same candidate set exactly.
     """
     cells = vectors.withColumn("cell", ivf_cell(F.col("v"), n_bits))
-    pairs = (
-        cells.alias("a")
-        .join(cells.alias("b"), on="cell")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.floor(
-                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")) * 100000
-            ).cast("long").alias("cosine_e5"),
-        )
-    )
-    return pairs.where(F.col("cosine_e5") >= int(threshold * 100000))
+    return _pairwise_cells(cells, threshold, scorer).drop("cell")
 
 
 # ---------------------------------------------------------------------------
@@ -469,52 +515,7 @@ def semantic_dup_pairs(
         .withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
         .drop("__vv__")
     )
-    if scorer == "arrow":
-        min_e5 = int(threshold * 100000)
-
-        def _per_cell(key, pdf):
-            import numpy as np
-            import pandas as pd
-
-            ids = pdf["vec_id"].to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            V = np.stack(pdf["v"].to_numpy())[order]
-            nv = pdf["nv"].to_numpy()[order]
-            S = (V @ V.T) / np.outer(nv, nv)
-            iu = np.triu_indices(len(ids), k=1)
-            sc = np.floor(S[iu] * 100000).astype("int64")
-            m = sc >= min_e5
-            return pd.DataFrame(
-                {
-                    "id_a": ids[iu[0][m]],
-                    "id_b": ids[iu[1][m]],
-                    "cell": np.full(int(m.sum()), key[0], dtype="int64"),
-                    "cosine_e5": sc[m],
-                }
-            )
-
-        return (
-            cells.select("vec_id", "v", "nv", "cell")
-            .groupBy("cell")
-            .applyInPandas(
-                _per_cell, "id_a long, id_b long, cell long, cosine_e5 long"
-            )
-        )
-    pairs = (
-        cells.alias("a")
-        .join(cells.alias("b"), on="cell")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.col("cell"),
-            F.floor(
-                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")) * 100000
-            ).cast("long").alias("cosine_e5"),
-        )
-    )
-    return pairs.where(F.col("cosine_e5") >= int(threshold * 100000))
+    return _pairwise_cells(cells, threshold, scorer)
 
 
 def quantize_int8(
