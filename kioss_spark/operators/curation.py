@@ -354,6 +354,13 @@ def snapshot_diff(
     # presence tracked by explicit marker columns, NOT hash nullness — a
     # snapshot with a nullable hash column would otherwise misclassify
     # (prev-only row with NULL hash -> 'added')
+    #
+    # NULL-hash semantics: 'changed' uses eqNullSafe, so NULL vs non-NULL
+    # counts as changed and NULL vs NULL as unchanged. Plain SQL `!=`
+    # (as in the corpus_snapshot_diff oracle) would send any NULL hash to
+    # 'unchanged' — no divergence there because that query's md5 hashes
+    # are never NULL, but an oracle over nullable hashes must mirror this
+    # with IS DISTINCT FROM.
     p = prev.select(
         F.col(id_col), F.col(hash_col).alias("__hp__"), F.lit(True).alias("__in_p__")
     )

@@ -227,9 +227,12 @@ def substring_spans(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("ncov"))
     )
+    # NULL text: tokens() yields NULL and size(NULL) is NULL (sizeOfNull
+    # defaults false in Spark 4) — coalesce to 0 so such rows follow the
+    # documented "shorter than n tokens" convention like empty arrays do.
     ntok = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).alias("n_tok"),
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)).alias("n_tok"),
     )
     return (
         ntok.join(nw, "doc_id", "left")

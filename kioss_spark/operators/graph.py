@@ -50,6 +50,14 @@ def pagerank(
     ranked (their rank is the teleport constant by definition); restrict
     or join downstream as needed.
 
+    Edge contract — MULTIGRAPH semantics: degrees count edge multiplicity,
+    so an edge list containing both ``(a, b)`` and ``(b, a)`` for one
+    undirected edge, or duplicate pairs, doubles degree and rank flow
+    (parallel edges weight the walk). Feed canonical distinct pairs
+    (``doc_a < doc_b``, as every producer in ``operators.dedup`` emits) —
+    or apply ``.distinct()`` on the canonicalized list first — unless
+    weighting by pair multiplicity is intended.
+
     Scale shape (mirrors dedup.connected_components): the symmetric edge
     list with per-source out-degree is persisted ONCE — its lineage is the
     candidate-pair pipeline and every round joins against it. Each round

@@ -23,6 +23,7 @@ AQE coalescing the tail.
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Optional
 
@@ -345,8 +346,19 @@ def train_ivf(corpus: DataFrame, n_centroids: int = 16, iters: int = 0):
 def _sql_double(x: float) -> str:
     """Spark-SQL double literal whose parsed value is bit-identical to the
     Python float (repr round-trips; Double.parseDouble rounds to the same
-    nearest double)."""
-    return repr(float(x)) + "D"
+    nearest double).  Non-finite values would render as ``infD``/``nanD``
+    — not valid Spark SQL literals — so they raise here with the offending
+    value named instead of failing opaquely at ``F.expr`` parse time (a
+    corrupt embedding can propagate inf/NaN through ``train_ivf``'s
+    centroid means)."""
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite centroid component {x!r} cannot be rendered as a "
+            "Spark SQL double literal; check the input embeddings for "
+            "inf/NaN before training"
+        )
+    return repr(x) + "D"
 
 
 def _sql_col(c) -> str:

@@ -36,19 +36,37 @@ def register(name: str, oracle: Optional[str]):
     return deco
 
 
-# Queries with a green driver CORRECTNESS_r03 row (first-50 snapshot).  The
-# driver only samples the first 50 ``load_all()`` entries per round, so we
-# rotate: anything WITHOUT a hard driver verdict yet (the r3 tail plus any
-# newly added query) is ordered first; the already-verified set follows.
-# ROUND-5 TODO: merge the CORRECTNESS_r04 names into these sets. The 50
-# never-driver-checked queries exactly fill round 4's snapshot window;
-# with r2+r3+r4 combined, 104 of the 111 registered queries will then
-# have a hard driver verdict, and the 7 _LOCAL_EVIDENCE_R4 names (added
-# after the window filled; local parity evidence for all 111 in
-# CHECK_LOCAL_r04.txt) move to the front of round 5's window. Do NOT
-# register new queries without checking the window arithmetic again.
+# Queries with a green driver CORRECTNESS row in some past round (the driver
+# only samples the first 50 ``load_all()`` entries per round, so we rotate:
+# anything WITHOUT a hard driver verdict yet is ordered first; the
+# already-verified set follows).  Round-5 state: r2+r3+r4 combined give 103
+# green hard verdicts; the 7 _R5_PRIORITY local-evidence names plus the fixed
+# ``embed_quantize_int8`` (round 4's only red row — array<int> output the
+# driver canonicalizer could not sort, now emitted as CSV string) lead round
+# 5's window, followed by any query registered this round.  Do NOT register
+# more than ~40 new queries in one round without re-checking the window
+# arithmetic.
 _DRIVER_VERIFIED = frozenset(
     {
+        # --- green in CORRECTNESS_r04 ---
+        "salted_join_event_weights", "bucketed_user_event_totals",
+        "gapfill_hourly_locf", "q9_profit_adapted", "q12_shipclass_adapted",
+        "q16_supplier_variety_adapted", "q20_dominant_supplier_adapted",
+        "q2_best_supplier_adapted", "fuzzy_part_names", "rolling_7d_user_value",
+        "cube_status_segment", "json_props_stats", "dedup_cluster_best",
+        "ann_ivf_topk", "ann_ivf_multiprobe", "ann_ivf_trained",
+        "dedup_embedding", "text_quality", "lang_id", "token_counts",
+        "doc_fingerprint", "quality_repetition", "dsir_importance",
+        "mm_image_meta", "mm_frame_sample", "mm_audio_chunks",
+        "pipeline_curation", "sample_deterministic", "split_train_val_test",
+        "pack_sequences", "budget_cap_per_source", "decontaminate_eval",
+        "pii_redact", "sample_stratified", "shuffle_shards", "vocab_top_terms",
+        "tfidf_keywords", "profile_corpus", "boilerplate_ngrams",
+        "sketch_distinct_tokens", "chunk_text_windows", "mix_weighted_order",
+        "sketch_theta_source_overlap", "sketch_hll_lang_rollup",
+        "sketch_kll_doclen", "dedup_semantic", "quality_unigram_icf",
+        "ann_int8_rescore", "profile_dup_rate",
+        # --- green in CORRECTNESS_r03 ---
         "q1_pricing_summary", "rollup_order_counts", "pivot_status_revenue",
         "agg_distinct_stats", "q3_shipping_priority", "q5_nation_revenue",
         "semi_parts_ordered", "anti_customers_no_pending", "asof_last_signup",
@@ -80,12 +98,12 @@ _DRIVER_VERIFIED_R2 = frozenset(
 )
 
 
-#: registered AFTER round 4's driver snapshot window filled (the 50
-#: never-driver-checked names exactly occupy it) — ordered right after that
-#: tier so they are next in line for a driver verdict in round 5; their
-#: round-4 evidence is the committed local hostile-tz parity sweep
-#: (CHECK_LOCAL_r04.txt).
-_LOCAL_EVIDENCE_R4 = frozenset(
+#: round-5 window leaders: the 7 queries registered after round 4's snapshot
+#: window filled (round-4 evidence = committed local hostile-tz parity sweep,
+#: CHECK_LOCAL_r04.txt) plus ``embed_quantize_int8``, round 4's single red
+#: row, re-shaped this round to a driver-canonicalizable output (CSV codes
+#: string instead of array<int>).
+_R5_PRIORITY = frozenset(
     {
         "dedup_substring_spans",
         "contamination_reach",
@@ -94,6 +112,7 @@ _LOCAL_EVIDENCE_R4 = frozenset(
         "dedup_incremental_pairs",
         "winsorize_event_values",
         "corpus_snapshot_diff",
+        "embed_quantize_int8",
     }
 )
 
@@ -101,9 +120,10 @@ _LOCAL_EVIDENCE_R4 = frozenset(
 def load_all() -> dict[str, QueryDef]:
     """Import every query module (side effect: fills REGISTRY).
 
-    Returns the registry reordered: never-driver-checked queries first,
-    then round-2-verified, then round-3-verified (the driver's correctness
-    snapshot samples the first 50 entries).
+    Returns the registry reordered for the driver's 50-entry correctness
+    snapshot: round-5 priority queries (no green driver verdict yet) first,
+    then anything never driver-checked (new registrations), then
+    round-2-verified, then the r3/r4-verified bulk.
     """
     from kioss_spark.queries import relational  # noqa: F401
 
@@ -111,14 +131,14 @@ def load_all() -> dict[str, QueryDef]:
         from kioss_spark.queries import llm  # noqa: F401
     except ImportError:  # pragma: no cover - built incrementally
         pass
+    prio = {k: v for k, v in REGISTRY.items() if k in _R5_PRIORITY}
     never = {
         k: v
         for k, v in REGISTRY.items()
         if k not in _DRIVER_VERIFIED
         and k not in _DRIVER_VERIFIED_R2
-        and k not in _LOCAL_EVIDENCE_R4
+        and k not in _R5_PRIORITY
     }
-    r4new = {k: v for k, v in REGISTRY.items() if k in _LOCAL_EVIDENCE_R4}
     r2 = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED_R2}
-    r3 = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED}
-    return {**never, **r4new, **r2, **r3}
+    rest = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED}
+    return {**prio, **never, **r2, **rest}

@@ -1982,11 +1982,12 @@ def quality_unigram_icf(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     s AS (SELECT vec_id, v,
                  list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
-    SELECT vec_id, scale,
-           CASE WHEN scale = 0
-                THEN list_transform(v, x -> 0)
-                ELSE list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER))
-           END AS q
+    SELECT vec_id, round(scale, 4) AS scale_r4,
+           array_to_string(
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER))
+               END, ',') AS q_csv
     FROM s
     """,
 )
@@ -1997,11 +1998,18 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks every code of every vector (the scale is a read+abs+max with
     no accumulation, so the division inputs are bit-identical on both
     engines; round half-away ties match Spark's HALF_UP on the same
-    doubles)."""
+    doubles). The codes column is emitted as a CSV STRING (not
+    array<int>): the driver canonicalizes results via pandas sort_values,
+    which cannot sort list cells — this was round 4's only red row."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return similarity.quantize_int8(e)
+    q = similarity.quantize_int8(e)
+    return q.select(
+        "vec_id",
+        F.round("scale", 4).alias("scale_r4"),
+        F.concat_ws(",", F.col("q").cast("array<string>")).alias("q_csv"),
+    )
 
 
 _SQL_DQ = "list_transform({t}.q8, c -> CAST(c AS DOUBLE) * {t}.scale / 127)"
