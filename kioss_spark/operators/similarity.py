@@ -244,7 +244,7 @@ def embedding_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_bits: int = 8,
-    scorer: str = "exact",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a, b) with
     cosine >= threshold, candidates bucketed by the sign-bit cell.
@@ -255,6 +255,14 @@ def embedding_dup_pairs(
     dimension can be missed (approximate by design, like MinHash banding);
     tighter recall = fewer bits or multi-probe. Deterministic, so the
     DuckDB oracle reproduces the same candidate set exactly.
+
+    ``scorer`` defaults to ``"arrow"`` — the scale path (one numpy matmul
+    per cell, measured 9x over the JVM fold at 20k vectors) and the right
+    default for users; pass ``"exact"`` only when bit-parity with a SQL
+    oracle at the threshold boundary matters (the registered oracle
+    queries pin it). Sizing: one cell must fit in one task's memory, so
+    grow ``n_bits`` (cell count 2**n_bits) with the corpus to keep cells
+    ~constant-size.
     """
     cells = vectors.withColumn("cell", ivf_cell(F.col("v"), n_bits))
     return _pairwise_cells(cells, threshold, scorer).drop("cell")
@@ -486,7 +494,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     n_centroids: int = 16,
     iters: int = 0,
-    scorer: str = "exact",
+    scorer: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the TRAINED coarse
@@ -507,18 +515,20 @@ def semantic_dup_pairs(
 
     ``scorer`` picks the pairwise stage:
 
-    - ``"exact"`` (default): JVM cell self-join + per-pair fold dot —
-      oracle-bit-exact, but the interpreted higher-order dot is the
-      bottleneck once cells hold thousands of vectors (measured: 20k
-      corpus / 128 cells / ~3M candidate pairs = 160s on local[32]).
-    - ``"arrow"``: per-cell Arrow group + one numpy float64 matmul per
-      cell — the SCALE path (same 20k corpus: ~4s). Scores differ from
-      the fold order only in the last ulp, so floor(x*1e5) can flip ±1
-      at the boundary; pair membership can therefore differ EXACTLY at
-      cosine == threshold (property-tested agreement away from the
-      boundary). Constraint: one cell must fit in one task's memory —
-      the same bound SemDeDup's own per-cluster comparison has; raise
-      ``n_centroids`` (∝ corpus size, cells stay ~constant) to hold it.
+    - ``"arrow"`` (default — the SCALE path): per-cell Arrow group + one
+      numpy float64 matmul per cell (measured 9x over the fold at a 20k
+      corpus / 128 cells / ~3M candidate pairs: ~17.6s vs 160s on
+      local[32]). Scores differ from the fold order only in the last
+      ulp, so floor(x*1e5) can flip ±1 at the boundary; pair membership
+      can therefore differ EXACTLY at cosine == threshold
+      (property-tested agreement away from the boundary). Constraint:
+      one cell must fit in one task's memory — the same bound SemDeDup's
+      own per-cluster comparison has; raise ``n_centroids`` (∝ corpus
+      size, cells stay ~constant) to hold it.
+    - ``"exact"``: JVM cell self-join + per-pair fold dot — bit-exact
+      against a SQL oracle (the registered oracle queries pin it), but
+      the interpreted higher-order dot is the bottleneck once cells hold
+      thousands of vectors. Use only for cross-engine parity checks.
     """
     cents = train_ivf(vectors, n_centroids=n_centroids, iters=iters)
     vv = F.col("__vv__")

@@ -555,7 +555,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ~0.51); production near-dup would use ~0.95 on real embeddings.
     Deterministic bucketing -> exact oracle parity including recall."""
     nn = similarity.with_norm(_emb(spark, sf_dir))
-    return similarity.embedding_dup_pairs(nn, threshold=0.40, n_bits=4)
+    # scorer="exact" pinned: the oracle hash-compares every cosine_e5, so
+    # the JVM fold's accumulation order must match list_dot_product
+    # bit-for-bit (the arrow default can flip floor() by ±1 at the
+    # threshold boundary). Users get the arrow scale path by default.
+    return similarity.embedding_dup_pairs(
+        nn, threshold=0.40, n_bits=4, scorer="exact"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1904,7 +1910,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic training -> the oracle reproduces the exact candidate
     set, including recall."""
     nn = similarity.with_norm(_emb(spark, sf_dir))
-    return similarity.semantic_dup_pairs(nn, threshold=0.40, n_centroids=16, iters=0)
+    # scorer="exact" pinned for oracle bit-parity (see dedup_embedding).
+    return similarity.semantic_dup_pairs(
+        nn, threshold=0.40, n_centroids=16, iters=0, scorer="exact"
+    )
 
 
 @register(
