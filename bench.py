@@ -79,6 +79,12 @@ HEADLINE = [
     "split_leakage_pairs",
     "dedup_incremental_pairs",
     "winsorize_event_values",
+    # round-5: the iterative graph family — the most expensive queries in
+    # the local sweeps (CC survivor selection, PageRank ranking, BFS
+    # contamination reach); the bench should carry what is slow
+    "dedup_cluster_best",
+    "pagerank_dup_graph",
+    "contamination_reach",
 ]
 
 
@@ -125,6 +131,7 @@ def main() -> None:
     # number measures the engine, not the neighbor's workload
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float | str | None] = {}
+    build: dict[str, float] = {}
     missing: list[str] = []
     errors: list[str] = []
     for _ in range(repeats):
@@ -145,6 +152,12 @@ def main() -> None:
                 # down the whole bench (round-2 regression: BENCH_r02 was
                 # rc=1 with no numbers because one query threw mid-list)
                 df = q.fn(spark, sf_dir)
+                # plan-BUILD time (py4j Column-tree construction + any
+                # plan-time driver jobs like IVF training / iterative
+                # loops) tracked separately from execution so a fixed
+                # per-query py4j overhead is attributable (round-4 bench
+                # regression bisect)
+                t1 = time.perf_counter()
                 df.write.mode("overwrite").format("noop").save()
             except Exception as exc:  # noqa: BLE001
                 # keep any successful earlier timing: a flaky later repeat
@@ -158,7 +171,9 @@ def main() -> None:
                 continue
             elapsed = round(time.perf_counter() - t0, 3)
             prev = timings.get(name)
-            timings[name] = elapsed if prev is None else min(prev, elapsed)
+            if prev is None or not isinstance(prev, float) or elapsed < prev:
+                timings[name] = elapsed
+                build[name] = round(t1 - t0, 3)
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     out = {
@@ -166,6 +181,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "build": build,
         "sf": float(sf),
     }
     if missing:

@@ -99,6 +99,13 @@ def transitive_reach(
     monotonically shrinks into the unreached set; with max_hops small
     (2-3 in practice) this is a handful of |E|-bounded jobs. Early-out
     when a frontier goes empty.
+
+    Each level's checkpoint is LAZY and the empty-frontier probe is a
+    FULL count: the count materializes every partition (making the
+    lineage cut effective — a limit(1) probe would compute only some
+    partitions and leave the checkpoint un-truncated) while doubling as
+    the probe, so each level costs one job, not two (round-5 driver-
+    overhead shave; mirrors dedup.connected_components).
     """
     from pyspark import StorageLevel
 
@@ -110,7 +117,7 @@ def transitive_reach(
             seeds.select(F.col(id_col).alias("id"))
             .distinct()
             .withColumn("hop", F.lit(0))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         reached = frontier
         for hop in range(1, max_hops + 1):
@@ -120,9 +127,9 @@ def transitive_reach(
                 .distinct()
                 .join(reached.select("id"), "id", "left_anti")
                 .withColumn("hop", F.lit(hop))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.limit(1).count() == 0:
+            if nxt.count() == 0:
                 break
             reached = reached.union(nxt)
             frontier = nxt

@@ -660,10 +660,16 @@ def connected_components(
       is the overwhelming majority — at 100 TB the loop iterates over the
       duplicate-pair node set (|pairs|-sized), not the corpus. Singletons
       are stitched back with one left join at the end.
-    - The convergence probe carries the previous label as a column through
-      the checkpoint, so "did anything change?" is a limit(1) filter scan
-      of the just-materialized round — no extra join against the previous
-      round.
+    - The convergence probe IS the materializing action: each round's
+      state is a LAZY localCheckpoint (plan truncated to a LogicalRDD
+      immediately; partitions cached on first full computation), and the
+      full count of changed rows both materializes the round and answers
+      "did anything change?" — ONE job per round where eager-checkpoint +
+      separate probe cost two (round-5: the fixed ~1 s/round driver
+      overhead dominated fixture-scale graph queries). The count must be
+      a FULL count, not limit(1): a partial scan would leave partitions
+      uncomputed, and an un-materialized lazy checkpoint does not
+      truncate lineage, so the next round would replay the pipeline.
 
     Deterministic: integer ids, min-label — no floats anywhere.
     """
@@ -687,24 +693,34 @@ def connected_components(
             .distinct()
             .select("id", F.col("id").alias("label"))
         )
-        for _ in range(max_iter):
+        def _propagate(lbl):
+            """One min-label step over (id, old, label): neighbor-min via
+            the persisted symmetric edges, ``old`` carried through narrow."""
             nbr = (
-                sym.join(labels, sym["src"] == labels["id"])
+                sym.join(lbl.select("id", "label"), sym["src"] == F.col("id"))
                 .groupBy("dst")
                 .agg(F.min("label").alias("nlabel"))
             )
-            new = (
-                labels.join(nbr, labels["id"] == nbr["dst"], "left")
-                .select(
-                    "id",
-                    F.col("label").alias("old"),
-                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                        "label"
-                    ),
-                )
-                .localCheckpoint(eager=True)
+            return lbl.join(nbr, lbl["id"] == nbr["dst"], "left").select(
+                lbl["id"],
+                lbl["old"],
+                F.least(lbl["label"], F.coalesce("nlabel", lbl["label"])).alias(
+                    "label"
+                ),
             )
-            changed = new.where(F.col("label") != F.col("old")).limit(1).count()
+
+        # TWO propagation steps per materialization: label propagation is
+        # monotone (labels only decrease toward the component min), so
+        # composing steps lazily inside one plan is just a faster
+        # schedule — convergence detection is delayed by at most one
+        # step, which costs one extra (no-change) materialization at
+        # worst. Halves the fixed per-round cost (Catalyst compile +
+        # job scheduling) that dominates when the loop state is
+        # pair-set-sized.
+        for _ in range((max_iter + 1) // 2):
+            base = labels.select("id", F.col("label").alias("old"), "label")
+            new = _propagate(_propagate(base)).localCheckpoint(eager=False)
+            changed = new.where(F.col("label") != F.col("old")).count()
             labels = new.select("id", "label")
             if changed == 0:
                 break

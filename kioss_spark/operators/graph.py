@@ -97,7 +97,17 @@ def pagerank(
             F.col("deg").cast("long").alias("deg"),
             F.lit(SCALE // n).cast("long").alias("rank"),
         ).localCheckpoint(eager=True)
-        for _ in range(iters):
+        # Rounds are materialized every SECOND step, not every step: two
+        # propagation steps chain lazily into one plan, then one eager
+        # localCheckpoint cuts it. Halves the fixed per-round driver cost
+        # (job scheduling + checkpoint) that dominated fixture-scale runs
+        # (round-5 shave); the double consumption of the previous round's
+        # state inside one plan is deduplicated by ReuseExchange. The
+        # FINAL step is always checkpointed eagerly: the returned frame
+        # must not reference `withdeg`, which is unpersisted on exit —
+        # a lazy tail would silently replay the candidate-pair pipeline
+        # at the caller's action.
+        for step in range(1, iters + 1):
             inflow = (
                 withdeg.join(ranks.select("id", "rank"), withdeg["s"] == F.col("id"))
                 .select(
@@ -117,8 +127,9 @@ def pagerank(
                     .cast("long")
                     .alias("rank"),
                 )
-                .localCheckpoint(eager=True)
             )
+            if step % 2 == 0 or step == iters:
+                ranks = ranks.localCheckpoint(eager=True)
     finally:
         withdeg.unpersist()
     return ranks.select("id", "deg", F.col("rank").alias("rank_e9"))
