@@ -596,9 +596,33 @@ def simhash_pairs(
     max_hamming: int = 3,
     n: int = DEFAULT_N,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4 bands × 15 bits → candidates (any pair with
-    Hamming ≤ 3 shares at least one band by pigeonhole), verified with
-    bit_count(a XOR b). Shuffle key = (band, 15-bit chunk)."""
+    """SimHash near-dup pairs: ``max_hamming + 1`` bands over the 60-bit
+    signature → candidates (any pair within Hamming ``max_hamming`` shares
+    at least one band by pigeonhole — exact recall at the stated radius),
+    verified with bit_count(a XOR b). Shuffle key = (band, chunk).
+
+    Radius-vs-regime (measured at sf0.01, RECALL.md): Hamming ≤ 3 on a
+    60-bit signature is a TIGHT radius — recall vs exact Jaccard is ~52%
+    at J ≥ 0.8 and still only ~54% at J ≥ 0.9 on this fixture (its
+    31-word vocabulary gives shingle-hash votes high variance, so even
+    very similar docs flip 4-6 signature bits). Widening to
+    ``max_hamming=5`` (6 × 10-bit bands) lifts J ≥ 0.8 recall to 72%
+    measured, at ~2^5 more candidates per band-collision class (still
+    verified exactly, so precision stays 1.0). For J ≥ 0.5-regime dedup
+    use MinHash-LSH (measured 100% recall there), which bands the
+    Jaccard space directly; SimHash's niche is cheap signatures (one
+    long per doc) and Hamming set-ups like incremental re-scans.
+
+    ``60 % (max_hamming + 1)`` must be 0 (valid: 1, 2, 3, 4, 5, 9, 11,
+    14, 19, 29, 59 for the 60-bit signature)."""
+    n_bands = max_hamming + 1
+    if 60 % n_bands != 0:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_bands} equal bands over 60 "
+            "bits; pick max_hamming so that (max_hamming + 1) divides 60"
+        )
+    width = 60 // n_bands
+    mask = (1 << width) - 1
     sigs = simhash_signatures(docs, text_col, id_col, n=n)
     bands = sigs.select(
         "doc_id",
@@ -606,8 +630,8 @@ def simhash_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), k * 15).bitwiseAND(F.lit(32767))
-                    for k in range(4)
+                    F.shiftright(F.col("simhash"), k * width).bitwiseAND(F.lit(mask))
+                    for k in range(n_bands)
                 ]
             )
         ).alias("band", "chunk"),

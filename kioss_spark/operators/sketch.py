@@ -47,7 +47,7 @@ def kmv_distinct(
     df: DataFrame,
     value: Column,
     by: Optional[Sequence[str]] = None,
-    k: int = 64,
+    k: int = 256,
     partial: bool = True,
 ) -> DataFrame:
     """Per-group distinct-count estimate of ``value`` via a k-minimum-values
@@ -57,6 +57,14 @@ def kmv_distinct(
     ``est_distinct`` IS the exact distinct count. The estimator divides in
     IEEE double ((k-1) * 2^60 / m_k, floored) so DuckDB reproduces it
     bit-for-bit.
+
+    Sizing: relative stderr ≈ 1/sqrt(k-1) — k=64 ≈ 12.7% (measured max
+    error 27% at sf0.1, RECALL.md), k=256 ≈ 6.3% (the default), k=1024 ≈
+    3.1%. Cost is linear in k per group (the shuffle carries ~k rows per
+    group-batch), so k=256 is still tiny; prefer ``theta_overlap_matrix``
+    /``F.theta_sketch_agg`` (measured 1.6% max) when set algebra or
+    tighter error matters — KMV's value is that its estimator is exactly
+    reproducible in plain SQL.
     """
     keys = list(by or [])
     hashed = df.select(*keys, h60(value).alias("__h__"))
