@@ -85,6 +85,11 @@ HEADLINE = [
     "dedup_cluster_best",
     "pagerank_dup_graph",
     "contamination_reach",
+    # round-5 additions: rule-battery quality gate, bigram novelty (a second
+    # full n-gram-keyed agg family), frame-level multimodal dedup
+    "quality_gopher_rules",
+    "bigram_novelty",
+    "mm_frame_dedup",
 ]
 
 

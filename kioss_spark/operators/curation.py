@@ -30,6 +30,8 @@ __all__ = [
     "importance_score",
     "shard_shuffle",
     "interleave_weighted",
+    "class_balance_weights",
+    "quantile_strata_sample",
 ]
 
 
@@ -331,6 +333,88 @@ def interleave_weighted(
     return ranked.withColumn(
         "mix_key_e6",
         F.floor(F.col("r_in_group") * 1000000 / w_col).cast("long"),
+    )
+
+
+def class_balance_weights(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """Inverse-frequency resampling weights per class: ``weight_e6 =
+    floor(1e6 * total / (n_labels * n))`` — the standard class-balanced
+    loss/sampling weight (each class's weights sum to ~total/n_labels).
+    Returns one row per label: (label, n, weight_e6).
+
+    Scale shape: one keyed agg with map-side combine (label-cardinality
+    output), the corpus totals ride a broadcast crossJoin of a one-row
+    aggregate — the same constant-size-stats pattern as dsir_importance.
+    Integer arithmetic only, so the oracle is bit-exact."""
+    per = df.groupBy(label_col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = per.agg(
+        F.sum("n").cast("long").alias("__total__"),
+        F.count(F.lit(1)).cast("long").alias("__n_labels__"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col(label_col),
+        F.col("n"),
+        F.floor(
+            F.lit(1000000.0) * F.col("__total__") / (F.col("__n_labels__") * F.col("n"))
+        )
+        .cast("long")
+        .alias("weight_e6"),
+    )
+
+
+def quantile_strata_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    rates_bp: tuple = (4000, 3000, 2000, 1000),
+) -> DataFrame:
+    """Deterministic stratified sample over data-driven QUARTILE strata of
+    ``value_col`` (e.g. oversample short documents, downsample long ones):
+    stratum boundaries are exact quartiles, selection within each stratum
+    is a content-hash bucket test at ``rates_bp[stratum]`` basis points —
+    no ``rand()``, reproducible in SQL.
+
+    Exact quantiles WITHOUT a global sort of the data: the value
+    histogram (``groupBy(value)``, bounded cardinality — document lengths,
+    not documents) gets a cumulative count via a single-partition window
+    over that *histogram-sized* table (the same constant-size-stats
+    exception as every quantile subplan in this repo; the corpus itself
+    is never globally sorted), boundaries fall out as conditional
+    aggregates, and the broadcast join back assigns strata in one narrow
+    pass. Total: one histogram shuffle + one broadcast join at any
+    corpus size.
+
+    Returns (id, value, stratum, kept): every row with its stratum, and
+    ``kept`` 1/0 so the caller can filter or audit rate adherence."""
+    v = F.col(value_col)
+    hist = df.groupBy(v.alias("__v__")).agg(F.count(F.lit(1)).alias("__c__"))
+    w = Window.orderBy("__v__").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("__v__", F.sum("__c__").over(w).alias("__cum__"))
+    bounds = cum.crossJoin(
+        F.broadcast(hist.agg(F.sum("__c__").alias("__tot__")))
+    ).agg(
+        F.min(F.when(F.col("__cum__") * 4 >= F.col("__tot__"), F.col("__v__"))).alias("__b1__"),
+        F.min(F.when(F.col("__cum__") * 2 >= F.col("__tot__"), F.col("__v__"))).alias("__b2__"),
+        F.min(F.when(F.col("__cum__") * 4 >= F.col("__tot__") * 3, F.col("__v__"))).alias("__b3__"),
+    )
+    stratum = (
+        F.when(v <= F.col("__b1__"), F.lit(0))
+        .when(v <= F.col("__b2__"), F.lit(1))
+        .when(v <= F.col("__b3__"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+    )
+    rate = F.element_at(
+        F.array(*[F.lit(int(r)) for r in rates_bp]), stratum.cast("int") + 1
+    )
+    kept = (
+        F.pmod(h60(F.col(id_col).cast("string")), F.lit(10000)) < rate
+    )
+    return df.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col),
+        v.alias("value"),
+        stratum.alias("stratum"),
+        kept.cast("long").alias("kept"),
     )
 
 

@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["with_payload", "image_meta", "frame_sample", "decode_image_real"]
+__all__ = [
+    "with_payload",
+    "image_meta",
+    "frame_sample",
+    "frame_dedup",
+    "decode_image_real",
+]
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -188,6 +194,36 @@ def audio_chunks(
             )
 
     return src.mapInPandas(chunk, schema=AUDIO_CHUNK_SCHEMA)
+
+
+def frame_dedup(frames: DataFrame) -> DataFrame:
+    """Cross-document frame-level exact dedup over a ``frame_sample``
+    output: group identical frame fingerprints, keep the lexicographically
+    first (doc_id, frame_idx) occurrence — the intro/outro/watermark/
+    test-card detector of a video pipeline (a frame appearing across many
+    videos is boilerplate, not content), and the visual analog of
+    ``dedup.exact_dedup``. Returns one row per duplicated fingerprint:
+    (frame_md5, n_occ, n_docs, keep_doc, keep_frame), n_occ >= 2.
+
+    One hash-keyed shuffle with map-side combine, survivor picked as
+    ``min(struct(doc_id, frame_idx))`` inside the same aggregation — no
+    window, no second pass; output is duplicate-fingerprint-sized."""
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.struct("doc_id", "frame_idx")).alias("__first__"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .select(
+            "frame_md5",
+            "n_occ",
+            "n_docs",
+            F.col("__first__.doc_id").cast("long").alias("keep_doc"),
+            F.col("__first__.frame_idx").cast("long").alias("keep_frame"),
+        )
+    )
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int, str, str]:

@@ -117,6 +117,46 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for each
+    query vector, the ``k`` most-cosine-similar corpus vectors with a
+    DIFFERENT ``label_col`` — the near-miss negatives that make a
+    contrastive batch informative (random negatives are trivially easy;
+    the hard ones sit just across the class boundary). Returns
+    (query_id, query_label, cand_id, cand_label, score_e5, rnk).
+
+    Inputs are ``with_norm`` outputs carrying ``label_col``. Same scale
+    shape as ``cosine_topk``: the query side is broadcast (queries are
+    the small side by construction), scoring is the JVM fold dot under
+    codegen, the label-mismatch predicate prunes before ranking, and the
+    per-query rank window is keyed on query_id — the corpus is scanned
+    once, never shuffled on a non-key. Scores floor-integerized at e5
+    with cand_id tiebreak, so ranking is deterministic cross-engine.
+    For billion-scale corpora swap the scoring stage for the trained-IVF
+    candidate generator (``ivf_topk_trained``) and apply the label
+    filter to its candidates — same contract, sublinear scan."""
+    scored = corpus.alias("c").crossJoin(F.broadcast(queries.alias("q"))).where(
+        F.col("q." + label_col) != F.col("c." + label_col)
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("q." + label_col).alias("query_label"),
+        F.col("c.vec_id").alias("cand_id"),
+        F.col("c." + label_col).alias("cand_label"),
+        F.floor(
+            _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nv") * F.col("c.nv")) * 100000
+        ).cast("long").alias("score_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e5").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def ivf_cell(vec: Column, n_bits: int = 8) -> Column:
     """Deterministic coarse quantizer: cell id from the sign bits of the
     first ``n_bits`` dimensions (0..2^n_bits-1). A stand-in for k-means

@@ -21,6 +21,7 @@ __all__ = [
     "shingles",
     "h60",
     "quality_metrics",
+    "gopher_flags",
     "chunk_windows",
     "LANG_MARKERS",
 ]
@@ -126,6 +127,39 @@ def chunk_windows(toks: Column, window: int = 32, stride: int = 24) -> Column:
             F.concat_ws(" ", F.slice(toks, i * stride + 1, window)).alias("chunk_text"),
         ),
     )
+
+
+def gopher_flags(toks: Column):
+    """Gopher-style document-quality rule flags (Rae et al. 2021, §A1.1 —
+    the repetition-independent subset; fixture-scaled bounds): the
+    boolean-gate filter battery every web-corpus pipeline runs before
+    dedup. Returns the column tuple ``(n_tok, flag_len, flag_mean_len,
+    flag_stop, flag_uniq, flag_alpha)``:
+
+    - ``flag_len``: 5 <= n_tok <= 1000 (Gopher: 50..100k words, scaled to
+      the fixture's ~30-160-token docs)
+    - ``flag_mean_len``: mean token length in [2, 10] chars — compared as
+      ``2*n_tok <= total_chars <= 10*n_tok`` (pure integer, no division)
+    - ``flag_stop``: at least one stop word (Gopher requires >= 2 of a
+      fixed set; the fixture vocabulary carries exactly this set)
+    - ``flag_uniq``: distinct-token ratio >= 0.2 (``5*n_uniq >= n_tok``)
+    - ``flag_alpha``: >= 90% of tokens contain a letter
+      (``10*n_alpha >= 9*n_tok``; Gopher: 80% "alphabetic" words)
+
+    All comparisons are integer-rational, so a DuckDB oracle reproduces
+    every flag bit-for-bit. Pure column algebra: zero shuffle, narrow,
+    whole-stage-codegen'd — the filter costs one corpus scan at any
+    scale. An empty/NULL token array fails ``flag_len`` and passes the
+    vacuous ratio flags (0 >= 0), mirroring the SQL semantics exactly.
+    """
+    n_tok, n_uniq, stop, tok_chars = quality_metrics(toks)
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    flag_len = (n_tok >= 5) & (n_tok <= 1000)
+    flag_mean_len = (tok_chars >= 2 * n_tok) & (tok_chars <= 10 * n_tok)
+    flag_stop = stop >= 1
+    flag_uniq = n_uniq * 5 >= n_tok
+    flag_alpha = n_alpha * 10 >= n_tok * 9
+    return n_tok, flag_len, flag_mean_len, flag_stop, flag_uniq, flag_alpha
 
 
 def quality_metrics(toks: Column):

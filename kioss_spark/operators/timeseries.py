@@ -25,7 +25,52 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_locf"]
+__all__ = ["gapfill_locf", "rate_anomaly"]
+
+
+def rate_anomaly(
+    per_bucket: DataFrame,
+    key: str = "user_id",
+    bucket: str = "bucket",
+    count_col: str = "cnt",
+    trailing: int = 3,
+) -> DataFrame:
+    """Per-key event-rate anomaly score: each (key, bucket) count compared
+    to the mean of the previous ``trailing`` observed buckets —
+    ``anomaly_e6 = floor(1e6 * cnt * trail_k / trail_n)`` (current rate
+    over trailing mean, 1e6 = exactly the trailing average). The burst /
+    outage detector a monitoring or abuse pipeline runs per entity; the
+    z-score variant needs a stddev whose float accumulation is engine-
+    dependent, so this ships the rational-integer form (bit-exact in SQL)
+    — ordering by anomaly score is what thresholding consumes anyway.
+
+    Scale shape: input is the already-bucketed per-key count table (one
+    keyed agg upstream); the trailing frame is a keyed ROWS window
+    (PARTITION BY key ORDER BY bucket, deterministic because (key,
+    bucket) is unique) — never a global window. Buckets with no trailing
+    history (``trail_k`` 0) emit anomaly NULL-as-0 with ``trail_k`` 0 so
+    the consumer can mask the warm-up. Integer arithmetic only."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(-trailing, -1)
+    )
+    trail_n = F.coalesce(F.sum(count_col).over(w), F.lit(0)).cast("long")
+    trail_k = F.count(count_col).over(w).cast("long")
+    return per_bucket.select(
+        F.col(key),
+        F.col(bucket),
+        F.col(count_col).cast("long").alias(count_col),
+        trail_n.alias("trail_n"),
+        trail_k.alias("trail_k"),
+        F.when(
+            trail_n > 0,
+            F.floor(F.lit(1000000.0) * F.col(count_col) * trail_k / trail_n),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("anomaly_e6"),
+    )
 
 
 def gapfill_locf(

@@ -2566,3 +2566,378 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "status")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: quality gates, novelty, cluster profiling, contrastive
+# mining, balancing, strata sampling, rate anomaly, frame dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 len(t) AS n_tok,
+                 len(list_distinct(t)) AS n_uniq,
+                 len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS n_stop,
+                 coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars,
+                 len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+          FROM toks)
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_tok >= 5 AND n_tok <= 1000 AS BIGINT) AS flag_len,
+           CAST(tok_chars >= 2 * n_tok AND tok_chars <= 10 * n_tok AS BIGINT)
+               AS flag_mean_len,
+           CAST(n_stop >= 1 AS BIGINT) AS flag_stop,
+           CAST(n_uniq * 5 >= n_tok AS BIGINT) AS flag_uniq,
+           CAST(n_alpha * 10 >= n_tok * 9 AS BIGINT) AS flag_alpha,
+           CAST(n_tok >= 5 AND n_tok <= 1000
+                AND tok_chars >= 2 * n_tok AND tok_chars <= 10 * n_tok
+                AND n_stop >= 1 AND n_uniq * 5 >= n_tok
+                AND n_alpha * 10 >= n_tok * 9 AS BIGINT) AS passed
+    FROM m
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-battery quality gate (operators.text.gopher_flags;
+    Rae et al. 2021 §A1.1): per-doc boolean flags for length, mean token
+    length, stop-word presence, distinct-token ratio, and alphabetic-token
+    ratio, plus the all-rules pass bit. Every comparison is integer-
+    rational, so the oracle reproduces each flag exactly. Pure column
+    algebra: zero shuffle at any corpus size."""
+    from kioss_spark.operators.text import gopher_flags
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n_tok, f_len, f_mean, f_stop, f_uniq, f_alpha = gopher_flags(F.col("t"))
+    passed = f_len & f_mean & f_stop & f_uniq & f_alpha
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        f_len.cast("long").alias("flag_len"),
+        f_mean.cast("long").alias("flag_mean_len"),
+        f_stop.cast("long").alias("flag_stop"),
+        f_uniq.cast("long").alias("flag_uniq"),
+        f_alpha.cast("long").alias("flag_alpha"),
+        passed.cast("long").alias("passed"),
+    )
+
+
+#: distinct word bigrams == operators.text.shingles(n=2)
+SQL_BIGRAMS = (
+    "list_distinct(CASE WHEN len(t) >= 2 "
+    "THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) "
+    "ELSE []::VARCHAR[] END)"
+)
+
+
+@register(
+    "bigram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id, {SQL_BIGRAMS} AS b FROM toks),
+    inv AS (SELECT doc_id, x AS bigram FROM bg, UNNEST(b) u(x)),
+    dfreq AS (SELECT bigram, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY 1),
+    per AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_solo
+            FROM inv JOIN dfreq USING (bigram) GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(n_bigrams, 0) AS n_bigrams,
+           coalesce(n_solo, 0) AS n_solo,
+           CAST(CASE WHEN coalesce(n_bigrams, 0) > 0
+                     THEN floor(1000000.0 * n_solo / n_bigrams) ELSE 0 END AS BIGINT)
+               AS novelty_e6
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty score: the fraction of a document's distinct word
+    bigrams that appear in NO other document (corpus document frequency
+    1) — high novelty flags gibberish/OCR noise and genuinely unique
+    content; low novelty flags template/boilerplate text. The bigram-level
+    complement of boilerplate_ngrams (which flags the SHARED side).
+
+    Scale plan: one explode of per-doc distinct bigrams feeds both the
+    document-frequency agg (bigram-keyed, map-side combine) and the
+    score join (bigram-keyed); the per-doc rollup is doc-keyed; empty
+    docs survive via the final left join. Integer-rational score."""
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), n=2, distinct=True).alias("b")
+    )
+    inv = bg.select("doc_id", F.explode("b").alias("bigram"))
+    dfreq = inv.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per = (
+        inv.join(dfreq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long").alias("n_solo"),
+        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_solo", F.lit(0)).alias("n_solo"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.floor(F.lit(1000000.0) * F.col("n_solo") / F.col("n_bigrams")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("novelty_e6"),
+    )
+
+
+@register(
+    "embed_cluster_profile",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    cent AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, cv
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h,
+                     vec_id, v AS cv
+              FROM n)
+        ORDER BY h, vec_id LIMIT 16
+    ),
+    ca AS (SELECT t.vec_id, t.label, t.nv, cent.cid, {_D2.format(t='t')} AS d2
+           FROM n t CROSS JOIN cent),
+    cbest AS (SELECT vec_id, label, nv, cid AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM ca)
+              WHERE rn = 1),
+    pl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS n FROM cbest GROUP BY 1, 2),
+    top AS (SELECT cell, label AS top_label, n AS top_label_n FROM
+            (SELECT *, row_number() OVER (PARTITION BY cell
+                                          ORDER BY n DESC, label) AS rn FROM pl)
+            WHERE rn = 1),
+    st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                  CAST(sum(CAST(floor(nv * 1000000) AS BIGINT)) AS BIGINT) AS s
+           FROM cbest GROUP BY 1)
+    SELECT CAST(st.cell AS BIGINT) AS cell, n_vecs,
+           CAST(top_label AS BIGINT) AS top_label, top_label_n,
+           CAST(s // n_vecs AS BIGINT) AS mean_norm_e6
+    FROM st JOIN top ON st.cell = top.cell
+    """,
+)
+def embed_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balance profile of the trained coarse quantizer: per cell,
+    vector count, majority label (+ its count), and mean norm — the
+    diagnostic an IVF/SemDeDup deployment runs to validate cell sizing
+    (balanced cells = the Σcell² pairwise bound holds; a huge cell means
+    raise n_centroids) and label purity. Assignment is the zero-shuffle
+    literal-folded trained_cells; the profile is one cell-keyed agg plus
+    one (cell,label)-keyed agg with a 16-partition rank window. Mean norm
+    is integerized before summing (order-independent), divided with
+    integer div — bit-exact cross-engine."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nn = e.withColumn("nv", F.sqrt(similarity._dot(F.col("v"), F.col("v"))))
+    cents = similarity.train_ivf(nn, n_centroids=16, iters=0)
+    vv = F.col("__vv__")
+    cells = (
+        nn.withColumn("__vv__", similarity._dot(F.col("v"), F.col("v")))
+        .withColumn("cell", similarity.trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
+        .select("vec_id", "label", "nv", "cell")
+    )
+    pl = cells.groupBy("cell", "label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("label"))
+    top = (
+        pl.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
+    )
+    st = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.floor(F.col("nv") * 1000000).cast("long")).cast("long").alias("s"),
+    )
+    return st.join(top, "cell").select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vecs",
+        F.col("top_label").cast("long").alias("top_label"),
+        "top_label_n",
+        F.expr("s div n_vecs").cast("long").alias("mean_norm_e6"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    q AS (SELECT * FROM n WHERE vec_id < 16),
+    c AS (SELECT * FROM n WHERE vec_id >= 16),
+    s AS (SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS query_label,
+                 c.vec_id AS cand_id, CAST(c.label AS BIGINT) AS cand_label,
+                 CAST(floor(list_dot_product(q.v, c.v) / (q.nv * c.nv) * 100000)
+                      AS BIGINT) AS score_e5
+          FROM c JOIN q ON q.label != c.label)
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_e5 DESC, cand_id) AS rnk
+        FROM s)
+    WHERE rnk <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators.similarity
+    .hard_negatives): per query vector, the 3 most-cosine-similar corpus
+    vectors with a DIFFERENT label — the near-miss negatives a
+    contrastive embedding trainer pairs with each anchor. Broadcast query
+    side, JVM fold dot, label filter before the keyed rank window; same
+    scale shape as ann_cosine_topk."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nn = e.withColumn("nv", F.sqrt(similarity._dot(F.col("v"), F.col("v"))))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    out = similarity.hard_negatives(q, c, k=3)
+    return out.select(
+        "query_id",
+        F.col("query_label").cast("long").alias("query_label"),
+        "cand_id",
+        F.col("cand_label").cast("long").alias("cand_label"),
+        "score_e5",
+        "rnk",
+    )
+
+
+@register(
+    "label_balance_weights",
+    oracle="""
+    WITH per AS (SELECT CAST(label AS BIGINT) AS label,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM embeddings GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_labels FROM per)
+    SELECT label, n,
+           CAST(floor(1000000.0 * total / (n_labels * n)) AS BIGINT) AS weight_e6
+    FROM per CROSS JOIN tot
+    """,
+)
+def label_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced resampling weights (operators.curation
+    .class_balance_weights): inverse-frequency weight per label so each
+    class contributes ~equally to a training epoch. One label-keyed agg;
+    corpus totals ride a broadcast one-row aggregate."""
+    from kioss_spark.operators.curation import class_balance_weights
+
+    e = _emb(spark, sf_dir).select(F.col("label").cast("long").alias("label"))
+    return class_balance_weights(e, "label")
+
+
+@register(
+    "length_strata_sample",
+    oracle=f"""
+    WITH hist AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+    cum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum FROM hist),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM hist),
+    b AS (SELECT min(CASE WHEN cum * 4 >= tot THEN v END) AS b1,
+                 min(CASE WHEN cum * 2 >= tot THEN v END) AS b2,
+                 min(CASE WHEN cum * 4 >= tot * 3 THEN v END) AS b3
+          FROM cum CROSS JOIN tot),
+    s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS value,
+                 CAST(CASE WHEN n_chars <= b1 THEN 0
+                           WHEN n_chars <= b2 THEN 1
+                           WHEN n_chars <= b3 THEN 2
+                           ELSE 3 END AS BIGINT) AS stratum
+          FROM documents CROSS JOIN b)
+    SELECT doc_id, value, stratum,
+           CAST({sql_h60("CAST(doc_id AS VARCHAR)")} %
+                10000 < CASE stratum WHEN 0 THEN 4000 WHEN 1 THEN 3000
+                                     WHEN 2 THEN 2000 ELSE 1000 END
+                AS BIGINT) AS kept
+    FROM s
+    """,
+)
+def length_strata_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-stratified deterministic sampling (operators.curation
+    .quantile_strata_sample): documents bucketed into exact length
+    QUARTILES (short docs oversampled at 40%, long tails at 10%) with
+    content-hash selection — the length-debiasing sampler a pretraining
+    mix uses. Quartile boundaries come from the value HISTOGRAM (bounded
+    cardinality), never a global sort of the corpus; assignment is one
+    broadcast join. Fully reproducible: stratum and kept bits are pure
+    functions of the data."""
+    from kioss_spark.operators.curation import quantile_strata_sample
+
+    return quantile_strata_sample(_docs(spark, sf_dir), "n_chars", "doc_id")
+
+
+@register(
+    "event_rate_anomaly",
+    oracle="""
+    WITH ev AS (SELECT user_id,
+                       CAST(floor(floor(epoch(ts)) / 3600.0) AS BIGINT) AS bucket
+                FROM events),
+    per AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2)
+    SELECT user_id, bucket, cnt,
+           CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS trail_n,
+           CAST(count(cnt) OVER w AS BIGINT) AS trail_k,
+           CAST(CASE WHEN coalesce(sum(cnt) OVER w, 0) > 0
+                     THEN floor(1000000.0 * cnt * (count(cnt) OVER w)
+                                / (sum(cnt) OVER w))
+                     ELSE 0 END AS BIGINT) AS anomaly_e6
+    FROM per
+    WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-rate anomaly (operators.timeseries.rate_anomaly):
+    hourly event counts scored against the trailing-3-bucket mean as a
+    rational-integer ratio (1e6 = exactly the trailing average) — the
+    burst/outage detector of a monitoring pipeline, windowed per key,
+    never globally. Bucketing is one keyed agg; the trailing frame is a
+    keyed ROWS window (deterministic: (user, bucket) unique)."""
+    from kioss_spark.functions.timeutil import epoch_s
+    from kioss_spark.operators.timeseries import rate_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            "user_id",
+            F.floor(epoch_s("ts") / F.lit(3600.0)).cast("long").alias("bucket"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return rate_anomaly(per, key="user_id", bucket="bucket", count_col="cnt", trailing=3)
+
+
+@register(
+    "mm_frame_dedup",
+    oracle="""
+    WITH f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      CAST(i AS BIGINT) AS frame_idx,
+                      md5(substr(text, CAST(i AS INTEGER) * 48 + 1, 48)) AS frame_md5
+               FROM documents,
+                    UNNEST(range(0, CAST(ceil(length(text)/48.0) AS BIGINT), 4)) u(i))
+    SELECT frame_md5,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           (min({'d': doc_id, 'f': frame_idx})).d AS keep_doc,
+           (min({'d': doc_id, 'f': frame_idx})).f AS keep_frame
+    FROM f
+    GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video frame-level dedup (operators.multimodal.frame_dedup):
+    identical frame fingerprints across the corpus collapsed to their
+    first (doc, frame) occurrence — the intro/watermark/test-card
+    detector, i.e. exact_dedup for the visual modality, riding the
+    mm_frame_sample fan-out. One hash-keyed agg with the survivor picked
+    as min(struct) inside the same pass."""
+    frames = multimodal.frame_sample(_docs(spark, sf_dir))
+    return multimodal.frame_dedup(frames)
