@@ -717,33 +717,30 @@ def connected_components(
             .distinct()
             .select("id", F.col("id").alias("label"))
         )
-        def _propagate(lbl):
-            """One min-label step over (id, old, label): neighbor-min via
-            the persisted symmetric edges, ``old`` carried through narrow."""
+        # ONE propagation step per materialization. (Round-5 note: a
+        # 2-steps-per-materialization variant was measured 14% SLOWER at
+        # the 10x synthetic corpus — the un-materialized intermediate
+        # step is consumed twice by the outer step, and its join+agg
+        # subplan re-executes where ReuseExchange does not dedupe it.
+        # Batching only helps when per-round driver cost dominates,
+        # i.e. toy fixtures; at scale the data path rules.)
+        for _ in range(max_iter):
             nbr = (
-                sym.join(lbl.select("id", "label"), sym["src"] == F.col("id"))
+                sym.join(labels, sym["src"] == labels["id"])
                 .groupBy("dst")
                 .agg(F.min("label").alias("nlabel"))
             )
-            return lbl.join(nbr, lbl["id"] == nbr["dst"], "left").select(
-                lbl["id"],
-                lbl["old"],
-                F.least(lbl["label"], F.coalesce("nlabel", lbl["label"])).alias(
-                    "label"
-                ),
+            new = (
+                labels.join(nbr, labels["id"] == nbr["dst"], "left")
+                .select(
+                    "id",
+                    F.col("label").alias("old"),
+                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                        "label"
+                    ),
+                )
+                .localCheckpoint(eager=False)
             )
-
-        # TWO propagation steps per materialization: label propagation is
-        # monotone (labels only decrease toward the component min), so
-        # composing steps lazily inside one plan is just a faster
-        # schedule — convergence detection is delayed by at most one
-        # step, which costs one extra (no-change) materialization at
-        # worst. Halves the fixed per-round cost (Catalyst compile +
-        # job scheduling) that dominates when the loop state is
-        # pair-set-sized.
-        for _ in range((max_iter + 1) // 2):
-            base = labels.select("id", F.col("label").alias("old"), "label")
-            new = _propagate(_propagate(base)).localCheckpoint(eager=False)
             changed = new.where(F.col("label") != F.col("old")).count()
             labels = new.select("id", "label")
             if changed == 0:

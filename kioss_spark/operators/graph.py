@@ -97,16 +97,14 @@ def pagerank(
             F.col("deg").cast("long").alias("deg"),
             F.lit(SCALE // n).cast("long").alias("rank"),
         ).localCheckpoint(eager=True)
-        # Rounds are materialized every SECOND step, not every step: two
-        # propagation steps chain lazily into one plan, then one eager
-        # localCheckpoint cuts it. Halves the fixed per-round driver cost
-        # (job scheduling + checkpoint) that dominated fixture-scale runs
-        # (round-5 shave); the double consumption of the previous round's
-        # state inside one plan is deduplicated by ReuseExchange. The
-        # FINAL step is always checkpointed eagerly: the returned frame
-        # must not reference `withdeg`, which is unpersisted on exit —
-        # a lazy tail would silently replay the candidate-pair pipeline
-        # at the caller's action.
+        # Every round is materialized with an eager localCheckpoint.
+        # (Round-5 note: a materialize-every-2nd-step variant was
+        # measured 49% SLOWER at the 10x synthetic corpus — the
+        # un-materialized intermediate round is consumed twice by the
+        # next round (rank side + degree side) and its join+agg subplan
+        # re-executes where ReuseExchange does not dedupe it. The
+        # eager cut also keeps the returned frame independent of
+        # `withdeg`, which is unpersisted on exit.)
         for step in range(1, iters + 1):
             inflow = (
                 withdeg.join(ranks.select("id", "rank"), withdeg["s"] == F.col("id"))
@@ -128,8 +126,7 @@ def pagerank(
                     .alias("rank"),
                 )
             )
-            if step % 2 == 0 or step == iters:
-                ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=True)
     finally:
         withdeg.unpersist()
     return ranks.select("id", "deg", F.col("rank").alias("rank_e9"))
