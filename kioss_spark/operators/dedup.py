@@ -52,6 +52,7 @@ __all__ = [
     "jaccard_pairs",
     "containment_pairs",
     "minhash_lsh_pairs",
+    "minhash_signatures",
     "simhash_signatures",
     "simhash_pairs",
     "connected_components",
@@ -512,6 +513,49 @@ def containment_pairs(
     )
 
 
+def _signatures(inv: DataFrame, k: int) -> DataFrame:
+    """K-member MinHash signature rows (doc_id, h0..h{k-1}) over a shingle
+    index: md5 ONCE per index row, then the integer multiply-add-mod
+    family on h31; one groupBy(doc) with K min-aggregates (map-side
+    combine, state = K longs per doc)."""
+    fam = _family(k)
+    base = inv.select(
+        "doc_id", h60(F.col("shingle")).bitwiseAND(F.lit(H31_MASK)).alias("h31")
+    )
+    hashed = base.select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(fam)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    n: int = DEFAULT_N,
+) -> DataFrame:
+    """The MinHash signature TABLE as a first-class artifact: (doc_id,
+    h0..h{k-1}) — what an incremental dedup deployment persists between
+    snapshots (band-join new signatures against the stored table instead
+    of re-shingling the corpus; ``incremental_jaccard_pairs`` is the
+    paired query-time form). Deterministic family (fixed LCG-derived
+    multiply-add-mod constants), so signatures are stable across runs,
+    engines, and corpus growth — safe to store and merge.
+
+    Scale shape: one md5 per (doc, distinct shingle), K integer hashes
+    per index row, one doc-keyed agg with map-side combine. Docs with no
+    shingles (< n tokens) produce no row, mirroring the LSH operator's
+    candidate domain."""
+    return _signatures(shingle_index(docs, text_col, id_col, n), k)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -529,21 +573,7 @@ def minhash_lsh_pairs(
     feeds signatures, candidate self-join, and verification."""
     r = k // bands
     inv = shingle_index(docs, text_col, id_col, n)
-    fam = _family(k)
-    # md5 ONCE per index row; the family is integer multiply-add-mod on h31
-    base = inv.select(
-        "doc_id", h60(F.col("shingle")).bitwiseAND(F.lit(H31_MASK)).alias("h31")
-    )
-    hashed = base.select(
-        "doc_id",
-        *[
-            ((F.lit(a) * F.col("h31") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
-            for i, (a, b) in enumerate(fam)
-        ],
-    )
-    sig_rows = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(k)]
-    )
+    sig_rows = _signatures(inv, k)
     band_arr = F.array(
         *[
             F.md5(F.concat_ws(",", *[F.col(f"h{b * r + i}").cast("string") for i in range(r)]))

@@ -2941,3 +2941,109 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as min(struct) inside the same pass."""
     frames = multimodal.frame_sample(_docs(spark, sf_dir))
     return multimodal.frame_dedup(frames)
+
+
+def _minhash_sig_oracle(k: int = 32) -> str:
+    from kioss_spark.operators.dedup import MINHASH_P, _family
+
+    fam = _family(k)
+    mins = ",\n               ".join(
+        f"min(({a}*h31 + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+    csv = " || ',' || ".join(f"h{i}::VARCHAR" for i in range(k))
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    hv AS (
+        SELECT doc_id, {sql_h60("x")} & 2147483647 AS h31
+        FROM shn, UNNEST(s) u(x)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hv GROUP BY doc_id
+    )
+    SELECT doc_id, {csv} AS sig_csv FROM sig
+    """
+
+
+@register("minhash_signatures", oracle=_minhash_sig_oracle())
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persistent MinHash signature table (operators.dedup
+    .minhash_signatures, K=32): the artifact an incremental-dedup
+    deployment stores between snapshots and band-joins new batches
+    against. Emitted as a CSV string (driver-canonicalizable); the
+    oracle reproduces every one of the 32 hash values per document —
+    full bit-verification of the signature stage that dedup_minhash_lsh
+    only exercises through its band collisions."""
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir), k=32)
+    return sig.select(
+        "doc_id",
+        F.concat_ws(",", *[F.col(f"h{i}").cast("string") for i in range(32)]).alias(
+            "sig_csv"
+        ),
+    )
+
+
+@register(
+    "chunk_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    c AS (SELECT doc_id, t,
+                 unnest(range(0, CASE WHEN n > 0
+                        THEN 1 + CAST(floor((greatest(n - 32, 0) + 23) / 24.0)
+                                      AS BIGINT)
+                        ELSE 0 END)) AS chunk_idx
+          FROM sized),
+    ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                  md5(array_to_string(list_slice(t, chunk_idx * 24 + 1,
+                                                 chunk_idx * 24 + 32), ' '))
+                      AS chunk_md5
+           FROM c)
+    SELECT chunk_md5,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           (min({{'d': doc_id, 'c': chunk_idx}})).d AS keep_doc,
+           (min({{'d': doc_id, 'c': chunk_idx}})).c AS keep_chunk
+    FROM ch
+    GROUP BY 1
+    HAVING count(*) >= 2
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-index chunk-level dedup: identical 32-token chunks across the
+    corpus collapsed to their first (doc, chunk) occurrence — what a
+    retrieval index runs before embedding (duplicated chunks waste
+    embedding compute and skew retrieval scores toward repeated
+    boilerplate). Rides chunk_text_windows' narrow chunking; the dedup
+    itself is one hash-keyed agg with the min(struct) survivor in the
+    same pass — exact_dedup at chunk grain."""
+    from kioss_spark.operators.text import chunk_windows
+
+    docs = _docs(spark, sf_dir)
+    ch = docs.select(
+        "doc_id",
+        F.explode(chunk_windows(tokens(F.col("text")), window=32, stride=24)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+    )
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.struct("doc_id", "chunk_idx")).alias("__first__"),
+        )
+        .where(F.col("n_occ") >= 2)
+        .select(
+            "chunk_md5",
+            "n_occ",
+            "n_docs",
+            F.col("__first__.doc_id").cast("long").alias("keep_doc"),
+            F.col("__first__.chunk_idx").cast("long").alias("keep_chunk"),
+        )
+    )

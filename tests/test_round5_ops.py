@@ -136,3 +136,21 @@ def test_frame_dedup_survivor_and_threshold(spark):
         assert r["keep_doc"] == 2  # lexicographically first occurrence
     # unique doc's frames are absent (n_occ >= 2 filter)
     assert all(r["keep_doc"] != 9 for r in out)
+
+
+def test_minhash_signatures_stable_and_dup_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    from kioss_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(32))
+            for r in minhash_signatures(df, k=32).collect()}
+    # identical docs -> identical signatures; different docs -> different
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    # deterministic across invocations (storable artifact contract)
+    again = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(32))
+             for r in minhash_signatures(df, k=32).collect()}
+    assert sigs == again
