@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 __all__ = [
     "with_payload",
     "image_meta",
+    "image_resize",
     "frame_sample",
     "frame_dedup",
     "decode_image_real",
@@ -269,6 +270,88 @@ def image_meta_real(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+
+
+IMAGE_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.LongType()),
+        T.StructField("src_height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("thumb_md5", T.StringType()),
+        T.StructField("thumb_bytes", T.LongType()),
+    ]
+)
+
+
+def image_resize(
+    docs_with_payload: DataFrame, max_side: int = 64, real: bool = False
+) -> DataFrame:
+    """Thumbnail/resize stage of an image-curation pipeline: per payload,
+    emit the aspect-preserving target dims (longest side = ``max_side``,
+    never upscaled) plus the fingerprint and size of the resized output —
+    the preprocessing step every multimodal training pipeline runs before
+    feature extraction.
+
+    ``real=True`` resizes with PIL (import probed eagerly at plan build —
+    fail fast, not mid-job; this container ships no image lib by design).
+    The default path is the DETERMINISTIC FAKE: source dims derive from
+    the payload exactly like ``image_meta``'s fake decoder, and the
+    "thumbnail" is a strided byte subsample of the payload — so the
+    Spark-side plumbing (Arrow batches, 1→1 schema, narrow no-shuffle
+    plan, dims arithmetic) is real and tested while the codec stays a
+    clearly-marked seam, per the multimodal stubbing policy.
+
+    Narrow mapInPandas: partitions exactly like the payload scan at any
+    corpus size; output carries ~fingerprints, never pixel buffers."""
+    if real:
+        decode_image_real(_PROBE_PNG)  # fail fast if PIL is absent
+
+    def fake_one(payload: bytes) -> tuple[int, int, int, int, str, int]:
+        _, w, h, _ = _fake_decode_meta(payload)
+        scale_den = max(w, h)
+        if scale_den <= max_side:
+            tw, th = w, h
+        else:
+            # floor-scaled, min 1 — integer arithmetic, engine-portable
+            tw = max(1, w * max_side // scale_den)
+            th = max(1, h * max_side // scale_den)
+        stride = max(1, len(payload) // max(1, tw * th))
+        thumb = payload[::stride]
+        return w, h, tw, th, hashlib.md5(thumb).hexdigest(), len(thumb)
+
+    def real_one(payload: bytes) -> tuple[int, int, int, int, str, int]:
+        import io
+
+        import PIL.Image  # type: ignore
+
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            w, h = img.width, img.height
+            img.thumbnail((max_side, max_side))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            data = buf.getvalue()
+            return w, h, img.width, img.height, hashlib.md5(data).hexdigest(), len(data)
+
+    one = real_one if real else fake_one
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "src_width": [r[0] for r in rows],
+                    "src_height": [r[1] for r in rows],
+                    "width": [r[2] for r in rows],
+                    "height": [r[3] for r in rows],
+                    "thumb_md5": [r[4] for r in rows],
+                    "thumb_bytes": [r[5] for r in rows],
+                }
+            )
+
+    return docs_with_payload.mapInPandas(resize, schema=IMAGE_RESIZE_SCHEMA)
 
 
 def _make_probe_png() -> bytes:

@@ -3047,3 +3047,44 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__first__.chunk_idx").cast("long").alias("keep_chunk"),
         )
     )
+
+
+@register(
+    "mm_image_resize",
+    oracle="""
+    WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                      octet_length(encode(text)) AS n FROM documents),
+    dims AS (SELECT doc_id, text, n,
+                    64 + n % 448 AS sw,
+                    64 + (n * 7) % 448 AS sh
+             FROM m),
+    t AS (SELECT doc_id, text, n, sw, sh,
+                 CASE WHEN greatest(sw, sh) <= 64 THEN sw
+                      ELSE greatest(1, sw * 64 // greatest(sw, sh)) END AS tw,
+                 CASE WHEN greatest(sw, sh) <= 64 THEN sh
+                      ELSE greatest(1, sh * 64 // greatest(sw, sh)) END AS th
+          FROM dims),
+    s AS (SELECT *, greatest(1, n // greatest(1, tw * th)) AS stride FROM t),
+    thumb AS (SELECT doc_id, sw, sh, tw, th,
+                     array_to_string(list_transform(range(1, n + 1, CAST(stride AS BIGINT)),
+                                                    i -> substr(text, CAST(i AS INTEGER), 1)),
+                                     '') AS tb
+              FROM s)
+    SELECT doc_id,
+           CAST(sw AS BIGINT) AS src_width, CAST(sh AS BIGINT) AS src_height,
+           CAST(tw AS BIGINT) AS width, CAST(th AS BIGINT) AS height,
+           md5(tb) AS thumb_md5,
+           CAST(octet_length(encode(tb)) AS BIGINT) AS thumb_bytes
+    FROM thumb
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize plumbing (operators.multimodal.image_resize):
+    aspect-preserving integer target dims (longest side 64, never
+    upscaled) + fingerprint/size of the resized output, Arrow-batched
+    over the binary payload column. The resize itself is the
+    deterministic fake (strided byte subsample — ASCII payloads, so the
+    oracle's character stride reproduces the byte stride exactly); the
+    ``real=True`` PIL path shares the schema and plumbing and is
+    PIL-gated in tests like image_meta_real."""
+    return multimodal.image_resize(multimodal.with_payload(_docs(spark, sf_dir)))

@@ -92,3 +92,44 @@ def test_scene_cuts_single_scene_when_static(spark):
     rows = scene_cuts(frames, cut_hamming=1).collect()
     assert all(r["scene_id"] == 0 for r in rows)
     assert sum(r["is_cut"] for r in rows) == 1  # only the opening frame
+
+
+def test_image_resize_fake_dims_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 30)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in M.image_resize(M.with_payload(df)).collect()}
+    for r in out.values():
+        # aspect-preserving: longest side exactly 64 (sources are > 64 here),
+        # never upscaled, minimum 1
+        assert max(r["width"], r["height"]) == 64
+        assert 1 <= r["width"] <= r["src_width"]
+        assert 1 <= r["height"] <= r["src_height"]
+    # fake decoder contract: dims derive from payload length
+    n = 100
+    assert out[1]["src_width"] == 64 + n % 448
+    assert out[1]["src_height"] == 64 + (n * 7) % 448
+    again = {r["doc_id"]: r["thumb_md5"]
+             for r in M.image_resize(M.with_payload(df)).collect()}
+    assert again == {k: v["thumb_md5"] for k, v in out.items()}
+
+
+def test_image_resize_real_fails_fast_without_pil(spark):
+    try:
+        import PIL  # type: ignore  # noqa: F401
+
+        pytest.skip("PIL installed; covered by test_image_resize_real_with_pil")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError, match="image library"):
+        # plan build must fail fast, before any job runs
+        M.image_resize(M.with_payload(df), real=True)
+
+
+def test_image_resize_real_with_pil(spark):
+    pytest.importorskip("PIL")
+    pngs = spark.createDataFrame([(7, bytearray(M._PROBE_PNG))],
+                                 "doc_id long, payload binary")
+    out = M.image_resize(pngs, real=True).collect()
+    assert len(out) == 1 and out[0]["src_width"] == 1 and out[0]["width"] == 1
