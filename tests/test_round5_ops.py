@@ -154,3 +154,63 @@ def test_minhash_signatures_stable_and_dup_equal(spark):
     again = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(32))
              for r in minhash_signatures(df, k=32).collect()}
     assert sigs == again
+
+
+# --- property-based models (hypothesis) -----------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40))
+def test_quantile_strata_matches_python_model(spark, vals):
+    """Stratum assignment must equal the histogram-cumsum model: boundary
+    b_q = min value whose cumulative count reaches ceil-q of the total."""
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, value long")
+    out = {r["doc_id"]: r["stratum"] for r in
+           quantile_strata_sample(df, "value", "doc_id").collect()}
+    svals = sorted(vals)
+    n = len(svals)
+
+    def boundary(num, den):
+        cum = 0
+        from collections import Counter
+        for v in sorted(set(svals)):
+            cum += Counter(svals)[v]
+            if cum * den >= n * num:
+                return v
+        return svals[-1]
+
+    b1, b2, b3 = boundary(1, 4), boundary(1, 2), boundary(3, 4)
+    for i, v in enumerate(vals):
+        expect = 0 if v <= b1 else 1 if v <= b2 else 2 if v <= b3 else 3
+        assert out[i] == expect, (v, b1, b2, b3)
+
+
+@settings(max_examples=8, deadline=None)
+@given(counts=st.lists(st.integers(min_value=1, max_value=20), min_size=1, max_size=12))
+def test_rate_anomaly_matches_python_model(spark, counts):
+    rows = [(1, b, c) for b, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "user_id long, bucket long, cnt long")
+    out = {r["bucket"]: r for r in
+           rate_anomaly(df, key="user_id", bucket="bucket", count_col="cnt",
+                        trailing=3).collect()}
+    for b, c in enumerate(counts):
+        window = counts[max(0, b - 3):b]
+        tn, tk = sum(window), len(window)
+        assert out[b]["trail_n"] == tn and out[b]["trail_k"] == tk
+        expect = int(1000000.0 * c * tk / tn) if tn > 0 else 0
+        assert out[b]["anomaly_e6"] == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(sizes=st.lists(st.integers(min_value=1, max_value=15), min_size=2, max_size=6))
+def test_class_balance_weights_property(spark, sizes):
+    """Each class's weight*count is ~total/n_labels (within floor error)."""
+    rows = [(lbl,) for lbl, n in enumerate(sizes) for _ in range(n)]
+    df = spark.createDataFrame(rows, "label long")
+    out = class_balance_weights(df, "label").collect()
+    total, k = sum(sizes), len(sizes)
+    for r in out:
+        assert r["weight_e6"] == int(1000000.0 * total / (k * r["n"]))
