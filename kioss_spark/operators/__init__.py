@@ -19,7 +19,15 @@ Submodules:
   vocabulary-table iterations)
 - ``sketch`` — mergeable sketches: KMV distinct-count (oracle-exact),
   theta set algebra, two-level HLL rollup, KLL quantiles
-- ``timeseries`` — dense-grid gap-fill + LOCF regularization
+- ``timeseries`` — dense-grid gap-fill + LOCF regularization, per-key
+  rate-anomaly scoring
+- ``graph`` — integerized PageRank over near-dup graphs
+
+Round-5 additions inside existing submodules: ``text.gopher_flags``
+(rule-battery quality gate), ``dedup.minhash_signatures`` (persistent
+signature artifact), ``similarity.hard_negatives`` (contrastive mining),
+``curation.class_balance_weights`` / ``curation.quantile_strata_sample``,
+``multimodal.frame_dedup`` / ``multimodal.image_resize``.
 """
 
 from kioss_spark.operators import (  # noqa: F401
@@ -29,6 +37,7 @@ from kioss_spark.operators import (  # noqa: F401
     curation,
     dedup,
     fuzzy,
+    graph,
     multimodal,
     privacy,
     rangejoin,
