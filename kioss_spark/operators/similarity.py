@@ -546,6 +546,7 @@ def semantic_dup_pairs(
     n_centroids: int = 16,
     iters: int = 0,
     scorer: str = "arrow",
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with the TRAINED coarse
@@ -580,15 +581,38 @@ def semantic_dup_pairs(
       against a SQL oracle (the registered oracle queries pin it), but
       the interpreted higher-order dot is the bottleneck once cells hold
       thousands of vectors. Use only for cross-engine parity checks.
-    """
+
+    ``nprobe`` is the RECALL dial for pairs straddling a cell boundary
+    (SemDeDup's known blind spot — near-dups assigned to different
+    clusters are never compared): each vector joins its ``nprobe``
+    nearest cells, pairs sharing ANY probed cell are scored, and
+    duplicates collapse to the smallest shared cell. Candidate cost
+    scales ~nprobe² (each cell holds ~nprobe× more vectors), so this
+    buys recall with compute, not memory. Measured on the sf0.01
+    fixture (16 cells, threshold 0.4, vs exact all-pairs): 32.2% recall
+    at nprobe=1 → 57.6% at nprobe=2 (RECALL.md; precision stays 1.0 —
+    candidates are verified exactly)."""
     cents = train_ivf(vectors, n_centroids=n_centroids, iters=iters)
     vv = F.col("__vv__")
-    cells = (
-        vectors.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
-        .withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
-        .drop("__vv__")
+    base = vectors.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+    if nprobe == 1:
+        cells = base.withColumn(
+            "cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv)
+        ).drop("__vv__")
+        return _pairwise_cells(cells, threshold, scorer)
+    cells = base.select(
+        "vec_id", "v", "nv",
+        F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe, vv=vv)).alias("cell"),
     )
-    return _pairwise_cells(cells, threshold, scorer)
+    pairs = _pairwise_cells(cells, threshold, scorer)
+    # a pair sharing several probed cells appears once per shared cell;
+    # scores are identical (same vectors), so collapse deterministically
+    # to the smallest cell id — one pair-keyed agg, candidate-bounded
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.min("cell").alias("cell"), F.min("cosine_e5").alias("cosine_e5"))
+        .select("id_a", "id_b", "cell", "cosine_e5")
+    )
 
 
 def quantize_int8(

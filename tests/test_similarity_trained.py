@@ -151,3 +151,23 @@ def test_dup_pair_default_scorer_is_arrow(spark):
         assert "FlatMapGroupsInPandas" in default_plan, op.__name__
         exact_plan = op(nn, 0.4, scorer="exact", **kwargs)._jdf.queryExecution().toString()
         assert "FlatMapGroupsInPandas" not in exact_plan, op.__name__
+
+
+def test_semantic_dup_pairs_multiprobe_superset(spark):
+    """nprobe=2 must find every nprobe=1 pair (each vector's nearest cell
+    is among its 2 probed cells) plus boundary-straddling extras, with no
+    duplicates and every score still >= the threshold."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((80, 8)).astype(float)
+    pdf = pd.DataFrame({"vec_id": np.arange(80, dtype="int64"), "embedding": list(emb)})
+    nn = S.with_norm(spark.createDataFrame(pdf))
+    p1 = {(r["id_a"], r["id_b"]) for r in
+          S.semantic_dup_pairs(nn, 0.3, n_centroids=8, nprobe=1).collect()}
+    rows2 = S.semantic_dup_pairs(nn, 0.3, n_centroids=8, nprobe=2).collect()
+    p2 = {(r["id_a"], r["id_b"]) for r in rows2}
+    assert p1 <= p2
+    assert len(rows2) == len(p2), "multi-probe must not emit duplicate pairs"
+    assert all(r["cosine_e5"] >= 30000 for r in rows2)
