@@ -3088,3 +3088,77 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``real=True`` PIL path shares the schema and plumbing and is
     PIL-gated in tests like image_meta_real."""
     return multimodal.image_resize(multimodal.with_payload(_docs(spark, sf_dir)))
+
+
+def _incr_minhash_oracle(k: int = 32, bands: int = 8) -> str:
+    from kioss_spark.operators.dedup import MINHASH_P, _family
+
+    r = k // bands
+    fam = _family(k)
+    mins = ",\n               ".join(
+        f"min(({a}*h31 + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(fam)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=b,
+            expr=" || ',' || ".join(f"h{b * r + i}::VARCHAR" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    hv AS (
+        SELECT doc_id, {sql_h60("x")} & 2147483647 AS h31
+        FROM shn, UNNEST(s) u(x)
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, u.band,
+               CASE u.band {band_cases} END AS bh
+        FROM sig, UNNEST(range(0, {bands})) u(band)
+    ),
+    nw AS (SELECT doc_id FROM documents WHERE {sql_h60('text')} % 10 = 3),
+    cands AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                                  AND a.doc_id != b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM nw)
+    ),
+    ver AS (
+        SELECT doc_a, doc_b,
+               len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS inter,
+               len(sa.s) AS na, len(sb.s) AS nb
+        FROM cands
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, inter AS n_shared,
+           CAST(floor(inter / (na + nb - inter) * 1000000) AS BIGINT) AS jaccard_e6,
+           (doc_a IN (SELECT doc_id FROM nw))
+           AND (doc_b IN (SELECT doc_id FROM nw)) AS both_new
+    FROM ver
+    WHERE CAST(floor(inter / (na + nb - inter) * 1000000) AS BIGINT) >= 500000
+    """
+
+
+@register("dedup_incremental_lsh", oracle=_incr_minhash_oracle())
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup (operators.dedup
+    .incremental_minhash_pairs): the daily-crawl shape with LSH banding
+    as the candidate generator — the form that pairs with the persisted
+    ``minhash_signatures`` artifact (the corpus contributes only its
+    stored band buckets; only the batch is re-shingled). Same ~10%
+    content-hash batch split and output contract as
+    dedup_incremental_pairs; the oracle reproduces the deterministic
+    banding, so candidate recall is verified exactly alongside the
+    Jaccard values."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.pmod(h60(F.col("text")), F.lit(10)) == 3
+    return dedup.incremental_minhash_pairs(docs, is_new, threshold=0.5)

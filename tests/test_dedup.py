@@ -237,3 +237,33 @@ def test_incremental_pairs_excludes_corpus_vs_corpus(spark):
         ).collect()
     }
     assert got == {(1, 3): False, (2, 3): False, (4, 5): True}
+
+
+def test_incremental_minhash_subset_of_exact_incremental(spark):
+    """LSH-incremental pairs must be a subset of the exact prefix-filtered
+    incremental pairs (banding can only LOSE candidates; verification is
+    identical), with identical values on the shared pairs and the same
+    both_new flags."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = "the quick brown fox jumps over a lazy dog near the old mill race"
+    for i in range(24):
+        rows.append((i, base if i % 5 == 0 else base.replace("dog", f"cat{i}")))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # split by id so the identical-doc group straddles the batch boundary
+    is_new = F.col("doc_id") % 3 == 1
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard_e6"], r["both_new"])
+        for r in dedup.incremental_jaccard_pairs(df, is_new, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard_e6"], r["both_new"])
+        for r in dedup.incremental_minhash_pairs(df, is_new, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+    # on near-identical docs the banding finds them (J=1 pairs collide in
+    # every band) — the subset is non-trivial
+    assert lsh
