@@ -435,6 +435,69 @@ class SStream:
         )
         return self._derive(df, f"session_agg(gap={gsecs}s)")
 
+    def rate_anomaly(
+        self,
+        key: str,
+        bucket: str = "bucket",
+        count_col: str = "cnt",
+        trailing: int = 3,
+    ) -> "SStream":
+        """Streaming twin of ``operators.timeseries.rate_anomaly``: per-key
+        bucket counts scored against the mean of the previous ``trailing``
+        observed buckets, ``anomaly_e6 = floor(1e6 * cnt * trail_k /
+        trail_n)`` — the per-entity burst/outage monitor, running forever.
+
+        Input rows are completed per-(key, bucket) counts (produce them
+        upstream with ``window_agg`` or ``foreach_batch``); rows are scored
+        in bucket order within a micro-batch and in ARRIVAL order across
+        batches (processing-time semantics, like every reference-dialect
+        operator). State per key is exactly the last ``trailing`` counts —
+        bounded regardless of stream length, the property that distinguishes
+        this from a replayed batch window. Built on
+        ``applyInPandasWithState``, Arrow-batched."""
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        fields = {f.name: f.dataType for f in self._df.schema.fields}
+        out_schema = StructType(
+            [
+                StructField(key, fields[key]),
+                StructField(bucket, LongType()),
+                StructField(count_col, LongType()),
+                StructField("trail_n", LongType()),
+                StructField("trail_k", LongType()),
+                StructField("anomaly_e6", LongType()),
+            ]
+        )
+        state_schema = StructType([StructField("hist", ArrayType(LongType()))])
+
+        def score(key_tuple, pdf_iter, state):
+            hist = list(state.get[0]) if state.exists else []
+            rows = []
+            for pdf in pdf_iter:
+                rows.extend(
+                    (int(b), int(c))
+                    for b, c in zip(pdf[bucket], pdf[count_col])
+                )
+            rows.sort()
+            out = []
+            for b, c in rows:
+                tn, tk = sum(hist), len(hist)
+                anomaly = int(1000000.0 * c * tk / tn) if tn > 0 else 0
+                out.append((key_tuple[0], b, c, tn, tk, anomaly))
+                hist.append(c)
+                if len(hist) > trailing:
+                    hist = hist[-trailing:]
+            state.update((hist,))
+            if out:
+                yield pd.DataFrame(out, columns=out_schema.fieldNames())
+
+        df = self._df.groupBy(key).applyInPandasWithState(
+            score, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+        return self._derive(df, f"rate_anomaly({key!r}, trailing={trailing})")
+
     def join_stream(
         self,
         other: "SStream",

@@ -450,3 +450,36 @@ def test_distinct_count_approx_keyed(spark, tmp_path):
     finally:
         q.stop()
     assert got == {"a": 2, "b": 1}
+
+
+def test_rate_anomaly_stateful_across_batches(spark, tmp_path):
+    # streaming twin of operators.timeseries.rate_anomaly: trailing state
+    # must survive micro-batch boundaries (file-per-trigger = 2 batches)
+    src = str(tmp_path / "ra_src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    batch1 = spark.createDataFrame(
+        [(1, 0, 2), (1, 1, 2)], "k long, bucket long, cnt long"
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    s = SStream.files(
+        spark, src, schema="k long, bucket long, cnt long", max_files_per_trigger=1
+    ).rate_anomaly("k", bucket="bucket", count_col="cnt", trailing=3)
+    q = s.to_memory("t_ranomaly")
+    try:
+        q.processAllAvailable()
+        batch2 = spark.createDataFrame([(1, 2, 8)], "k long, bucket long, cnt long")
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            r["bucket"]: (r["trail_n"], r["trail_k"], r["anomaly_e6"])
+            for r in spark.sql("SELECT * FROM t_ranomaly").collect()
+        }
+    finally:
+        q.stop()
+    # bucket 0: no history; bucket 1: trailing [2] -> exactly 1.0x;
+    # bucket 2 (SECOND micro-batch): trailing [2, 2] carried in state -> 4.0x
+    assert got[0] == (0, 0, 0), got
+    assert got[1] == (2, 1, 1_000_000), got
+    assert got[2] == (4, 2, 4_000_000), got
