@@ -483,3 +483,31 @@ def test_rate_anomaly_stateful_across_batches(spark, tmp_path):
     assert got[0] == (0, 0, 0), got
     assert got[1] == (2, 1, 1_000_000), got
     assert got[2] == (4, 2, 4_000_000), got
+
+
+def test_rate_anomaly_stream_matches_batch_operator(spark, tmp_path):
+    # engine-parity: one micro-batch over the full per-key bucket table
+    # must reproduce operators.timeseries.rate_anomaly row for row
+    from kioss_spark.operators.timeseries import rate_anomaly as batch_ra
+
+    rows = [(k, b, (k * 3 + b * 7) % 11 + 1) for k in (1, 2) for b in range(6)]
+    df = spark.createDataFrame(rows, "k long, bucket long, cnt long")
+    want = {
+        (r["k"], r["bucket"]): (r["trail_n"], r["trail_k"], r["anomaly_e6"])
+        for r in batch_ra(df, key="k", bucket="bucket", count_col="cnt").collect()
+    }
+    src = str(tmp_path / "ra_parity_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    s = SStream.files(
+        spark, src, schema="k long, bucket long, cnt long"
+    ).rate_anomaly("k", bucket="bucket", count_col="cnt", trailing=3)
+    q = s.to_memory("t_ra_parity")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["k"], r["bucket"]): (r["trail_n"], r["trail_k"], r["anomaly_e6"])
+            for r in spark.sql("SELECT * FROM t_ra_parity").collect()
+        }
+    finally:
+        q.stop()
+    assert got == want
