@@ -37,6 +37,7 @@ __all__ = [
     "theta_overlap_matrix",
     "hll_rollup",
     "kll_quantiles",
+    "heavy_hitters",
 ]
 
 #: hash domain size (h60 is 60 bits) — exactly representable as a double
@@ -242,3 +243,67 @@ def kll_quantiles(
             .alias(label)
         )
     return agg.select(*cols)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value: Column,
+    k: int = 64,
+    partial: bool = True,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (phi = 1/k): every value whose frequency
+    exceeds N/k, with its exact count and corpus share. Returns
+    (item, cnt, share_e6), share integerized as floor(1e6 * cnt / N).
+
+    Two-pass summary-then-recount — the standard distributed exact form
+    (Misra-Gries 1982 / SpaceSaving, Metwally et al. 2005, run as the
+    candidate pass of the two-round scheme in Berinde et al. 2010):
+
+    1. **Candidate pass** (bounded state): per Arrow batch, keep only
+       values with local count * k > batch size. Pigeonhole guarantees
+       losslessness — if a value's GLOBAL count exceeds N/k, then in at
+       least one batch its local count exceeds that batch's n/k, so the
+       union of per-batch survivors is a superset of the true heavy
+       hitters. Each batch emits at most k-1 candidates, so the candidate
+       set is O(k * batches) regardless of corpus size, and the pass is a
+       vectorized value_counts, never a Python loop over rows.
+    2. **Recount pass** (exact): broadcast-semi-join the stream to the
+       candidate set (constant-size build side), one map-side-combining
+       keyed agg for exact counts, filter cnt * k > N.
+
+    The naive alternative — groupBy every distinct value — shuffles the
+    full distinct domain (token vocabulary at 100 TB); here the only keyed
+    shuffle is over candidate rows. N rides the same scan as a one-row
+    agg broadcast back. ``partial=False`` skips pass 1 (exact but
+    full-vocabulary shuffle; only for tiny domains/tests).
+    """
+    vals = df.select(value.cast("string").alias("item"))
+    if partial:
+        def _local_hh(batches):
+            for pdf in batches:
+                vc = pdf["item"].value_counts()
+                yield vc[vc * k > len(pdf)].index.to_frame(
+                    index=False, name="item"
+                )
+
+        cand = vals.mapInPandas(_local_hh, schema="item string").dropDuplicates(
+            ["item"]
+        )
+        filtered = vals.join(F.broadcast(cand), "item", "left_semi")
+    else:
+        filtered = vals
+    counts = filtered.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = vals.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * k > F.col("__n__"))
+        .select(
+            "item",
+            "cnt",
+            F.floor(F.lit(1000000.0) * F.col("cnt") / F.col("__n__"))
+            .cast("long")
+            .alias("share_e6"),
+        )
+    )

@@ -3162,3 +3162,97 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     is_new = F.pmod(h60(F.col("text")), F.lit(10)) == 3
     return dedup.incremental_minhash_pairs(docs, is_new, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation: heavy hitters, graph triangles, CDC merge, outliers,
+# normalized dedup, bigram LM
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    inv AS (SELECT x AS item FROM toks, UNNEST(t) u(x)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM inv),
+    c AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM inv GROUP BY 1)
+    SELECT item, cnt,
+           CAST(floor(1000000.0 * cnt / n) AS BIGINT) AS share_e6
+    FROM c, tot WHERE cnt * 64 > n
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitter tokens (phi = 1/64): every token exceeding
+    1/64 of the corpus token stream, with exact count and share — the
+    stop-word/boilerplate-token audit that sizes stop-word lists and
+    catches template explosions (a token suddenly at 5% of the stream is
+    a crawler artifact).
+
+    Scale plan (operators.sketch.heavy_hitters): bounded per-batch
+    candidate pass (<= k-1 survivors per Arrow batch, pigeonhole-lossless)
+    then broadcast-semi-join exact recount — the only keyed shuffle
+    carries candidate rows, never the token vocabulary. The oracle is the
+    full groupBy, so the bounded path is verified lossless."""
+    from kioss_spark.operators.sketch import heavy_hitters
+
+    docs = _docs(spark, sf_dir)
+    inv = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    return heavy_hitters(inv, F.col("item"), k=64)
+
+
+@register(
+    "dup_graph_triangles",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    tri AS (
+        SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    per AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1),
+    nodes AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs)
+    SELECT nodes.id AS doc_id, CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri
+    FROM nodes LEFT JOIN per ON nodes.id = per.id
+    """,
+)
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts in the near-dup pair graph (J >= 0.5):
+    the clique-ness diagnostic that separates true duplicate CLUSTERS
+    (triangle-dense — safe to collapse to one survivor) from transitive
+    CHAINS of borderline pairs (triangle-free — collapsing them merges
+    distinct content). Run next to dedup_cluster_* before choosing a
+    collapse policy.
+
+    Scale plan (operators.graph.triangles): degree-ordered wedge
+    generation (Suri-Vassilvitskii) — wedges form only at each triangle's
+    minimum-(deg,id) corner, capping any reducer at the oriented
+    out-degree O(sqrt(E)) even for celebrity nodes; closure is a keyed
+    semi-join against the oriented edge list. The oracle counts the same
+    triangles via canonical x<y<z listing — orientation-independence
+    verified exactly."""
+    from kioss_spark.operators.graph import triangles
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    return triangles(pairs).select(F.col("id").alias("doc_id"), "n_tri")

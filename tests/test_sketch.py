@@ -126,3 +126,53 @@ def test_theta_union_agg_global_rollup(spark):
         F.theta_sketch_estimate(F.theta_union_agg("sk")).cast("long").alias("n")
     ).collect()[0]["n"]
     assert est == 53
+
+
+# --- heavy hitters ---------------------------------------------------------
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kioss_spark.operators.sketch import heavy_hitters
+
+
+def _hh_model(items, k):
+    n = len(items)
+    c = Counter(items)
+    return {
+        it: (cnt, 1000000 * cnt // n) for it, cnt in c.items() if cnt * k > n
+    }
+
+
+def _hh_run(spark, items, k, partial=True, parts=8):
+    df = spark.createDataFrame(
+        [(x,) for x in items], "item string"
+    ).repartition(parts)
+    return {
+        r["item"]: (r["cnt"], r["share_e6"])
+        for r in heavy_hitters(df, F.col("item"), k=k, partial=partial).collect()
+    }
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    items = ["the"] * 500 + ["of"] * 200 + ["and"] * 90 + [
+        f"rare{i}" for i in range(400)
+    ]
+    model = _hh_model(items, k=8)
+    assert model  # fixture really has phi-heavy items
+    assert _hh_run(spark, items, k=8) == model
+
+
+def test_heavy_hitters_partial_pass_is_lossless(spark):
+    # spread across many partitions so per-batch counts are far below the
+    # global ones — the pigeonhole superset guarantee must still hold
+    items = ["a"] * 300 + ["b"] * 150 + [f"x{i}" for i in range(550)]
+    full = _hh_run(spark, items, k=16, partial=False, parts=16)
+    part = _hh_run(spark, items, k=16, partial=True, parts=16)
+    assert part == full == _hh_model(items, k=16)
+
+
+def test_heavy_hitters_no_hitters(spark):
+    items = [f"u{i}" for i in range(100)]
+    assert _hh_run(spark, items, k=4) == {}
