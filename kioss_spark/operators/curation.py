@@ -22,6 +22,7 @@ from kioss_spark.operators.text import h60
 
 __all__ = [
     "snapshot_diff",
+    "apply_changeset",
     "hash_sample",
     "stratified_sample",
     "token_budget_cap",
@@ -460,3 +461,44 @@ def snapshot_diff(
     return p.join(c, id_col, "full_outer").select(
         F.col(id_col), status.alias("status")
     )
+
+
+def apply_changeset(
+    corpus: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changeset to a corpus snapshot — the MERGE/upsert a
+    daily-refresh pipeline runs to roll snapshot N into N+1 without
+    rewriting unchanged documents. ``changes`` carries the corpus columns
+    plus ``op``: ``'delete'`` removes the id, ``'upsert'`` replaces-or-
+    inserts the row. Unknown ops raise. If the changeset carries several
+    rows for one id, the winner is the min-op row (``'delete'`` <
+    ``'upsert'`` lexically) then min over remaining columns —
+    deterministic, engine-reproducible.
+
+    Shape: one keyed dedup over the changeset (tiny), one LEFT ANTI join
+    of the corpus against changed ids, one union with the upsert rows —
+    the corpus is scanned once and never shuffled on content. With both
+    sides bucketed by id the anti join is a co-located merge; only the
+    changeset (days' churn, not the corpus) ever moves."""
+    data_cols = [c for c in corpus.columns if c != id_col]
+    bad = changes.where(~F.col(op_col).isin("delete", "upsert"))
+    # validate eagerly on the changeset only (constant-size scan)
+    n_bad = bad.limit(1).count()
+    if n_bad:
+        row = bad.limit(1).collect()[0]
+        raise ValueError(
+            f"apply_changeset: unknown op {row[op_col]!r} for id {row[id_col]!r}"
+        )
+    one = changes.groupBy(id_col).agg(
+        F.min(
+            F.struct(F.col(op_col).alias("op"), *[F.col(c) for c in data_cols])
+        ).alias("__w__")
+    )
+    kept = corpus.join(one.select(id_col), id_col, "left_anti")
+    upserts = one.where(F.col("__w__.op") == "upsert").select(
+        F.col(id_col), *[F.col(f"__w__.{c}").alias(c) for c in data_cols]
+    )
+    return kept.unionByName(upserts.select(*corpus.columns))

@@ -39,6 +39,7 @@ __all__ = [
     "embedding_dup_pairs",
     "train_ivf",
     "trained_cells",
+    "trained_cell_with_dist",
     "ivf_topk_trained",
 ]
 
@@ -485,6 +486,25 @@ def trained_cells(
     return F.expr(
         "transform(slice(" + arr + ",1," + str(int(nprobe)) + "),s->s.cid)"
     )
+
+
+def trained_cell_with_dist(vec, centroids, vv=None) -> Column:
+    """Argmin cell AND its integerized squared distance, as one struct
+    column ``named_struct('d', d2_e6, 'cid', cell)`` — the form outlier
+    detection needs (``trained_cells`` discards the distance). Same
+    zero-shuffle literal-folded expression, same single-F.expr rendering,
+    same d2 rounding contract as the oracle's ``_D2``; because the
+    distance VALUE is the output here, ``vv`` must be the true v·v column
+    (it is not a shared-term shortcut as in the argmin-only form)."""
+    vec_sql = _sql_col(vec)
+    vv_sql = None if vv is None else _sql_col(vv)
+    structs = [
+        "named_struct('d',"
+        + _dist2_sql(vec_sql, cv, _dot_py(cv, cv), vv_sql)
+        + ",'cid',CAST(" + str(int(cid)) + " AS BIGINT))"
+        for cid, cv in centroids
+    ]
+    return F.expr("array_sort(array(" + ",".join(structs) + "))[0]")
 
 
 def ivf_topk_trained(

@@ -3256,3 +3256,228 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = dedup.jaccard_pairs(docs, threshold=0.5)
     return triangles(pairs).select(F.col("id").alias("doc_id"), "n_tri")
+
+
+@register(
+    "corpus_apply_changeset",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                      {sql_h60('text')} AS h60 FROM documents),
+    c1 AS (SELECT doc_id, source,
+                  CASE WHEN h60 % 2 = 0 THEN n_chars ELSE n_chars + 1000 END
+                      AS n_chars,
+                  CASE WHEN h60 % 2 = 0 THEN 'delete' ELSE 'upsert' END AS op
+           FROM h WHERE h60 % 7 = 0),
+    c3 AS (SELECT doc_id, source, n_chars + 3000 AS n_chars, 'upsert' AS op
+           FROM h WHERE h60 % 21 = 0),
+    cn AS (SELECT doc_id + 10000000 AS doc_id, source, n_chars, 'upsert' AS op
+           FROM h WHERE h60 % 31 = 0),
+    chg AS (SELECT * FROM c1 UNION ALL SELECT * FROM c3
+            UNION ALL SELECT * FROM cn),
+    one AS (SELECT doc_id,
+                   min({{'op': op, 'source': source, 'n_chars': n_chars}}) AS w
+            FROM chg GROUP BY 1),
+    kept AS (SELECT b.doc_id, b.source, b.n_chars
+             FROM h b LEFT JOIN one ON b.doc_id = one.doc_id
+             WHERE one.doc_id IS NULL),
+    ups AS (SELECT doc_id, w.source AS source, w.n_chars AS n_chars
+            FROM one WHERE w.op = 'upsert')
+    SELECT doc_id, source, n_chars FROM kept
+    UNION ALL SELECT doc_id, source, n_chars FROM ups
+    """,
+)
+def corpus_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: roll corpus snapshot N into N+1 by applying a changeset
+    (operators.curation.apply_changeset) — deletes, in-place upserts, new
+    inserts, AND conflicting duplicate change rows for one id (resolved
+    deterministically: min op — delete beats upsert — then min payload).
+    The deterministic changeset is hash-sliced from `documents`: ~14% of
+    ids get a delete-or-modify, a mod-21 slice adds a CONFLICTING second
+    change row, a mod-31 slice plays brand-new crawled ids.
+
+    Scale plan: the corpus is scanned once and never shuffled on content
+    — one anti join against changed ids + a union with upsert rows; only
+    the changeset (days' churn) is grouped. Bucketed-by-id snapshots make
+    the anti join a co-located zero-shuffle merge."""
+    from kioss_spark.operators.curation import apply_changeset
+
+    docs = _docs(spark, sf_dir)
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        h60(F.col("text")).alias("h60"),
+    )
+    c1 = h.where(F.pmod("h60", F.lit(7)) == 0).select(
+        "doc_id",
+        "source",
+        F.when(F.pmod("h60", F.lit(2)) == 0, F.col("n_chars"))
+        .otherwise(F.col("n_chars") + 1000)
+        .alias("n_chars"),
+        F.when(F.pmod("h60", F.lit(2)) == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    c3 = h.where(F.pmod("h60", F.lit(21)) == 0).select(
+        "doc_id", "source", (F.col("n_chars") + 3000).alias("n_chars"),
+        F.lit("upsert").alias("op"),
+    )
+    cn = h.where(F.pmod("h60", F.lit(31)) == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "source", "n_chars",
+        F.lit("upsert").alias("op"),
+    )
+    corpus = h.select("doc_id", "source", "n_chars")
+    changes = c1.unionByName(c3).unionByName(cn)
+    return apply_changeset(corpus, changes)
+
+
+@register(
+    "embed_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, cv
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h,
+                     vec_id, v AS cv
+              FROM e)
+        ORDER BY h, vec_id LIMIT 16
+    ),
+    ca AS (SELECT t.vec_id, cent.cid, {_D2.format(t='t')} AS d2
+           FROM e t CROSS JOIN cent),
+    -- argmin on RAW d2 (matching the Spark-side struct sort); the >=0
+    -- clamp applies after selection, exactly as the query clamps the
+    -- struct's d field
+    cbest AS (SELECT vec_id, cid AS cell, greatest(0, d2) AS d2 FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM ca)
+              WHERE rn = 1),
+    st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                  CAST(sum(d2) AS BIGINT) AS s
+           FROM cbest GROUP BY 1)
+    SELECT cb.vec_id, CAST(cb.cell AS BIGINT) AS cell,
+           CAST(cb.d2 AS BIGINT) AS d2_e6,
+           CAST(st.s // st.n_vecs AS BIGINT) AS cell_mean_d2_e6,
+           (2 * cb.d2 > 5 * (st.s // st.n_vecs)) AS is_outlier
+    FROM cbest cb JOIN st USING (cell)
+    """,
+)
+def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier scan: every vector's integerized squared distance
+    to its assigned trained-quantizer centroid, the cell's mean, and an
+    is_outlier flag at 2.5x the cell mean — the corpus-hygiene pass that
+    catches corrupt/degenerate embeddings (zero vectors, wrong-model
+    rows, encoder NaN fallouts) BEFORE they enter ANN serving or
+    SemDeDup, where they silently poison cells. Distance-to-centroid is
+    the same signal an IVF build logs as 'quantization error'.
+
+    Scale plan: assignment + distance is the zero-shuffle literal-folded
+    trained_cell_with_dist expression (one F.expr, narrow codegen); the
+    per-cell mean is one 16-row keyed agg joined back broadcast-sized.
+    All outputs integerized (floor-e6 distances, integer-div mean,
+    integer-ratio flag) — bit-exact cross-engine."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nn = e.withColumn("__vv__", similarity._dot(F.col("v"), F.col("v")))
+    cents = similarity.train_ivf(nn, n_centroids=16, iters=0)
+    s = similarity.trained_cell_with_dist("v", cents, vv="__vv__")
+    cells = nn.withColumn("__s__", s).select(
+        "vec_id",
+        F.col("__s__.cid").alias("cell"),
+        F.greatest(F.lit(0), F.col("__s__.d")).cast("long").alias("d2_e6"),
+    )
+    st = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("d2_e6").cast("long").alias("s"),
+    )
+    return cells.join(st, "cell").select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "d2_e6",
+        F.expr("s div n_vecs").cast("long").alias("cell_mean_d2_e6"),
+        (F.lit(2) * F.col("d2_e6") > F.lit(5) * F.expr("s div n_vecs")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+#: non-distinct word bigrams with multiplicity (the LM stream, != the
+#: distinct-set SQL_BIGRAMS used by novelty)
+SQL_BIGRAMS_MULTI = (
+    "CASE WHEN len(t) >= 2 "
+    "THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+@register(
+    "bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id, {SQL_BIGRAMS_MULTI} AS b FROM toks),
+    inv AS (SELECT doc_id, x AS bigram,
+                   string_split(x, ' ')[1] AS w1
+            FROM bg, UNNEST(b) u(x)),
+    c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n2 FROM inv GROUP BY 1),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM inv GROUP BY 1),
+    p AS (SELECT inv.doc_id,
+                 CAST(floor(1000000.0 * c2.n2 / c1.n1) AS BIGINT) AS p_e6
+          FROM inv JOIN c2 USING (bigram) JOIN c1 USING (w1)),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(p_e6) AS BIGINT) AS s
+            FROM p GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(CASE WHEN per.doc_id IS NULL THEN 0
+                     ELSE per.s // per.n_bigrams END AS BIGINT) AS lm_fit_e6
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM corpus-fit score: per document, the mean
+    conditional bigram probability P(w2|w1) under the corpus's own counts
+    (integerized per-bigram as floor(1e6*c(w1 w2)/c(w1 ·)), averaged with
+    integer division) — the engine-exact stand-in for LM-perplexity
+    filtering (CCNet/KenLM style) without an external model: template/
+    boilerplate text scores high, scrambled or OCR-damaged word order
+    scores low. Frequency-weighted complement of bigram_novelty (which
+    only asks df=1) and the sequel to quality_unigram_icf one n-gram up.
+
+    Scale plan: ONE explode of the bigram stream feeds the bigram-count
+    agg, the context-count agg, and the per-doc score join — all keyed,
+    map-side-combining shuffles over (bigram)/(w1)/(doc_id); the count
+    tables are vocabulary-sized, never corpus-sized. No floats cross an
+    aggregation boundary (each p integerized before the sum)."""
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), n=2, distinct=False).alias("b")
+    )
+    inv = bg.select(
+        "doc_id",
+        F.explode("b").alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    c2 = inv.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    c1 = inv.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    p = (
+        inv.join(c2, "bigram")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.floor(F.lit(1000000.0) * F.col("n2") / F.col("n1"))
+            .cast("long")
+            .alias("p_e6"),
+        )
+    )
+    per = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("p_e6").cast("long").alias("s"),
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(F.col("s").isNull(), F.lit(0))
+        .otherwise(F.expr("s div n_bigrams"))
+        .cast("long")
+        .alias("lm_fit_e6"),
+    )

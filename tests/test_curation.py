@@ -91,3 +91,50 @@ def test_snapshot_diff_classifies_all_four_states(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(prev, curr).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+# --- apply_changeset -------------------------------------------------------
+
+import pytest
+
+from kioss_spark.operators.curation import apply_changeset
+
+
+def _merge(spark, corpus_rows, change_rows):
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, payload string")
+    changes = spark.createDataFrame(
+        change_rows, "doc_id long, payload string, op string"
+    )
+    return {
+        r["doc_id"]: r["payload"]
+        for r in apply_changeset(corpus, changes).collect()
+    }
+
+
+def test_apply_changeset_delete_upsert_insert(spark):
+    corpus = [(1, "a"), (2, "b"), (3, "c")]
+    changes = [(2, None, "delete"), (3, "c2", "upsert"), (9, "new", "upsert")]
+    assert _merge(spark, corpus, changes) == {1: "a", 3: "c2", 9: "new"}
+
+
+def test_apply_changeset_conflicts_resolve_deterministically(spark):
+    corpus = [(1, "a"), (2, "b")]
+    # delete beats upsert for one id; among upserts the min payload wins
+    changes = [
+        (1, "x", "upsert"),
+        (1, None, "delete"),
+        (2, "z", "upsert"),
+        (2, "y", "upsert"),
+    ]
+    assert _merge(spark, corpus, changes) == {2: "y"}
+
+
+def test_apply_changeset_unknown_op_raises(spark):
+    corpus = [(1, "a")]
+    with pytest.raises(ValueError, match="unknown op"):
+        _merge(spark, corpus, [(1, "a", "replace")])
+
+
+def test_apply_changeset_empty_changeset_is_identity(spark):
+    corpus = [(1, "a"), (2, "b")]
+    assert _merge(spark, corpus, []) == {1: "a", 2: "b"}

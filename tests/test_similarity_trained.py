@@ -171,3 +171,41 @@ def test_semantic_dup_pairs_multiprobe_superset(spark):
     assert p1 <= p2
     assert len(rows2) == len(p2), "multi-probe must not emit duplicate pairs"
     assert all(r["cosine_e5"] >= 30000 for r in rows2)
+
+
+def test_trained_cell_with_dist_matches_cells_and_model(spark):
+    # struct.cid == trained_cells argmin; struct.d == integerized d2 to
+    # that centroid, recomputed in Python with the same fold order
+    nn = _corpus(spark).withColumn(
+        "__vv__", S._dot(F.col("v"), F.col("v"))
+    )
+    cents = S.train_ivf(nn, n_centroids=4, iters=0)
+    got = (
+        nn.withColumn("cell", S.trained_cells("v", cents, vv=F.col("__vv__")))
+        .withColumn("s", S.trained_cell_with_dist("v", cents, vv="__vv__"))
+        .select("vec_id", "v", "cell", F.col("s.cid").alias("cid"),
+                F.col("s.d").alias("d"))
+        .collect()
+    )
+    import math
+
+    cmap = dict(cents)
+    for r in got:
+        assert r["cid"] == r["cell"]
+        best = min(
+            (
+                (
+                    math.floor(
+                        (
+                            S._dot_py(r["v"], r["v"])
+                            - 2 * S._dot_py(r["v"], cmap[cid])
+                            + S._dot_py(cmap[cid], cmap[cid])
+                        )
+                        * 1000000
+                    ),
+                    cid,
+                )
+                for cid in cmap
+            ),
+        )
+        assert (r["d"], r["cid"]) == best
