@@ -90,6 +90,14 @@ HEADLINE = [
     "quality_gopher_rules",
     "bigram_novelty",
     "mm_frame_dedup",
+    # round-5 continuation: exact heavy hitters (bounded two-pass), triangle
+    # counting (third pass over the PPJoin pair graph), CDC merge, embedding
+    # outlier scan, bigram-LM fit (a second corpus-LM agg family)
+    "heavy_hitter_tokens",
+    "dup_graph_triangles",
+    "corpus_apply_changeset",
+    "embed_outliers",
+    "bigram_lm_score",
 ]
 
 

@@ -2188,3 +2188,60 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("long").alias("max_k"),
         )
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS wk
+               FROM events),
+    first AS (SELECT user_id, min(wk) AS cohort_wk FROM u GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, wk FROM u),
+    sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+           FROM first GROUP BY 1),
+    ret AS (SELECT f.cohort_wk, a.wk - f.cohort_wk AS wk_offset,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM act a JOIN first f USING (user_id) GROUP BY 1, 2)
+    SELECT ret.cohort_wk, ret.wk_offset, ret.n_users, sz.cohort_n,
+           CAST(floor(1000000.0 * ret.n_users / sz.cohort_n) AS BIGINT)
+               AS retention_e6
+    FROM ret JOIN sz USING (cohort_wk)
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-activity
+    week (the cohort), tracked as the distinct-active share per weeks-
+    since-cohort offset — THE product/engagement health view, and for a
+    training-data pipeline the user-activity decay profile that sizes
+    time-range sampling windows. Week ids are integer epoch-week numbers
+    (floor(epoch_us/week)): no calendar/timezone semantics anywhere, so
+    every engine agrees in any session timezone.
+
+    Scale plan: one user-keyed agg for first-activity, one distinct over
+    (user, week) — both map-side combining; the cohort matrix itself is
+    weeks x offsets, constant-sized relative to the event stream. The
+    distinct-user recount per cell shuffles (cohort, offset, user) rows
+    once; cohort sizes are a broadcast-sized join back."""
+    ev = t(spark, sf_dir, "events")
+    wk = F.floor(epoch_us("ts") / F.lit(604_800_000_000.0)).cast("long")
+    u = ev.select("user_id", wk.alias("wk"))
+    first = u.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = u.distinct()
+    sz = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_n")
+    )
+    ret = (
+        act.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+    return ret.join(sz, "cohort_wk").select(
+        "cohort_wk",
+        "wk_offset",
+        "n_users",
+        "cohort_n",
+        F.floor(F.lit(1000000.0) * F.col("n_users") / F.col("cohort_n"))
+        .cast("long")
+        .alias("retention_e6"),
+    )

@@ -498,6 +498,108 @@ class SStream:
         )
         return self._derive(df, f"rate_anomaly({key!r}, trailing={trailing})")
 
+    def heavy_hitters(
+        self, item: str = "item", k: int = 64, slots: int = 16
+    ) -> "SStream":
+        """Streaming heavy hitters: the bounded-state twin of
+        ``operators.sketch.heavy_hitters``. Items hash into ``slots``
+        parallel SpaceSaving summaries (Metwally et al. 2005) of ``k``
+        counters each — total state ``slots * k`` counters FOREVER,
+        regardless of vocabulary or stream length, which is exactly what
+        the batch two-pass form cannot give a stream (its recount pass
+        would need the whole history).
+
+        Emits, per micro-batch and slot (update mode), the current
+        summary rows ``(slot, item, est_cnt, max_err, slot_total)`` with
+        the standard SpaceSaving guarantees per slot: any item whose true
+        slot count exceeds ``slot_total / k`` IS present, and
+        ``est_cnt - max_err <= true count <= est_cnt``. Filter
+        ``est_cnt * k > slot_total`` downstream for the phi-heavy set;
+        sum ``slot_total`` across slots for the global N. Items hash to a
+        FIXED slot, so per-item counts never split across summaries and
+        slot summaries are independently correct (the same property that
+        makes the slots mergeable for a global top-k).
+
+        Within a micro-batch the fold order is deterministic (count desc,
+        then item), so replays/retries reproduce the same summary —
+        eviction order is otherwise arrival-dependent in SpaceSaving.
+        """
+        from collections import Counter
+
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+        from pyspark.sql.types import (
+            ArrayType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            [
+                StructField("slot", LongType()),
+                StructField(item, StringType()),
+                StructField("est_cnt", LongType()),
+                StructField("max_err", LongType()),
+                StructField("slot_total", LongType()),
+            ]
+        )
+        state_schema = StructType(
+            [
+                StructField("items", ArrayType(StringType())),
+                StructField("cnts", ArrayType(LongType())),
+                StructField("errs", ArrayType(LongType())),
+                StructField("total", LongType()),
+            ]
+        )
+
+        def summarize(key_tuple, pdf_iter, state):
+            if state.exists:
+                items, cnts, errs, total = state.get
+                summ = {it: [int(c), int(e)] for it, c, e in zip(items, cnts, errs)}
+                total = int(total)
+            else:
+                summ, total = {}, 0
+            batch = Counter()
+            for pdf in pdf_iter:
+                for it, c in pdf[item].value_counts().items():
+                    batch[it] += int(c)
+            for it, c in sorted(batch.items(), key=lambda kv: (-kv[1], kv[0])):
+                total += c
+                if it in summ:
+                    summ[it][0] += c
+                elif len(summ) < k:
+                    summ[it] = [c, 0]
+                else:
+                    ev_it, (mn, _) = min(
+                        summ.items(), key=lambda kv: (kv[1][0], kv[0])
+                    )
+                    del summ[ev_it]
+                    summ[it] = [mn + c, mn]
+            state.update(
+                (
+                    list(summ.keys()),
+                    [v[0] for v in summ.values()],
+                    [v[1] for v in summ.values()],
+                    total,
+                )
+            )
+            slot = int(key_tuple[0])
+            yield pd.DataFrame(
+                [(slot, it, v[0], v[1], total) for it, v in sorted(summ.items())],
+                columns=out_schema.fieldNames(),
+            )
+
+        keyed = self._df.select(
+            F.pmod(F.xxhash64(F.col(item)), F.lit(slots)).alias("__slot__"),
+            F.col(item),
+        )
+        df = keyed.groupBy("__slot__").applyInPandasWithState(
+            summarize, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        return self._derive(df, f"heavy_hitters({item!r}, k={k}, slots={slots})")
+
     def join_stream(
         self,
         other: "SStream",

@@ -511,3 +511,58 @@ def test_rate_anomaly_stream_matches_batch_operator(spark, tmp_path):
     finally:
         q.stop()
     assert got == want
+
+
+def test_heavy_hitters_exact_and_stateful_across_batches(spark, tmp_path):
+    # distinct items << k: SpaceSaving summaries are exact counters, and
+    # counts must accumulate across micro-batch boundaries
+    import os
+
+    src = str(tmp_path / "hh_src")
+    os.makedirs(src, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)], "item string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    s = SStream.files(
+        spark, src, schema="item string", max_files_per_trigger=1
+    ).heavy_hitters("item", k=8, slots=4)
+    q = s.to_memory("t_hh", output_mode="update")
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame([("a",)] * 3 + [("d",)] * 2, "item string")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_hh").collect()
+    finally:
+        q.stop()
+    got = {r["item"]: (r["est_cnt"], r["max_err"]) for r in rows}
+    assert got == {"a": (8, 0), "b": (2, 0), "c": (1, 0), "d": (2, 0)}
+    # per-slot totals are consistent: summed over distinct slots == N
+    slot_totals = {r["slot"]: r["slot_total"] for r in rows}
+    assert sum(slot_totals.values()) == 13
+
+
+def test_heavy_hitters_eviction_keeps_the_heavy_item_bounded_error(spark, tmp_path):
+    # k=2 with 5 distinct items forces evictions; the dominant item must
+    # survive with est_cnt - max_err <= true <= est_cnt (slots=1 so all
+    # items share one summary)
+    src = str(tmp_path / "hh_ev_src")
+    rows = [("big",)] * 50 + [(f"s{i}",) for i in range(4)]
+    spark.createDataFrame(rows, "item string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    s = SStream.files(spark, src, schema="item string").heavy_hitters(
+        "item", k=2, slots=1
+    )
+    q = s.to_memory("t_hh_ev", output_mode="update")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM t_hh_ev").collect()
+    finally:
+        q.stop()
+    got = {r["item"]: r for r in out}
+    assert len(got) == 2 and "big" in got
+    big = got["big"]
+    assert big["est_cnt"] - big["max_err"] <= 50 <= big["est_cnt"]
+    assert big["slot_total"] == 54
