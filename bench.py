@@ -98,6 +98,7 @@ HEADLINE = [
     "corpus_apply_changeset",
     "embed_outliers",
     "bigram_lm_score",
+    "embed_covariance_diag",
 ]
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "trained_cells",
     "trained_cell_with_dist",
     "ivf_topk_trained",
+    "embed_covariance",
 ]
 
 
@@ -725,3 +726,75 @@ def ivf_topk_int8(
         F.col("score_int8_e5").desc(), F.col("cand_id")
     )
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def embed_covariance(
+    df: DataFrame, vec_col: str = "embedding", scale: int = 1000
+) -> DataFrame:
+    """Exact integerized covariance matrix of an embedding column — the
+    anisotropy/collapse diagnostic (a near-rank-deficient covariance
+    means the encoder collapsed; the diagonal is per-dimension variance,
+    the input to whitening and to PCA-based dedup/dim-reduction
+    decisions). Embeddings are integerized as ``floor(x * scale)`` so
+    every sum is BIGINT-exact and the result engine-reproducible — float
+    covariance differs across summation orders by design.
+
+    Returns one row per unordered dimension pair (i <= j, 0-based):
+    ``(i, j, n, sxy, sxi, sxj, cov_e6)`` with
+    ``cov_e6 = floor((n*sxy - sxi*sxj) / n^2)`` evaluated in IEEE double
+    (inputs bounded by scale^2 * n^2 — keep under 2^53 by sizing
+    ``scale``; at e3 and 64 dims that holds to ~10M vectors, beyond
+    which accumulate in DECIMAL instead).
+
+    Scale shape: per-Arrow-batch numpy ``X.T @ X`` partials emit a
+    CONSTANT d*(d+1)/2 rows per batch regardless of batch size — the
+    classic partial-aggregation form; the only shuffle carries
+    d^2-per-batch partial rows, never vectors. Python here is the
+    vectorized-matmul fast path, not a per-row UDF (the JVM alternative
+    explodes d^2 rows per VECTOR)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "i int, j int, n long, sxy long, sxi long, sxj long"
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.floor(
+                np.array(pdf[vec_col].tolist(), dtype=np.float64) * float(scale)
+            ).astype(np.int64)
+            sx = X.sum(axis=0)
+            sxy = X.T @ X
+            iu, ju = np.triu_indices(X.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n": np.full(len(iu), X.shape[0], dtype=np.int64),
+                    "sxy": sxy[iu, ju],
+                    "sxi": sx[iu],
+                    "sxj": sx[ju],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(partials, schema=out_schema)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sxy").cast("long").alias("sxy"),
+        F.sum("sxi").cast("long").alias("sxi"),
+        F.sum("sxj").cast("long").alias("sxj"),
+    )
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        "sxy",
+        "sxi",
+        "sxj",
+        F.expr(
+            "CAST(floor((1.0D*n*sxy - 1.0D*sxi*sxj) / (1.0D*n*n)) AS BIGINT)"
+        ).alias("cov_e6"),
+    )

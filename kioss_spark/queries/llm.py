@@ -3481,3 +3481,43 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lm_fit_e6"),
     )
+
+
+@register(
+    "embed_covariance_diag",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+               FROM embeddings),
+    ex AS (SELECT vec_id, CAST(r.i AS INTEGER) - 1 AS i,
+                  v[CAST(r.i AS INTEGER)] AS xi
+           FROM e, range(1, 65) r(i)),
+    s AS (SELECT a.i AS i, b.i AS j,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a.xi * b.xi) AS BIGINT) AS sxy,
+                 CAST(sum(a.xi) AS BIGINT) AS sxi,
+                 CAST(sum(b.xi) AS BIGINT) AS sxj
+          FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+    SELECT i, j, n, sxy, sxi, sxj,
+           CAST(floor((1.0*n*sxy - 1.0*sxi*sxj) / (1.0*n*n)) AS BIGINT)
+               AS cov_e6
+    FROM s
+    """,
+)
+def embed_covariance_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integerized covariance matrix of the embedding table
+    (operators.similarity.embed_covariance) — the collapse/anisotropy
+    diagnostic: a diagonal with near-zero cells means dead dimensions, a
+    matrix dominated by one direction means the encoder collapsed and
+    cosine-based dedup/ANN are about to stop discriminating. Run it
+    before trusting any embedding-driven curation stage.
+
+    Scale plan: per-Arrow-batch numpy X^T X partials emit a CONSTANT
+    d(d+1)/2 rows per batch (partial aggregation; the only shuffle
+    carries d^2-per-batch partial rows, never vectors); sums are
+    BIGINT-exact on floor(x*1000) integerized components; the single
+    float division at the end is IEEE-identical cross-engine."""
+    e = _emb(spark, sf_dir)
+    return similarity.embed_covariance(e, vec_col="embedding", scale=1000)

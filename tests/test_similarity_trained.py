@@ -209,3 +209,37 @@ def test_trained_cell_with_dist_matches_cells_and_model(spark):
             ),
         )
         assert (r["d"], r["cid"]) == best
+
+
+def test_embed_covariance_matches_numpy_model(spark):
+    # exact integer sums + one IEEE division: must equal a single-process
+    # numpy model bit-for-bit, including across a repartitioned input
+    import math
+
+    import numpy as np
+
+    rows = [
+        (i, [((i * 13 + j * 5) % 17 - 8) / 7.0 for j in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(7)
+    got = {
+        (r["i"], r["j"]): (r["n"], r["sxy"], r["sxi"], r["sxj"], r["cov_e6"])
+        for r in S.embed_covariance(df, scale=1000).collect()
+    }
+    X = np.floor(np.array([v for _, v in rows], dtype=np.float64) * 1000).astype(
+        np.int64
+    )
+    n = X.shape[0]
+    sx = X.sum(axis=0)
+    sxy = X.T @ X
+    want = {}
+    for i in range(6):
+        for j in range(i, 6):
+            cov = math.floor(
+                (1.0 * n * sxy[i, j] - 1.0 * sx[i] * sx[j]) / (1.0 * n * n)
+            )
+            want[(i, j)] = (n, int(sxy[i, j]), int(sx[i]), int(sx[j]), cov)
+    assert got == want
+    # diagonal is a variance: non-negative
+    assert all(v[4] >= 0 for k, v in got.items() if k[0] == k[1])
