@@ -277,3 +277,81 @@ def test_pagerank_matches_python_model_random_graphs(spark, edges, iters):
             inflow[d] = inflow.get(d, 0) + (17 * rank[s]) // (20 * deg[s])
         rank = {v: base + inflow.get(v, 0) for v in deg}
     assert got == {v: (deg[v], rank[v]) for v in deg}, (edges, iters)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=2, max_value=8),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_heavy_hitters_matches_counter_model(spark, items, k, parts):
+    # exact phi-heavy-hitter contract on arbitrary streams and
+    # partitionings: exactly the items with cnt*k > N, with exact counts
+    from collections import Counter
+
+    from kioss_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(
+        parts
+    )
+    got = {
+        r["item"]: (r["cnt"], r["share_e6"])
+        for r in heavy_hitters(df, F.col("item"), k=k).collect()
+    }
+    n = len(items)
+    want = {
+        it: (c, 1000000 * c // n)
+        for it, c in Counter(items).items()
+        if c * k > n
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus=st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.text(alphabet="xyz", min_size=0, max_size=3),
+        max_size=10,
+    ),
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=19),
+            st.sampled_from(["delete", "upsert"]),
+            st.text(alphabet="xyz", min_size=0, max_size=3),
+        ),
+        max_size=12,
+    ),
+)
+def test_apply_changeset_matches_python_merge_model(spark, corpus, ops):
+    # model: group ops by id, winner = min (op, payload); delete removes,
+    # upsert replaces-or-inserts, untouched ids pass through
+    from kioss_spark.operators.curation import apply_changeset
+
+    cdf = spark.createDataFrame(
+        list(corpus.items()) or [], "doc_id long, payload string"
+    )
+    chdf = spark.createDataFrame(
+        [(i, p, o) for i, o, p in ops] or [],
+        "doc_id long, payload string, op string",
+    )
+    got = {
+        r["doc_id"]: r["payload"] for r in apply_changeset(cdf, chdf).collect()
+    }
+    winners = {}
+    for i, o, p in ops:
+        cand = (o, p)
+        if i not in winners or cand < winners[i]:
+            winners[i] = cand
+    want = dict(corpus)
+    for i, (o, p) in winners.items():
+        if o == "delete":
+            want.pop(i, None)
+        else:
+            want[i] = p
+    assert got == want
