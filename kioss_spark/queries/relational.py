@@ -2305,3 +2305,77 @@ def funnel_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kll_quantiles(
         d, F.col("delay_s"), by=["hour_of_day"], quantiles=(0.5, 0.9), k=1024
     )
+
+
+@register(
+    "sequence_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT v.user_id, v.ts,
+                 CASE WHEN c.ts <= v.ts + INTERVAL 30 MINUTE THEN c.ts END
+                     AS c_ts
+          FROM v ASOF LEFT JOIN c
+            ON v.user_id = c.user_id AND c.ts >= v.ts),
+    m2 AS (SELECT m.user_id, m.ts, m.c_ts,
+                  CASE WHEN p.ts <= m.c_ts + INTERVAL 30 MINUTE THEN p.ts END
+                      AS p_ts
+           FROM m ASOF LEFT JOIN p
+             ON m.user_id = p.user_id AND p.ts >= m.c_ts)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+           CAST(count(p_ts) AS BIGINT) AS n_completed,
+           CAST(floor(count(p_ts) / count(*) * 1000000) AS BIGINT)
+               AS completion_e6
+    FROM m2 GROUP BY 1
+    """,
+)
+def sequence_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step ordered event-sequence detection (MATCH_RECOGNIZE
+    analog): per user, how many `view` events complete the full
+    view -> first click within 30 min -> first purchase within 30 min of
+    that click chain — multi-step funnel / CEP pattern matching, the
+    generalization of the two-step funnel to arbitrary step chains (each
+    additional step is one more as-of composition).
+
+    Scale plan: each step is a forward as-of join with tolerance — a
+    union + one keyed running-last window per step (operators/asof.py),
+    so an s-step pattern costs s user-keyed shuffles and zero pair
+    materialization. The oracle's NESTED correlated min-subqueries are
+    exactly the quadratic form this shape avoids."""
+    from kioss_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    tol = F.expr("INTERVAL 30 MINUTES")
+    v = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    c = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    s1 = asof_join(
+        v, c, on="ts", by="user_id", values=["ts"], direction="forward",
+        tolerance=tol,
+    )
+    s1c = s1.where(F.col("ts_right").isNotNull()).select(
+        "user_id", F.col("ts_right").alias("ts")
+    )
+    s2 = asof_join(
+        s1c, p, on="ts", by="user_id", values=["ts"], direction="forward",
+        tolerance=tol,
+    )
+    completed = (
+        s2.where(F.col("ts_right").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_completed"))
+    )
+    base = v.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_views")
+    )
+    return base.join(completed, "user_id", "left").select(
+        "user_id",
+        "n_views",
+        F.coalesce("n_completed", F.lit(0)).cast("long").alias("n_completed"),
+        F.floor(
+            F.coalesce("n_completed", F.lit(0)) / F.col("n_views") * 1000000
+        )
+        .cast("long")
+        .alias("completion_e6"),
+    )
