@@ -99,6 +99,9 @@ HEADLINE = [
     "embed_outliers",
     "bigram_lm_score",
     "embed_covariance_diag",
+    "retention_cohorts",
+    "funnel_delay_quantiles",
+    "sequence_view_click_purchase",
 ]
 
 

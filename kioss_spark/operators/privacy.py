@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["PII_PATTERNS", "pii_scan", "redact"]
+__all__ = ["PII_PATTERNS", "pii_scan", "redact", "kanon_risk"]
 
 #: pattern name -> (regex, replacement token), applied in this order.
 #: Emails first (their local part may contain digit runs), then IPv4
@@ -50,3 +50,25 @@ def pii_scan(text: Column) -> dict[str, Column]:
     }
     cols["redacted"] = redact(text)
     return cols
+
+
+def kanon_risk(df, quasi_cols, k: int = 5):
+    """k-anonymity audit over quasi-identifier columns: every equivalence
+    class (distinct quasi-identifier combination) with fewer than ``k``
+    members, plus its size — rows in these classes are re-identifiable by
+    joining the quasi-identifiers against an external dataset, the
+    standard release-readiness check (Sweeney 2002) run before publishing
+    a corpus or its metadata. Returns (quasi_cols..., class_n) for
+    classes with ``class_n < k``; an empty result certifies k-anonymity.
+
+    One keyed groupBy with map-side combine over the quasi-identifier
+    tuple — the class table is bounded by the quasi-identifier domain,
+    not the corpus, and nothing else shuffles. Generalize-and-repeat
+    (bucket a column coarser, re-run) is the standard remediation loop;
+    the operator is cheap enough to sit inside it."""
+    qc = list(quasi_cols)
+    return (
+        df.groupBy(*qc)
+        .agg(F.count(F.lit(1)).cast("long").alias("class_n"))
+        .where(F.col("class_n") < k)
+    )

@@ -3521,3 +3521,32 @@ def embed_covariance_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     float division at the end is IEEE-identical cross-engine."""
     e = _emb(spark, sf_dir)
     return similarity.embed_covariance(e, vec_col="embedding", scale=1000)
+
+
+@register(
+    "kanon_risk_docs",
+    oracle="""
+    SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS class_n
+    FROM documents GROUP BY 1, 2, 3 HAVING count(*) < 5
+    """,
+)
+def kanon_risk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators.privacy.kanon_risk, k=5) over the
+    corpus metadata quasi-identifiers (lang, source, length bucket):
+    every equivalence class small enough to re-identify a document by
+    joining its metadata against an external catalog — the
+    release-readiness check run before publishing corpus stats or
+    per-document metadata, complementing content-level pii_redact.
+
+    Scale plan: one keyed groupBy with map-side combine; output bounded
+    by the quasi-identifier domain, not the corpus. The remediation loop
+    (generalize a column, re-run) re-executes only this one agg."""
+    from kioss_spark.operators.privacy import kanon_risk
+
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        F.expr("n_chars div 100").cast("long").alias("len_bucket"),
+    )
+    return kanon_risk(docs, ["lang", "source", "len_bucket"], k=5)
