@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join", "write_bucketed", "read_bucketed"]
+__all__ = ["salted_agg", "salted_join", "write_bucketed", "read_bucketed", "zvalue"]
 
 
 def salted_agg(
@@ -114,3 +114,28 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def zvalue(a, b, bits: int = 16):
+    """Morton/Z-order value of two non-negative integer columns: their low
+    ``bits`` bits interleaved (a in even positions, b in odd) — the
+    space-filling-curve key behind multi-dimensional data layout
+    (Delta/Iceberg OPTIMIZE ZORDER BY): range-partitioning or sorting by
+    z-value co-locates rows close in BOTH dimensions, so min/max file
+    statistics prune scans for predicates on EITHER column, where sorting
+    by one column alone leaves the other column's values scattered across
+    every file.
+
+    Rendered as one SQL-string expression (2*bits shift-mask-or terms) —
+    pure integer codegen, zero shuffle, identical arithmetic in any
+    engine. Clamp/bucket inputs to ``bits`` beforehand (values >= 2^bits
+    wrap via the masking, which destroys locality but not correctness).
+    """
+    from kioss_spark.operators.similarity import _sql_col
+
+    a_sql, b_sql = _sql_col(a), _sql_col(b)
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a_sql} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b_sql} >> {i}) & 1) << {2 * i + 1})")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")

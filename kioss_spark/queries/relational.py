@@ -2379,3 +2379,63 @@ def sequence_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("completion_e6"),
     )
+
+
+def _zexpr_sql(a: str, b: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({b} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "zorder_event_layout",
+    oracle=f"""
+    WITH e AS (SELECT CAST(user_id % 256 AS BIGINT) AS u,
+                      CAST(CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                           % 256 AS BIGINT) AS h
+               FROM events),
+    z AS (SELECT u, h, {_zexpr_sql('u', 'h', bits=8)} AS zv FROM e),
+    b AS (SELECT zv // 256 AS z_bucket, u, h FROM z)
+    SELECT z_bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_hours,
+           CAST(min(u) AS BIGINT) AS u_min, CAST(max(u) AS BIGINT) AS u_max,
+           CAST(min(h) AS BIGINT) AS h_min, CAST(max(h) AS BIGINT) AS h_max
+    FROM b GROUP BY 1
+    """,
+)
+def zorder_event_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit for the event stream: interleave
+    user_id and epoch-hour into a z-value (operators.skew.zvalue) and
+    profile each z-bucket's min/max span in BOTH dimensions — the
+    data-skipping effectiveness check behind OPTIMIZE ZORDER: tight
+    u/h ranges per bucket mean file-level min/max statistics prune scans
+    for predicates on EITHER column. In production the z-value feeds
+    repartitionByRange + sortWithinPartitions before the write; here the
+    bucket profile (z div 256 = one 16x16 tile of (u, h) space per
+    bucket, so every bucket's span is provably <= 15 in BOTH dimensions)
+    IS the audit, deterministic and engine-exact — bit interleaving is
+    pure integer codegen, the only shuffle is the bucket agg."""
+    from kioss_spark.operators.skew import zvalue
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("u"),
+        F.pmod(
+            F.floor(epoch_us("ts") / F.lit(3_600_000_000.0)).cast("long"),
+            F.lit(256),
+        ).alias("h"),
+    )
+    z = e.withColumn("zv", zvalue("u", "h", bits=8))
+    b = z.select(F.expr("zv div 256").alias("z_bucket"), "u", "h")
+    return b.groupBy("z_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("u").cast("long").alias("n_users"),
+        F.count_distinct("h").cast("long").alias("n_hours"),
+        F.min("u").cast("long").alias("u_min"),
+        F.max("u").cast("long").alias("u_max"),
+        F.min("h").cast("long").alias("h_min"),
+        F.max("h").cast("long").alias("h_max"),
+    )

@@ -64,3 +64,47 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --- zvalue ----------------------------------------------------------------
+
+from kioss_spark.operators.skew import zvalue
+
+
+def _interleave(a, b, bits):
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zvalue_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(a, b) for a in (0, 1, 5, 200, 255) for b in (0, 3, 17, 254)]
+    df = spark.createDataFrame(rows, "u long, h long")
+    got = {
+        (r["u"], r["h"]): r["zv"]
+        for r in df.withColumn("zv", zvalue("u", "h", bits=8)).collect()
+    }
+    assert got == {(a, b): _interleave(a, b, 8) for a, b in rows}
+
+
+def test_zvalue_bucket_tiles_bound_both_dims(spark):
+    # z div 2^(2t) confines a bucket to a 2^t x 2^t tile: max span 2^t - 1
+    # in BOTH dimensions — the data-skipping property the layout exists for
+    from pyspark.sql import functions as F
+
+    rows = [(a, b) for a in range(0, 64, 3) for b in range(0, 64, 5)]
+    df = spark.createDataFrame(rows, "u long, h long")
+    prof = (
+        df.withColumn("zv", zvalue("u", "h", bits=8))
+        .groupBy(F.expr("zv div 64").alias("bkt"))
+        .agg(
+            (F.max("u") - F.min("u")).alias("su"),
+            (F.max("h") - F.min("h")).alias("sh"),
+        )
+        .collect()
+    )
+    assert prof and all(r["su"] <= 7 and r["sh"] <= 7 for r in prof)
