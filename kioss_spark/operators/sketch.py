@@ -277,7 +277,13 @@ def heavy_hitters(
     agg broadcast back. ``partial=False`` skips pass 1 (exact but
     full-vocabulary shuffle; only for tiny domains/tests).
     """
-    vals = df.select(value.cast("string").alias("item"))
+    # NULL items are excluded up front: the pandas value_counts candidate
+    # pass drops NaN while a Spark groupBy would count the null key, so
+    # without this filter the partial and non-partial paths would disagree
+    # on null-bearing inputs (N excludes nulls by the same rule)
+    vals = df.select(value.cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
     if partial:
         def _local_hh(batches):
             for pdf in batches:

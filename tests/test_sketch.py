@@ -176,3 +176,23 @@ def test_heavy_hitters_partial_pass_is_lossless(spark):
 def test_heavy_hitters_no_hitters(spark):
     items = [f"u{i}" for i in range(100)]
     assert _hh_run(spark, items, k=4) == {}
+
+
+def test_heavy_hitters_null_items_excluded_both_paths(spark):
+    # nulls must not count toward N or appear as items, identically in
+    # the partial and non-partial paths (pandas value_counts drops NaN;
+    # the explicit filter makes the Spark path match)
+    rows = [("a",)] * 6 + [(None,)] * 10 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    # N = 8 non-null items: only "a" clears cnt*k > N (6*3 > 8; 2*3 < 8);
+    # if nulls leaked into N (18), "a" would fail 6*3 > 18 — so this
+    # asserts the exclusion on both sides of the inequality
+    want = {"a": (6, 1000000 * 6 // 8)}
+    for partial in (True, False):
+        got = {
+            r["item"]: (r["cnt"], r["share_e6"])
+            for r in heavy_hitters(
+                df, F.col("item"), k=3, partial=partial
+            ).collect()
+        }
+        assert got == want, partial
