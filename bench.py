@@ -102,6 +102,8 @@ HEADLINE = [
     "retention_cohorts",
     "funnel_delay_quantiles",
     "sequence_view_click_purchase",
+    # the daily-refresh composite (batch-vs-signature LSH + classification)
+    "pipeline_incremental_refresh",
 ]
 
 

@@ -136,6 +136,7 @@ def triangles(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
+    with_degree: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over the undirected simple graph of
     ``edges``: ``(id, n_tri)`` for every node appearing in an edge
@@ -206,6 +207,16 @@ def triangles(
         .union(tri.select(F.col("v2").alias("id")))
     )
     per = corners.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    if with_degree:
+        # deg is already materialized off the checkpointed edge list;
+        # emitting it costs nothing extra and lets clustering-coefficient
+        # consumers avoid re-deriving the (expensive) edge lineage
+        nodes = deg.select(F.col("a").alias("id"), F.col("dg"))
+        return nodes.join(per, "id", "left").select(
+            "id",
+            F.col("dg").cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
     nodes = sym.select(F.col("a").alias("id")).distinct()
     return nodes.join(per, "id", "left").select(
         "id", F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri")

@@ -3550,3 +3550,204 @@ def kanon_risk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_chars div 100").cast("long").alias("len_bucket"),
     )
     return kanon_risk(docs, ["lang", "source", "len_bucket"], k=5)
+
+
+_TRI_PAIRS_CTE = f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    )"""
+
+
+@register(
+    "dup_graph_clustering",
+    oracle=_TRI_PAIRS_CTE
+    + """,
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+    tri AS (
+        SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (SELECT x AS id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri),
+    per AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1)
+    SELECT deg.id AS doc_id, deg.deg,
+           CAST(coalesce(n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN deg.deg >= 2
+                THEN CAST(floor(2000000.0 * coalesce(n_tri, 0)
+                                / (deg.deg * (deg.deg - 1))) AS BIGINT)
+                ELSE 0 END AS clustering_e6
+    FROM deg LEFT JOIN per ON deg.id = per.id
+    """,
+)
+def dup_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per document in the near-dup graph:
+    2*triangles / (deg*(deg-1)), integerized — the [0,1] clique-ness
+    score that dup_graph_triangles' raw counts feed: coefficient ~1 =
+    the neighborhood is a true duplicate clique (collapse confidently);
+    ~0 with high degree = a hub stitching UNRELATED near-pairs together
+    (a template/boilerplate document — collapsing its component merges
+    distinct content). The per-node decision input for cluster-collapse
+    policies, vs the per-node raw counts of dup_graph_triangles.
+
+    Scale plan: rides triangles(with_degree=True) — degree comes off the
+    same checkpointed edge list as the wedge stage, so the PPJoin
+    pipeline still materializes exactly once."""
+    from kioss_spark.operators.graph import triangles
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    tri = triangles(pairs, with_degree=True)
+    return tri.select(
+        F.col("id").alias("doc_id"),
+        "deg",
+        "n_tri",
+        F.when(
+            F.col("deg") >= 2,
+            F.floor(
+                F.lit(2000000.0)
+                * F.col("n_tri")
+                / (F.col("deg") * (F.col("deg") - 1))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clustering_e6"),
+    )
+
+
+def _incr_refresh_oracle(k: int = 32, bands: int = 8) -> str:
+    """Rollup form of _incr_minhash_oracle: classify every batch doc as
+    corpus_dup (pairs an EXISTING doc at J>=0.5), batch_dup (non-survivor
+    of a within-batch pair, corpus-dups excluded first), or ingest."""
+    base = _incr_minhash_oracle(k, bands)
+    head, _tail = base.rsplit("SELECT doc_a, doc_b, inter AS n_shared", 1)
+    return (
+        head.rstrip()
+        + """,
+    pr AS (
+        SELECT doc_a, doc_b,
+               (doc_a IN (SELECT doc_id FROM nw)) AS a_new,
+               (doc_b IN (SELECT doc_id FROM nw)) AS b_new
+        FROM ver
+        WHERE CAST(floor(inter / (na + nb - inter) * 1000000) AS BIGINT)
+              >= 500000),
+    cdup AS (SELECT DISTINCT CASE WHEN a_new AND NOT b_new THEN doc_a
+                                  ELSE doc_b END AS doc_id
+             FROM pr WHERE a_new != b_new),
+    bdup AS (SELECT DISTINCT doc_b AS doc_id FROM pr
+             WHERE a_new AND b_new
+               AND doc_b NOT IN (SELECT doc_id FROM cdup)),
+    cls AS (SELECT n.doc_id, d.source,
+                   CASE WHEN n.doc_id IN (SELECT doc_id FROM cdup)
+                            THEN 'corpus_dup'
+                        WHEN n.doc_id IN (SELECT doc_id FROM bdup)
+                            THEN 'batch_dup'
+                        ELSE 'ingest' END AS status
+            FROM nw n JOIN documents d ON n.doc_id = d.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN status = 'corpus_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corpus_dup,
+           CAST(sum(CASE WHEN status = 'batch_dup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_batch_dup,
+           CAST(sum(CASE WHEN status = 'ingest' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ingested
+    FROM cls GROUP BY 1
+    """
+    )
+
+
+@register("pipeline_incremental_refresh", oracle=_incr_refresh_oracle())
+def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-refresh composite, end to end: the ~10% content-hash
+    batch is LSH-banded against the stored corpus signatures
+    (operators.dedup.incremental_minhash_pairs — the corpus is never
+    re-shingled), verified pairs classify every batch document as
+    corpus_dup (drop: it already exists), batch_dup (drop: non-survivor
+    of a within-batch duplicate pair, after corpus-dups are excluded) or
+    ingest, rolled up per source — the acceptance report a crawl
+    pipeline emits every day, and the consumer view of the
+    minhash_signatures + dedup_incremental_lsh machinery.
+
+    Scale plan: inherits the incremental-LSH shape (per-day cost is
+    O(batch candidates), corpus-vs-corpus pairs structurally excluded);
+    classification is two membership semi/anti-joins on constant-bounded
+    dup-id sets plus one source-keyed rollup."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.pmod(h60(F.col("text")), F.lit(10)) == 3
+    pairs = dedup.incremental_minhash_pairs(docs, is_new, threshold=0.5)
+    nwdf = docs.where(is_new).select("doc_id", "source")
+    nw_ids = nwdf.select("doc_id")
+    pa = nw_ids.select(
+        F.col("doc_id").alias("doc_a"), F.lit(True).alias("a_new")
+    )
+    pb = nw_ids.select(
+        F.col("doc_id").alias("doc_b"), F.lit(True).alias("b_new")
+    )
+    pr = (
+        pairs.join(pa, "doc_a", "left")
+        .join(pb, "doc_b", "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("a_new", F.lit(False)).alias("a_new"),
+            F.coalesce("b_new", F.lit(False)).alias("b_new"),
+        )
+    )
+    cdup = (
+        pr.where(F.col("a_new") != F.col("b_new"))
+        .select(
+            F.when(F.col("a_new"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    bdup = (
+        pr.where(F.col("a_new") & F.col("b_new"))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .join(cdup, "doc_id", "left_anti")
+    )
+    cls = (
+        nwdf.join(cdup.withColumn("c", F.lit(True)), "doc_id", "left")
+        .join(bdup.withColumn("b", F.lit(True)), "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("c"), F.lit("corpus_dup"))
+            .when(F.col("b"), F.lit("batch_dup"))
+            .otherwise(F.lit("ingest"))
+            .alias("status"),
+        )
+    )
+    return cls.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.when(F.col("status") == "corpus_dup", 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus_dup"),
+        F.sum(F.when(F.col("status") == "batch_dup", 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch_dup"),
+        F.sum(F.when(F.col("status") == "ingest", 1).otherwise(0))
+        .cast("long")
+        .alias("n_ingested"),
+    )

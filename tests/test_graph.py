@@ -99,3 +99,13 @@ def test_triangles_skewed_hub_is_bounded(spark):
     model = _tri_model(edges)
     assert got == model
     assert got[0] == 1  # hub closes exactly the (1,2) rim edge
+
+
+def test_triangles_with_degree_matches_and_rides_same_graph(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: (r["deg"], r["n_tri"])
+        for r in triangles(df, with_degree=True).collect()
+    }
+    assert got == {0: (2, 1), 1: (2, 1), 2: (3, 1), 3: (1, 0)}
