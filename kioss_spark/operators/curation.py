@@ -33,6 +33,7 @@ __all__ = [
     "interleave_weighted",
     "class_balance_weights",
     "quantile_strata_sample",
+    "quota_sample",
 ]
 
 
@@ -502,3 +503,74 @@ def apply_changeset(
         F.col(id_col), *[F.col(f"__w__.{c}").alias(c) for c in data_cols]
     )
     return kept.unionByName(upserts.select(*corpus.columns))
+
+
+def quota_sample(
+    df: DataFrame,
+    weights: dict,
+    total: int,
+    by: str = "source",
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-quota mixture sampling by the largest-remainder method
+    (Hamilton apportionment): given target group weights (e6-scaled,
+    summing to 1e6) and a total sample size, select EXACTLY
+    ``base_g + bonus_g`` rows per group — ``base_g = (total * w_g) div
+    1e6``, with the ``total - Σ base`` leftover seats going to the
+    largest fractional remainders (group name as the deterministic
+    tiebreak). The interleave operator (``interleave_weighted``) orders
+    an epoch by mixture RATE; this one cuts a sample with exact COUNTS —
+    what a benchmark/eval subset or a fixed token budget needs, where
+    rate-based mixing over- or under-shoots per group.
+
+    Within each group, selection is the first ``n_g`` rows by content
+    hash (h60, id tiebreak) — deterministic, reproducible, no rand().
+    Groups with fewer rows than their quota contribute everything they
+    have (the shortfall is reported, not silently redistributed — quota
+    reallocation is a policy decision, not a sampler's).
+
+    Returns the selected rows as (id, group, rn, quota_n). One keyed
+    rank window over only the weighted groups (others are filtered
+    before the shuffle); the apportionment table is |groups| rows,
+    broadcast into the selection join."""
+    from kioss_spark.operators.text import h60
+
+    sess = df.sparkSession
+    wrows = [(g, int(w)) for g, w in sorted(weights.items())]
+    wdf = sess.createDataFrame(wrows, f"{by} string, w_e6 long")
+    ideal = wdf.select(
+        by,
+        (F.lit(int(total)) * F.col("w_e6")).alias("num"),
+    ).select(
+        by,
+        F.expr("num div 1000000").cast("long").alias("base_n"),
+        F.pmod("num", F.lit(1000000)).cast("long").alias("rem"),
+    )
+    leftover = F.lit(int(total)) - F.sum("base_n").over(Window.partitionBy())
+    rw = Window.partitionBy().orderBy(F.col("rem").desc(), F.col(by))
+    quota = ideal.select(
+        by,
+        "base_n",
+        F.row_number().over(rw).alias("rrank"),
+        leftover.alias("leftover"),
+    ).select(
+        by,
+        (
+            F.col("base_n")
+            + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota_n"),
+    )
+    ranked = df.join(F.broadcast(quota), by).select(
+        F.col(id_col),
+        F.col(by),
+        F.col("quota_n"),
+        F.row_number()
+        .over(
+            Window.partitionBy(by).orderBy(h60(F.col(key_col)), F.col(id_col))
+        )
+        .alias("rn"),
+    )
+    return ranked.where(F.col("rn") <= F.col("quota_n"))

@@ -3751,3 +3751,54 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_ingested"),
     )
+
+
+@register(
+    "mix_quota_sample",
+    oracle=f"""
+    WITH w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
+                                     ('src2', 200000)) AS t(source, w_e6)),
+    ideal AS (SELECT source, 200 * w_e6 AS num FROM w),
+    app AS (SELECT source, num // 1000000 AS base_n, num % 1000000 AS rem
+            FROM ideal),
+    lo AS (SELECT 200 - sum(base_n) AS leftover FROM app),
+    q AS (SELECT source,
+                 CAST(base_n + CASE WHEN rr <= (SELECT leftover FROM lo)
+                                    THEN 1 ELSE 0 END AS BIGINT) AS quota_n
+          FROM (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+                FROM app)),
+    r AS (SELECT d.doc_id, d.source, q.quota_n,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY {sql_h60('d.text')}, d.doc_id)
+                     AS rn
+          FROM documents d JOIN q USING (source))
+    SELECT doc_id, source, quota_n, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= quota_n
+    """,
+)
+def mix_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota mixture sample (operators.curation.quota_sample):
+    200 documents apportioned 50/30/20% across three sources by the
+    largest-remainder method — the benchmark-subset / fixed-token-budget
+    cut where rate-based mixing (mix_weighted_order) over- or
+    under-shoots per group. Selection within a source is content-hash
+    order: deterministic, rerun-stable, engine-reproducible; sources
+    whose corpus is smaller than their quota contribute everything (the
+    shortfall is visible as max(rn) < quota_n, never silently
+    redistributed).
+
+    Scale plan: the apportionment table is |groups| rows broadcast into
+    the selection join; the only real shuffle is the per-source rank
+    window, keyed on source and filtered to the weighted groups before
+    it."""
+    from kioss_spark.operators.curation import quota_sample
+
+    docs = _docs(spark, sf_dir)
+    sel = quota_sample(
+        docs,
+        {"src0": 500000, "src1": 300000, "src2": 200000},
+        total=200,
+    )
+    return sel.select(
+        "doc_id", "source", "quota_n", F.col("rn").cast("long").alias("rn")
+    )

@@ -138,3 +138,46 @@ def test_apply_changeset_unknown_op_raises(spark):
 def test_apply_changeset_empty_changeset_is_identity(spark):
     corpus = [(1, "a"), (2, "b")]
     assert _merge(spark, corpus, []) == {1: "a", 2: "b"}
+
+
+# --- quota_sample ----------------------------------------------------------
+
+from kioss_spark.operators.curation import quota_sample
+
+
+def _quota_fixture(spark, sizes):
+    rows = []
+    i = 0
+    for g, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, g, f"text {i}"))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_quota_sample_largest_remainder_exact_counts(spark):
+    # weights 1/3,1/3,1/3 of 10 -> bases 3,3,3 and ONE leftover seat going
+    # to the largest remainder (tie -> lexically first source)
+    df = _quota_fixture(spark, {"a": 20, "b": 20, "c": 20})
+    w = {"a": 333334, "b": 333333, "c": 333333}
+    got = quota_sample(df, w, total=10).groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert sum(counts.values()) == 10
+    assert counts == {"a": 4, "b": 3, "c": 3}
+
+
+def test_quota_sample_shortfall_not_redistributed(spark):
+    # source 'a' can only supply 2 of its 8-seat quota; b keeps its own
+    # quota (no silent reallocation)
+    df = _quota_fixture(spark, {"a": 2, "b": 50})
+    got = quota_sample(df, {"a": 800000, "b": 200000}, total=10)
+    counts = {r["source"]: r["count"] for r in got.groupBy("source").count().collect()}
+    assert counts == {"a": 2, "b": 2}
+
+
+def test_quota_sample_deterministic_across_partitionings(spark):
+    df = _quota_fixture(spark, {"a": 30, "b": 30})
+    w = {"a": 600000, "b": 400000}
+    ids1 = {r["doc_id"] for r in quota_sample(df.repartition(1), w, 12).collect()}
+    ids2 = {r["doc_id"] for r in quota_sample(df.repartition(13), w, 12).collect()}
+    assert ids1 == ids2 and len(ids1) == 12
