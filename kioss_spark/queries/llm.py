@@ -3802,3 +3802,73 @@ def mix_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "doc_id", "source", "quota_n", F.col("rn").cast("long").alias("rn")
     )
+
+
+@register(
+    "ann_matryoshka_agreement",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    tr AS (SELECT vec_id, v, v[1:16] AS vt FROM e),
+    n AS (SELECT vec_id, v, vt,
+                 sqrt(list_dot_product(v, v)) AS nv,
+                 sqrt(list_dot_product(vt, vt)) AS nvt
+          FROM tr),
+    q AS (SELECT * FROM n WHERE vec_id < 16),
+    c AS (SELECT * FROM n WHERE vec_id >= 16),
+    sf_ AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(floor(list_dot_product(q.v, c.v)
+                              / (q.nv * c.nv) * 100000) AS BIGINT) AS s
+            FROM q, c),
+    rf AS (SELECT query_id, cand_id FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s DESC, cand_id) AS r
+            FROM sf_) WHERE r <= 5),
+    st_ AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   CAST(floor(list_dot_product(q.vt, c.vt)
+                              / (q.nvt * c.nvt) * 100000) AS BIGINT) AS s
+            FROM q, c),
+    rt AS (SELECT query_id, cand_id FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s DESC, cand_id) AS r
+            FROM st_) WHERE r <= 5)
+    SELECT rf.query_id, CAST(count(rt.cand_id) AS BIGINT) AS n_overlap
+    FROM rf LEFT JOIN rt ON rf.query_id = rt.query_id
+                        AND rf.cand_id = rt.cand_id
+    GROUP BY 1
+    """,
+)
+def ann_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation quality audit: per query, how many of the
+    exact top-5 neighbors under the FULL 64-dim embedding survive when
+    both sides are truncated to the first 16 dimensions — the
+    measurement that decides whether a 4x cheaper truncated index
+    (matryoshka serving, coarse-to-fine retrieval) is acceptable, run
+    BEFORE committing the fleet to the truncated representation.
+
+    Scale plan: two brute-force cosine_topk passes (each: broadcast
+    queries, JVM fold dot, per-batch partial top-k) + one (query_id,
+    cand_id)-keyed overlap join on k-sized sets. At billion scale swap
+    either side for the trained-IVF candidate generator; the agreement
+    join is unchanged."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    et = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("v"),
+    )
+    nt = et.select(
+        "vec_id", "v", F.sqrt(similarity._dot(F.col("v"), F.col("v"))).alias("nv")
+    )
+    qf, cf = nn.where(F.col("vec_id") < 16), nn.where(F.col("vec_id") >= 16)
+    qt, ct = nt.where(F.col("vec_id") < 16), nt.where(F.col("vec_id") >= 16)
+    rf = similarity.cosine_topk(qf, cf, k=5).select("query_id", "cand_id")
+    rt = similarity.cosine_topk(qt, ct, k=5).select(
+        F.col("query_id").alias("qt"), F.col("cand_id").alias("ct")
+    )
+    j = rf.join(
+        rt,
+        (F.col("query_id") == F.col("qt")) & (F.col("cand_id") == F.col("ct")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("ct").cast("long").alias("n_overlap")
+    )
