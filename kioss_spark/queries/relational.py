@@ -2439,3 +2439,111 @@ def zorder_event_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").cast("long").alias("h_min"),
         F.max("h").cast("long").alias("h_max"),
     )
+
+
+@register(
+    "event_value_histogram",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      greatest(CAST(round(value * 100) AS BIGINT), 0) AS v_e2
+               FROM events),
+    b AS (SELECT event_type, CAST(length(bin(v_e2)) AS BIGINT) AS log2_bucket,
+                 v_e2
+          FROM e)
+    SELECT event_type, log2_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v_e2) AS BIGINT) AS sum_e2,
+           CAST(min(v_e2) AS BIGINT) AS min_e2,
+           CAST(max(v_e2) AS BIGINT) AS max_e2
+    FROM b GROUP BY 1, 2
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed (HdrHistogram-style) value histogram per event type:
+    exponentially-sized buckets capture a long-tailed measure in ~40 rows
+    per key regardless of range — the monitoring/latency-histogram shape.
+    The bucket id is the BINARY-STRING LENGTH of the integerized value
+    (length(bin(v)) == floor(log2 v)+1 for v>0), not floor(log2(v)):
+    pure integer/string codegen with no libm call, so there is no
+    float-boundary disagreement between engines for values near powers
+    of two.
+
+    One map-side-combining keyed agg; output bounded by
+    |event types| x 64 buckets forever."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(0)).alias(
+            "v_e2"
+        ),
+    )
+    b = e.select(
+        "event_type",
+        F.length(F.bin("v_e2")).cast("long").alias("log2_bucket"),
+        "v_e2",
+    )
+    return b.groupBy("event_type", "log2_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_e2").cast("long").alias("sum_e2"),
+        F.min("v_e2").cast("long").alias("min_e2"),
+        F.max("v_e2").cast("long").alias("max_e2"),
+    )
+
+
+@register(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE
+    v AS (SELECT DISTINCT p_name AS name FROM part),
+    prs AS (SELECT a.name AS na, b.name AS nb
+            FROM v a JOIN v b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1),
+    edges AS (SELECT na AS s, nb AS d FROM prs
+              UNION ALL SELECT nb, na FROM prs),
+    reach(src, dst) AS (
+        SELECT name, name FROM v
+        UNION
+        SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    canon AS (SELECT src AS name, min(dst) AS canonical FROM reach GROUP BY 1),
+    sz AS (SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants
+           FROM canon GROUP BY 1)
+    SELECT c.name, c.canonical, s.n_variants
+    FROM canon c JOIN sz s ON c.canonical = s.canonical
+    """,
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end over the part-name vocabulary:
+    FastSS deletion-neighborhood blocking generates ed<=1 candidate
+    pairs (never a quadratic name product), exact levenshtein verifies,
+    min-label connected components collapse transitive variant chains
+    (A~B, B~C => one entity even when A!~C), and every name maps to its
+    canonical spelling with the variant-cluster size — the
+    catalog-normalization / record-linkage composite, and the
+    string-keyed proof that the CC operator is id-type-generic
+    (min-label propagation is an ordering argument, not an integer one).
+
+    Scale plan: inherits ed1_pairs' variant-keyed join (fan-out = name
+    length) and connected_components' pair-set-confined loop (persisted
+    symmetric edges, O(diameter) keyed rounds, singletons stitched back
+    with one left join); the rollup is one canonical-keyed agg. The
+    oracle is the brute-force quadratic pair scan plus a recursive-CTE
+    closure — completeness of blocking AND transitivity of clustering
+    verified in one gate."""
+    from kioss_spark.operators import dedup
+    from kioss_spark.operators.fuzzy import ed1_pairs
+
+    part = t(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("doc_id")).distinct()
+    pairs = ed1_pairs(part, col="p_name", verify_max=1).select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    labels = dedup.connected_components(pairs, names)
+    sz = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants")
+    )
+    return labels.join(sz, "cluster_id").select(
+        F.col("doc_id").alias("name"),
+        F.col("cluster_id").alias("canonical"),
+        "n_variants",
+    )
