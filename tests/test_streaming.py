@@ -566,3 +566,59 @@ def test_heavy_hitters_eviction_keeps_the_heavy_item_bounded_error(spark, tmp_pa
     big = got["big"]
     assert big["est_cnt"] - big["max_err"] <= 50 <= big["est_cnt"]
     assert big["slot_total"] == 54
+
+
+def test_foreach_batch_changeset_merge_idempotent_replay(spark, tmp_path):
+    # at-least-once sinks replay batches; apply_changeset is a natural
+    # idempotent MERGE (delete of an absent id no-ops, upsert is
+    # replace-with-same), so re-delivering a batch must leave the state
+    # table unchanged — the exactly-once-by-idempotence pattern
+    import os
+
+    from kioss_spark.operators.curation import apply_changeset
+
+    state_dir = str(tmp_path / "state")
+    src = str(tmp_path / "chg_src")
+    os.makedirs(src, exist_ok=True)
+
+    def merge(batch_df, batch_id):
+        if os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+        else:
+            state = spark.createDataFrame([], "doc_id long, payload string")
+        merged = apply_changeset(state, batch_df).collect()
+        mdf = spark.createDataFrame(
+            merged or [], "doc_id long, payload string"
+        )
+        mdf.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    b1 = spark.createDataFrame(
+        [(1, "a", "upsert"), (2, "b", "upsert")],
+        "doc_id long, payload string, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(1, None, "delete"), (3, "c", "upsert")],
+        "doc_id long, payload string, op string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    s = SStream.files(
+        spark, src, schema="doc_id long, payload string, op string",
+        max_files_per_trigger=1,
+    )
+    q = s.foreach_batch(merge)
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    once = {
+        r["doc_id"]: r["payload"] for r in spark.read.parquet(state_dir).collect()
+    }
+    assert once == {2: "b", 3: "c"}
+    # simulate an at-least-once redelivery of the LAST batch
+    merge(b2, 99)
+    replay = {
+        r["doc_id"]: r["payload"] for r in spark.read.parquet(state_dir).collect()
+    }
+    assert replay == once
