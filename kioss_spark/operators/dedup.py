@@ -49,6 +49,7 @@ __all__ = [
     "exact_dedup",
     "shingle_stream",
     "shingle_index",
+    "minhash_bands_expr",
     "jaccard_pairs",
     "containment_pairs",
     "minhash_lsh_pairs",
@@ -853,4 +854,57 @@ def connected_components(
             F.col("id").alias(id_col),
             F.coalesce("label", "id").alias("cluster_id"),
         )
+    )
+
+
+def minhash_bands_expr(
+    text: Column, k: int = 32, bands: int = 8, n: int = DEFAULT_N
+) -> Column:
+    """LSH band buckets of ONE document as a pure column expression:
+    ``array<struct<band bigint, bh string>>`` — the same (band, bh) keys
+    as ``_band_buckets`` over the stored signature table, but computed
+    per ROW with higher-order functions (transform + array_min) instead
+    of an explode + groupBy. That makes it legal in a STREAMING
+    projection (no aggregation, so no watermark/output-mode constraints):
+    a stream of new documents computes its buckets inline and
+    stream-static-joins the persisted corpus bucket table — the
+    streaming twin of ``incremental_minhash_pairs``.
+
+    Exact-parity contract with the batch path (pinned by unit test):
+    same shingle definition, same h60-derived h31, same multiply-add-mod
+    family, same band concat/md5. Cost per row is O(shingles * k) inside
+    codegen'd higher-order evals — heavier per row than the batch
+    agg form, which is why the BATCH corpus side should keep using
+    ``minhash_signatures``; this expression is for the (small) live
+    side. Documents with no shingles (< n tokens) yield NULL signature
+    members; filter them upstream (``size(tokens(text)) >= n``), as the
+    batch index drops them structurally."""
+    from kioss_spark.operators.text import shingles
+
+    sh = shingles(tokens(text), n=n, distinct=True)
+    h31s = F.transform(
+        sh, lambda s: h60(s).bitwiseAND(F.lit(H31_MASK))
+    )
+    fam = _family(k)
+
+    # factory, NOT default-arg capture: PySpark derives higher-order-fn
+    # arity from the lambda SIGNATURE, so `lambda h, a=a, b=b:` would be
+    # bound as a 3-argument lambda and fail analysis
+    def _member(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    hs = [F.array_min(F.transform(h31s, _member(a, b))) for (a, b) in fam]
+    r = k // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[hs[b * r + i].cast("string") for i in range(r)]
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
     )

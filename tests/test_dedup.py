@@ -267,3 +267,34 @@ def test_incremental_minhash_subset_of_exact_incremental(spark):
     # on near-identical docs the banding finds them (J=1 pairs collide in
     # every band) — the subset is non-trivial
     assert lsh
+
+
+# --- minhash_bands_expr (per-row streaming-safe form) ----------------------
+
+
+def test_minhash_bands_expr_matches_batch_band_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from kioss_spark.operators.dedup import (
+        _band_buckets,
+        minhash_bands_expr,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "entirely different words compose this sample text here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        (r["doc_id"], r["band"], r["bh"])
+        for r in _band_buckets(minhash_signatures(docs, k=32), 32, 8).collect()
+    }
+    perrow = {
+        (r["doc_id"], r["b"]["band"], r["b"]["bh"])
+        for r in docs.select(
+            "doc_id", F.explode(minhash_bands_expr(F.col("text"))).alias("b")
+        ).collect()
+    }
+    assert perrow == batch and len(batch) == 24  # 3 docs x 8 bands

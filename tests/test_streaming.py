@@ -622,3 +622,61 @@ def test_foreach_batch_changeset_merge_idempotent_replay(spark, tmp_path):
         r["doc_id"]: r["payload"] for r in spark.read.parquet(state_dir).collect()
     }
     assert replay == once
+
+
+def test_stream_static_lsh_dedup_against_signature_table(spark, tmp_path):
+    # the streaming twin of incremental_minhash_pairs: a stream of new
+    # documents computes LSH band buckets INLINE (minhash_bands_expr —
+    # per-row higher-order fns, no agg, so legal in a streaming
+    # projection) and stream-static joins the persisted corpus bucket
+    # table; candidates surface while the corpus is never re-shingled
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kioss_spark.operators.dedup import (
+        _band_buckets,
+        minhash_bands_expr,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog today"),
+            (102, "completely unrelated corpus text with many other words"),
+        ],
+        "doc_id long, text string",
+    )
+    buckets = _band_buckets(minhash_signatures(corpus, k=32), 32, 8).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bh"
+    )
+    src = str(tmp_path / "newdocs")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (201, "the quick brown fox jumps over the lazy dog today"),
+            (202, "novel never seen before content that matches nothing else"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    s = SStream.files(spark, src, schema="doc_id long, text string")
+    stream_buckets = s.map(
+        doc_id=F.col("doc_id"), b=F.explode(minhash_bands_expr(F.col("text")))
+    ).map(doc_id=F.col("doc_id"), band=F.col("b.band"), bh=F.col("b.bh"))
+    joined = stream_buckets.enrich(buckets, on=["band", "bh"]).filter(
+        F.col("corpus_id").isNotNull()
+    )
+    q = joined.to_memory("t_ss_lsh")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["doc_id"], r["corpus_id"])
+            for r in spark.sql(
+                "SELECT DISTINCT doc_id, corpus_id FROM t_ss_lsh"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # the verbatim twin collides with its corpus original on every band;
+    # the novel doc matches nothing
+    assert got == {(201, 101)}
