@@ -104,6 +104,8 @@ HEADLINE = [
     "sequence_view_click_purchase",
     # the daily-refresh composite (batch-vs-signature LSH + classification)
     "pipeline_incremental_refresh",
+    # the multi-signal decision layer (rule battery + corpus-relative medians)
+    "quality_ensemble",
 ]
 
 

@@ -3872,3 +3872,164 @@ def ann_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("query_id").agg(
         F.count("ct").cast("long").alias("n_overlap")
     )
+
+
+_SQL_TRI_MULTI = (
+    "CASE WHEN len(t) >= 3 "
+    "THEN list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+@register(
+    "quality_ensemble",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 len(t) AS n_tok,
+                 len(list_distinct(t)) AS n_uniq,
+                 len(list_filter(t, x -> x IN ('the','a','of','and','to')))
+                     AS n_stop,
+                 coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                     AS tok_chars,
+                 len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                 {_SQL_TRI_MULTI} AS tri
+          FROM toks),
+    sig AS (SELECT doc_id,
+                   (n_tok >= 5 AND n_tok <= 1000
+                    AND tok_chars >= 2 * n_tok AND tok_chars <= 10 * n_tok
+                    AND n_stop >= 1 AND n_uniq * 5 >= n_tok
+                    AND n_alpha * 10 >= n_tok * 9) AS gopher_pass,
+                   CAST(CASE WHEN len(tri) > 0
+                             THEN floor(1000000.0 * (len(tri) - len(list_distinct(tri)))
+                                        / len(tri))
+                             ELSE 0 END AS BIGINT) AS dup_tri_e6
+            FROM m),
+    bg AS (SELECT doc_id, {SQL_BIGRAMS} AS b FROM toks),
+    inv AS (SELECT doc_id, x AS bigram FROM bg, UNNEST(b) u(x)),
+    dfreq AS (SELECT bigram, count(*) AS df FROM inv GROUP BY 1),
+    nov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+            FROM inv JOIN dfreq USING (bigram) GROUP BY 1),
+    full_ AS (SELECT s.doc_id, s.gopher_pass, s.dup_tri_e6,
+                     CAST(CASE WHEN coalesce(nov.nb, 0) > 0
+                               THEN floor(1000000.0 * nov.ns / nov.nb)
+                               ELSE 0 END AS BIGINT) AS novelty_e6
+              FROM sig s LEFT JOIN nov ON s.doc_id = nov.doc_id),
+    nt AS (SELECT count(*) AS n FROM full_),
+    mn AS (SELECT min(novelty_e6) AS m_nov FROM
+           (SELECT novelty_e6, sum(c) OVER (ORDER BY novelty_e6) AS cum
+            FROM (SELECT novelty_e6, count(*) AS c FROM full_ GROUP BY 1)), nt
+           WHERE 2 * cum >= nt.n),
+    mt AS (SELECT min(dup_tri_e6) AS m_tri FROM
+           (SELECT dup_tri_e6, sum(c) OVER (ORDER BY dup_tri_e6) AS cum
+            FROM (SELECT dup_tri_e6, count(*) AS c FROM full_ GROUP BY 1)), nt
+           WHERE 2 * cum >= nt.n)
+    SELECT f.doc_id,
+           CAST(f.gopher_pass AS BIGINT) AS gopher_pass,
+           f.dup_tri_e6, f.novelty_e6,
+           CAST((CASE WHEN f.gopher_pass THEN 1 ELSE 0 END)
+                + (CASE WHEN f.novelty_e6 >= mn.m_nov THEN 1 ELSE 0 END)
+                + (CASE WHEN f.dup_tri_e6 <= mt.m_tri THEN 1 ELSE 0 END)
+                AS BIGINT) AS votes,
+           CAST(((CASE WHEN f.gopher_pass THEN 1 ELSE 0 END)
+                 + (CASE WHEN f.novelty_e6 >= mn.m_nov THEN 1 ELSE 0 END)
+                 + (CASE WHEN f.dup_tri_e6 <= mt.m_tri THEN 1 ELSE 0 END)) >= 2
+                AS BIGINT) AS keep
+    FROM full_ f, mn, mt
+    """,
+)
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality ensemble — the DECISION layer a curation
+    pipeline actually ships (Dolma/DataComp practice: no single filter is
+    trusted alone): three independent signals vote, keep = majority.
+    Signal 1 is the absolute Gopher rule battery; signals 2 and 3 are
+    CORPUS-RELATIVE — bigram novelty at-or-above the corpus median and
+    duplicate-trigram fraction at-or-below it — so the gate adapts to
+    the corpus instead of hard-coding thresholds that rot. The median
+    rule is explicit (smallest value whose cumulative count reaches
+    half), computed identically on both engines rather than leaning on
+    either engine's quantile builtin.
+
+    Scale plan: signals 1+3 are narrow array algebra in the scan
+    projection; signal 2 is the one bigram-keyed agg family; each median
+    is a VALUE-GRAIN histogram cumsum (the window orders distinct signal
+    values, bounded by the value domain — never a corpus-row sort), and
+    both medians broadcast back as one-row joins. In production persist
+    the signal table before the median pass (three consumers); at
+    fixture scale re-derivation is cheaper than the checkpoint."""
+    from kioss_spark.operators.text import gopher_flags
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n_tok, f_len, f_ml, f_stop, f_uniq, f_alpha = gopher_flags(F.col("t"))
+    tri = shingles(F.col("t"), n=3, distinct=False)
+    sig = d.select(
+        "doc_id",
+        (f_len & f_ml & f_stop & f_uniq & f_alpha).alias("gopher_pass"),
+        F.when(
+            F.size(tri) > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * (F.size(tri) - F.size(F.array_distinct(tri)))
+                / F.size(tri)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_tri_e6"),
+    )
+    bg = d.select("doc_id", shingles(F.col("t"), n=2, distinct=True).alias("b"))
+    inv = bg.select("doc_id", F.explode("b").alias("bigram"))
+    dfreq = inv.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    nov = (
+        inv.join(dfreq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("ns"),
+        )
+    )
+    full = sig.join(nov, "doc_id", "left").select(
+        "doc_id",
+        "gopher_pass",
+        "dup_tri_e6",
+        F.when(
+            F.coalesce("nb", F.lit(0)) > 0,
+            F.floor(F.lit(1000000.0) * F.col("ns") / F.col("nb")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("novelty_e6"),
+    )
+
+    def _median(col: str, out: str) -> DataFrame:
+        hist = full.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col)
+        cum = hist.select(F.col(col), F.sum("c").over(w).alias("cum"))
+        tot = full.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .where(2 * F.col("cum") >= F.col("n"))
+            .agg(F.min(col).alias(out))
+        )
+
+    mn = _median("novelty_e6", "m_nov")
+    mt = _median("dup_tri_e6", "m_tri")
+    votes = (
+        F.col("gopher_pass").cast("long")
+        + (F.col("novelty_e6") >= F.col("m_nov")).cast("long")
+        + (F.col("dup_tri_e6") <= F.col("m_tri")).cast("long")
+    )
+    return (
+        full.crossJoin(F.broadcast(mn))
+        .crossJoin(F.broadcast(mt))
+        .select(
+            "doc_id",
+            F.col("gopher_pass").cast("long").alias("gopher_pass"),
+            "dup_tri_e6",
+            "novelty_e6",
+            votes.alias("votes"),
+            (votes >= 2).cast("long").alias("keep"),
+        )
+    )
