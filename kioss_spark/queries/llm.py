@@ -3694,7 +3694,14 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-id sets plus one source-keyed rollup."""
     docs = _docs(spark, sf_dir)
     is_new = F.pmod(h60(F.col("text")), F.lit(10)) == 3
-    pairs = dedup.incremental_minhash_pairs(docs, is_new, threshold=0.5)
+    # the verified pair list feeds three classification consumers
+    # (corpus-dup ids, batch-dup ids, the rollup's anti-membership); cut
+    # its LSH-pipeline lineage once so the banding+verify runs once
+    # (A/B at sf0.1: 2.51 s vs 3.05 s best-of-3 — ReuseExchange does NOT
+    # dedupe this one: the consumers join the pairs on different keys)
+    pairs = dedup.incremental_minhash_pairs(
+        docs, is_new, threshold=0.5
+    ).localCheckpoint(eager=True)
     nwdf = docs.where(is_new).select("doc_id", "source")
     nw_ids = nwdf.select("doc_id")
     pa = nw_ids.select(
@@ -3955,9 +3962,14 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection; signal 2 is the one bigram-keyed agg family; each median
     is a VALUE-GRAIN histogram cumsum (the window orders distinct signal
     values, bounded by the value domain — never a corpus-row sort), and
-    both medians broadcast back as one-row joins. In production persist
-    the signal table before the median pass (three consumers); at
-    fixture scale re-derivation is cheaper than the checkpoint."""
+    both medians broadcast back as one-row joins. The signal table has
+    five consumers (two median histograms, two totals, the final
+    projection) but is deliberately NOT checkpointed: an A/B at sf0.1
+    measured the eager localCheckpoint NEUTRAL (3.24 s vs 3.29 s,
+    best-of-3 interleaved) — ReuseExchange already dedupes the shared
+    bigram-df exchange across the consumers here, unlike the iterative
+    graph loops where the derivation is join-shaped and must be persisted
+    by hand. Re-measure before adding one."""
     from kioss_spark.operators.text import gopher_flags
 
     docs = _docs(spark, sf_dir)
