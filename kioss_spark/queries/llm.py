@@ -4045,3 +4045,163 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             (votes >= 2).cast("long").alias("keep"),
         )
     )
+
+
+@register(
+    "collocations_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    bg AS (SELECT doc_id, {SQL_BIGRAMS_MULTI} AS b FROM toks),
+    inv AS (SELECT x AS bigram,
+                   string_split(x, ' ')[1] AS w1,
+                   string_split(x, ' ')[2] AS w2
+            FROM bg, UNNEST(b) u(x)),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM inv),
+    cxy AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2,
+                   CAST(count(*) AS BIGINT) AS n_xy
+            FROM inv GROUP BY 1),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_x FROM inv GROUP BY 1),
+    c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_y FROM inv GROUP BY 1)
+    SELECT cxy.w1, cxy.w2, cxy.n_xy,
+           CAST(floor(1000000.0 * cxy.n_xy * nt.n / (c1.n_x * c2.n_y))
+                AS BIGINT) AS lift_e6
+    FROM cxy JOIN c1 USING (w1) JOIN c2 USING (w2), nt
+    WHERE cxy.n_xy >= 5
+      AND CAST(floor(1000000.0 * cxy.n_xy * nt.n / (c1.n_x * c2.n_y))
+               AS BIGINT) >= 1300000
+    """,
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise-mutual-information LIFT:
+    bigrams occurring >= 5 times whose observed frequency is at least
+    1.3x the independence expectation (the fixture's synthetic text is
+    near-independent, so its strongest collocations sit at ~1.6x; real
+    corpora raise the bar), ``lift = P(xy) / (P(x)P(y))``
+    integerized as ``floor(1e6 * n_xy * N / (n_x * n_y))`` — PMI without
+    the log, so the ranking is identical and the arithmetic is
+    engine-exact. Collocation tables drive tokenizer merge seeding,
+    multi-word-entity detection, and boilerplate phrase discovery.
+
+    Scale plan: ONE explode of the positional bigram stream feeds the
+    pair, left-context and right-context counts — three map-side-
+    combining keyed aggs over vocabulary-bounded tables; the final joins
+    are bigram/word-keyed with the one-row N broadcast. Products stay
+    under 2^63 for corpora to ~1e9 bigrams at e6 scaling; shift to e3
+    beyond."""
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), n=2, distinct=False).alias("b")
+    )
+    inv = bg.select(F.explode("b").alias("bigram")).select(
+        "bigram",
+        F.split(F.col("bigram"), " ")[0].alias("w1"),
+        F.split(F.col("bigram"), " ")[1].alias("w2"),
+    )
+    nt = inv.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cxy = inv.groupBy("bigram").agg(
+        F.min("w1").alias("w1"),
+        F.min("w2").alias("w2"),
+        F.count(F.lit(1)).cast("long").alias("n_xy"),
+    )
+    c1 = inv.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    c2 = inv.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_y"))
+    lift = F.floor(
+        F.lit(1000000.0) * F.col("n_xy") * F.col("n") / (F.col("n_x") * F.col("n_y"))
+    ).cast("long")
+    return (
+        cxy.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .where(F.col("n_xy") >= 5)
+        .select("w1", "w2", "n_xy", lift.alias("lift_e6"))
+        .where(F.col("lift_e6") >= 1300000)
+    )
+
+
+@register(
+    "dedup_provenance",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    canon AS (SELECT src AS doc_id, min(dst) AS cluster_id
+              FROM reach GROUP BY 1),
+    h AS (SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents),
+    ek AS (SELECT ch, min(doc_id) AS keep_id FROM h GROUP BY 1),
+    exd AS (SELECT h.doc_id, 'exact' AS reason,
+                   CAST(ek.keep_id AS BIGINT) AS survivor_id
+            FROM h JOIN ek USING (ch) WHERE h.doc_id != ek.keep_id),
+    nds AS (SELECT c.doc_id, 'near_dup' AS reason,
+                   CAST(c.cluster_id AS BIGINT) AS survivor_id
+            FROM canon c WHERE c.cluster_id != c.doc_id
+              AND c.doc_id NOT IN (SELECT doc_id FROM exd))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, reason, survivor_id FROM exd
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, reason, survivor_id FROM nds
+    """,
+)
+def dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-provenance explain: for every document the dedup stack
+    removes, WHICH rule removed it and WHO the surviving canonical copy
+    is — 'exact' (verbatim content hash; survivor = group min-id) takes
+    precedence over 'near_dup' (J>=0.5 connected component; survivor =
+    cluster min-id). This is the operational audit trail a curation
+    pipeline must emit: 'where did my document go' is the first question
+    every data owner asks, and a drop without a recorded reason and
+    survivor is unrecoverable.
+
+    Scale plan: the exact branch is one hash-keyed agg + keyed join-back;
+    the near-dup branch rides connected_components' persisted pair-set
+    loop; precedence is one anti-join on the (small) exact-drop set.
+    Output is bounded by the duplicate count, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    h = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("ch")
+    )
+    ek = h.groupBy("ch").agg(F.min("doc_id").alias("keep_id"))
+    exd = (
+        h.join(ek, "ch")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select(
+            "doc_id",
+            F.lit("exact").alias("reason"),
+            F.col("keep_id").cast("long").alias("survivor_id"),
+        )
+    )
+    labels = dedup.connected_components(
+        dedup.jaccard_pairs(docs, threshold=0.5), docs
+    )
+    nds = (
+        labels.where(F.col("cluster_id") != F.col("doc_id"))
+        .join(exd.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("near_dup").alias("reason"),
+            F.col("cluster_id").cast("long").alias("survivor_id"),
+        )
+    )
+    return exd.unionByName(nds).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "reason", "survivor_id"
+    )
