@@ -44,9 +44,9 @@ def register(name: str, oracle: Optional[str]):
 # ``embed_quantize_int8`` (round 4's only red row — array<int> output the
 # driver canonicalizer could not sort, now emitted as CSV string) lead round
 # 5's window, followed by any query registered this round.  End-of-round-5
-# count: 141 registered, 38 without a hard verdict — the unverified tier
-# fills 38 of the 50 window slots, so the window covers every unverified
-# query plus 12 re-checks.  The window is near capacity: round 6 must merge
+# count: 143 registered, 40 without a hard verdict — the unverified tier
+# fills 40 of the 50 window slots, so the window covers every unverified
+# query plus 10 re-checks.  The window is near capacity: round 6 must merge
 # CORRECTNESS_r05's green names into _DRIVER_VERIFIED (and dissolve
 # _R5_PRIORITY) BEFORE registering anything new.
 _DRIVER_VERIFIED = frozenset(
