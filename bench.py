@@ -106,6 +106,10 @@ HEADLINE = [
     "pipeline_incremental_refresh",
     # the multi-signal decision layer (rule battery + corpus-relative medians)
     "quality_ensemble",
+    # drop-provenance explain (rides exact-dedup + the CC loop) and the
+    # log-free PMI collocation miner
+    "dedup_provenance",
+    "collocations_pmi",
 ]
 
 
