@@ -273,8 +273,10 @@ def heavy_hitters(
 
     The naive alternative — groupBy every distinct value — shuffles the
     full distinct domain (token vocabulary at 100 TB); here the only keyed
-    shuffle is over candidate rows. N rides the same scan as a one-row
-    agg broadcast back. ``partial=False`` skips pass 1 (exact but
+    shuffle is over candidate rows. N rides the candidate scan itself
+    (per-batch sentinel totals in the same Arrow pass, materialized once
+    at <= k rows/batch), so the operator costs exactly TWO corpus scans:
+    candidates+N, then the semi-joined recount. ``partial=False`` skips pass 1 (exact but
     full-vocabulary shuffle; only for tiny domains/tests).
     """
     # NULL items are excluded up front: the pandas value_counts candidate
@@ -285,23 +287,41 @@ def heavy_hitters(
         F.col("item").isNotNull()
     )
     if partial:
+        # each batch yields its local heavy candidates (cnt*k > batch size)
+        # PLUS one sentinel row (item NULL) carrying the batch size, so N
+        # comes out of this same scan — the recount pass is then the only
+        # other full scan (2 total; a separate count() agg would be a 3rd)
         def _local_hh(batches):
+            import pandas as pd
+
             for pdf in batches:
                 vc = pdf["item"].value_counts()
-                yield vc[vc * k > len(pdf)].index.to_frame(
+                hh = vc[vc * k > len(pdf)].index.to_frame(
                     index=False, name="item"
                 )
+                hh["n_batch"] = 0
+                yield pd.concat(
+                    [hh, pd.DataFrame({"item": [None], "n_batch": [len(pdf)]})],
+                    ignore_index=True,
+                )
 
-        cand = vals.mapInPandas(_local_hh, schema="item string").dropDuplicates(
-            ["item"]
+        pass1 = vals.mapInPandas(_local_hh, schema="item string, n_batch long")
+        pass1 = pass1.localCheckpoint(eager=True)
+        cand = (
+            pass1.where(F.col("item").isNotNull())
+            .select("item")
+            .dropDuplicates(["item"])
+        )
+        total = pass1.where(F.col("item").isNull()).agg(
+            F.sum("n_batch").cast("long").alias("__n__")
         )
         filtered = vals.join(F.broadcast(cand), "item", "left_semi")
     else:
         filtered = vals
+        total = vals.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
     counts = filtered.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    total = vals.agg(F.count(F.lit(1)).cast("long").alias("__n__"))
     return (
         counts.crossJoin(F.broadcast(total))
         .where(F.col("cnt") * k > F.col("__n__"))
