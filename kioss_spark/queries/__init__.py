@@ -36,40 +36,17 @@ def register(name: str, oracle: Optional[str]):
     return deco
 
 
-# Queries with a green driver CORRECTNESS row in some past round (the driver
-# only samples the first 50 ``load_all()`` entries per round, so we rotate:
-# anything WITHOUT a hard driver verdict yet is ordered first; the
-# already-verified set follows).  Round-5 state: r2+r3+r4 combined give 103
-# green hard verdicts; the 7 _R5_PRIORITY local-evidence names plus the fixed
-# ``embed_quantize_int8`` (round 4's only red row — array<int> output the
-# driver canonicalizer could not sort, now emitted as CSV string) lead round
-# 5's window, followed by any query registered this round.  End-of-round-5
-# count: 143 registered, 40 without a hard verdict — the unverified tier
-# fills 40 of the 50 window slots, so the window covers every unverified
-# query plus 10 re-checks.  The window is near capacity: round 6 must merge
-# CORRECTNESS_r05's green names into _DRIVER_VERIFIED (and dissolve
-# _R5_PRIORITY) BEFORE registering anything new.
-_DRIVER_VERIFIED = frozenset(
-    {
-        # --- green in CORRECTNESS_r04 ---
-        "salted_join_event_weights", "bucketed_user_event_totals",
-        "gapfill_hourly_locf", "q9_profit_adapted", "q12_shipclass_adapted",
-        "q16_supplier_variety_adapted", "q20_dominant_supplier_adapted",
-        "q2_best_supplier_adapted", "fuzzy_part_names", "rolling_7d_user_value",
-        "cube_status_segment", "json_props_stats", "dedup_cluster_best",
-        "ann_ivf_topk", "ann_ivf_multiprobe", "ann_ivf_trained",
-        "dedup_embedding", "text_quality", "lang_id", "token_counts",
-        "doc_fingerprint", "quality_repetition", "dsir_importance",
-        "mm_image_meta", "mm_frame_sample", "mm_audio_chunks",
-        "pipeline_curation", "sample_deterministic", "split_train_val_test",
-        "pack_sequences", "budget_cap_per_source", "decontaminate_eval",
-        "pii_redact", "sample_stratified", "shuffle_shards", "vocab_top_terms",
-        "tfidf_keywords", "profile_corpus", "boilerplate_ngrams",
-        "sketch_distinct_tokens", "chunk_text_windows", "mix_weighted_order",
-        "sketch_theta_source_overlap", "sketch_hll_lang_rollup",
-        "sketch_kll_doclen", "dedup_semantic", "quality_unigram_icf",
-        "ann_int8_rescore", "profile_dup_rate",
-        # --- green in CORRECTNESS_r03 ---
+# The driver samples the FIRST 50 ``load_all()`` entries for its per-round
+# correctness snapshot, so we rotate the registry each round.  End of round 5:
+# all 143 registered queries hold a green hard driver verdict (r05 closed the
+# last 40), so from round 6 onward the window is re-verification budget.
+# ``_LAST_GREEN_ROUND`` records each query's most recent green driver round;
+# ordering is: never-checked (new registrations) first, then stalest-round
+# first, and inside the stalest tier the queries whose implementation files
+# changed most since their verdict (``_RECHECK_FIRST``) lead.  Each new
+# CORRECTNESS_rN's green names must be folded in here at round start.
+_GREEN_ROUNDS: dict[int, frozenset] = {
+    3: frozenset({
         "q1_pricing_summary", "rollup_order_counts", "pivot_status_revenue",
         "agg_distinct_stats", "q3_shipping_priority", "q5_nation_revenue",
         "semi_parts_ordered", "anti_customers_no_pending", "asof_last_signup",
@@ -89,34 +66,65 @@ _DRIVER_VERIFIED = frozenset(
         "skew_salted_event_totals", "sql_balance_quartiles",
         "funnel_click_purchase", "dedup_exact", "dedup_jaccard_pairs",
         "dedup_containment_pairs",
-    }
-)
+    }),
+    4: frozenset({
+        "salted_join_event_weights", "bucketed_user_event_totals",
+        "gapfill_hourly_locf", "q9_profit_adapted", "q12_shipclass_adapted",
+        "q16_supplier_variety_adapted", "q20_dominant_supplier_adapted",
+        "q2_best_supplier_adapted", "fuzzy_part_names", "rolling_7d_user_value",
+        "cube_status_segment", "json_props_stats", "dedup_cluster_best",
+        "ann_ivf_topk", "ann_ivf_multiprobe", "ann_ivf_trained",
+        "dedup_embedding", "text_quality", "lang_id", "token_counts",
+        "doc_fingerprint", "quality_repetition", "dsir_importance",
+        "mm_image_meta", "mm_frame_sample", "mm_audio_chunks",
+        "pipeline_curation", "sample_deterministic", "split_train_val_test",
+        "pack_sequences", "budget_cap_per_source", "decontaminate_eval",
+        "pii_redact", "sample_stratified", "shuffle_shards", "vocab_top_terms",
+        "tfidf_keywords", "profile_corpus", "boilerplate_ngrams",
+        "sketch_distinct_tokens", "chunk_text_windows", "mix_weighted_order",
+        "sketch_theta_source_overlap", "sketch_hll_lang_rollup",
+        "sketch_kll_doclen", "dedup_semantic", "quality_unigram_icf",
+        "ann_int8_rescore", "profile_dup_rate",
+    }),
+    # CORRECTNESS_r05.json — 50/50 green (includes the four r2-only names
+    # and six r3 names the r5 window re-checked).
+    5: frozenset({
+        "agg_distinct_stats", "ann_cosine_topk", "ann_matryoshka_agreement",
+        "bigram_lm_score", "bigram_novelty", "chunk_dedup", "collocations_pmi",
+        "contamination_reach", "corpus_apply_changeset", "corpus_snapshot_diff",
+        "dedup_cluster_keep", "dedup_incremental_lsh", "dedup_incremental_pairs",
+        "dedup_minhash_lsh", "dedup_provenance", "dedup_simhash",
+        "dedup_substring_spans", "dup_graph_clustering", "dup_graph_triangles",
+        "embed_cluster_profile", "embed_covariance_diag", "embed_outliers",
+        "embed_quantize_int8", "entity_resolution_parts", "event_rate_anomaly",
+        "event_value_histogram", "funnel_delay_quantiles", "hard_negative_mining",
+        "heavy_hitter_tokens", "kanon_risk_docs", "label_balance_weights",
+        "length_strata_sample", "minhash_signatures", "mix_quota_sample",
+        "mm_frame_dedup", "mm_image_resize", "pagerank_dup_graph",
+        "pipeline_incremental_refresh", "pivot_status_revenue",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+        "quality_ensemble", "quality_gopher_rules", "retention_cohorts",
+        "rollup_order_counts", "sequence_view_click_purchase",
+        "split_leakage_pairs", "winsorize_event_values", "zorder_event_layout",
+    }),
+}
 
+#: name -> most recent green driver round
+_LAST_GREEN_ROUND: dict[str, int] = {}
+for _round in sorted(_GREEN_ROUNDS):
+    for _name in _GREEN_ROUNDS[_round]:
+        _LAST_GREEN_ROUND[_name] = _round
 
-#: queries whose only hard driver verdict is from round 2 (VERDICT.md r3
-#: "4 had one in r2") — ordered AFTER the never-driver-checked set so the
-#: 50-entry driver snapshot prioritizes queries with no verdict in any round
-_DRIVER_VERIFIED_R2 = frozenset(
-    {"dedup_minhash_lsh", "dedup_simhash", "dedup_cluster_keep", "ann_cosine_topk"}
-)
-
-
-#: round-5 window leaders: the 7 queries registered after round 4's snapshot
-#: window filled (round-4 evidence = committed local hostile-tz parity sweep,
-#: CHECK_LOCAL_r04.txt) plus ``embed_quantize_int8``, round 4's single red
-#: row, re-shaped this round to a driver-canonicalizable output (CSV codes
-#: string instead of array<int>).
-_R5_PRIORITY = frozenset(
-    {
-        "dedup_substring_spans",
-        "contamination_reach",
-        "split_leakage_pairs",
-        "pagerank_dup_graph",
-        "dedup_incremental_pairs",
-        "winsorize_event_values",
-        "corpus_snapshot_diff",
-        "embed_quantize_int8",
-    }
+#: Round-6 re-check leaders: verdict is r3 but the implementation moved a lot
+#: since (stream.py was heavily refactored through r5 — the whole op_* family
+#: plus zip — and the dup-pair scorer default flipped to Arrow after r3).
+_RECHECK_FIRST = (
+    "op_map_revenue", "op_amap_enrich", "op_foreach_passthrough",
+    "op_filter_highvalue", "op_flatten_tokens", "op_group_batches",
+    "op_groupby_key", "op_distinct_first", "op_skip_truncate",
+    "op_concat_streams", "op_catch_replacement", "op_catch_pyfn",
+    "op_observe_metrics", "zip_customers_suppliers",
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_containment_pairs",
 )
 
 
@@ -124,9 +132,11 @@ def load_all() -> dict[str, QueryDef]:
     """Import every query module (side effect: fills REGISTRY).
 
     Returns the registry reordered for the driver's 50-entry correctness
-    snapshot: round-5 priority queries (no green driver verdict yet) first,
-    then anything never driver-checked (new registrations), then
-    round-2-verified, then the r3/r4-verified bulk.
+    snapshot: never-driver-checked queries (new registrations) first, then
+    verified queries stalest-verdict-round first — with the queries whose
+    implementation changed most since their verdict (``_RECHECK_FIRST``)
+    leading their tier — so the window re-proves the least-recently-proven
+    code at current HEAD.
     """
     from kioss_spark.queries import relational  # noqa: F401
 
@@ -134,14 +144,17 @@ def load_all() -> dict[str, QueryDef]:
         from kioss_spark.queries import llm  # noqa: F401
     except ImportError:  # pragma: no cover - built incrementally
         pass
-    prio = {k: v for k, v in REGISTRY.items() if k in _R5_PRIORITY}
-    never = {
-        k: v
-        for k, v in REGISTRY.items()
-        if k not in _DRIVER_VERIFIED
-        and k not in _DRIVER_VERIFIED_R2
-        and k not in _R5_PRIORITY
-    }
-    r2 = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED_R2}
-    rest = {k: v for k, v in REGISTRY.items() if k in _DRIVER_VERIFIED}
-    return {**prio, **never, **r2, **rest}
+
+    recheck_rank = {name: i for i, name in enumerate(_RECHECK_FIRST)}
+
+    def order(item):
+        name = item[0]
+        never = name not in _LAST_GREEN_ROUND
+        return (
+            0 if never else 1,
+            _LAST_GREEN_ROUND.get(name, 0),
+            recheck_rank.get(name, len(_RECHECK_FIRST)),
+            name,
+        )
+
+    return dict(sorted(REGISTRY.items(), key=order))
