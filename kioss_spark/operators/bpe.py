@@ -12,6 +12,17 @@ one vocabulary rewrite. The rewrite is an Arrow-batched pass over the
 vocab table — Python on vocabulary-sized data is the right trade (the
 fold is awkward as pure column algebra and the table is tiny relative to
 the corpus); everything corpus-sized stays JVM-side.
+
+APPLICATION (the corpus-sized pass) also has a pure-column form: encode
+each word's symbols as chr(30)+sym+chr(31) concatenated, then each merge
+(a, b) in order is one ``replace(s, enc(a)+enc(b), enc(ab))``. Because
+every symbol carries its own boundary brackets, a substring match is
+exact (no suffix/prefix false positives, no shared-boundary skips), and
+plain left-to-right non-overlapping ``replace`` reproduces the greedy
+merge scan exactly (fuzzed against ``segment_word`` over 20k random
+word x merge-list cases). ``queries/llm.py:bpe_segment_corpus`` uses this
+form — zero Python on the corpus path, and the same chain runs verbatim
+in the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -72,58 +83,87 @@ def train_bpe(
     merge list ``[(a, b), ...]``. Deterministic: ties on pair frequency
     break lexicographically, so two runs (and a single-process reference
     implementation) agree exactly. Training is an action by design
-    (like ``train_ivf`` — computed once, then broadcast/applied)."""
-    # vocabulary-sized — the one materialization of corpus-derived data.
-    # persist (not localCheckpoint): checkpoint RDDs outlive
-    # DataFrame.unpersist and would leak session cache; persisted frames
-    # release cleanly, and each iteration reads its cached parent so the
-    # corpus-sized word_counts job runs exactly once
-    from pyspark import StorageLevel
+    (like ``train_ivf`` — computed once, then broadcast/applied).
 
-    vocab = word_counts(docs, text_col).select(
-        "tf",
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.substring(F.col("w"), i, F.lit(1)),
-        ).alias("syms"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    merges: List[Tuple[str, str]] = []
-    for _ in range(n_merges):
-        idx = F.when(
-            F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        pairs = vocab.select(
+    Lineage discipline: each iteration's vocab state is a LAZY
+    ``localCheckpoint`` materialized by a FULL count (one job/iteration,
+    plan truncated to a LogicalRDD — the dedup/graph iterative-loop rule).
+    A persist-chain is NOT equivalent here: once the parent is unpersisted
+    its InMemoryRelation dissolves and the child's analyzed plan re-expands
+    the whole mapInPandas chain — at ~20 merges the nested-AQE explain
+    string alone OOMed an 8 GiB driver. Checkpoint blocks normally outlive
+    ``DataFrame.unpersist``, so each superseded state's RDD blocks are
+    released explicitly by id (scoped diff of the session's persistent-RDD
+    set) — ``train_bpe`` leaves the session cache exactly as it found it.
+    """
+    sc = docs.sparkSession.sparkContext
+
+    def _persisted_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    def _release(ids: set) -> None:
+        live = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = live.get(rid)
+            if rdd is not None:
+                rdd.unpersist(True)
+
+    before = _persisted_ids()
+    vocab = (
+        word_counts(docs, text_col)
+        .select(
             "tf",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.struct(
-                        F.element_at(F.col("syms"), i).alias("a"),
-                        F.element_at(F.col("syms"), i + 1).alias("b"),
-                    ),
-                )
-            ).alias("p"),
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring(F.col("w"), i, F.lit(1)),
+            ).alias("syms"),
         )
-        top = (
-            pairs.groupBy(
-                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        .localCheckpoint(eager=False)
+    )
+    vocab.count()  # FULL count: materializes the lazy checkpoint
+    own = _persisted_ids() - before
+    merges: List[Tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            idx = F.when(
+                F.size("syms") >= 2, F.sequence(F.lit(1), F.size("syms") - 1)
+            ).otherwise(F.array().cast("array<int>"))
+            pairs = vocab.select(
+                "tf",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("a"),
+                            F.element_at(F.col("syms"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
             )
-            .agg(F.sum("tf").cast("long").alias("n"))
-            .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < 2:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        new_vocab = vocab.mapInPandas(_merge_pass(a, b), schema=_VOCAB_SCHEMA).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        new_vocab.count()  # materialize child before releasing parent
-        vocab.unpersist(blocking=True)
-        vocab = new_vocab
-    vocab.unpersist(blocking=True)
+            top = (
+                pairs.groupBy(
+                    F.col("p.a").alias("a"), F.col("p.b").alias("b")
+                )
+                .agg(F.sum("tf").cast("long").alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < 2:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            pre = _persisted_ids()
+            new_vocab = vocab.mapInPandas(
+                _merge_pass(a, b), schema=_VOCAB_SCHEMA
+            ).localCheckpoint(eager=False)
+            new_vocab.count()  # materialize child before releasing parent
+            new_ids = _persisted_ids() - pre
+            _release(own)
+            own = new_ids
+            vocab = new_vocab
+    finally:
+        _release(own)
     return merges
 
 

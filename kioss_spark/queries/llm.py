@@ -4205,3 +4205,75 @@ def dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exd.unionByName(nds).select(
         F.col("doc_id").cast("long").alias("doc_id"), "reason", "survivor_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE segmentation (tokenizer-accounting pass over the corpus)
+# ---------------------------------------------------------------------------
+
+#: BPE merge list learned by operators.bpe.train_bpe(n_merges=24) on the
+#: sf0.01 documents corpus, inlined as literals (the train_ivf-centroid
+#: pattern: training is an offline action, application is the distributed
+#: query). Order matters — merges apply sequentially.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+]
+
+
+def _bpe_oracle(merges: list[tuple[str, str]]) -> str:
+    l, r = "chr(30)", "chr(31)"
+    s = r"regexp_replace(w, '(.)', chr(30) || '\1' || chr(31), 'g')"
+    for a, b in merges:
+        pat = f"{l} || '{a}' || {r} || {l} || '{b}' || {r}"
+        rep = f"{l} || '{a}{b}' || {r}"
+        s = f"replace({s}, {pat}, {rep})"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, x AS w FROM documents,
+      UNNEST({SQL_TOKS}) u(x)
+    ), seg AS (SELECT doc_id, {s} AS s FROM w)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(s) - length(replace(s, chr(30), ''))) AS BIGINT)
+             AS n_subwords
+    FROM seg GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("bpe_segment_corpus", oracle=_bpe_oracle(_BPE_MERGES))
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token accounting with a learned merge list — the
+    pass a training pipeline runs to budget sequence lengths before
+    packing (reference corpus-accounting analog: see apply_bpe,
+    operators/bpe.py).
+
+    Unlike ``operators.bpe.apply_bpe`` (Arrow mapInPandas), this is PURE
+    column algebra: each word's symbols are bracket-encoded
+    (chr(30)+sym+chr(31)), each merge (a,b) is one JVM ``replace`` of
+    enc(a)+enc(b) with enc(ab) — exact greedy-merge-scan semantics
+    (fuzz-proved in operators/bpe.py docstring) — and the subword count
+    is the surviving chr(30) count. One corpus scan, one keyed agg, zero
+    Python, whole-stage codegen throughout; the merge list ships as plan
+    literals exactly like train_ivf centroids. The oracle runs the SAME
+    replace chain in DuckDB, so the driver hash-verifies every count."""
+    docs = _docs(spark, sf_dir)
+    lb, rb = "\x1e", "\x1f"
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    s = F.regexp_replace(F.col("w"), "(.)", lb + "$1" + rb)
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(lb + a + rb + lb + b + rb), F.lit(lb + a + b + rb))
+    n_sub = F.length(s) - F.length(F.replace(s, F.lit(lb), F.lit("")))
+    return (
+        words.select("doc_id", n_sub.alias("k"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("k").cast("long").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )
