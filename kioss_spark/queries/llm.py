@@ -4277,3 +4277,74 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# learned quality filter (linear probe over embeddings)
+# ---------------------------------------------------------------------------
+
+#: Integerized linear-probe weights: logistic regression trained offline on
+#: the sf0.01 embeddings (binary target label >= 5, plain GD, deterministic),
+#: weights scaled e3 and the bias e6 so the score is exact int64 arithmetic
+#: on quantized features q_i = round(x_i * 1000). Inlined as literals — the
+#: train_ivf-centroid pattern (training is offline; serving is broadcast
+#: literals in the plan, zero extra reads at any corpus size).
+_PROBE_W_E3: list[int] = [
+    -967, -515, -760, -859, -1472, -61, 245, -327, -789, 446, 613, -501,
+    -685, 132, -325, 508, 1385, 112, -1476, -24, -1686, 460, 330, 740,
+    714, 1396, 691, -214, 1108, 981, 568, -647, -21, 1331, -239, -2487,
+    172, 1523, 570, -611, 1405, -58, -1212, 431, -372, 897, -1476, -86,
+    933, -917, -750, 332, -1900, 72, 64, -1557, 521, -119, -1023, -1043,
+    -127, 983, -787, 550,
+]
+_PROBE_B_E6 = -38723
+
+_PROBE_W_SQL_DUCK = "[" + ",".join(f"CAST({w} AS BIGINT)" for w in _PROBE_W_E3) + "]"
+
+
+@register(
+    "quality_linear_probe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, label,
+      CAST(list_sum(list_transform(range(1, {len(_PROBE_W_E3)} + 1),
+        i -> CAST(round(v[CAST(i AS INTEGER)] * 1000) AS BIGINT)
+             * ({_PROBE_W_SQL_DUCK})[CAST(i AS INTEGER)])) AS BIGINT)
+      + ({_PROBE_B_E6}) AS score_e6
+      FROM e)
+    SELECT vec_id, label, score_e6, CAST(score_e6 > 0 AS INTEGER) AS keep
+    FROM s ORDER BY vec_id
+    """,
+)
+def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataComp/FineWeb-style learned quality filter: a linear probe over
+    document embeddings scores every document and gates keep/drop — the
+    model-based companion to the rules-based ``quality_ensemble``.
+
+    Serving shape: the probe weights are PLAN LITERALS (trained offline,
+    integerized — see _PROBE_W_E3), the score is one
+    aggregate(zip_with(...)) fold in whole-stage codegen, and the whole
+    query is a narrow projection over the embeddings scan: ZERO shuffles,
+    zero Python, zero extra reads at any corpus size. Exactness: features
+    quantize to round(x*1000) int64, weights are e3-scaled int64, so the
+    e6-scaled score is exact integer arithmetic — the oracle reproduces
+    every score bit-for-bit (no float-sum order sensitivity).
+
+    The single expression is rendered as ONE SQL string via F.expr — a
+    64-literal array through the Column API costs thousands of py4j
+    round-trips in plan build (the trained_cells lesson)."""
+    e = _emb(spark, sf_dir)
+    w_sql = "array(" + ",".join(f"{w}L" for w in _PROBE_W_E3) + ")"
+    score = F.expr(
+        "aggregate(zip_with("
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)), "
+        f"{w_sql}, (q, w) -> q * w), "
+        f"CAST({_PROBE_B_E6} AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return e.select("vec_id", "label", score.alias("score_e6")).select(
+        "vec_id",
+        "label",
+        "score_e6",
+        (F.col("score_e6") > 0).cast("int").alias("keep"),
+    )
