@@ -536,6 +536,14 @@ def quota_sample(
     broadcast into the selection join."""
     from kioss_spark.operators.text import h60
 
+    wsum = sum(int(w) for w in weights.values())
+    if wsum != 1_000_000:
+        # under-summed weights make leftover exceed the group count (the
+        # +1-per-group bonus pass silently under-fills the EXACT total);
+        # over-summed weights overshoot with negative leftover
+        raise ValueError(
+            f"quota_sample weights must sum to 1_000_000 (e6 scale), got {wsum}"
+        )
     sess = df.sparkSession
     wrows = [(g, int(w)) for g, w in sorted(weights.items())]
     wdf = sess.createDataFrame(wrows, f"{by} string, w_e6 long")

@@ -99,19 +99,7 @@ def cosine_topk(
         ).cast("long").alias("score_e5"),
     )
     if partial:
-
-        def _local_topk(batches):
-            for pdf in batches:
-                yield (
-                    pdf.sort_values(
-                        ["query_id", "score_e5", "cand_id"],
-                        ascending=[True, False, True],
-                    )
-                    .groupby("query_id", sort=False)
-                    .head(k)
-                )
-
-        scored = scored.mapInPandas(_local_topk, schema=scored.schema)
+        scored = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(F.col("score_e5").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -119,11 +107,32 @@ def cosine_topk(
     )
 
 
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-Arrow-batch local top-k per query_id (score desc, cand_id asc
+    tiebreak) — the bounded-output stage between JVM scoring and the rank
+    window. Exact: every global top-k row is in its own batch's top-k.
+    Works for any schema carrying (query_id, score_e5, cand_id)."""
+
+    def _local_topk(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(
+                    ["query_id", "score_e5", "cand_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    return scored.mapInPandas(_local_topk, schema=scored.schema)
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 3,
     label_col: str = "label",
+    partial: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / embedding training: for each
     query vector, the ``k`` most-cosine-similar corpus vectors with a
@@ -133,12 +142,15 @@ def hard_negatives(
     (query_id, query_label, cand_id, cand_label, score_e5, rnk).
 
     Inputs are ``with_norm`` outputs carrying ``label_col``. Same scale
-    shape as ``cosine_topk``: the query side is broadcast (queries are
-    the small side by construction), scoring is the JVM fold dot under
-    codegen, the label-mismatch predicate prunes before ranking, and the
-    per-query rank window is keyed on query_id — the corpus is scanned
-    once, never shuffled on a non-key. Scores floor-integerized at e5
-    with cand_id tiebreak, so ranking is deterministic cross-engine.
+    shape as ``cosine_topk`` INCLUDING its per-batch partial top-k stage
+    (``partial=True``): the query side is broadcast (queries are the
+    small side by construction), scoring is the JVM fold dot under
+    codegen, the label-mismatch predicate prunes before scoring, each
+    Arrow batch then keeps only its local best k per query, so the rank
+    window shuffles |queries| x k x batches rows, not
+    |queries| x |corpus| — the corpus is scanned once, never shuffled on
+    a non-key. Scores floor-integerized at e5 with cand_id tiebreak, so
+    ranking is deterministic cross-engine.
     For billion-scale corpora swap the scoring stage for the trained-IVF
     candidate generator (``ivf_topk_trained``) and apply the label
     filter to its candidates — same contract, sublinear scan."""
@@ -153,6 +165,8 @@ def hard_negatives(
             _dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nv") * F.col("c.nv")) * 100000
         ).cast("long").alias("score_e5"),
     )
+    if partial:
+        scored = _partial_topk(scored, k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_e5").desc(), F.col("cand_id")
     )

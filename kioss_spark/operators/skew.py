@@ -130,10 +130,14 @@ def zvalue(a, b, bits: int = 16):
     pure integer codegen, zero shuffle, identical arithmetic in any
     engine. Clamp/bucket inputs to ``bits`` beforehand (values >= 2^bits
     wrap via the masking, which destroys locality but not correctness).
+    Each operand is cast to BIGINT inside the generated SQL: the default
+    ``bits=16`` emits shifts up to ``<< 31``, which would wrap in 32-bit
+    INT arithmetic before any outer cast could widen it.
     """
     from kioss_spark.operators.similarity import _sql_col
 
-    a_sql, b_sql = _sql_col(a), _sql_col(b)
+    a_sql = f"CAST({_sql_col(a)} AS BIGINT)"
+    b_sql = f"CAST({_sql_col(b)} AS BIGINT)"
     terms = []
     for i in range(bits):
         terms.append(f"((({a_sql} >> {i}) & 1) << {2 * i})")

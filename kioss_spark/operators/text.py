@@ -143,8 +143,9 @@ def gopher_flags(toks: Column):
     - ``flag_stop``: at least one stop word (Gopher requires >= 2 of a
       fixed set; the fixture vocabulary carries exactly this set)
     - ``flag_uniq``: distinct-token ratio >= 0.2 (``5*n_uniq >= n_tok``)
-    - ``flag_alpha``: >= 90% of tokens contain a letter
-      (``10*n_alpha >= 9*n_tok``; Gopher: 80% "alphabetic" words)
+    - ``flag_alpha``: >= 90% of tokens contain a letter, case-insensitive
+      (``10*n_alpha >= 9*n_tok``; Gopher: 80% "alphabetic" words — an
+      uppercase-only token like "NASA" counts as alphabetic)
 
     All comparisons are integer-rational, so a DuckDB oracle reproduces
     every flag bit-for-bit. Pure column algebra: zero shuffle, narrow,
@@ -153,7 +154,7 @@ def gopher_flags(toks: Column):
     vacuous ratio flags (0 >= 0), mirroring the SQL semantics exactly.
     """
     n_tok, n_uniq, stop, tok_chars = quality_metrics(toks)
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("(?i)[a-z]")))
     flag_len = (n_tok >= 5) & (n_tok <= 1000)
     flag_mean_len = (tok_chars >= 2 * n_tok) & (tok_chars <= 10 * n_tok)
     flag_stop = stop >= 1

@@ -2583,7 +2583,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  len(list_distinct(t)) AS n_uniq,
                  len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS n_stop,
                  coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars,
-                 len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+                 len(list_filter(t, x -> regexp_matches(x, '(?i)[a-z]'))) AS n_alpha
           FROM toks)
     SELECT doc_id,
            CAST(n_tok AS BIGINT) AS n_tok,
@@ -3899,7 +3899,7 @@ _SQL_TRI_MULTI = (
                      AS n_stop,
                  coalesce(list_sum(list_transform(t, x -> length(x))), 0)
                      AS tok_chars,
-                 len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                 len(list_filter(t, x -> regexp_matches(x, '(?i)[a-z]'))) AS n_alpha,
                  {_SQL_TRI_MULTI} AS tri
           FROM toks),
     sig AS (SELECT doc_id,
