@@ -107,6 +107,29 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "rollup_order_counts", "sequence_view_click_purchase",
         "split_leakage_pairs", "winsorize_event_values", "zorder_event_layout",
     }),
+    # CORRECTNESS_r06.json — 50/50 green (the 48 stalest r3-verdict names —
+    # the op_* family, zip, dup-pair queries, the TPC-H literal wave — plus
+    # the two round-6 registrations).
+    6: frozenset({
+        "ann_int8_rescore", "ann_ivf_multiprobe", "ann_ivf_topk",
+        "ann_ivf_trained", "anti_customers_no_pending", "asof_last_purchase",
+        "asof_last_signup", "bpe_segment_corpus", "dedup_containment_pairs",
+        "dedup_exact", "dedup_jaccard_pairs", "funnel_click_purchase",
+        "op_amap_enrich", "op_catch_pyfn", "op_catch_replacement",
+        "op_concat_streams", "op_distinct_first", "op_filter_highvalue",
+        "op_flatten_tokens", "op_foreach_passthrough", "op_group_batches",
+        "op_groupby_key", "op_map_revenue", "op_observe_metrics",
+        "op_skip_truncate", "q10_returned_items", "q11_important_parts",
+        "q13_customer_distribution", "q14_promo_effect", "q15_top_supplier",
+        "q17_small_quantity", "q18_large_orders", "q19_disjunctive_pushdown",
+        "q21_sole_late_supplier", "q22_dormant_customers", "q4_order_priority",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "quality_linear_probe", "range_join_error_windows",
+        "rollup_hourly_events", "running_total_per_customer",
+        "semi_parts_ordered", "sessionize_events", "set_ops_half_year",
+        "skew_salted_event_totals", "sql_balance_quartiles",
+        "top3_customers_per_segment", "zip_customers_suppliers",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -115,16 +138,17 @@ for _round in sorted(_GREEN_ROUNDS):
     for _name in _GREEN_ROUNDS[_round]:
         _LAST_GREEN_ROUND[_name] = _round
 
-#: Round-6 re-check leaders: verdict is r3 but the implementation moved a lot
-#: since (stream.py was heavily refactored through r5 — the whole op_* family
-#: plus zip — and the dup-pair scorer default flipped to Arrow after r3).
+#: Round-7 re-check leaders: these six hold r5 verdicts but their
+#: implementations changed in round 6 AFTER the verdict was recorded —
+#: case-insensitive flag_alpha (text.py:157) affects quality_gopher_rules and
+#: quality_ensemble; the zvalue BIGINT cast (skew.py:133) affects
+#: zorder_event_layout; the per-batch partial top-k stage (similarity.py:110)
+#: affects hard_negative_mining; the quota weight-sum validation
+#: (curation.py:539) affects mix_quota_sample; ann_cosine_topk had a pure
+#: extraction refactor.  They must be re-proven at HEAD before anything else.
 _RECHECK_FIRST = (
-    "op_map_revenue", "op_amap_enrich", "op_foreach_passthrough",
-    "op_filter_highvalue", "op_flatten_tokens", "op_group_batches",
-    "op_groupby_key", "op_distinct_first", "op_skip_truncate",
-    "op_concat_streams", "op_catch_replacement", "op_catch_pyfn",
-    "op_observe_metrics", "zip_customers_suppliers",
-    "dedup_exact", "dedup_jaccard_pairs", "dedup_containment_pairs",
+    "quality_gopher_rules", "quality_ensemble", "zorder_event_layout",
+    "hard_negative_mining", "mix_quota_sample", "ann_cosine_topk",
 )
 
 
@@ -132,11 +156,11 @@ def load_all() -> dict[str, QueryDef]:
     """Import every query module (side effect: fills REGISTRY).
 
     Returns the registry reordered for the driver's 50-entry correctness
-    snapshot: never-driver-checked queries (new registrations) first, then
-    verified queries stalest-verdict-round first — with the queries whose
-    implementation changed most since their verdict (``_RECHECK_FIRST``)
-    leading their tier — so the window re-proves the least-recently-proven
-    code at current HEAD.
+    snapshot: queries whose implementation changed AFTER their last verdict
+    (``_RECHECK_FIRST``) lead outright — a stale verdict on changed code is
+    worth less than a fresh verdict on old code — then never-driver-checked
+    queries (new registrations), then verified queries stalest-verdict-round
+    first, so the window re-proves the least-recently-proven code at HEAD.
     """
     from kioss_spark.queries import relational  # noqa: F401
 
@@ -151,9 +175,9 @@ def load_all() -> dict[str, QueryDef]:
         name = item[0]
         never = name not in _LAST_GREEN_ROUND
         return (
+            recheck_rank.get(name, len(_RECHECK_FIRST)),
             0 if never else 1,
             _LAST_GREEN_ROUND.get(name, 0),
-            recheck_rank.get(name, len(_RECHECK_FIRST)),
             name,
         )
 
