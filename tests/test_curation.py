@@ -181,3 +181,15 @@ def test_quota_sample_deterministic_across_partitionings(spark):
     ids1 = {r["doc_id"] for r in quota_sample(df.repartition(1), w, 12).collect()}
     ids2 = {r["doc_id"] for r in quota_sample(df.repartition(13), w, 12).collect()}
     assert ids1 == ids2 and len(ids1) == 12
+
+
+def test_quota_sample_rejects_bad_weight_sum(spark):
+    # regression for the weight-sum validation (curation.py): under-summed
+    # weights silently under-fill the exact total; over-summed overshoot.
+    import pytest
+
+    df = _quota_fixture(spark, {"a": 10, "b": 10})
+    with pytest.raises(ValueError, match="1_000_000"):
+        quota_sample(df, {"a": 500000, "b": 400000}, total=5)  # sums to 0.9e6
+    with pytest.raises(ValueError, match="1_000_000"):
+        quota_sample(df, {"a": 700000, "b": 400000}, total=5)  # sums to 1.1e6

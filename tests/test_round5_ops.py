@@ -214,3 +214,11 @@ def test_class_balance_weights_property(spark, sizes):
     total, k = sum(sizes), len(sizes)
     for r in out:
         assert r["weight_e6"] == int(1000000.0 * total / (k * r["n"]))
+
+
+def test_gopher_flags_uppercase_alpha(spark):
+    # regression for case-insensitive flag_alpha (text.py): an
+    # uppercase-only token like "NASA" is alphabetic under Gopher's rule
+    r = _flags(spark, "NASA THE BIG ROCKET WENT TO THE MOON TODAY OK")
+    assert r["n"] == 10
+    assert r["alpha"]

@@ -108,3 +108,25 @@ def test_zvalue_bucket_tiles_bound_both_dims(spark):
         .collect()
     )
     assert prof and all(r["su"] <= 7 and r["sh"] <= 7 for r in prof)
+
+
+def test_zvalue_bits16_no_32bit_wrap(spark):
+    # regression for the BIGINT-cast fix (skew.py): bits=16 emits shifts up
+    # to << 31, which wraps NEGATIVE in 32-bit INT arithmetic. Operands with
+    # high bits set (>= 2^15) exercise exactly that regime.
+    rows = [
+        (a, b)
+        for a in (0, 1, 32768, 40000, 65535)
+        for b in (0, 32768, 54321, 65535)
+    ]
+    df = spark.createDataFrame(rows, "u long, h long")
+    got = {
+        (r["u"], r["h"]): r["zv"]
+        for r in df.withColumn("zv", zvalue("u", "h", bits=16)).collect()
+    }
+    expect = {(a, b): _interleave(a, b, 16) for a, b in rows}
+    assert got == expect
+    # the wrap bug's signature: z(65535, 65535) = 2^32 - 1, positive and
+    # above INT range — a 32-bit evaluation cannot produce it
+    assert got[(65535, 65535)] == 2**32 - 1
+    assert all(v >= 0 for v in got.values())
