@@ -95,13 +95,30 @@ def train_bpe(
     ``DataFrame.unpersist``, so each superseded state's RDD blocks are
     released explicitly by id (scoped diff of the session's persistent-RDD
     set) — ``train_bpe`` leaves the session cache exactly as it found it.
+
+    The scoped release rides a py4j-private surface
+    (``sc._jsc.getPersistentRDDs``); a capability probe degrades to the
+    documented fallback — same lazy-checkpoint lineage truncation, no
+    scoped release — if a Spark upgrade removes it. The fallback leaks
+    checkpoint blocks for the session's lifetime, but each is vocab-sized
+    (sublinear in corpus), so training stays correct and bounded.
     """
     sc = docs.sparkSession.sparkContext
 
+    try:  # capability probe: py4j private surface, may vanish across versions
+        sc._jsc.getPersistentRDDs()
+        _scoped = True
+    except Exception:  # pragma: no cover - exercised only on future Sparks
+        _scoped = False
+
     def _persisted_ids() -> set:
+        if not _scoped:
+            return set()
         return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
     def _release(ids: set) -> None:
+        if not _scoped:
+            return
         live = sc._jsc.getPersistentRDDs()
         for rid in ids:
             rdd = live.get(rid)

@@ -4223,13 +4223,25 @@ _BPE_MERGES: list[tuple[str, str]] = [
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
 ]
 
+# the bracket encoding reserves chr(30)/chr(31); a merge symbol containing
+# either would corrupt it on both engines.  Validated at import so a
+# regenerated merge list (e.g. trained on real text with apostrophes) fails
+# loudly here, not as a silent cross-engine divergence.
+for _a, _b in _BPE_MERGES:
+    for _s in (_a, _b):
+        assert _s and "\x1e" not in _s and "\x1f" not in _s, (
+            f"BPE merge symbol {_s!r} collides with the bracket encoding"
+        )
+
 
 def _bpe_oracle(merges: list[tuple[str, str]]) -> str:
     l, r = "chr(30)", "chr(31)"
     s = r"regexp_replace(w, '(.)', chr(30) || '\1' || chr(31), 'g')"
     for a, b in merges:
-        pat = f"{l} || '{a}' || {r} || {l} || '{b}' || {r}"
-        rep = f"{l} || '{a}{b}' || {r}"
+        # SQL-escape single quotes (e.g. a learned merge touching "don't")
+        aq, bq = a.replace("'", "''"), b.replace("'", "''")
+        pat = f"{l} || '{aq}' || {r} || {l} || '{bq}' || {r}"
+        rep = f"{l} || '{aq}{bq}' || {r}"
         s = f"replace({s}, {pat}, {rep})"
     return f"""
     WITH w AS (
@@ -4308,10 +4320,12 @@ _PROBE_W_SQL_DUCK = "[" + ",".join(f"CAST({w} AS BIGINT)" for w in _PROBE_W_E3) 
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     s AS (SELECT vec_id, label,
-      CAST(list_sum(list_transform(range(1, {len(_PROBE_W_E3)} + 1),
-        i -> CAST(round(v[CAST(i AS INTEGER)] * 1000) AS BIGINT)
-             * ({_PROBE_W_SQL_DUCK})[CAST(i AS INTEGER)])) AS BIGINT)
-      + ({_PROBE_B_E6}) AS score_e6
+      CASE WHEN len(v) = {len(_PROBE_W_E3)} THEN
+        CAST(list_sum(list_transform(range(1, {len(_PROBE_W_E3)} + 1),
+          i -> CAST(round(v[CAST(i AS INTEGER)] * 1000) AS BIGINT)
+               * ({_PROBE_W_SQL_DUCK})[CAST(i AS INTEGER)])) AS BIGINT)
+        + ({_PROBE_B_E6})
+      ELSE NULL END AS score_e6
       FROM e)
     SELECT vec_id, label, score_e6, CAST(score_e6 > 0 AS INTEGER) AS keep
     FROM s ORDER BY vec_id
@@ -4333,7 +4347,12 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The single expression is rendered as ONE SQL string via F.expr — a
     64-literal array through the Column API costs thousands of py4j
-    round-trips in plan build (the trained_cells lesson)."""
+    round-trips in plan build (the trained_cells lesson).
+
+    Dimension guard: a non-64-dim embedding null-pads Spark's zip_with, so
+    score_e6 is NULL; the oracle's CASE len(v)=64 null-propagates the same
+    way — both engines degrade to NULL in lockstep rather than diverging
+    (DuckDB's bare list_sum would silently skip the out-of-range terms)."""
     e = _emb(spark, sf_dir)
     w_sql = "array(" + ",".join(f"{w}L" for w in _PROBE_W_E3) + ")"
     score = F.expr(
