@@ -1,0 +1,102 @@
+"""Physical-plan regression gate for the most expensive headliners.
+
+PLAN_AUDIT.md is a human report and goes stale the round after an operator
+changes (it happened to hard_negative_mining in round 6); this gate pins the
+same properties in pytest so a plan regression fails CI, not a later audit:
+
+- shuffle-count ceiling (Exchange hash/range-partitioning nodes in the FINAL
+  adaptive plan) — the wide-op budget that must stay flat at 100 TB
+- 1-partition-exchange ceiling (each allowed occurrence is a traced tiny
+  subplan — top-k finals, |groups|-row apportionment — never the data path)
+- Python-stage allowlist (Arrow seams are deliberate and enumerated; any new
+  Python on a JVM-only query is a regression)
+- whole-stage codegen present
+
+Budgets are pinned at sf0.001 (plan SHAPE is scale-invariant for these
+queries; AQE join-strategy choices that differ by SF would only LOWER the
+small-SF counts, so the ceilings hold upward).  The two iterative queries
+(pagerank_dup_graph, contamination_reach) run their loops at plan-build time
+behind checkpointed lineage, so their final DataFrame plan is a LogicalRDD
+scan — pinned as exactly zero-shuffle/zero-python here; their loop structure
+is covered by tests/test_graph.py job-count assertions.
+"""
+
+import pytest
+
+from kioss_spark.queries import load_all
+from tools.audit_plans import PYTHON_OK, analyze_plan, executed_plan
+
+#: name -> (max shuffles, max single-partition exchanges)
+BUDGET = {
+    "dedup_provenance": (3, 0),
+    "dedup_cluster_best": (3, 0),
+    "pipeline_incremental_refresh": (3, 1),
+    "dedup_minhash_lsh": (3, 0),
+    "dedup_containment_pairs": (3, 0),
+    "hard_negative_mining": (1, 0),
+    "quality_ensemble": (4, 3),
+    "pipeline_curation": (7, 0),
+    "bpe_segment_corpus": (2, 0),
+    "quality_linear_probe": (0, 0),
+    "pagerank_dup_graph": (0, 0),
+    "contamination_reach": (0, 0),
+}
+
+#: narrow-scan pins: projection must reach the parquet scan
+MAX_SCAN_COLS = {
+    "bpe_segment_corpus": 2,   # doc_id, text (documents has 6 columns)
+    "quality_linear_probe": 3,  # vec_id, label, embedding
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    spark.conf.set("spark.sql.debug.maxToStringFields", "200")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    registry = load_all()
+    return {
+        name: analyze_plan(executed_plan(spark, registry[name], sf_dir))
+        for name in BUDGET
+    }
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET))
+def test_shuffle_and_onep_budget(plans, name):
+    max_shuffles, max_onep = BUDGET[name]
+    p = plans[name]
+    assert p["shuffles"] <= max_shuffles, (
+        f"{name}: {p['shuffles']} shuffles > budget {max_shuffles}"
+    )
+    assert p["onep"] <= max_onep, (
+        f"{name}: {p['onep']} single-partition exchanges > budget {max_onep}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET))
+def test_python_stage_allowlist(plans, name):
+    p = plans[name]
+    if name not in PYTHON_OK:
+        assert not p["python"], (
+            f"{name}: unexpected Python stage in the physical plan "
+            "(add to tools.audit_plans.PYTHON_OK only if deliberate)"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET))
+def test_codegen_present(plans, name):
+    assert plans[name]["codegen"], f"{name}: no whole-stage-codegen span"
+
+
+@pytest.mark.parametrize("name", sorted(MAX_SCAN_COLS))
+def test_scan_column_pruning(plans, name):
+    got = plans[name]["scancols"]
+    assert got and got <= MAX_SCAN_COLS[name], (
+        f"{name}: parquet scan reads {got} columns "
+        f"(budget {MAX_SCAN_COLS[name]}) — projection not pushed to the scan"
+    )
+
+
+def test_hard_negative_mining_python_is_allowlisted():
+    # the round-6 partial top-k seam is DELIBERATE — pin its allowlisting so
+    # the audit doc and this gate can't silently disagree again
+    assert "hard_negative_mining" in PYTHON_OK

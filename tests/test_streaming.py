@@ -680,3 +680,206 @@ def test_stream_static_lsh_dedup_against_signature_table(spark, tmp_path):
     # the verbatim twin collides with its corpus original on every band;
     # the novel doc matches nothing
     assert got == {(201, 101)}
+
+
+# --- batch/stream parity pins (round 7) ------------------------------------
+# Each stateful op must reproduce, across REAL multi-micro-batch execution
+# (max_files_per_trigger=1), exactly what the one-shot batch computation
+# produces — the incremental state machinery must be invisible in the result.
+
+
+def _write_batches(df_batches, src):
+    for b in df_batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+
+
+def test_window_agg_stream_matches_batch(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:00:05", "a", 3),
+        ("2024-01-01 00:00:20", "b", 5),
+        ("2024-01-01 00:00:59", "a", 2),
+        ("2024-01-01 00:01:10", "b", 7),
+        ("2024-01-01 00:01:30", "a", 1),
+        ("2024-01-01 00:02:15", "b", 4),
+        ("2024-01-01 00:02:45", "a", 6),
+    ]
+    df = spark.createDataFrame(rows, "ts string, k string, v long").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "k", "v"
+    )
+    want = sorted(
+        (r["start"].isoformat(), r["k"], r["n"], r["s"])
+        for r in df.groupBy(F.window("timestamp", "60 seconds").alias("window"), "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .select(F.col("window.start").alias("start"), "k", "n", "s")
+        .collect()
+    )
+    src = str(tmp_path / "wa_parity")
+    _write_batches([df.limit(3), df.offset(3).limit(2), df.offset(5)], src)
+    s = SStream.files(
+        spark,
+        src,
+        schema="timestamp timestamp, k string, v long",
+        max_files_per_trigger=1,
+    ).window_agg(60, F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), keys=("k",))
+    q = s.to_memory("t_wa_parity", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["start"].isoformat(), r["k"], r["n"], r["s"])
+            for r in spark.sql(
+                "SELECT window.start AS start, k, n, s FROM t_wa_parity"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want, (got, want)
+
+
+def test_session_agg_stream_matches_batch(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:00:00", "u1"),
+        ("2024-01-01 00:00:30", "u1"),
+        ("2024-01-01 00:00:45", "u2"),
+        ("2024-01-01 00:03:00", "u1"),
+        ("2024-01-01 00:03:20", "u2"),
+        ("2024-01-01 00:03:40", "u2"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user string").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "user"
+    )
+    want = sorted(
+        (r["user"], r["start"].isoformat(), r["n"])
+        for r in df.groupBy(
+            F.session_window("timestamp", "60 seconds").alias("session"), "user"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user", F.col("session.start").alias("start"), "n")
+        .collect()
+    )
+    src = str(tmp_path / "sa_parity")
+    _write_batches([df.limit(3), df.offset(3)], src)
+    s = SStream.files(
+        spark,
+        src,
+        schema="timestamp timestamp, user string",
+        max_files_per_trigger=1,
+    ).session_agg(60, F.count(F.lit(1)).alias("n"), keys=("user",))
+    q = s.to_memory("t_sa_parity", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["user"], r["start"].isoformat(), r["n"])
+            for r in spark.sql(
+                "SELECT user, session.start AS start, n FROM t_sa_parity"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want, (got, want)
+
+
+def test_join_stream_matches_batch_range_join(spark, tmp_path):
+    clicks = [
+        ("2024-01-01 00:00:00", "u1", 1),
+        ("2024-01-01 00:00:40", "u2", 2),
+        ("2024-01-01 00:02:00", "u1", 3),
+        ("2024-01-01 00:05:00", "u3", 4),
+    ]
+    buys = [
+        ("2024-01-01 00:00:30", "u1", 10),
+        ("2024-01-01 00:01:05", "u2", 20),
+        ("2024-01-01 00:02:20", "u1", 30),
+        ("2024-01-01 00:09:00", "u3", 40),  # outside the 60s range -> no pair
+    ]
+    lc = spark.createDataFrame(clicks, "ts string, user string, cid long").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "user", "cid"
+    )
+    rc = spark.createDataFrame(buys, "ts string, user string, bid long").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "user", "bid"
+    )
+    want = sorted(
+        (r["user"], r["cid"], r["bid"])
+        for r in lc.alias("l")
+        .join(
+            rc.alias("r"),
+            (F.col("l.user") == F.col("r.user"))
+            & (
+                F.col("r.timestamp").between(
+                    F.col("l.timestamp") - F.expr("INTERVAL 60 SECONDS"),
+                    F.col("l.timestamp") + F.expr("INTERVAL 60 SECONDS"),
+                )
+            ),
+        )
+        .select(F.col("l.user").alias("user"), "cid", "bid")
+        .collect()
+    )
+    lsrc, rsrc = str(tmp_path / "js_l"), str(tmp_path / "js_r")
+    _write_batches([lc.limit(2), lc.offset(2)], lsrc)
+    _write_batches([rc.limit(2), rc.offset(2)], rsrc)
+    ls = SStream.files(
+        spark,
+        lsrc,
+        schema="timestamp timestamp, user string, cid long",
+        max_files_per_trigger=1,
+    )
+    rs = SStream.files(
+        spark,
+        rsrc,
+        schema="timestamp timestamp, user string, bid long",
+        max_files_per_trigger=1,
+    )
+    q = ls.join_stream(rs, "user", within=60).to_memory("t_js_parity")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["user"], r["cid"], r["bid"])
+            for r in spark.sql(
+                "SELECT user, cid, bid_r AS bid FROM t_js_parity"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want, (got, want)
+    assert ("u3", 4, 40) not in got  # the out-of-range pair stayed out
+
+
+def test_distinct_count_approx_matches_exact_in_sparse_regime(spark, tmp_path):
+    # lg_k=12 HLL is EXACT below the sparse->dense transition; the stream's
+    # merged micro-batch sketches must therefore equal batch countDistinct
+    rows = []
+    for m, n_vals in ((0, 17), (1, 29), (2, 8)):
+        for i in range(n_vals * 2):  # every value seen twice
+            rows.append((f"2024-01-01 00:{m:02d}:{(i * 7) % 60:02d}", f"v{i % n_vals}"))
+    df = spark.createDataFrame(rows, "ts string, val string").select(
+        F.col("ts").cast("timestamp").alias("timestamp"), "val"
+    )
+    want = sorted(
+        (r["start"].isoformat(), r["n"])
+        for r in df.groupBy(F.window("timestamp", "60 seconds").alias("window"))
+        .agg(F.countDistinct("val").alias("n"))
+        .select(F.col("window.start").alias("start"), "n")
+        .collect()
+    )
+    src = str(tmp_path / "dca_parity")
+    third = len(rows) // 3
+    _write_batches(
+        [df.limit(third), df.offset(third).limit(third), df.offset(2 * third)], src
+    )
+    s = SStream.files(
+        spark,
+        src,
+        schema="timestamp timestamp, val string",
+        max_files_per_trigger=1,
+    ).distinct_count_approx("val", window=60)
+    q = s.to_memory("t_dca_parity", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["start"].isoformat(), r["est_distinct"])
+            for r in spark.sql(
+                "SELECT window.start AS start, est_distinct FROM t_dca_parity"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == want, (got, want)

@@ -49,13 +49,23 @@ PYTHON_OK = {"op_catch_pyfn", "op_amap_enrich", "op_foreach_passthrough",
              # per-Arrow-batch numpy X^T X partials — CONSTANT d(d+1)/2
              # rows per batch (operators.similarity.embed_covariance);
              # the JVM alternative explodes d^2 rows per VECTOR
-             "embed_covariance_diag"}
+             "embed_covariance_diag",
+             # round-6 addition: per-batch partial top-k between JVM scoring
+             # and the rank window (operators.similarity.hard_negatives) —
+             # bounds the window's shuffle to |anchors| x k x batches rows,
+             # same seam as ann_cosine_topk
+             "hard_negative_mining"}
 
 
 def analyze_plan(plan: str) -> dict:
     """Extract the audited physical-plan properties from an executedPlan
     string — shared by the PLAN_AUDIT.md generator and the
-    tests/test_plan_budget.py regression gate."""
+    tests/test_plan_budget.py regression gate.
+
+    An executed AdaptiveSparkPlan's toString appends the pre-AQE "Initial
+    Plan" section, which double-counts every Exchange; only the final plan
+    (the part before that marker) is audited."""
+    plan = plan.split("== Initial Plan ==")[0]
     scan_widths = [
         rs.count(":") for rs in re.findall(r"ReadSchema: struct<([^>\n]*)", plan)
     ]
