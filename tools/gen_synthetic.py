@@ -8,7 +8,9 @@ to the target directory (default /tmp/sfsyn1 — scratch, never the repo).
 These tables measure wall-time GROWTH one decade past the largest driver
 fixture; they are not driver data and carry no oracle correctness claims.
 
-Usage: python tools/gen_synthetic.py [out_dir]
+Usage: python tools/gen_synthetic.py [out_dir] [n_docs] [n_vecs]
+(defaults 50000 / 20000 -> sfsyn1; sfsyn2 = 500000 / 50000, the 100x-of-
+sf0.1 decade for SCALE_CURVE.md's growth rows)
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def main() -> int:
         ).fetchall()
     ]
     rng = np.random.default_rng(42)
-    n = 50_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     langs = ["en", "es", "de", "fr", "zh"]
     p_lang = [0.44, 0.15, 0.14, 0.13, 0.14]
     words = np.array(vocab)
@@ -63,7 +65,7 @@ def main() -> int:
     os.makedirs(out, exist_ok=True)
     df.to_parquet(f"{out}/documents.parquet", index=False)
 
-    m = 20_000
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
     emb = rng.standard_normal((m, 64)).astype(np.float32)
     for _ in range(m // 100):  # ~1% near-identical copies
         a, b = rng.integers(0, m, 2)
