@@ -812,3 +812,41 @@ def embed_covariance(
             "CAST(floor((1.0D*n*sxy - 1.0D*sxi*sxj) / (1.0D*n*n)) AS BIGINT)"
         ).alias("cov_e6"),
     )
+
+
+def cluster_stratified_sample(
+    corpus: DataFrame, n_centroids: int = 16, per_cell: int = 5, iters: int = 0
+) -> DataFrame:
+    """Cluster-balanced corpus sampling (the DataComp/SemDeDup curation
+    move): train a coarse quantizer, assign every vector to its nearest
+    cell as pure literal-folded codegen (zero shuffle — same machinery as
+    ``ivf_topk_trained``), then keep the ``per_cell`` first vectors per
+    cell in deterministic md5(vec_id) order. A uniform sample of a skewed
+    corpus reproduces the skew; this stratification caps every semantic
+    cluster's contribution, which is how diversity-balanced eval subsets
+    and mixture-controlled training slices are actually cut.
+
+    Expects ``with_norm`` output (columns ``vec_id``, ``v``). Returns
+    (vec_id, cell, rn) for the selected rows. The only shuffle is the
+    per-cell rank window, keyed on cell — at scale, size ``n_centroids ∝
+    corpus`` (the SemDeDup sizing rule) so strata stay bounded and the
+    window never sees a giant partition. The md5 order is a content-free
+    deterministic shuffle: reproducible across runs and engines, no
+    rand() (reference ordering-discipline analog:
+    /root/reference/streamable/stream.py distinct/group determinism).
+    """
+    cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    assigned = corpus.select(
+        "vec_id",
+        trained_cells(F.col("v"), cents, nprobe=1).alias("cell"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("cell").orderBy("h", "vec_id")
+    return (
+        assigned.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= per_cell)
+        .select("vec_id", "cell", "rn")
+    )

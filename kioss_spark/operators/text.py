@@ -179,3 +179,57 @@ def quality_metrics(toks: Column):
         lambda acc, x: acc + x,
     )
     return n_tok, n_uniq, stop, tok_chars
+
+
+#: 2x2 chi-square drift score over per-token epoch counts (n_a, n_b) and
+#: epoch totals (ta, tb), e3-floored.  ONE expression string used VERBATIM
+#: by both the Spark engine (F.expr) and the DuckDB oracle: every operand
+#: is a pure scalar function of exact integer counts, so with an identical
+#: IEEE expression tree the doubles — and the floor — match bit-for-bit
+#: (the quality_metrics fixed-op-order discipline).
+CHI2_SQL = (
+    "CAST(floor("
+    "(CAST(ta + tb AS DOUBLE)"
+    " * (CAST(n_a AS DOUBLE) * CAST(tb - n_b AS DOUBLE)"
+    "    - CAST(n_b AS DOUBLE) * CAST(ta - n_a AS DOUBLE))"
+    " * (CAST(n_a AS DOUBLE) * CAST(tb - n_b AS DOUBLE)"
+    "    - CAST(n_b AS DOUBLE) * CAST(ta - n_a AS DOUBLE)))"
+    " / (CAST(n_a + n_b AS DOUBLE) * CAST(ta - n_a + tb - n_b AS DOUBLE)"
+    "    * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))"
+    " * 1000) AS BIGINT)"
+)
+
+
+def vocab_drift(
+    docs, epoch: Column, text_col: str = "text", top_k: int = 50
+):
+    """Token-distribution drift between two corpus slices — the corpus-
+    health monitor a pipeline runs between crawl snapshots or training
+    epochs (did the vocabulary shift? which tokens drive it?). Per token,
+    the 2x2 chi-square statistic of (count in epoch A, count in epoch B)
+    against the epoch totals: the standard keyword/burst detector
+    (Dunning-style association, kept log-free as pure rational+IEEE
+    arithmetic — the collocations_pmi discipline — so a SQL oracle
+    reproduces every score exactly).
+
+    Returns the ``top_k`` most-drifted tokens as (w, n_a, n_b, chi2_e3).
+    Plan: one explode + one token-keyed agg (map-side combined), a 1-row
+    totals aggregate broadcast back, and the final top-k sort — the keyed
+    shuffle carries the vocabulary, not the corpus, and the only
+    single-partition exchange is the |vocab|->top_k final. Scale shape:
+    identical to vocab_top_terms at any corpus size.
+    """
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("w"), epoch.alias("e"))
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("e") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("e") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select("w", "n_a", "n_b", F.expr(CHI2_SQL).alias("chi2_e3"))
+        .orderBy(F.col("chi2_e3").desc(), "w")
+        .limit(top_k)
+    )

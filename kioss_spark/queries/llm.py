@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from kioss_spark.operators import dedup, multimodal, similarity
 from kioss_spark.operators.text import (
     LANG_MARKERS,
+    CHI2_SQL,
+    vocab_drift as vocab_drift_op,
     h60,
     marker_score,
     quality_metrics,
@@ -4366,4 +4368,81 @@ def quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "score_e6",
         (F.col("score_e6") > 0).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced sampling + corpus drift (round 7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_cluster_stratified",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    hh AS (SELECT vec_id, v,
+                  CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h
+           FROM e),
+    cent AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, v AS cv
+        FROM hh ORDER BY h, vec_id LIMIT 16
+    ),
+    ca AS (SELECT t.vec_id, t.h, cent.cid, {_D2.format(t='t')} AS d2
+           FROM hh t CROSS JOIN cent),
+    best AS (SELECT vec_id, h, cid AS cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d2, cid) AS rn FROM ca)
+             WHERE rn = 1),
+    r AS (SELECT vec_id, cell,
+                 CAST(row_number() OVER (PARTITION BY cell
+                                         ORDER BY h, vec_id) AS BIGINT) AS rn
+          FROM best)
+    SELECT vec_id, cell, rn FROM r WHERE rn <= 5 ORDER BY cell, rn
+    """,
+)
+def sample_cluster_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sample (DataComp/SemDeDup curation): assign
+    every embedding to its trained-quantizer cell (train_ivf Forgy
+    centroids folded into codegen as literals — zero-shuffle assignment,
+    the ann_ivf_trained serving shape), keep the 5 deterministic-first
+    vectors per cell. Caps each semantic cluster's contribution, which a
+    uniform sample of a skewed corpus cannot (operators.similarity.
+    cluster_stratified_sample). Only shuffle: the per-cell rank window;
+    at scale n_centroids ∝ corpus keeps strata bounded."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    return similarity.cluster_stratified_sample(
+        nn.select("vec_id", "v"), n_centroids=16, per_cell=5
+    ).orderBy("cell", "rn")
+
+
+
+
+@register(
+    "vocab_drift_chi2",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id % 2 AS e, x AS w
+                 FROM documents, UNNEST({SQL_TOKS}) u(x)),
+    c AS (SELECT w,
+                 CAST(sum(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM tok GROUP BY w),
+    t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                 CAST(sum(n_b) AS BIGINT) AS tb FROM c),
+    s AS (SELECT w, n_a, n_b, {CHI2_SQL} AS chi2_e3 FROM c CROSS JOIN t)
+    SELECT w, n_a, n_b, chi2_e3 FROM s ORDER BY chi2_e3 DESC, w LIMIT 50
+    """,
+)
+def vocab_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between corpus epochs (doc_id parity stands in for
+    consecutive crawl snapshots): per-token 2x2 chi-square against the
+    epoch totals, top-50 drifted tokens — the distribution-shift monitor
+    run before mixing a new snapshot into training data. Pure
+    rational+IEEE arithmetic with ONE expression string shared verbatim
+    by engine and oracle (operators.text.CHI2_SQL), so every score
+    hash-matches. Plan: explode -> token-keyed agg -> broadcast 1-row
+    totals -> top-k; the keyed shuffle carries the vocabulary only."""
+    docs = _docs(spark, sf_dir)
+    return vocab_drift_op(
+        docs, epoch=(F.col("doc_id") % 2).cast("long"), top_k=50
     )

@@ -1,0 +1,79 @@
+"""Unit tests for the round-7 operator additions: cluster-stratified
+sampling and vocabulary drift."""
+
+from pyspark.sql import functions as F
+
+from kioss_spark.operators.similarity import cluster_stratified_sample
+from kioss_spark.operators.text import vocab_drift
+
+
+def _two_cluster_corpus(spark, n=40, dim=4):
+    # two well-separated clusters around +10 and -10 on every coordinate
+    rows = []
+    for i in range(n):
+        base = 10.0 if i % 2 == 0 else -10.0
+        rows.append((i, [base + (i % 7) * 0.01] * dim))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_cluster_stratified_caps_every_cell(spark):
+    corpus = _two_cluster_corpus(spark)
+    got = cluster_stratified_sample(corpus, n_centroids=2, per_cell=3).collect()
+    per_cell = {}
+    for r in got:
+        per_cell.setdefault(r["cell"], []).append(r["rn"])
+    assert len(got) == 6
+    for cell, rns in per_cell.items():
+        assert sorted(rns) == [1, 2, 3]
+    # the two strata must be the two geometric clusters: members of one
+    # cell all share the same sign pattern
+    ids = {r["vec_id"]: r["cell"] for r in got}
+    sides = {}
+    for vid, cell in ids.items():
+        sides.setdefault(cell, set()).add(vid % 2)
+    assert all(len(s) == 1 for s in sides.values()), sides
+
+
+def test_cluster_stratified_deterministic_across_partitionings(spark):
+    corpus = _two_cluster_corpus(spark, n=60)
+    a = {
+        (r["vec_id"], r["cell"], r["rn"])
+        for r in cluster_stratified_sample(
+            corpus.repartition(1), n_centroids=2, per_cell=4
+        ).collect()
+    }
+    b = {
+        (r["vec_id"], r["cell"], r["rn"])
+        for r in cluster_stratified_sample(
+            corpus.repartition(13), n_centroids=2, per_cell=4
+        ).collect()
+    }
+    assert a == b and len(a) == 8
+
+
+def test_vocab_drift_flags_the_shifted_token(spark):
+    # epoch 0 (even doc_id) is saturated with "burst"; epoch 1 never has it;
+    # "stable" appears identically in both
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, "burst burst burst stable common words here"))
+        else:
+            rows.append((i, "stable common words here and more filler"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = vocab_drift(docs, epoch=(F.col("doc_id") % 2).cast("long"), top_k=5).collect()
+    assert got[0]["w"] == "burst"
+    assert got[0]["n_a"] == 60 and got[0]["n_b"] == 0
+    assert got[0]["chi2_e3"] > 0
+    scores = {r["w"]: r["chi2_e3"] for r in got}
+    # a perfectly balanced token scores (near) zero and cannot out-rank
+    assert scores["burst"] > scores.get("stable", 0)
+
+
+def test_vocab_drift_balanced_corpus_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text every time") for i in range(20)],
+        "doc_id long, text string",
+    )
+    got = vocab_drift(docs, epoch=(F.col("doc_id") % 2).cast("long")).collect()
+    assert all(r["chi2_e3"] == 0 for r in got), got

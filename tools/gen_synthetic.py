@@ -8,9 +8,13 @@ to the target directory (default /tmp/sfsyn1 — scratch, never the repo).
 These tables measure wall-time GROWTH one decade past the largest driver
 fixture; they are not driver data and carry no oracle correctness claims.
 
-Usage: python tools/gen_synthetic.py [out_dir] [n_docs] [n_vecs]
-(defaults 50000 / 20000 -> sfsyn1; sfsyn2 = 500000 / 50000, the 100x-of-
-sf0.1 decade for SCALE_CURVE.md's growth rows)
+Usage: python tools/gen_synthetic.py [out_dir] [n_docs] [n_vecs] [vocab_mult]
+(defaults 50000 / 20000 / 1 -> sfsyn1; sfsyn2 = 500000 / 50000 / 1 keeps the
+fixture's 31-word vocabulary — the SATURATED-shingle regime where pair
+candidates grow quadratically in docs-per-shingle, a fixture artifact the
+curve must call out; sfsyn2v = 500000 / 50000 / 32 scales the vocabulary
+with the corpus (Heaps-law-ish, the regime real crawls live in) so the
+pair-pipeline decade measures the DESIGN, not the artifact.)
 """
 
 from __future__ import annotations
@@ -35,6 +39,11 @@ def main() -> int:
     ]
     rng = np.random.default_rng(42)
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    vmult = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    if vmult > 1:
+        # suffix variants multiply the vocabulary while keeping the word
+        # shape/length distribution; drawn uniformly like the base words
+        vocab = [f"{w}{k}" for w in vocab for k in range(vmult)]
     langs = ["en", "es", "de", "fr", "zh"]
     p_lang = [0.44, 0.15, 0.14, 0.13, 0.14]
     words = np.array(vocab)
