@@ -850,3 +850,31 @@ def cluster_stratified_sample(
         .where(F.col("rn") <= per_cell)
         .select("vec_id", "cell", "rn")
     )
+
+
+def recall_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against exact
+    truth — the eval every ANN deployment runs before trusting its index
+    (reference test-discipline analog: the per-operator oracle checks in
+    /root/reference/tests/test_stream.py; here the "oracle" is the exact
+    scorer itself). Both inputs carry (query_id, cand_id); ``truth`` is
+    assumed to hold exactly k rows per query.
+
+    Returns (query_id, hits, recall_e2). The join is keyed on
+    (query_id, cand_id) over two |queries|×k-row inputs — both sides are
+    k-bounded per query regardless of corpus size, so the eval costs the
+    two top-k runs plus an O(|queries|·k) join: safe to run on a sampled
+    query set against a 100 TB corpus.
+    """
+    hit = approx.select("query_id", "cand_id").withColumn("hit", F.lit(1))
+    return (
+        truth.select("query_id", "cand_id")
+        .join(hit, on=["query_id", "cand_id"], how="left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "query_id",
+            "hits",
+            F.floor(F.col("hits") * 100 / k).cast("long").alias("recall_e2"),
+        )
+    )

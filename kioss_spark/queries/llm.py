@@ -4446,3 +4446,137 @@ def vocab_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_drift_op(
         docs, epoch=(F.col("doc_id") % 2).cast("long"), top_k=50
     )
+
+
+# ---------------------------------------------------------------------------
+# approximation-quality evals (round 7): the index/dedup structures grade
+# themselves against their exact counterparts — the check a pipeline runs
+# before trusting an approximate structure over a full corpus.
+# ---------------------------------------------------------------------------
+
+
+def _registered_oracle(name: str) -> str:
+    from kioss_spark.queries import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+def _ann_recall_oracle() -> str:
+    brute = _registered_oracle("ann_cosine_topk")
+    trained = _registered_oracle("ann_ivf_trained")
+    return f"""
+    SELECT t.query_id,
+           CAST(count(l.cand_id) AS BIGINT) AS hits,
+           CAST(floor(count(l.cand_id) * 100 / 5) AS BIGINT) AS recall_e2
+    FROM (SELECT query_id, cand_id FROM ({brute}) b WHERE b.rnk <= 5) t
+    LEFT JOIN (SELECT query_id, cand_id FROM ({trained}) a) l
+           ON t.query_id = l.query_id AND t.cand_id = l.cand_id
+    GROUP BY t.query_id
+    """
+
+
+@register("ann_recall_eval", oracle=_ann_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the trained-IVF index (16 Forgy cells, nprobe=3 — the
+    exact configuration ann_ivf_trained serves) against brute-force cosine
+    truth, per query. This is the sizing instrument behind RECALL.md's
+    numbers, promoted to a first-class oracle-gated query: when an index
+    parameter changes, the recall it buys is itself driver-verified. Both
+    inputs are k-bounded per query, so the eval's own cost is two top-k
+    runs plus an O(|queries|*k) join (operators.similarity.recall_at_k) —
+    runnable on a sampled query set at any corpus size."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    truth = similarity.cosine_topk(q, c, k=5)
+    approx = similarity.ivf_topk_trained(q, c, k=5, n_centroids=16, iters=0, nprobe=3)
+    return similarity.recall_at_k(truth, approx, k=5)
+
+
+def _lsh_recall_oracle() -> str:
+    truth = _registered_oracle("dedup_jaccard_pairs")
+    lsh = _registered_oracle("dedup_minhash_lsh")
+    return f"""
+    SELECT t.doc_a, t.doc_b, t.jaccard_e6,
+           CAST(CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS lsh_hit
+    FROM ({truth}) t
+    LEFT JOIN (SELECT doc_a, doc_b FROM ({lsh}) x) l
+           ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    """
+
+
+@register("dedup_lsh_recall", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair recall audit of MinHash-LSH banding (K=32, 8x4 — the
+    dedup_minhash_lsh production configuration) against the exact PPJoin
+    Jaccard truth at the same threshold: every true near-dup pair, flagged
+    with whether LSH banding surfaced it. The S-curve says a J=0.5 pair
+    survives 8 bands of r=4 with p = 1-(1-0.5^4)^8 ~ 40%, rising steeply
+    with J — this query measures the actual miss set instead of trusting
+    the formula, and its driver gate keeps the measurement itself honest.
+    Cost: the two pair pipelines (both candidate-bounded, never all-pairs)
+    plus a join keyed on the true-pair set, which is duplicate-bounded —
+    at 100 TB this runs on a sampled shard as a banding-config check."""
+    docs = _docs(spark, sf_dir)
+    truth = dedup.jaccard_pairs(docs, threshold=0.5)
+    lsh = (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("lsh_hit", F.lit(1))
+    )
+    return truth.join(lsh, on=["doc_a", "doc_b"], how="left").select(
+        "doc_a",
+        "doc_b",
+        "jaccard_e6",
+        F.coalesce(F.col("lsh_hit"), F.lit(0)).cast("long").alias("lsh_hit"),
+    )
+
+
+def _probe_calibration_oracle() -> str:
+    probe = _registered_oracle("quality_linear_probe")
+    return f"""
+    WITH p AS (SELECT * FROM ({probe}) x WHERE score_e6 IS NOT NULL),
+    b AS (SELECT CASE WHEN score_e6 = 0 THEN 0
+                      WHEN score_e6 > 0 THEN CAST(length(bin(score_e6)) AS BIGINT)
+                      ELSE -CAST(length(bin(-score_e6)) AS BIGINT) END AS bucket,
+                 label
+          FROM p)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(floor(sum(label) * 1000000.0 / count(*)) AS BIGINT) AS pos_rate_e6
+    FROM b GROUP BY bucket
+    """
+
+
+@register("probe_calibration_bins", oracle=_probe_calibration_oracle())
+def probe_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the learned quality filter: empirical
+    positive-label rate per signed log2 score-magnitude bucket — does a
+    higher probe score actually mean a higher chance the document is
+    good? This is the check run before trusting a probe threshold to cut
+    a corpus (reliability-diagram practice, binned engine-exactly:
+    bucket = sign * (floor(log2 |score|)+1) via length(bin(v)) — the
+    validated libm-free idiom from event_value_histogram — never an
+    ntile/global sort). One keyed agg over the zero-shuffle probe
+    projection; output bounded at ~128 buckets at any corpus size."""
+    p = quality_linear_probe(spark, sf_dir).where(F.col("score_e6").isNotNull())
+    s = F.col("score_e6")
+    bucket = (
+        F.when(s == 0, F.lit(0))
+        .when(s > 0, F.length(F.bin(s)))
+        .otherwise(-F.length(F.bin(-s)))
+    ).cast("long")
+    return (
+        p.select(bucket.alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.floor(F.col("n_pos") * 1000000.0 / F.col("n")).cast("long").alias("pos_rate_e6"),
+        )
+    )

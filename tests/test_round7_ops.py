@@ -77,3 +77,26 @@ def test_vocab_drift_balanced_corpus_scores_zero(spark):
     )
     got = vocab_drift(docs, epoch=(F.col("doc_id") % 2).cast("long")).collect()
     assert all(r["chi2_e3"] == 0 for r in got), got
+
+
+def test_recall_at_k_counts_hits(spark):
+    from kioss_spark.operators.similarity import recall_at_k
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id long, cand_id long"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id long, cand_id long"
+    )
+    got = {r["query_id"]: (r["hits"], r["recall_e2"])
+           for r in recall_at_k(truth, approx, k=2).collect()}
+    assert got == {1: (1, 50), 2: (2, 100)}
+
+
+def test_recall_at_k_zero_overlap(spark):
+    from kioss_spark.operators.similarity import recall_at_k
+
+    truth = spark.createDataFrame([(1, 10)], "query_id long, cand_id long")
+    approx = spark.createDataFrame([(1, 77)], "query_id long, cand_id long")
+    got = recall_at_k(truth, approx, k=1).collect()
+    assert got[0]["hits"] == 0 and got[0]["recall_e2"] == 0
