@@ -878,3 +878,58 @@ def recall_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             F.floor(F.col("hits") * 100 / k).cast("long").alias("recall_e2"),
         )
     )
+
+
+def ivf_index_ingest(
+    base: DataFrame, batch: DataFrame, n_centroids: int = 16
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign an ingest batch to the
+    centroids TRAINED ON THE EXISTING CORPUS (no retrain) and report
+    per-cell growth — the upkeep loop that keeps a serving index alive
+    between retrains. A cell the batch grows past +50% is flagged as a
+    retrain candidate (its residual quantization error is no longer the
+    error the recall numbers were measured at).
+
+    Inputs are ``with_norm`` outputs (vec_id, v). Returns one row per
+    centroid cell: (cell, n_base, n_new, growth_e6, retrain_flag).
+
+    Scale shape: both assignments are literal-folded zero-shuffle codegen
+    (the ``ivf_topk_trained`` serving machinery); the only shuffles are
+    two cell-keyed aggs whose output is bounded at ``n_centroids`` rows,
+    and the per-batch cost is O(batch) — the corpus is scanned once for
+    counts and never re-trained. Forgy seeding keeps the whole report
+    SQL-reproducible.
+    """
+    cents = train_ivf(base, n_centroids=n_centroids, iters=0)
+    b = base.select(trained_cells(F.col("v"), cents, nprobe=1).alias("cell")).groupBy(
+        "cell"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    nw = batch.select(trained_cells(F.col("v"), cents, nprobe=1).alias("cell")).groupBy(
+        "cell"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    return (
+        b.join(nw, on="cell", how="full_outer")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+        .select(
+            "cell",
+            "n_base",
+            "n_new",
+            F.when(
+                F.col("n_base") > 0,
+                F.floor(F.col("n_new") * 1000000 / F.col("n_base")),
+            ).cast("long").alias("growth_e6"),
+        )
+        .select(
+            "cell",
+            "n_base",
+            "n_new",
+            "growth_e6",
+            F.coalesce(F.col("growth_e6") > 500000, F.lit(True))
+            .cast("int")
+            .alias("retrain_flag"),
+        )
+    )

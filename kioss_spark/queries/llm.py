@@ -4580,3 +4580,128 @@ def probe_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("n_pos") * 1000000.0 / F.col("n")).cast("long").alias("pos_rate_e6"),
         )
     )
+
+
+@register(
+    "ann_index_ingest",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    base AS (SELECT * FROM e WHERE vec_id % 10 != 3),
+    batch AS (SELECT * FROM e WHERE vec_id % 10 = 3),
+    cent AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, cv
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h,
+                     vec_id, v AS cv
+              FROM base)
+        ORDER BY h, vec_id LIMIT 16
+    ),
+    ba AS (SELECT t.vec_id, cent.cid, {_D2.format(t='t')} AS d2
+           FROM base t CROSS JOIN cent),
+    bcell AS (SELECT vec_id, cid AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM ba)
+              WHERE rn = 1),
+    na AS (SELECT t.vec_id, cent.cid, {_D2.format(t='t')} AS d2
+           FROM batch t CROSS JOIN cent),
+    ncell AS (SELECT vec_id, cid AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM na)
+              WHERE rn = 1),
+    bc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base FROM bcell GROUP BY cell),
+    nc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_new FROM ncell GROUP BY cell),
+    j AS (SELECT CAST(COALESCE(bc.cell, nc.cell) AS BIGINT) AS cell,
+                 COALESCE(bc.n_base, 0) AS n_base,
+                 COALESCE(nc.n_new, 0) AS n_new
+          FROM bc FULL OUTER JOIN nc ON bc.cell = nc.cell),
+    g AS (SELECT cell, n_base, n_new,
+                 CASE WHEN n_base > 0
+                      THEN CAST(floor(n_new * 1000000.0 / n_base) AS BIGINT)
+                      ELSE NULL END AS growth_e6
+          FROM j)
+    SELECT cell, n_base, n_new, growth_e6,
+           CAST(COALESCE(growth_e6 > 500000, TRUE) AS INTEGER) AS retrain_flag
+    FROM g
+    """,
+)
+def ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance: a deterministic 10% vec_id slice
+    plays today's ingest batch; it is assigned to the centroids trained on
+    the EXISTING corpus (no retrain) and each cell reports base size, new
+    arrivals, growth, and a retrain flag at +50% growth — the upkeep
+    report that decides when the index's measured recall (ann_recall_eval)
+    stops being trustworthy. Per-batch cost is O(batch): two zero-shuffle
+    literal-folded assignments + two cell-keyed aggs bounded at 16 rows
+    (operators.similarity.ivf_index_ingest)."""
+    nn = similarity.with_norm(_emb(spark, sf_dir)).select("vec_id", "v")
+    base = nn.where(F.pmod(F.col("vec_id"), F.lit(10)) != 3)
+    batch = nn.where(F.pmod(F.col("vec_id"), F.lit(10)) == 3)
+    return similarity.ivf_index_ingest(base, batch, n_centroids=16)
+
+
+#: chunk count for the chunk_text_windows store (window=32, stride=24) —
+#: MUST mirror operators.text.chunk_windows' integer-exact formula
+_SQL_NCHUNKS = (
+    "CASE WHEN len(t) > 0 THEN 1 + CAST(floor((greatest(len(t) - 32, 0) + 23) / 24.0)"
+    " AS BIGINT) ELSE 0 END"
+)
+
+
+@register(
+    "forget_fanout",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents
+               WHERE ({sql_h60('text')}) % 100 = 7),
+    m AS (
+        SELECT doc_id, 'documents' AS artifact, CAST(1 AS BIGINT) AS n_rows FROM f
+        UNION ALL
+        SELECT doc_id, 'minhash_signatures', CAST(1 AS BIGINT) FROM f
+        UNION ALL
+        SELECT doc_id, 'lsh_bands', CAST(8 AS BIGINT) FROM f
+        UNION ALL
+        SELECT doc_id, 'chunks', {_SQL_NCHUNKS} FROM f
+    )
+    SELECT doc_id, artifact, n_rows FROM m
+    """,
+)
+def forget_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete-manifest fanout: for a deterministic
+    ~1% content-hash forget set, emit the per-derived-table delete
+    manifest — one (doc_id, artifact, n_rows) row for every row the
+    deletion must reach in the document store, the persistent MinHash
+    signature table (minhash_signatures), its 8-band LSH bucket table,
+    and the RAG chunk store (chunk_text_windows; n_rows reproduces the
+    chunker's exact integer chunk-count formula, so the manifest audits
+    against the real chunk table). Each per-table manifest then drives a
+    MERGE delete via curation.apply_changeset — the exactly-once bridge
+    already gated by corpus_apply_changeset. Embeddings are NOT fanned
+    out: the fixtures define no doc_id↔vec_id lineage, and inventing one
+    would fabricate compliance coverage. Plan: one corpus scan, narrow
+    projection + 4-way explode, ZERO shuffles at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    f = docs.where(F.pmod(h60(F.col("text")), F.lit(100)) == 7).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    n = F.size(F.col("t"))
+    n_chunks = (
+        F.when(
+            n > 0,
+            F.lit(1).cast("long")
+            + F.floor((F.greatest(n - F.lit(32), F.lit(0)) + F.lit(23)) / F.lit(24.0)).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    manifest = F.array(
+        F.struct(F.lit("documents").alias("artifact"), F.lit(1).cast("long").alias("n_rows")),
+        F.struct(F.lit("minhash_signatures").alias("artifact"), F.lit(1).cast("long").alias("n_rows")),
+        F.struct(F.lit("lsh_bands").alias("artifact"), F.lit(8).cast("long").alias("n_rows")),
+        F.struct(F.lit("chunks").alias("artifact"), n_chunks.alias("n_rows")),
+    )
+    return f.select("doc_id", F.explode(manifest).alias("m")).select(
+        "doc_id",
+        F.col("m.artifact").alias("artifact"),
+        F.col("m.n_rows").alias("n_rows"),
+    )

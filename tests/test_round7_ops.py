@@ -100,3 +100,39 @@ def test_recall_at_k_zero_overlap(spark):
     approx = spark.createDataFrame([(1, 77)], "query_id long, cand_id long")
     got = recall_at_k(truth, approx, k=1).collect()
     assert got[0]["hits"] == 0 and got[0]["recall_e2"] == 0
+
+
+def test_ivf_index_ingest_counts_and_flags(spark):
+    from kioss_spark.operators.similarity import ivf_index_ingest
+
+    # two tight clusters; batch lands entirely in cluster 0's cell
+    base_rows = [(i, [10.0 + (i % 5) * 0.01] * 4) for i in range(0, 20, 2)]
+    base_rows += [(i, [-10.0 - (i % 5) * 0.01] * 4) for i in range(1, 21, 2)]
+    batch_rows = [(100 + i, [10.0] * 4) for i in range(9)]
+    base = spark.createDataFrame(base_rows, "vec_id long, v array<double>")
+    batch = spark.createDataFrame(batch_rows, "vec_id long, v array<double>")
+    got = {r["cell"]: r for r in ivf_index_ingest(base, batch, n_centroids=2).collect()}
+    assert sum(r["n_base"] for r in got.values()) == 20
+    assert sum(r["n_new"] for r in got.values()) == 9
+    # the batch-receiving cell grew 9/10 = 90% -> flagged; the other didn't
+    flags = sorted((r["n_new"], r["retrain_flag"]) for r in got.values())
+    assert flags == [(0, 0), (9, 1)]
+    grown = [r for r in got.values() if r["n_new"] == 9][0]
+    assert grown["growth_e6"] == 900000
+
+
+def test_forget_fanout_chunk_counts_match_chunker(spark):
+    from kioss_spark.operators.text import chunk_windows, tokens
+    import __spark_entry__ as m
+
+    # n_rows for 'chunks' must equal the real chunker's output size per doc
+    df = m.queries()["forget_fanout"](spark, "/root/testdata/sf0.001")
+    chunks = df.where(F.col("artifact") == "chunks").select("doc_id", "n_rows")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.size(chunk_windows(tokens(F.col("text")))).cast("long").alias("real")
+    )
+    bad = chunks.join(docs, "doc_id").where(F.col("n_rows") != F.col("real")).count()
+    assert bad == 0
+    # every forgotten doc appears in all four artifacts
+    per_doc = df.groupBy("doc_id").count().collect()
+    assert per_doc and all(r["count"] == 4 for r in per_doc)
