@@ -40,6 +40,8 @@ these operators are the scale-out extension the brief requires.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -342,6 +344,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = DEFAULT_N,
     threshold: float = 0.5,
+    inv: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (J >= threshold) via PPJoin
     prefix filtering.
@@ -351,8 +354,13 @@ def jaccard_pairs(
     joining on prefix shingles is lossless. Ordering rare-first (ascending
     document frequency) makes prefix shingles low-frequency, collapsing the
     candidate count. Result is identical to a naive inverted-index join.
+
+    ``inv``: optionally reuse a prebuilt ``shingle_index`` (one corpus
+    materialization shared across pipelines, e.g. the LSH recall audit
+    runs this AND the banded form over the same index).
     """
-    inv = shingle_index(docs, text_col, id_col, n)
+    if inv is None:
+        inv = shingle_index(docs, text_col, id_col, n)
     prefix = _prefix(inv, threshold)
     cands = (
         prefix.alias("a")
@@ -390,6 +398,7 @@ def incremental_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = DEFAULT_N,
     threshold: float = 0.5,
+    inv: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental near-dup pairs: every J >= threshold pair with AT LEAST
     ONE endpoint in the new batch (``is_new`` a boolean Column over
@@ -411,7 +420,8 @@ def incremental_jaccard_pairs(
     At scale the corpus-side index and prefix are precomputed once and
     stored bucketed by shingle (see shingle_index); each daily run then
     shuffles only the new batch's shingle stream."""
-    inv = shingle_index(docs, text_col, id_col, n)
+    if inv is None:
+        inv = shingle_index(docs, text_col, id_col, n)
     prefix = _prefix(inv, threshold)
     new_ids = docs.where(is_new).select(F.col(id_col).alias("doc_id"))
     pnew = prefix.join(new_ids, "doc_id")
@@ -566,14 +576,17 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = DEFAULT_N,
     threshold: float = 0.5,
+    inv: Optional[DataFrame] = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket candidates, exact-Jaccard
     verified. Signature = one groupBy(doc) with K min-aggregates over the
     materialized index (map-side combine; state = K longs per doc; the
     groupBy rides the index's doc_id clustering). Shuffle cost ∝ docs ×
     bands for candidates — never all-pairs. The single index checkpoint
-    feeds signatures, candidate self-join, and verification."""
-    inv = shingle_index(docs, text_col, id_col, n)
+    feeds signatures, candidate self-join, and verification.
+    ``inv``: optionally reuse a prebuilt ``shingle_index``."""
+    if inv is None:
+        inv = shingle_index(docs, text_col, id_col, n)
     buckets = _band_buckets(_signatures(inv, k), k, bands)
     cands = (
         buckets.alias("a")
@@ -607,6 +620,7 @@ def incremental_minhash_pairs(
     bands: int = 8,
     n: int = DEFAULT_N,
     threshold: float = 0.5,
+    inv: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Incremental MinHash-LSH dedup — ``incremental_jaccard_pairs``'s
     contract (every verified pair with >= 1 endpoint in the new batch,
@@ -622,7 +636,8 @@ def incremental_minhash_pairs(
 
     Returns ``(doc_a, doc_b, n_shared, jaccard_e6, both_new)`` exactly
     like the prefix-filtered form."""
-    inv = shingle_index(docs, text_col, id_col, n)
+    if inv is None:
+        inv = shingle_index(docs, text_col, id_col, n)
     buckets = _band_buckets(_signatures(inv, k), k, bands)
     new_ids = docs.where(is_new).select(F.col(id_col).alias("doc_id"))
     bnew = buckets.join(new_ids, "doc_id")

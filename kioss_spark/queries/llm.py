@@ -4514,13 +4514,16 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives 8 bands of r=4 with p = 1-(1-0.5^4)^8 ~ 40%, rising steeply
     with J — this query measures the actual miss set instead of trusting
     the formula, and its driver gate keeps the measurement itself honest.
-    Cost: the two pair pipelines (both candidate-bounded, never all-pairs)
+    Cost: the two pair pipelines share ONE materialized shingle index
+    (built once, fed to both via the ``inv`` seam — the corpus is
+    shingled exactly once), both candidate-bounded, never all-pairs,
     plus a join keyed on the true-pair set, which is duplicate-bounded —
     at 100 TB this runs on a sampled shard as a banding-config check."""
     docs = _docs(spark, sf_dir)
-    truth = dedup.jaccard_pairs(docs, threshold=0.5)
+    inv = dedup.shingle_index(docs)
+    truth = dedup.jaccard_pairs(docs, threshold=0.5, inv=inv)
     lsh = (
-        dedup.minhash_lsh_pairs(docs, threshold=0.5)
+        dedup.minhash_lsh_pairs(docs, threshold=0.5, inv=inv)
         .select("doc_a", "doc_b")
         .withColumn("lsh_hit", F.lit(1))
     )
