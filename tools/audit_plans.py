@@ -34,6 +34,8 @@ PYTHON_OK = {"op_catch_pyfn", "op_amap_enrich", "op_foreach_passthrough",
              # two cosine_topk passes (full + truncated dims) — same
              # deliberate partial-top-k seam as ann_cosine_topk
              "ann_matryoshka_agreement",
+             # its truth side IS cosine_topk — same partial-top-k seam
+             "ann_recall_eval",
              # same partial pattern: per-batch bottom-k partial KMV sketches
              # bound the keyed rank's shuffle (operators.sketch.kmv_distinct)
              "sketch_distinct_tokens",
