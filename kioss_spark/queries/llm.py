@@ -4708,3 +4708,314 @@ def forget_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.artifact").alias("artifact"),
         F.col("m.n_rows").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline governance: single-pass DQ gate, leakage-free splitting,
+# cross-source score calibration, forget-manifest MERGE audit
+# ---------------------------------------------------------------------------
+
+#: declared constraint domain for the documents table (the dq gate's
+#: expectations, not derived from the data under test)
+_DQ_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@register(
+    "dq_constraint_audit",
+    oracle=f"""
+    WITH a AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_text,
+               CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_id,
+               CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_id,
+               CAST(sum(CASE WHEN COALESCE(
+                        lang NOT IN ('de','en','es','fr','zh'), TRUE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+               CAST(sum(CASE WHEN COALESCE(n_chars != length(text), TRUE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS bad_len,
+               CAST(sum(CASE WHEN COALESCE(
+                        n_chars < 1 OR n_chars > 100000, TRUE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS oob_len,
+               CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS null_source
+        FROM documents
+    )
+    SELECT metric, value, ok FROM (
+        SELECT 'row_count' AS metric, n_rows AS value,
+               CAST(n_rows >= 1 AS BIGINT) AS ok FROM a
+        UNION ALL SELECT 'text_complete', null_text,
+               CAST(null_text = 0 AS BIGINT) FROM a
+        UNION ALL SELECT 'doc_id_complete', null_id,
+               CAST(null_id = 0 AS BIGINT) FROM a
+        UNION ALL SELECT 'doc_id_unique', dup_id,
+               CAST(dup_id = 0 AS BIGINT) FROM a
+        UNION ALL SELECT 'lang_in_domain', bad_lang,
+               CAST(bad_lang = 0 AS BIGINT) FROM a
+        UNION ALL SELECT 'n_chars_consistent', bad_len,
+               CAST(bad_len = 0 AS BIGINT) FROM a
+        UNION ALL SELECT 'n_chars_in_range', oob_len,
+               CAST(oob_len = 0 AS BIGINT) FROM a
+        UNION ALL SELECT 'source_complete', null_source,
+               CAST(null_source = 0 AS BIGINT) FROM a
+    )
+    """,
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality gate over the document store:
+    eight constraints (completeness of text/doc_id/source, doc_id
+    uniqueness, lang domain containment, n_chars==length(text)
+    consistency, n_chars range) verified in ONE corpus scan — every
+    violation counter is a conditional sum in a single aggregate, so the
+    whole audit is one map-side-combining pass plus a 1-row final agg no
+    matter the corpus size (the count-distinct term is the only keyed
+    shuffle, carrying doc_id only). NULL checks are explicit
+    (``COALESCE(cond, TRUE)``) so a null lang or n_chars counts as a
+    violation instead of silently dropping out of the sum. Output is the
+    long-format (metric, value, ok) report a pipeline gate consumes —
+    schema fixed at 8 rows forever."""
+    docs = _docs(spark, sf_dir)
+
+    def _viol(cond):
+        return F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)).cast("long")
+
+    a = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        _viol(F.col("text").isNull()).alias("null_text"),
+        _viol(F.col("doc_id").isNull()).alias("null_id"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).cast("long").alias("dup_id"),
+        _viol(~F.col("lang").isin(*_DQ_LANGS)).alias("bad_lang"),
+        _viol(F.col("n_chars") != F.length("text")).alias("bad_len"),
+        _viol((F.col("n_chars") < 1) | (F.col("n_chars") > 100000)).alias("oob_len"),
+        _viol(F.col("source").isNull()).alias("null_source"),
+    )
+    checks = [
+        ("row_count", "n_rows", F.col("n_rows") >= 1),
+        ("text_complete", "null_text", F.col("null_text") == 0),
+        ("doc_id_complete", "null_id", F.col("null_id") == 0),
+        ("doc_id_unique", "dup_id", F.col("dup_id") == 0),
+        ("lang_in_domain", "bad_lang", F.col("bad_lang") == 0),
+        ("n_chars_consistent", "bad_len", F.col("bad_len") == 0),
+        ("n_chars_in_range", "oob_len", F.col("oob_len") == 0),
+        ("source_complete", "null_source", F.col("null_source") == 0),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.col(c).alias("value"),
+                ok.cast("long").alias("ok"),
+            )
+            for m, c, ok in checks
+        ]
+    )
+    return a.select(F.explode(rows).alias("r")).select("r.metric", "r.value", "r.ok")
+
+
+@register(
+    "split_by_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 500000
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+               FROM reach GROUP BY src)
+    SELECT CAST(l.doc_id AS BIGINT) AS doc_id,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN {sql_h60("d.text")} % 10000 < 9000 THEN 'train'
+                WHEN {sql_h60("d.text")} % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labels l JOIN documents d ON l.cluster_id = d.doc_id
+    """,
+)
+def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-FREE train/val/test split: every document inherits the
+    content-hash split of its near-dup cluster REPRESENTATIVE (connected-
+    components min-id), so a near-dup pair can never straddle a split
+    boundary — by construction the ``crosses`` set that
+    ``split_leakage_pairs`` measures is empty under this assignment
+    (pinned by a unit test). Doc-level hash splitting (hash_split) keeps
+    per-document stability but lets A~B land in train and val; splitting
+    by the cluster representative's content keeps BOTH properties:
+    content-pure determinism and cluster atomicity.
+
+    Scale plan: rides the PPJoin pair stage + iterative CC already
+    amortized across the dedup family; the only new work is one keyed
+    join of the label table against the corpus to fetch each
+    representative's text hash — AQE broadcasts the smaller side. The
+    split of a singleton (cluster of itself) degenerates to exactly
+    hash_split's assignment, so the operator is a drop-in upgrade."""
+    from kioss_spark.operators.curation import hash_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs, docs)
+    rep = docs.select(
+        F.col("doc_id").alias("cluster_id"), F.col("text").alias("rep_text")
+    )
+    j = labels.join(rep, "cluster_id")
+    return hash_split(j, key_col="rep_text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+    )
+
+
+@register(
+    "quality_pctl_by_source",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS} AS t FROM documents),
+    q AS (SELECT doc_id, source,
+                 CAST(floor((0.4 * (len(list_distinct(t)) / len(t))
+                      + 0.3 * (1 - len(list_filter(t, x ->
+                            x IN ('the','a','of','and','to'))) / len(t))
+                      + 0.3 * least(len(t) / 100.0, 1.0)) * 1000000) AS BIGINT)
+                     AS quality_e6
+          FROM toks),
+    h AS (SELECT source, quality_e6, CAST(count(*) AS BIGINT) AS cnt
+          FROM q GROUP BY 1, 2),
+    h2 AS (SELECT source, quality_e6, cnt,
+                  COALESCE(sum(cnt) OVER (
+                      PARTITION BY source ORDER BY quality_e6
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS below,
+                  sum(cnt) OVER (PARTITION BY source) AS n_src
+           FROM h)
+    SELECT CAST(q.doc_id AS BIGINT) AS doc_id, q.source, q.quality_e6,
+           CAST((2 * below + cnt) * 1000000 // (2 * n_src) AS BIGINT) AS pct_e6
+    FROM q JOIN h2 USING (source, quality_e6)
+    """,
+)
+def quality_pctl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality-score calibration: each document's composite
+    quality score is mapped to its mid-rank percentile WITHIN its source
+    (pct_e6 = floor((2*below + ties) * 1e6 / (2*n)), the Hazen plotting
+    position) — so a single global keep-threshold compares documents
+    fairly across sources whose raw score distributions differ (the
+    reason curation stacks threshold per-source percentiles, not raw
+    scores). Everything is exact integer arithmetic over counts, so both
+    engines agree bit-for-bit.
+
+    Scale plan: NO global or per-source sort of the corpus — the rank
+    basis is the per-(source, score) value-grain HISTOGRAM (one
+    map-side-combining keyed agg); the cumulative window runs over the
+    histogram (bounded by distinct score values per source, not rows) and
+    the percentile joins back on (source, score) with the histogram side
+    broadcast by AQE. Corpus shuffles: the one histogram agg plus the
+    keyed join — both on (source, quality_e6)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    n_tok, n_uniq, n_stop, _ = quality_metrics(F.col("t"))
+    quality = (
+        0.4 * (n_uniq / n_tok)
+        + 0.3 * (F.lit(1) - n_stop / n_tok)
+        + 0.3 * F.least(n_tok / 100.0, F.lit(1.0))
+    )
+    q = toks.select(
+        "doc_id", "source", F.floor(quality * 1000000).cast("long").alias("quality_e6")
+    )
+    hist = q.groupBy("source", "quality_e6").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("quality_e6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    h2 = (
+        hist.withColumn("below", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)))
+        .withColumn("n_src", F.sum("cnt").over(w_all))
+        .withColumn(
+            "pct_e6",
+            F.expr("CAST((2 * below + cnt) * 1000000 DIV (2 * n_src) AS BIGINT)"),
+        )
+    )
+    return q.join(
+        h2.select("source", "quality_e6", "pct_e6"), ["source", "quality_e6"]
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "quality_e6",
+        "pct_e6",
+    )
+
+
+@register(
+    "forget_apply_audit",
+    oracle=f"""
+    WITH f AS (SELECT doc_id FROM documents WHERE ({sql_h60('text')}) % 100 = 7),
+    b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+          FROM documents GROUP BY 1),
+    a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after
+          FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM f) GROUP BY 1)
+    SELECT b.source, b.n_before,
+           COALESCE(a.n_after, 0) AS n_after,
+           b.n_before - COALESCE(a.n_after, 0) AS n_deleted
+    FROM b LEFT JOIN a USING (source)
+    """,
+)
+def forget_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the right-to-be-forgotten story begun by forget_fanout:
+    the same ~1% content-hash forget set is turned into a delete
+    changeset and APPLIED to the document store through the production
+    MERGE path (curation.apply_changeset — the exactly-once-by-idempotence
+    bridge already gated by corpus_apply_changeset), then the per-source
+    retention report (n_before / n_after / n_deleted) proves the deletion
+    landed and names exactly how many rows each source lost. A LEFT join
+    from the before-counts keeps sources the deletion emptied entirely
+    (n_after 0), so total erasure is visible rather than vanishing from
+    the report.
+
+    Scale plan: the corpus is scanned twice (before-counts; MERGE +
+    after-counts) and never shuffled on content — both count aggs are
+    map-side-combining on ``source``; the MERGE moves only the changeset
+    (the forget set), and with corpus + changeset bucketed by doc_id the
+    anti-join is co-located. Per-request cost is O(forget set), which is
+    what a compliance SLA prices."""
+    from kioss_spark.operators.curation import apply_changeset
+
+    docs = _docs(spark, sf_dir)
+    changes = docs.where(F.pmod(h60(F.col("text")), F.lit(100)) == 7).withColumn(
+        "op", F.lit("delete")
+    )
+    after = apply_changeset(docs, changes)
+    before_counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    after_counts = after.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
+    return (
+        before_counts.join(after_counts, "source", "left")
+        .withColumn("n_after", F.coalesce(F.col("n_after"), F.lit(0).cast("long")))
+        .select(
+            "source",
+            "n_before",
+            "n_after",
+            (F.col("n_before") - F.col("n_after")).cast("long").alias("n_deleted"),
+        )
+    )

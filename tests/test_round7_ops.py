@@ -136,3 +136,117 @@ def test_forget_fanout_chunk_counts_match_chunker(spark):
     # every forgotten doc appears in all four artifacts
     per_doc = df.groupBy("doc_id").count().collect()
     assert per_doc and all(r["count"] == 4 for r in per_doc)
+
+
+# ---------------------------------------------------------------------------
+# wave 2: governance queries
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dq_audit_all_green_on_fixture(spark):
+    from kioss_spark.queries.llm import dq_constraint_audit
+
+    rows = {r["metric"]: r for r in dq_constraint_audit(spark, SF).collect()}
+    assert len(rows) == 8
+    assert all(r["ok"] == 1 for r in rows.values()), rows
+    assert rows["row_count"]["value"] > 0
+    for m in rows:
+        if m != "row_count":
+            assert rows[m]["value"] == 0, (m, rows[m])
+
+
+def test_dq_audit_catches_injected_violations(spark, tmp_path):
+    from kioss_spark.queries.llm import dq_constraint_audit
+
+    bad = spark.createDataFrame(
+        [
+            (0, "ok text here", "en", "src0", 12),
+            (0, "dup id row xx", "en", "src0", 13),          # dup doc_id
+            (1, "null lang row", None, "src0", 13),          # lang violation
+            (2, "wrong n_chars", "en", "src0", 999),         # inconsistent
+            (3, None, "xx", None, -5),  # null text+source, bad lang, oob
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "corpus")
+    bad.write.parquet(d + "/documents.parquet")
+    rows = {r["metric"]: r for r in dq_constraint_audit(spark, d).collect()}
+    assert rows["doc_id_unique"]["value"] == 1 and rows["doc_id_unique"]["ok"] == 0
+    assert rows["lang_in_domain"]["value"] == 2  # None + 'xx'
+    assert rows["text_complete"]["value"] == 1
+    assert rows["source_complete"]["value"] == 1
+    # null text makes length(text) NULL -> counts as inconsistent too
+    assert rows["n_chars_consistent"]["value"] == 2
+    assert rows["n_chars_in_range"]["value"] == 1
+    assert rows["row_count"]["ok"] == 1
+
+
+def test_split_by_cluster_no_pair_crosses(spark):
+    from kioss_spark.operators import dedup
+    from kioss_spark.queries.llm import _docs, split_by_cluster
+
+    docs = _docs(spark, SF)
+    sp = split_by_cluster(spark, SF).select("doc_id", "split")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    crossed = (
+        pairs.join(sp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "sa")
+        .join(
+            sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossed == 0
+
+
+def test_split_by_cluster_singletons_match_hash_split(spark):
+    from kioss_spark.operators.curation import hash_split
+    from kioss_spark.queries.llm import _docs, split_by_cluster
+
+    docs = _docs(spark, SF)
+    sp = split_by_cluster(spark, SF)
+    base = hash_split(docs).select("doc_id", F.col("split").alias("doc_split"))
+    single = sp.where(F.col("cluster_id") == F.col("doc_id")).join(base, "doc_id")
+    n = single.count()
+    assert n > 0
+    assert single.where(F.col("split") != F.col("doc_split")).count() == 0
+
+
+def test_quality_pctl_midrank_exact(spark):
+    from kioss_spark.queries.llm import quality_pctl_by_source
+
+    got = quality_pctl_by_source(spark, SF).collect()
+    assert got
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append((r["quality_e6"], r["pct_e6"]))
+    for src, vals in by_src.items():
+        n = len(vals)
+        scores = sorted(q for q, _ in vals)
+        for q, pct in vals:
+            below = sum(1 for s in scores if s < q)
+            ties = sum(1 for s in scores if s == q)
+            assert pct == (2 * below + ties) * 1000000 // (2 * n), (src, q)
+            assert 0 < pct < 1000000
+
+
+def test_forget_apply_audit_balances(spark):
+    from pyspark.sql import functions as SF_
+    from kioss_spark.operators.text import h60
+    from kioss_spark.queries.llm import _docs, forget_apply_audit
+
+    rep = forget_apply_audit(spark, SF).collect()
+    assert rep
+    for r in rep:
+        assert r["n_before"] == r["n_after"] + r["n_deleted"]
+        assert r["n_deleted"] >= 0
+    expected = (
+        _docs(spark, SF)
+        .where(SF_.pmod(h60(SF_.col("text")), SF_.lit(100)) == 7)
+        .count()
+    )
+    assert sum(r["n_deleted"] for r in rep) == expected
