@@ -113,6 +113,25 @@ HEADLINE = [
     # log-free PMI collocation miner
     "dedup_provenance",
     "collocations_pmi",
+    # round-6 additions: column-algebra BPE segmentation and the zero-shuffle
+    # learned quality probe
+    "bpe_segment_corpus",
+    "quality_linear_probe",
+    # round-7 additions: approximation-quality evals (ANN recall, LSH banding
+    # recall, probe calibration), index upkeep + compliance fan-out, drift and
+    # cluster-balanced sampling, and the governance wave (one-scan DQ gate,
+    # leakage-free split, per-source score calibration, forget MERGE audit)
+    "ann_recall_eval",
+    "dedup_lsh_recall",
+    "probe_calibration_bins",
+    "ann_index_ingest",
+    "forget_fanout",
+    "vocab_drift_chi2",
+    "sample_cluster_stratified",
+    "dq_constraint_audit",
+    "split_by_cluster",
+    "quality_pctl_by_source",
+    "forget_apply_audit",
 ]
 
 
