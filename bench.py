@@ -132,6 +132,10 @@ HEADLINE = [
     "split_by_cluster",
     "quality_pctl_by_source",
     "forget_apply_audit",
+    # product quantization: code storage + IVFPQ ADC serving (completes the
+    # float-IVF / int8 / PQ serving ladder)
+    "ann_pq_codes",
+    "ann_pq_adc",
 ]
 
 

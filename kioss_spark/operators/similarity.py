@@ -42,6 +42,9 @@ __all__ = [
     "trained_cell_with_dist",
     "ivf_topk_trained",
     "embed_covariance",
+    "train_pq",
+    "pq_encode",
+    "ivf_pq_topk",
 ]
 
 
@@ -933,3 +936,172 @@ def ivf_index_ingest(
             .alias("retrain_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the storage-compression half of FAISS-style
+# IVFPQ serving: the coarse quantizer (train_ivf/trained_cells) prunes the
+# corpus to candidate cells; PQ codes replace each 64-dim float vector with
+# m small codebook indices so the serving tier holds the whole corpus in
+# memory; asymmetric-distance (ADC) lookups score candidates without ever
+# touching the float vectors; an exact rescore column quantifies the error.
+# ---------------------------------------------------------------------------
+
+
+def train_pq(corpus: DataFrame, m: int = 4, n_codes: int = 16):
+    """Train per-subspace PQ codebooks (Jégou et al. 2011): the embedding
+    is split into ``m`` contiguous subvectors and each subspace gets its
+    own ``n_codes``-entry codebook. Sampling is the SAME deterministic
+    Forgy pick as ``train_ivf`` (first ``n_codes`` corpus vectors in
+    md5(vec_id) order) so every query built on it stays oracle-checkable
+    in SQL — codebook ``j`` is the ``j``-th slice of the sample vectors.
+
+    Returns ``(codebooks, sub)`` where ``codebooks[j]`` is
+    ``[(code, [float, ...]), ...]`` and ``sub`` is the subvector width.
+    Like train_ivf this runs one tiny job at plan-build time; the
+    codebooks (m × n_codes × sub floats — 4 KiB here) travel into plans
+    as literals, so encoding and ADC are pure codegen with ZERO shuffle.
+    """
+    sample = (
+        corpus.orderBy(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.col("vec_id"),
+        )
+        .limit(n_codes)
+        .select("vec_id", "v")
+        .collect()
+    )
+    dim = len(sample[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    codebooks = [
+        [(cid, list(r["v"])[j * sub : (j + 1) * sub]) for cid, r in enumerate(sample)]
+        for j in range(m)
+    ]
+    return codebooks, sub
+
+
+def _pq_struct_sql(j: int, sub: int, codebook, vec_sql: str, vv_sql: str) -> str:
+    """argmin (d2_e6, code) struct over one subspace's literal codebook —
+    same array_sort(named_struct) form as trained_cell_with_dist, on
+    ``slice(vec, j*sub+1, sub)``."""
+    sl = f"slice({vec_sql},{j * sub + 1},{sub})"
+    structs = [
+        "named_struct('d',"
+        + _dist2_sql(sl, cv, _dot_py(cv, cv), vv_sql)
+        + ",'cid',CAST(" + str(int(cid)) + " AS BIGINT))"
+        for cid, cv in codebook
+    ]
+    return "array_sort(array(" + ",".join(structs) + "))[0]"
+
+
+def _with_sub_vv(df: DataFrame, m: int, sub: int, vec_col: str = "v") -> DataFrame:
+    """Precompute each subvector's self-dot (__pvv{j}__) once per row —
+    shared across that subspace's n_codes distance terms (the vv seam
+    trained_cells uses, per subspace; the VALUE feeds the output so it
+    must be the true subvector dot, and it is)."""
+    for j in range(m):
+        sl = f"slice({vec_col},{j * sub + 1},{sub})"
+        df = df.withColumn(
+            f"__pvv{j}__",
+            F.expr(
+                "aggregate(zip_with(" + sl + "," + sl + ",(x,y)->x*y),"
+                "CAST(0.0D AS DOUBLE),(acc,x)->acc+x)"
+            ),
+        )
+    return df
+
+
+def pq_encode(
+    df: DataFrame, codebooks, sub: int, vec_col: str = "v"
+) -> DataFrame:
+    """Attach PQ code columns ``c0..c{m-1}`` and the integerized
+    reconstruction error ``recon_err_e6`` (sum of the m per-subspace
+    floored squared distances to the chosen codeword — the compression-
+    quality audit every vector store tracks, the PQ analog of
+    quantize_int8's roundtrip error). Pure literal-folded column algebra:
+    narrow, zero shuffle, partitioned exactly like the input scan."""
+    m = len(codebooks)
+    out = _with_sub_vv(df, m, sub, vec_col)
+    err_cols = []
+    for j, cb in enumerate(codebooks):
+        s = _pq_struct_sql(j, sub, cb, vec_col, f"__pvv{j}__")
+        out = out.withColumn(f"__pq{j}__", F.expr(s))
+        err_cols.append(F.col(f"__pq{j}__.d"))
+    total = err_cols[0]
+    for e in err_cols[1:]:
+        total = total + e
+    out = out.withColumn("recon_err_e6", total.cast("long"))
+    for j in range(m):
+        out = out.withColumn(f"c{j}", F.col(f"__pq{j}__.cid")).drop(f"__pq{j}__")
+    for j in range(m):
+        out = out.drop(f"__pvv{j}__")
+    return out
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """The IVFPQ serving path: trained-IVF candidate pruning (literal-
+    folded cell assignment, query-side multi-probe) + PQ-code asymmetric
+    distance (ADC) scoring + exact-float rescore column. This is the
+    memory-bound regime's answer: the serving tier stores m bytes of
+    codes per vector instead of 4·dim, each query precomputes its
+    per-subspace distance-to-codeword tables, and candidate scoring is m
+    array lookups — here ``element_at`` over the m×n_codes literal d2
+    expressions, summed. Ranked by ADC distance ascending;
+    ``score_exact_e5`` (true cosine) rides along to expose the accepted
+    approximation error (the PQ twin of ivf_topk_int8's rescore).
+
+    Returns (query_id, cand_id, adc_d2_e6, score_exact_e5, rnk), rnk <= k.
+    Shuffle profile: identical to ivf_topk_trained — one cell equi-join
+    with the broadcast query side, one per-query rank window; encoding
+    and ADC add zero shuffles."""
+    cents = train_ivf(corpus, n_centroids=n_centroids, iters=0)
+    codebooks, sub = train_pq(corpus, m=m, n_codes=n_codes)
+
+    vv = F.col("__vv__")
+    cc = (
+        pq_encode(corpus, codebooks, sub)
+        .withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+        .withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
+        .drop("__vv__")
+        .select("vec_id", "v", "nv", "cell", *[f"c{j}" for j in range(m)])
+    )
+    qpre = queries.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+    qc = qpre.select(
+        F.col("vec_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
+        F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe, vv=vv)).alias("cell"),
+    )
+    qc = _with_sub_vv(qc, m, sub, "qv")
+    # per-subspace ADC lookup: the query side's d2 to EVERY codeword of
+    # subspace j (n_codes literal expressions), indexed by the candidate's
+    # stored code — m lookups replace the 64-dim float dot
+    adc_terms = []
+    for j, cb in enumerate(codebooks):
+        sl = f"slice(qv,{j * sub + 1},{sub})"
+        d2s = ",".join(
+            _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
+        )
+        adc_terms.append(f"element_at(array({d2s}), CAST(c{j} AS INT) + 1)")
+    adc = F.expr(" + ".join(adc_terms))
+    scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("cand_id"),
+        adc.cast("long").alias("adc_d2_e6"),
+        F.floor(
+            _dot(F.col("q.qv"), F.col("c.v")) / (F.col("q.qnv") * F.col("c.nv")) * 100000
+        ).cast("long").alias("score_exact_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2_e6"), F.col("cand_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

@@ -5019,3 +5019,136 @@ def forget_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_before") - F.col("n_after")).cast("long").alias("n_deleted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: code storage audit + IVFPQ ADC serving
+# ---------------------------------------------------------------------------
+
+#: PQ subspace boundaries for the 64-dim fixture embeddings: m=4 × 16 dims
+_PQ_SUBS = "(SELECT * FROM (VALUES (0, 1, 16), (1, 17, 32), (2, 33, 48), (3, 49, 64)) t(j, a, b))"
+
+#: per-(vector, subspace, codeword) integerized squared distance — the
+#: subvector twin of _D2 (same fold order both engines: vv - 2*dot + cc)
+_PQ_D2 = (
+    "CAST(floor((list_dot_product({t}.v[s.a:s.b], {t}.v[s.a:s.b])"
+    " - 2 * list_dot_product({t}.v[s.a:s.b], {c}.cv[s.a:s.b])"
+    " + list_dot_product({c}.cv[s.a:s.b], {c}.cv[s.a:s.b])) * 1000000) AS BIGINT)"
+)
+
+#: Forgy sample == train_ivf == train_pq (the full vectors are the coarse
+#: centroids; their subspace slices are the PQ codebooks)
+_PQ_CENT = """
+    cent AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, cv
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h,
+                     vec_id, v AS cv
+              FROM c)
+        ORDER BY h, vec_id LIMIT 16
+    ),
+    subs AS """ + _PQ_SUBS + f""",
+    pqd AS (SELECT t.vec_id, s.j, cent.cid,
+                   {_PQ_D2.format(t='t', c='cent')} AS d2
+            FROM c t CROSS JOIN subs s CROSS JOIN cent),
+    pqbest AS (SELECT vec_id, j, cid, d2 FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                             ORDER BY d2, cid) AS rn FROM pqd)
+               WHERE rn = 1)
+"""
+
+
+@register(
+    "ann_pq_codes",
+    oracle=_ANN_BASE + "," + _PQ_CENT + """
+    SELECT vec_id,
+           CAST(max(CASE WHEN j = 0 THEN cid END) AS BIGINT) AS c0,
+           CAST(max(CASE WHEN j = 1 THEN cid END) AS BIGINT) AS c1,
+           CAST(max(CASE WHEN j = 2 THEN cid END) AS BIGINT) AS c2,
+           CAST(max(CASE WHEN j = 3 THEN cid END) AS BIGINT) AS c3,
+           CAST(sum(d2) AS BIGINT) AS recon_err_e6
+    FROM pqbest GROUP BY vec_id
+    """,
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code table (Jégou et al. 2011): each corpus
+    vector stored as m=4 codebook indices (16 codes per subspace = 4
+    bits each) plus the integerized reconstruction error — 64 float32s
+    collapse to 2 bytes of codes, the compression that lets a serving
+    tier hold a 100 TB corpus's index in RAM. Codebooks are the
+    deterministic Forgy sample's subspace slices
+    (operators.similarity.train_pq — the same sample that trains the
+    coarse quantizer, so IVFPQ shares one training pass), folded into
+    codegen as literals: encoding is pure column algebra, narrow, ZERO
+    shuffle at any corpus size. recon_err_e6 is the per-vector
+    compression-quality audit (the PQ twin of embed_quantize_int8's
+    roundtrip error)."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    c = nn.where(F.col("vec_id") >= 16)
+    cb, sub = similarity.train_pq(c, m=4, n_codes=16)
+    enc = similarity.pq_encode(c, cb, sub)
+    return enc.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[F.col(f"c{j}") for j in range(4)],
+        "recon_err_e6",
+    )
+
+
+@register(
+    "ann_pq_adc",
+    oracle=_ANN_BASE + "," + _PQ_CENT + f""",
+    ca AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_D2.format(t='t')} AS d2
+           FROM c t CROSS JOIN cent),
+    cbest AS (SELECT vec_id, v, nv, cid AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM ca)
+              WHERE rn = 1),
+    qa AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_D2.format(t='t')} AS d2
+           FROM q t CROSS JOIN cent),
+    qprobe AS (SELECT vec_id, v, nv, cid AS cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cid) AS rn FROM qa)
+               WHERE rn <= 3),
+    adcp AS (SELECT qp.vec_id AS query_id, cb.vec_id AS cand_id,
+                    {_PQ_D2.format(t='qp', c='ce')} AS term
+             FROM qprobe qp
+             JOIN cbest cb ON qp.cell = cb.cell
+             JOIN pqbest co ON co.vec_id = cb.vec_id
+             JOIN cent ce ON ce.cid = co.cid
+             JOIN subs s ON s.j = co.j),
+    adc AS (SELECT query_id, cand_id, CAST(sum(term) AS BIGINT) AS adc_d2_e6
+            FROM adcp GROUP BY 1, 2),
+    ex AS (SELECT qp.vec_id AS query_id, cb.vec_id AS cand_id,
+                  CAST(floor(list_dot_product(qp.v, cb.v)
+                             / (qp.nv * cb.nv) * 100000) AS BIGINT)
+                      AS score_exact_e5
+           FROM qprobe qp JOIN cbest cb ON qp.cell = cb.cell),
+    j2 AS (SELECT adc.query_id, adc.cand_id, adc.adc_d2_e6, ex.score_exact_e5
+           FROM adc JOIN ex USING (query_id, cand_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2_e6, cand_id) AS rnk
+          FROM j2)
+    SELECT query_id, cand_id, adc_d2_e6, score_exact_e5, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ serving: trained-IVF cell pruning (query-side nprobe=3) with
+    asymmetric-distance (ADC) scoring over the stored PQ codes — each
+    query precomputes its distance to every codeword of every subspace
+    (m×16 literal expressions) and a candidate costs m array LOOKUPS
+    instead of a 64-dim float dot; vectors this tier holds: 2-byte codes,
+    not floats. Ranked by ADC distance; score_exact_e5 (true cosine from
+    the float vectors) rides along as the accepted-error audit, exactly
+    like ivf_topk_int8's rescore column — together the three serving
+    paths (float IVF, int8, IVFPQ) span the FAISS memory/recall ladder.
+
+    Shuffle profile identical to ivf_topk_trained: one cell equi-join
+    against the broadcast query side, one per-query rank window; training,
+    encoding and ADC add zero shuffles (operators.similarity.ivf_pq_topk).
+    """
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.ivf_pq_topk(
+        q, c, k=5, m=4, n_codes=16, n_centroids=16, nprobe=3
+    )

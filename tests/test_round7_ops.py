@@ -250,3 +250,113 @@ def test_forget_apply_audit_balances(spark):
         .count()
     )
     assert sum(r["n_deleted"] for r in rep) == expected
+
+
+# ---------------------------------------------------------------------------
+# wave 3: product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_corpus(spark, n=16, dim=8):
+    # n distinct vectors with distinct subspace slices
+    rows = []
+    for i in range(n):
+        v = [float(i + 1) * (j + 1) * 0.1 for j in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_pq_encode_sample_roundtrips_to_zero_error(spark):
+    from kioss_spark.operators.similarity import pq_encode, train_pq
+
+    corpus = _pq_corpus(spark, n=16, dim=8)
+    cb, sub = train_pq(corpus, m=2, n_codes=16)
+    assert sub == 4 and len(cb) == 2 and len(cb[0]) == 16
+    got = pq_encode(corpus, cb, sub).collect()
+    assert len(got) == 16
+    for r in got:
+        # every corpus vector IS a codeword: exact reconstruction
+        assert r["recon_err_e6"] == 0, r
+        # and both subspaces agree on which codeword it is
+        assert r["c0"] == r["c1"]
+
+
+def test_pq_encode_deterministic_across_partitionings(spark):
+    from kioss_spark.operators.similarity import pq_encode, train_pq
+
+    corpus = _pq_corpus(spark, n=40, dim=8)
+    cb, sub = train_pq(corpus, m=2, n_codes=16)
+    a = {
+        (r["vec_id"], r["c0"], r["c1"], r["recon_err_e6"])
+        for r in pq_encode(corpus.repartition(1), cb, sub).collect()
+    }
+    b = {
+        (r["vec_id"], r["c0"], r["c1"], r["recon_err_e6"])
+        for r in pq_encode(corpus.repartition(13), cb, sub).collect()
+    }
+    assert a == b and len(a) == 40
+
+
+def test_ivf_pq_adc_exact_when_residual_zero(spark):
+    import math
+
+    from kioss_spark.operators.similarity import ivf_pq_topk, train_pq, with_norm
+    from pyspark.sql import functions as SF_
+
+    corpus = _pq_corpus(spark, n=16, dim=8).withColumn(
+        "nv",
+        SF_.sqrt(
+            SF_.aggregate(
+                SF_.zip_with(SF_.col("v"), SF_.col("v"), lambda x, y: x * y),
+                SF_.lit(0.0),
+                lambda a2, x: a2 + x,
+            )
+        ),
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.35] * 8), (101, [1.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])],
+        "vec_id long, v array<double>",
+    ).withColumn(
+        "nv",
+        SF_.sqrt(
+            SF_.aggregate(
+                SF_.zip_with(SF_.col("v"), SF_.col("v"), lambda x, y: x * y),
+                SF_.lit(0.0),
+                lambda a2, x: a2 + x,
+            )
+        ),
+    )
+    got = ivf_pq_topk(
+        queries, corpus, k=3, m=2, n_codes=16, n_centroids=16, nprobe=16
+    ).collect()
+    vecs = {r["vec_id"]: r["v"] for r in corpus.collect()}
+    qvecs = {r["vec_id"]: r["v"] for r in queries.collect()}
+    assert got
+    for r in got:
+        qv, cv = qvecs[r["query_id"]], vecs[r["cand_id"]]
+        want = 0
+        for j in range(2):
+            qs = qv[j * 4 : (j + 1) * 4]
+            cs = cv[j * 4 : (j + 1) * 4]
+            # same expression the engine (and oracle) uses: three
+            # left-folded dots combined as vv - 2*dot + cc — NOT
+            # sum((q-c)^2), which floors differently by 1 ulp
+            vv = 0.0
+            for x in qs:
+                vv += x * x
+            dot = 0.0
+            for x, y in zip(qs, cs):
+                dot += x * y
+            cc = 0.0
+            for x in cs:
+                cc += x * x
+            want += math.floor((vv - 2 * dot + cc) * 1000000)
+        # corpus vectors ARE codewords (residual 0): ADC == true distance
+        assert r["adc_d2_e6"] == want, (r, want)
+    # with nprobe=16 every cell probed: top-1 by ADC == true nearest by L2
+    for qid, qv in qvecs.items():
+        best = min(
+            vecs, key=lambda cid: sum((a - b) ** 2 for a, b in zip(qv, vecs[cid]))
+        )
+        top1 = [r["cand_id"] for r in got if r["query_id"] == qid and r["rnk"] == 1]
+        assert top1 == [best]
