@@ -683,6 +683,32 @@ class SStream:
         )
         return self._derive(df, f"distinct_count_approx({wsecs}s, lg_k={lg_k})")
 
+    def dq_monitor(self, checks: "dict[str, Column]") -> "SStream":
+        """Streaming twin of the batch ``dq_constraint_audit`` gate: each
+        entry maps a constraint name to a boolean VIOLATION condition;
+        the result stream carries one cumulative row — ``n_rows`` plus a
+        running violation count per constraint — updated every
+        micro-batch. Null conditions count as violations
+        (``COALESCE(cond, TRUE)``), the same explicit null semantics as
+        the batch gate, so both sides of the parity pin share one rule.
+
+        Implementation is Spark's native stateful GLOBAL aggregation (no
+        key, no custom state handler): the store holds exactly one row of
+        ``len(checks)+1`` longs forever — the only state shape a
+        never-ending ingest stream can afford — and conditional-sum
+        partials merge associatively across micro-batches, so totals are
+        exact regardless of how arrivals batch. Consume in ``update`` or
+        ``complete`` mode; wire ``foreach_batch`` + a threshold to page a
+        human when a violation counter first moves."""
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for name, cond in checks.items():
+            aggs.append(
+                F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0))
+                .cast("long")
+                .alias(name)
+            )
+        return self._derive(self._df.agg(*aggs), f"dq_monitor({len(checks)})")
+
     def observe(self, name: str = "observe", *metrics: Column) -> "SStream":
         """Streaming metrics via ``df.observe`` — surfaced per micro-batch in
         StreamingQueryProgress.observedMetrics (the reference's log-cadence

@@ -883,3 +883,49 @@ def test_distinct_count_approx_matches_exact_in_sparse_regime(spark, tmp_path):
     finally:
         q.stop()
     assert got == want, (got, want)
+
+
+def test_dq_monitor_cumulative_batch_parity(spark, tmp_path):
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1): the cumulative
+    # totals after processAllAvailable must equal the batch dq gate's
+    # conditional sums over the SAME rows (shared null-as-violation rule)
+    src = str(tmp_path / "dq_src")
+    rows = [
+        (0, "good text", "en"),
+        (1, None, "en"),          # null text
+        (2, "ok", "xx"),          # bad lang
+        (3, "fine", None),        # null lang -> violation
+        (4, "also good", "de"),
+        (5, None, "zz"),          # both
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    checks = {
+        "null_text": F.col("text").isNull(),
+        "bad_lang": ~F.col("lang").isin("de", "en", "es", "fr", "zh"),
+    }
+    s = SStream.files(
+        spark, src, schema="doc_id long, text string, lang string",
+        max_files_per_trigger=1,
+    ).dq_monitor(checks)
+    q = s.to_memory("t_dq", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_dq").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    r = got[0]
+    expect = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.sum(F.when(F.coalesce(c, F.lit(True)), 1).otherwise(0))
+            .cast("long")
+            .alias(n)
+            for n, c in checks.items()
+        ],
+    ).collect()[0]
+    assert r["n_rows"] == expect["n_rows"] == 6
+    assert r["null_text"] == expect["null_text"] == 2
+    assert r["bad_lang"] == expect["bad_lang"] == 3
