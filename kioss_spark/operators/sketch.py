@@ -38,6 +38,8 @@ __all__ = [
     "hll_rollup",
     "kll_quantiles",
     "heavy_hitters",
+    "cms_counters",
+    "cms_estimate",
 ]
 
 #: hash domain size (h60 is 60 bits) — exactly representable as a double
@@ -332,4 +334,78 @@ def heavy_hitters(
             .cast("long")
             .alias("share_e6"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — point-frequency estimates in fixed memory
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame, value: Column, d: int = 4, w: int = 32
+) -> DataFrame:
+    """Count-min sketch counter table (Cormode-Muthukrishnan 2005) over a
+    value stream: ``d`` independent md5-salted hash rows × ``w`` buckets,
+    each bucket the COUNT of stream items hashing into it. Returns
+    (row, bucket, n) — at most d·w rows regardless of stream size or
+    cardinality, which is the whole point: the keyed shuffle's key domain
+    is the d·w counter grid (map-side combine collapses the stream before
+    it moves), never the vocabulary. Mergeable across shards/days by
+    simple (row, bucket) addition.
+
+    Error contract: estimates only OVERcount (collisions add), with
+    overshoot ≤ e·N/w at confidence 1-e^-d. The fixture queries size w
+    BELOW the vocabulary on purpose so collisions actually occur and the
+    oracle checks real overestimates; production sizing is w = ceil(e/ε)
+    for target ε·N error (w=2^20 rows × d=4 = 32 MiB of longs for any
+    corpus size)."""
+    from kioss_spark.operators.text import salted_h60
+
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                F.pmod(salted_h60(value, j), F.lit(w)).cast("long").alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(keys).alias("k"))
+        .groupBy(F.col("k.row").alias("row"), F.col("k.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    counters: DataFrame,
+    value_col: str = "tok",
+    d: int = 4,
+    w: int = 32,
+) -> DataFrame:
+    """Point-frequency estimate for each probe value: min over the d rows
+    of that value's bucket counters (absent buckets count 0, so
+    never-seen values estimate 0). The probe side explodes to d lookup
+    keys and LEFT-joins the counter table — d·w rows, broadcast — then a
+    probe-keyed min: cost is O(|probes|·d) at any corpus size."""
+    from kioss_spark.operators.text import salted_h60
+
+    v = F.col(value_col)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                F.pmod(salted_h60(v, j), F.lit(w)).cast("long").alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    exploded = probes.select(v.alias(value_col), F.explode(keys).alias("k")).select(
+        value_col, F.col("k.row").alias("row"), F.col("k.bucket").alias("bucket")
+    )
+    joined = exploded.join(F.broadcast(counters), ["row", "bucket"], "left")
+    return joined.groupBy(value_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).cast("long").alias("est_n")
     )

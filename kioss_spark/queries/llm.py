@@ -5152,3 +5152,125 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         q, c, k=5, m=4, n_codes=16, n_centroids=16, nprobe=3
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch + dedup threshold-tuning curve
+# ---------------------------------------------------------------------------
+
+#: SQL twin of operators.text.salted_h60 (md5 of '{salt}|' || value)
+_SQL_SALTED = "CAST('0x' || substr(md5(CAST({j} AS VARCHAR) || '|' || {v}), 1, 15) AS BIGINT)"
+
+
+@register(
+    "sketch_cms_tokens",
+    oracle=f"""
+    WITH toks AS (SELECT {SQL_TOKS} AS t FROM documents),
+    stream AS (SELECT x AS tok FROM toks, UNNEST(t) u(x)),
+    exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+              FROM stream GROUP BY 1),
+    rows_ AS (SELECT * FROM (VALUES (0), (1), (2), (3)) r(j)),
+    ks AS (SELECT s.tok, r.j,
+                  {_SQL_SALTED.format(j='r.j', v='s.tok')} % 32 AS bucket
+           FROM stream s CROSS JOIN rows_ r),
+    counters AS (SELECT j, bucket, CAST(count(*) AS BIGINT) AS n
+                 FROM ks GROUP BY 1, 2),
+    pk AS (SELECT e.tok, r.j,
+                  {_SQL_SALTED.format(j='r.j', v='e.tok')} % 32 AS bucket
+           FROM exact e CROSS JOIN rows_ r),
+    est AS (SELECT pk.tok,
+                   CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est_n
+            FROM pk LEFT JOIN counters c
+              ON pk.j = c.j AND pk.bucket = c.bucket
+            GROUP BY 1)
+    SELECT e.tok, e.exact_n, est.est_n,
+           est.est_n - e.exact_n AS over_n
+    FROM exact e JOIN est USING (tok)
+    """,
+)
+def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates audited against exact
+    token counts (operators.sketch.cms_counters/cms_estimate): d=4
+    md5-salted hash rows × w=32 buckets — w sized BELOW the fixture
+    vocabulary (31 tokens) so hash collisions really occur and ``over_n``
+    (always ≥ 0: CMS only overcounts) measures genuine sketch error the
+    oracle re-derives value-for-value. The counter grid is d·w rows
+    forever: the keyed shuffle's domain is 128 counters, never the
+    vocabulary — the fixed-memory frequency table that answers "how
+    common is this token/URL/ngram" at 100 TB where an exact per-key
+    count's state is unbounded. Mergeable across shards by addition.
+    The exact side here is the audit harness (vocabulary-bounded agg,
+    the corpus-profiling pattern this repo already ships); production
+    serving uses the counters alone."""
+    from kioss_spark.operators.sketch import cms_counters, cms_estimate
+
+    docs = _docs(spark, sf_dir)
+    stream = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    counters = cms_counters(stream, F.col("tok"), d=4, w=32)
+    exact = stream.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    est = cms_estimate(exact.select("tok"), counters, "tok", d=4, w=32)
+    return (
+        exact.join(est, "tok")
+        .select(
+            "tok",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("over_n"),
+        )
+    )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                    AS BIGINT) AS jaccard_e6
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 300000
+    )
+    SELECT CAST(jaccard_e6 // 100000 AS BIGINT) AS band_decile,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(jaccard_e6) AS BIGINT) AS min_j_e6,
+           CAST(max(jaccard_e6) AS BIGINT) AS max_j_e6
+    FROM p GROUP BY 1
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning curve: exact-Jaccard candidate pairs down to
+    J >= 0.3 bucketed into similarity deciles — per band the pair count
+    and J range, i.e. exactly how many MORE pairs each lower threshold
+    would drop. The instrument behind the 0.5 production threshold: on
+    this fixture the curve is bimodal (a near-empty 0.3-0.8 valley, a
+    J >= 0.8 duplicate peak), which is the evidence that the threshold is
+    not sitting on a cliff. Cost model: one PPJoin pass at the LOWEST
+    threshold under consideration (prefix length grows as the threshold
+    drops — the sweep's floor is a cost decision); the band agg adds one
+    bounded 10-key shuffle. Run on a sampled shard at 100 TB, like every
+    banding-config instrument in this family (dedup_lsh_recall)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.3)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard_e6") / 100000).cast("long").alias("band_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("jaccard_e6").cast("long").alias("min_j_e6"),
+            F.max("jaccard_e6").cast("long").alias("max_j_e6"),
+        )
+    )

@@ -196,3 +196,61 @@ def test_heavy_hitters_null_items_excluded_both_paths(spark):
             ).collect()
         }
         assert got == want, partial
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_stream(spark):
+    rows = [(w,) for w, n in [("a", 50), ("b", 20), ("c", 5), ("d", 1)] for _ in range(n)]
+    return spark.createDataFrame(rows, "tok string")
+
+
+def test_cms_counters_row_sums_equal_stream_size(spark):
+    from pyspark.sql import functions as F
+
+    from kioss_spark.operators.sketch import cms_counters
+
+    stream = _cms_stream(spark)
+    c = cms_counters(stream, F.col("tok"), d=4, w=8)
+    sums = {r["row"]: r["s"] for r in
+            c.groupBy("row").agg(F.sum("n").alias("s")).collect()}
+    assert sums == {0: 76, 1: 76, 2: 76, 3: 76}
+
+
+def test_cms_exact_when_wide_overcounts_when_narrow(spark):
+    from pyspark.sql import functions as F
+
+    from kioss_spark.operators.sketch import cms_counters, cms_estimate
+
+    stream = _cms_stream(spark)
+    probes = stream.select("tok").distinct()
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1}
+    # wide sketch (w >> vocab): no collisions, estimates are exact
+    wide = cms_estimate(
+        probes, cms_counters(stream, F.col("tok"), d=4, w=4096), "tok", d=4, w=4096
+    )
+    got = {r["tok"]: r["est_n"] for r in wide.collect()}
+    assert got == exact
+    # w=2 with 4 values: every row has a collision -> CMS only OVERcounts,
+    # and at least one estimate strictly exceeds its exact count
+    narrow = cms_estimate(
+        probes, cms_counters(stream, F.col("tok"), d=4, w=2), "tok", d=4, w=2
+    )
+    got2 = {r["tok"]: r["est_n"] for r in narrow.collect()}
+    assert all(got2[t] >= exact[t] for t in exact), got2
+    assert any(got2[t] > exact[t] for t in exact), got2
+
+
+def test_cms_never_seen_probe_estimates_zero(spark):
+    from pyspark.sql import functions as F
+
+    from kioss_spark.operators.sketch import cms_counters, cms_estimate
+
+    stream = _cms_stream(spark)
+    counters = cms_counters(stream, F.col("tok"), d=4, w=4096)
+    probes = spark.createDataFrame([("zzz_never",)], "tok string")
+    got = cms_estimate(probes, counters, "tok", d=4, w=4096).collect()
+    assert [(r["tok"], r["est_n"]) for r in got] == [("zzz_never", 0)]
