@@ -1084,17 +1084,25 @@ def ivf_pq_topk(
         F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe, vv=vv)).alias("cell"),
     )
     qc = _with_sub_vv(qc, m, sub, "qv")
-    # per-subspace ADC lookup: the query side's d2 to EVERY codeword of
-    # subspace j (n_codes literal expressions), indexed by the candidate's
-    # stored code — m lookups replace the 64-dim float dot
-    adc_terms = []
+    # ADC's defining move: each query materializes its distance table to
+    # EVERY codeword of every subspace ONCE, on the (tiny, broadcast)
+    # query side — m array columns of n_codes entries per query row.
+    # Candidates then pay m element_at LOOKUPS into the broadcast row.
+    # (Inlining the arrays into the post-join projection instead would
+    # re-evaluate all m*n_codes distance expressions PER CANDIDATE —
+    # n_codes/m times the arithmetic ADC exists to avoid.)
     for j, cb in enumerate(codebooks):
         sl = f"slice(qv,{j * sub + 1},{sub})"
         d2s = ",".join(
             _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
         )
-        adc_terms.append(f"element_at(array({d2s}), CAST(c{j} AS INT) + 1)")
-    adc = F.expr(" + ".join(adc_terms))
+        qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
+    qc = qc.drop(*[f"__pvv{j}__" for j in range(m)])
+    adc = F.expr(
+        " + ".join(
+            f"element_at(__adc{j}__, CAST(c{j} AS INT) + 1)" for j in range(m)
+        )
+    )
     scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("cand_id"),
