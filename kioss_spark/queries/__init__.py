@@ -130,6 +130,28 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "skew_salted_event_totals", "sql_balance_quartiles",
         "top3_customers_per_segment", "zip_customers_suppliers",
     }),
+    # CORRECTNESS_r07.json — 50/50 green (the six post-verdict-changed
+    # re-check leaders, the 13 round-7 registrations, and the stalest
+    # r4/r5-tier names the r7 window reached).
+    7: frozenset({
+        "ann_cosine_topk", "ann_index_ingest", "ann_pq_adc", "ann_pq_codes",
+        "ann_recall_eval", "boilerplate_ngrams", "bucketed_user_event_totals",
+        "budget_cap_per_source", "chunk_text_windows", "cube_status_segment",
+        "decontaminate_eval", "dedup_cluster_best", "dedup_embedding",
+        "dedup_lsh_recall", "dedup_semantic", "dedup_threshold_sweep",
+        "doc_fingerprint", "dq_constraint_audit", "dsir_importance",
+        "forget_apply_audit", "forget_fanout", "fuzzy_part_names",
+        "gapfill_hourly_locf", "hard_negative_mining", "json_props_stats",
+        "lang_id", "mix_quota_sample", "mix_weighted_order", "mm_audio_chunks",
+        "mm_frame_sample", "mm_image_meta", "pack_sequences", "pii_redact",
+        "pipeline_curation", "probe_calibration_bins", "profile_corpus",
+        "profile_dup_rate", "q12_shipclass_adapted",
+        "q16_supplier_variety_adapted", "q20_dominant_supplier_adapted",
+        "q2_best_supplier_adapted", "q9_profit_adapted", "quality_ensemble",
+        "quality_gopher_rules", "quality_pctl_by_source",
+        "sample_cluster_stratified", "sketch_cms_tokens", "split_by_cluster",
+        "vocab_drift_chi2", "zorder_event_layout",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -138,18 +160,14 @@ for _round in sorted(_GREEN_ROUNDS):
     for _name in _GREEN_ROUNDS[_round]:
         _LAST_GREEN_ROUND[_name] = _round
 
-#: Round-7 re-check leaders: these six hold r5 verdicts but their
-#: implementations changed in round 6 AFTER the verdict was recorded —
-#: case-insensitive flag_alpha (text.py:157) affects quality_gopher_rules and
-#: quality_ensemble; the zvalue BIGINT cast (skew.py:133) affects
-#: zorder_event_layout; the per-batch partial top-k stage (similarity.py:110)
-#: affects hard_negative_mining; the quota weight-sum validation
-#: (curation.py:539) affects mix_quota_sample; ann_cosine_topk had a pure
-#: extraction refactor.  They must be re-proven at HEAD before anything else.
-_RECHECK_FIRST = (
-    "quality_gopher_rules", "quality_ensemble", "zorder_event_layout",
-    "hard_negative_mining", "mix_quota_sample", "ann_cosine_topk",
-)
+#: Re-check leaders: queries whose verified implementation changed AFTER
+#: their last green verdict, so their stale verdict no longer covers HEAD.
+#: Round 8: EMPTY — round 7 changed no already-verified query's code path
+#: (the dedup ``inv=`` seam, dedup.py:344-360, is default-preserving; all
+#: other r7 edits were new registrations, verified green in r7).  The
+#: window therefore goes pure stalest-first: the 16 r4-tier names plus the
+#: 34 stalest r5 names.
+_RECHECK_FIRST: tuple = ()
 
 
 def load_all() -> dict[str, QueryDef]:
