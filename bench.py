@@ -246,11 +246,16 @@ def main() -> None:
     # driver archives only the LAST 2000 chars of stdout, which truncated
     # the head of this line out of every BENCH_r*.json through round 6)
     print(json.dumps(out))
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as fh:
-        json.dump(out, fh, indent=1)
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(out, fh, indent=1)
+    except OSError as exc:  # the last-line summary must print regardless
+        print(f"BENCH_DETAIL.json write failed: {exc}", file=sys.stderr)
     # LAST line: compact totals guaranteed to fit (and parse) inside the
     # driver's 2000-char stdout tail — metric/value lead, per-query detail
     # reduced to the slowest movers

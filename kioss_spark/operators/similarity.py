@@ -860,10 +860,13 @@ def recall_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     truth — the eval every ANN deployment runs before trusting its index
     (reference test-discipline analog: the per-operator oracle checks in
     /root/reference/tests/test_stream.py; here the "oracle" is the exact
-    scorer itself). Both inputs carry (query_id, cand_id); ``truth`` is
-    assumed to hold exactly k rows per query.
+    scorer itself). Both inputs carry (query_id, cand_id).
 
-    Returns (query_id, hits, recall_e2). The join is keyed on
+    Returns (query_id, hits, recall_e2). The denominator is the MEASURED
+    per-query truth count, not the requested ``k``: when a query's
+    candidate set holds fewer than k rows, a perfect approximation still
+    scores 100 (``k`` is kept in the signature as the call-site record of
+    the top-k the inputs were built with). The join is keyed on
     (query_id, cand_id) over two |queries|×k-row inputs — both sides are
     k-bounded per query regardless of corpus size, so the eval costs the
     two top-k runs plus an O(|queries|·k) join: safe to run on a sampled
@@ -874,11 +877,16 @@ def recall_at_k(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
         truth.select("query_id", "cand_id")
         .join(hit, on=["query_id", "cand_id"], how="left")
         .groupBy("query_id")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits"))
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+        )
         .select(
             "query_id",
             "hits",
-            F.floor(F.col("hits") * 100 / k).cast("long").alias("recall_e2"),
+            F.floor(F.col("hits") * 100 / F.col("n_truth"))
+            .cast("long")
+            .alias("recall_e2"),
         )
     )
 

@@ -186,9 +186,15 @@ def quality_metrics(toks: Column):
 #: by both the Spark engine (F.expr) and the DuckDB oracle: every operand
 #: is a pure scalar function of exact integer counts, so with an identical
 #: IEEE expression tree the doubles — and the floor — match bit-for-bit
-#: (the quality_metrics fixed-op-order discipline).
+#: (the quality_metrics fixed-op-order discipline).  The CASE guard keeps
+#: the engines in lockstep on degenerate slices (an empty epoch, or a
+#: token present in every doc of both): the raw division would yield
+#: NaN/Inf, which Spark's non-ANSI CAST(NaN AS BIGINT) maps to 0 while
+#: DuckDB's cast raises — guarded, both return 0.
 CHI2_SQL = (
-    "CAST(floor("
+    "CASE WHEN ta = 0 OR tb = 0 OR (n_a + n_b) = 0"
+    " OR (ta - n_a + tb - n_b) = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor("
     "(CAST(ta + tb AS DOUBLE)"
     " * (CAST(n_a AS DOUBLE) * CAST(tb - n_b AS DOUBLE)"
     "    - CAST(n_b AS DOUBLE) * CAST(ta - n_a AS DOUBLE))"
@@ -196,7 +202,7 @@ CHI2_SQL = (
     "    - CAST(n_b AS DOUBLE) * CAST(ta - n_a AS DOUBLE)))"
     " / (CAST(n_a + n_b AS DOUBLE) * CAST(ta - n_a + tb - n_b AS DOUBLE)"
     "    * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE))"
-    " * 1000) AS BIGINT)"
+    " * 1000) AS BIGINT) END"
 )
 
 

@@ -162,12 +162,15 @@ for _round in sorted(_GREEN_ROUNDS):
 
 #: Re-check leaders: queries whose verified implementation changed AFTER
 #: their last green verdict, so their stale verdict no longer covers HEAD.
-#: Round 8: EMPTY — round 7 changed no already-verified query's code path
-#: (the dedup ``inv=`` seam, dedup.py:344-360, is default-preserving; all
-#: other r7 edits were new registrations, verified green in r7).  The
-#: window therefore goes pure stalest-first: the 16 r4-tier names plus the
-#: 34 stalest r5 names.
-_RECHECK_FIRST: tuple = ()
+#: Round 8: the two r7-verified queries touched by the round-7 ADVICE
+#: fixes — the CHI2_SQL zero-denominator CASE guard (text.py) affects
+#: vocab_drift_chi2 on both engine and oracle sides, and recall_at_k's
+#: measured per-query denominator (similarity.py:858) affects
+#: ann_recall_eval (identical output on fixture data where truth holds
+#: exactly k rows, but the expression tree changed — re-prove at HEAD).
+#: Everything else round 7 verified is unchanged, so the rest of the
+#: window goes pure stalest-first: 16 r4-tier names then stalest r5.
+_RECHECK_FIRST = ("vocab_drift_chi2", "ann_recall_eval")
 
 
 def load_all() -> dict[str, QueryDef]:

@@ -4231,9 +4231,12 @@ _BPE_MERGES: list[tuple[str, str]] = [
 # loudly here, not as a silent cross-engine divergence.
 for _a, _b in _BPE_MERGES:
     for _s in (_a, _b):
-        assert _s and "\x1e" not in _s and "\x1f" not in _s, (
-            f"BPE merge symbol {_s!r} collides with the bracket encoding"
-        )
+        # explicit raise, not assert: import-time validation must survive
+        # python -O, or a regenerated merge list fails silently cross-engine
+        if not _s or "\x1e" in _s or "\x1f" in _s:
+            raise ValueError(
+                f"BPE merge symbol {_s!r} collides with the bracket encoding"
+            )
 
 
 def _bpe_oracle(merges: list[tuple[str, str]]) -> str:
@@ -4467,7 +4470,7 @@ def _ann_recall_oracle() -> str:
     return f"""
     SELECT t.query_id,
            CAST(count(l.cand_id) AS BIGINT) AS hits,
-           CAST(floor(count(l.cand_id) * 100 / 5) AS BIGINT) AS recall_e2
+           CAST(floor(count(l.cand_id) * 100 / count(*)) AS BIGINT) AS recall_e2
     FROM (SELECT query_id, cand_id FROM ({brute}) b WHERE b.rnk <= 5) t
     LEFT JOIN (SELECT query_id, cand_id FROM ({trained}) a) l
            ON t.query_id = l.query_id AND t.cand_id = l.cand_id
