@@ -40,12 +40,28 @@ BUDGET = {
     "quality_linear_probe": (0, 0),
     "pagerank_dup_graph": (0, 0),
     "contamination_reach": (0, 0),
+    # round-7 wave: the most shuffle-heavy queries in the registry (the
+    # recall audit and dup-rate profile each run TWO candidate pipelines)
+    # plus the zero/one-shuffle PQ serving path — pinned the round they
+    # landed so the audit doc can't go stale alone (the r6
+    # hard_negative_mining lesson)
+    "dedup_lsh_recall": (8, 0),
+    "profile_dup_rate": (8, 0),
+    "dedup_threshold_sweep": (5, 0),
+    "split_by_cluster": (2, 0),
+    "ann_pq_adc": (1, 0),
+    "ann_pq_codes": (0, 0),
+    "quality_pctl_by_source": (2, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
 MAX_SCAN_COLS = {
     "bpe_segment_corpus": 2,   # doc_id, text (documents has 6 columns)
     "quality_linear_probe": 3,  # vec_id, label, embedding
+    # PQ path reads only (vec_id, embedding): codebooks are plan literals,
+    # so any extra scanned column means the literal fold regressed
+    "ann_pq_codes": 2,
+    "ann_pq_adc": 2,
 }
 
 
