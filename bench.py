@@ -171,6 +171,49 @@ def _warm_tables(spark, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
 
+def _structural_pass(spark, registry, sf_dir: str) -> dict[str, dict]:
+    """Contention-immune per-query structure: Spark job count (via a
+    dedicated job group, the BENCH_BISECT.md technique) and Exchange
+    counts from the query's own FINAL adaptive plan (collect-driven, so
+    isFinalPlan=true — the noop timing writes execute a plan copy whose
+    final form is unreachable from Python).
+
+    These counts are deterministic for a given (code, SF): cross-round
+    regressions compare them FIRST, wall time second — wall deltas on this
+    shared VM were A/B-proven to be ~2.5x host noise (round 7)."""
+    from tools.audit_plans import analyze_plan
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    out: dict[str, dict] = {}
+    for name, q in registry.items():
+        group = f"bench-struct-{name}"
+        sc.setJobGroup(group, f"bench structural pass: {name}",
+                       interruptOnCancel=False)
+        try:
+            df = q.fn(spark, sf_dir)
+            df.collect()
+            p = analyze_plan(df._jdf.queryExecution().executedPlan().toString())
+            jobs = list(tracker.getJobIdsForGroup(group) or [])
+            stages = 0
+            for j in jobs:
+                info = tracker.getJobInfo(j)
+                if info is not None:
+                    stages += len(info.stageIds)
+            out[name] = {
+                "jobs": len(jobs),
+                "stages": stages,
+                "shuffles": p["shuffles"],
+                "onep": p["onep"],
+            }
+        except Exception as exc:  # noqa: BLE001 — mirrors the timing loop
+            print(f"bench: structural pass {name} failed: {exc}",
+                  file=sys.stderr)
+        finally:
+            sc.setJobGroup("", "")
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -229,6 +272,13 @@ def main() -> None:
                 timings[name] = elapsed
                 build[name] = round(t1 - t0, 3)
 
+    headliners = {
+        name: registry[name] for name in HEADLINE if name in registry
+    }
+    struct = _structural_pass(spark, headliners, sf_dir)
+    jobs_total = sum(s["jobs"] for s in struct.values())
+    shuffles_total = sum(s["shuffles"] for s in struct.values())
+
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     out = {
         "metric": "headline_queries_total",
@@ -236,6 +286,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "build": build,
+        "struct": struct,
+        "jobs_total": jobs_total,
+        "shuffles_total": shuffles_total,
         "sf": float(sf),
     }
     if missing:
@@ -272,6 +325,10 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(HEADLINE),
         "n_timed": sum(1 for v in timings.values() if isinstance(v, float)),
+        # contention-immune structural totals: compare these across rounds
+        # before reading anything into wall-time deltas
+        "jobs_total": jobs_total,
+        "shuffles_total": shuffles_total,
         "slowest": slowest,
     }
     if missing:
