@@ -136,6 +136,9 @@ HEADLINE = [
     # float-IVF / int8 / PQ serving ladder)
     "ann_pq_codes",
     "ann_pq_adc",
+    # round-8: true residual IVFPQ (encode v - coarse_centroid; per-cell
+    # query-residual ADC tables)
+    "ann_pq_residual",
     # count-min point-frequency sketch + the dedup threshold-tuning curve
     "sketch_cms_tokens",
     "dedup_threshold_sweep",

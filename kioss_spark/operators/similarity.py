@@ -45,6 +45,9 @@ __all__ = [
     "train_pq",
     "pq_encode",
     "ivf_pq_topk",
+    "train_pq_residual",
+    "pq_encode_residual",
+    "ivf_pq_residual_topk",
 ]
 
 
@@ -1022,15 +1025,11 @@ def _with_sub_vv(df: DataFrame, m: int, sub: int, vec_col: str = "v") -> DataFra
     return df
 
 
-def pq_encode(
-    df: DataFrame, codebooks, sub: int, vec_col: str = "v"
-) -> DataFrame:
-    """Attach PQ code columns ``c0..c{m-1}`` and the integerized
-    reconstruction error ``recon_err_e6`` (sum of the m per-subspace
-    floored squared distances to the chosen codeword — the compression-
-    quality audit every vector store tracks, the PQ analog of
-    quantize_int8's roundtrip error). Pure literal-folded column algebra:
-    narrow, zero shuffle, partitioned exactly like the input scan."""
+def _attach_pq_codes(df: DataFrame, codebooks, sub: int, vec_col: str) -> DataFrame:
+    """Shared PQ-encode core over an already-materialized, simply-named
+    vector column: per-subspace literal-codebook argmin codes c0..c{m-1}
+    plus ``recon_err_e6`` (sum of the m floored squared distances to the
+    chosen codewords). Pure literal-folded column algebra — zero shuffle."""
     m = len(codebooks)
     out = _with_sub_vv(df, m, sub, vec_col)
     err_cols = []
@@ -1047,6 +1046,206 @@ def pq_encode(
     for j in range(m):
         out = out.drop(f"__pvv{j}__")
     return out
+
+
+def pq_encode(
+    df: DataFrame, codebooks, sub: int, vec_col: str = "v"
+) -> DataFrame:
+    """Attach PQ code columns ``c0..c{m-1}`` and the integerized
+    reconstruction error ``recon_err_e6`` (sum of the m per-subspace
+    floored squared distances to the chosen codeword — the compression-
+    quality audit every vector store tracks, the PQ analog of
+    quantize_int8's roundtrip error). Pure literal-folded column algebra:
+    narrow, zero shuffle, partitioned exactly like the input scan."""
+    return _attach_pq_codes(df, codebooks, sub, vec_col)
+
+
+def _cents_arr_sql(cents) -> str:
+    """The centroid table as ONE literal array-of-arrays ordered by cid,
+    for ``element_at(..., cell + 1)`` lookups inside residual expressions
+    (the same render-as-SQL-string discipline as _dist2_sql: one F.expr
+    parse instead of thousands of py4j Column calls)."""
+    ordered = sorted(cents, key=lambda t: t[0])
+    if [cid for cid, _ in ordered] != list(range(len(ordered))):
+        raise ValueError("centroid ids must be contiguous 0..n-1 for element_at lookup")
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in cv) + ")"
+            for _, cv in ordered
+        )
+        + ")"
+    )
+
+
+def _assign_cell_py(v, cents):
+    """Driver-side coarse-cell argmin replicating ``trained_cells``' exact
+    integerized-d2 + cid tie-break (same IEEE operation order as
+    _dist2_sql: floor((v.v - 2*v.c + c.c) * 1e6), left-fold dots), so a
+    residual computed in Python matches the one either engine computes."""
+    vv = _dot_py(v, v)
+    best = None
+    for cid, cv in cents:
+        d2 = math.floor((vv - 2 * _dot_py(v, cv) + _dot_py(cv, cv)) * 1000000)
+        key = (d2, cid)
+        if best is None or key < best[0]:
+            best = (key, cv)
+    return best[1]
+
+
+def train_pq_residual(
+    corpus: DataFrame, cents, m: int = 4, n_codes: int = 16,
+    offset: Optional[int] = None,
+):
+    """Train per-subspace RESIDUAL codebooks — true IVFPQ (Jégou et al.
+    2011 §III): codewords quantize ``v − coarse_centroid(cell(v))``, not
+    ``v``, so the same bit budget spends itself on the (much smaller)
+    within-cell displacement instead of re-describing the cell location
+    the coarse index already knows.
+
+    The sample is the ``n_codes`` corpus vectors in md5(vec_id) order
+    AFTER skipping the first ``offset`` (default ``len(cents)``): the
+    coarse Forgy sample's own residuals are identically zero — each
+    sample vector IS its nearest centroid — so training on the offset
+    slice is what makes the residual codebooks non-degenerate while
+    staying fully SQL-expressible (ORDER BY md5 LIMIT n OFFSET o).
+
+    Like train_pq this is one tiny plan-build-time job; each sampled
+    vector's residual is computed driver-side with the engines' exact
+    argmin/IEEE semantics (_assign_cell_py). Returns ``(codebooks, sub)``
+    in the train_pq shape, codebook entries being residual vectors.
+    """
+    if offset is None:
+        offset = len(cents)
+    sample = (
+        corpus.orderBy(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.col("vec_id"),
+        )
+        .limit(offset + n_codes)
+        .select("vec_id", "v")
+        .collect()
+    )[offset:]
+    if len(sample) < n_codes:
+        raise ValueError(
+            f"corpus holds only {offset + len(sample)} vectors; need "
+            f"{offset + n_codes} for an offset-{offset} residual sample"
+        )
+    dim = len(sample[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    residuals = []
+    for r in sample:
+        v = list(r["v"])
+        cv = _assign_cell_py(v, cents)
+        residuals.append([x - y for x, y in zip(v, cv)])
+    codebooks = [
+        [(cid, rv[j * sub : (j + 1) * sub]) for cid, rv in enumerate(residuals)]
+        for j in range(m)
+    ]
+    return codebooks, sub
+
+
+def pq_encode_residual(
+    df: DataFrame, cents, codebooks, sub: int, vec_col: str = "v"
+) -> DataFrame:
+    """Residual-PQ encoding: literal-argmin cell assignment, residual
+    ``v − centroid[cell]`` via one element_at lookup into the literal
+    centroid array, then the shared per-subspace argmin over the RESIDUAL
+    codebooks. Adds ``cell``, ``c0..c{m-1}`` and ``recon_err_e6`` (now
+    measuring residual reconstruction — directly comparable to
+    pq_encode's at equal bits). Still pure literal-folded column algebra:
+    narrow, ZERO shuffle at any corpus size."""
+    arr = _cents_arr_sql(cents)
+    vec_sql = _sql_col(vec_col)
+    out = df.withColumn(
+        "__cvv__",
+        F.expr(
+            "aggregate(zip_with(" + vec_sql + "," + vec_sql + ",(x,y)->x*y),"
+            "CAST(0.0D AS DOUBLE),(acc,x)->acc+x)"
+        ),
+    )
+    out = out.withColumn(
+        "cell", trained_cells(F.col(vec_col), cents, nprobe=1, vv=F.col("__cvv__"))
+    ).drop("__cvv__")
+    out = out.withColumn(
+        "__rv__",
+        F.expr(
+            f"zip_with({vec_sql}, element_at({arr}, CAST(cell AS INT) + 1),"
+            "(x,y)->x-y)"
+        ),
+    )
+    return _attach_pq_codes(out, codebooks, sub, "__rv__").drop("__rv__")
+
+
+def ivf_pq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """The residual-IVFPQ serving path — ``ivf_pq_topk`` upgraded to true
+    IVFPQ (Jégou et al. 2011 §III): candidates store residual codes
+    (pq_encode_residual) and each (query, probed cell) pair precomputes
+    its ADC distance tables on the QUERY RESIDUAL ``q − centroid(cell)``
+    for that cell — the subtraction folds into the same broadcast-side
+    literal expressions, so the upgrade adds zero shuffles and zero
+    per-candidate arithmetic: candidates still pay m element_at lookups.
+
+    Returns (query_id, cand_id, adc_d2_e6, score_exact_e5, rnk), rnk <= k
+    — the ivf_pq_topk schema, so the two serving paths A/B directly.
+    Shuffle profile identical: one cell equi-join against the broadcast
+    query side, one per-query rank window."""
+    cents = train_ivf(corpus, n_centroids=n_centroids, iters=0)
+    codebooks, sub = train_pq_residual(corpus, cents, m=m, n_codes=n_codes)
+    arr = _cents_arr_sql(cents)
+
+    cc = pq_encode_residual(corpus, cents, codebooks, sub).select(
+        "vec_id", "v", "nv", "cell", *[f"c{j}" for j in range(m)]
+    )
+    vv = F.col("__vv__")
+    qpre = queries.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+    qc = qpre.select(
+        F.col("vec_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
+        F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe, vv=vv)).alias("cell"),
+    )
+    # per-probe query residual: one element_at into the literal centroid
+    # array — each (query, cell) row gets its own distance tables below,
+    # exactly the per-cell table structure real IVFPQ serving uses
+    qc = qc.withColumn(
+        "__qr__",
+        F.expr(f"zip_with(qv, element_at({arr}, CAST(cell AS INT) + 1),(x,y)->x-y)"),
+    )
+    qc = _with_sub_vv(qc, m, sub, "__qr__")
+    for j, cb in enumerate(codebooks):
+        sl = f"slice(__qr__,{j * sub + 1},{sub})"
+        d2s = ",".join(
+            _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
+        )
+        qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
+    qc = qc.drop("__qr__", *[f"__pvv{j}__" for j in range(m)])
+    adc = F.expr(
+        " + ".join(
+            f"element_at(__adc{j}__, CAST(c{j} AS INT) + 1)" for j in range(m)
+        )
+    )
+    scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("cand_id"),
+        adc.cast("long").alias("adc_d2_e6"),
+        F.floor(
+            _dot(F.col("q.qv"), F.col("c.v")) / (F.col("q.qnv") * F.col("c.nv")) * 100000
+        ).cast("long").alias("score_exact_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2_e6"), F.col("cand_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
 def ivf_pq_topk(

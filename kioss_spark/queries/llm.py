@@ -5039,9 +5039,10 @@ _PQ_D2 = (
     " + list_dot_product({c}.cv[s.a:s.b], {c}.cv[s.a:s.b])) * 1000000) AS BIGINT)"
 )
 
-#: Forgy sample == train_ivf == train_pq (the full vectors are the coarse
-#: centroids; their subspace slices are the PQ codebooks)
-_PQ_CENT = """
+#: coarse quantizer + subspace table — shared by the raw-PQ and
+#: residual-PQ oracles (Forgy sample == train_ivf: the full vectors are
+#: the coarse centroids)
+_PQ_COARSE = """
     cent AS (
         SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS cid, cv
         FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
@@ -5050,7 +5051,11 @@ _PQ_CENT = """
               FROM c)
         ORDER BY h, vec_id LIMIT 16
     ),
-    subs AS """ + _PQ_SUBS + f""",
+    subs AS """ + _PQ_SUBS
+
+#: raw-vector PQ codes: the coarse sample's subspace slices ARE the
+#: codebooks (train_pq)
+_PQ_CENT = _PQ_COARSE + f""",
     pqd AS (SELECT t.vec_id, s.j, cent.cid,
                    {_PQ_D2.format(t='t', c='cent')} AS d2
             FROM c t CROSS JOIN subs s CROSS JOIN cent),
@@ -5153,6 +5158,109 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = nn.where(F.col("vec_id") < 16)
     c = nn.where(F.col("vec_id") >= 16)
     return similarity.ivf_pq_topk(
+        q, c, k=5, m=4, n_codes=16, n_centroids=16, nprobe=3
+    )
+
+
+#: per-subspace d2 between two RESIDUAL vectors ({t}.rv vs {c}.rv) — the
+#: residual twin of _PQ_D2, same fold order both engines
+_RPQ_D2 = (
+    "CAST(floor((list_dot_product({t}.rv[s.a:s.b], {t}.rv[s.a:s.b])"
+    " - 2 * list_dot_product({t}.rv[s.a:s.b], {c}.rv[s.a:s.b])"
+    " + list_dot_product({c}.rv[s.a:s.b], {c}.rv[s.a:s.b])) * 1000000) AS BIGINT)"
+)
+
+#: residual of {t}.v w.r.t. the current cent row (element-wise subtraction
+#: — exact in IEEE doubles, so it matches Spark's zip_with / the driver-side
+#: Python subtraction bit-for-bit)
+_RPQ_RESID = (
+    "list_transform(range(1, 65),"
+    " i -> {t}.v[CAST(i AS INTEGER)] - cent.cv[CAST(i AS INTEGER)])"
+)
+
+
+@register(
+    "ann_pq_residual",
+    oracle=_ANN_BASE + "," + _PQ_COARSE + f""",
+    rsam AS (
+        SELECT (row_number() OVER (ORDER BY h, vec_id)) - 1 AS rid, vec_id, v
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) AS h,
+                     vec_id, v
+              FROM c)
+        ORDER BY h, vec_id LIMIT 16 OFFSET 16
+    ),
+    rsa AS (SELECT t.rid, {_RPQ_RESID.format(t='t')} AS rv,
+                   row_number() OVER (PARTITION BY t.rid
+                                      ORDER BY {_D2.format(t='t')}, cent.cid) AS rn
+            FROM rsam t CROSS JOIN cent),
+    rcb AS (SELECT rid, rv FROM rsa WHERE rn = 1),
+    ca AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_RPQ_RESID.format(t='t')} AS rv,
+                  row_number() OVER (PARTITION BY t.vec_id
+                                     ORDER BY {_D2.format(t='t')}, cent.cid) AS rn
+           FROM c t CROSS JOIN cent),
+    cres AS (SELECT vec_id, v, nv, cid AS cell, rv FROM ca WHERE rn = 1),
+    cpq AS (SELECT vec_id, j, rid FROM (
+              SELECT t.vec_id, s.j, r.rid,
+                     row_number() OVER (PARTITION BY t.vec_id, s.j
+                                        ORDER BY {_RPQ_D2.format(t='t', c='r')}, r.rid)
+                         AS rn
+              FROM cres t CROSS JOIN subs s CROSS JOIN rcb r)
+            WHERE rn = 1),
+    qa AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_RPQ_RESID.format(t='t')} AS rv,
+                  row_number() OVER (PARTITION BY t.vec_id
+                                     ORDER BY {_D2.format(t='t')}, cent.cid) AS rn
+           FROM q t CROSS JOIN cent),
+    qres AS (SELECT vec_id, v, nv, cid AS cell, rv FROM qa WHERE rn <= 3),
+    adcp AS (SELECT qr.vec_id AS query_id, cr.vec_id AS cand_id,
+                    {_RPQ_D2.format(t='qr', c='rc')} AS term
+             FROM qres qr
+             JOIN cres cr ON qr.cell = cr.cell
+             JOIN cpq co ON co.vec_id = cr.vec_id
+             JOIN subs s ON s.j = co.j
+             JOIN rcb rc ON rc.rid = co.rid),
+    adc AS (SELECT query_id, cand_id, CAST(sum(term) AS BIGINT) AS adc_d2_e6
+            FROM adcp GROUP BY 1, 2),
+    ex AS (SELECT qr.vec_id AS query_id, cr.vec_id AS cand_id,
+                  CAST(floor(list_dot_product(qr.v, cr.v)
+                             / (qr.nv * cr.nv) * 100000) AS BIGINT)
+                      AS score_exact_e5
+           FROM qres qr JOIN cres cr ON qr.cell = cr.cell),
+    r AS (SELECT adc.query_id, adc.cand_id, adc.adc_d2_e6, ex.score_exact_e5,
+                 row_number() OVER (PARTITION BY adc.query_id
+                                    ORDER BY adc.adc_d2_e6, adc.cand_id) AS rnk
+          FROM adc JOIN ex USING (query_id, cand_id))
+    SELECT query_id, cand_id, adc_d2_e6, score_exact_e5, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE IVFPQ serving (Jégou et al. 2011 §III): PQ codes quantize the
+    RESIDUAL ``v − coarse_centroid(cell(v))`` instead of the raw vector,
+    and each (query, probed cell) pair scores candidates with ADC tables
+    built on the query's residual for THAT cell — the per-cell distance
+    correction raw-vector ADC (ann_pq_adc) lacks when it compares
+    candidates from different cells against one shared table. Residual
+    codebooks train on the OFFSET Forgy sample (md5-order rows 17..32):
+    the coarse sample's own residuals are identically zero, so the offset
+    slice is what keeps the codebooks non-degenerate while staying fully
+    SQL-expressible (operators.similarity.train_pq_residual).
+
+    Measured on a clustered corpus (the regime IVFPQ exists for) this
+    lifts recall@5 over raw-vector PQ at equal bits (see RECALL.md); on
+    the isotropic unit-sphere fixture residuals are LARGER than the
+    vectors (best-of-16 cosine ~0.25 => E||r||^2 ~ 1.5||v||^2), so raw
+    wins there — both measurements recorded, per the honest-eval
+    discipline of ann_recall_eval/dedup_lsh_recall.
+
+    Shuffle profile identical to ann_pq_adc: one cell equi-join against
+    the broadcast query side, one per-query rank window; the residual
+    subtraction folds into the same literal-codebook codegen — zero
+    added shuffles, zero added per-candidate arithmetic
+    (operators.similarity.ivf_pq_residual_topk)."""
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.ivf_pq_residual_topk(
         q, c, k=5, m=4, n_codes=16, n_centroids=16, nprobe=3
     )
 

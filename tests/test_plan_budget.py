@@ -51,6 +51,9 @@ BUDGET = {
     "split_by_cluster": (2, 0),
     "ann_pq_adc": (1, 0),
     "ann_pq_codes": (0, 0),
+    # residual IVFPQ must keep the raw path's exact shuffle profile — the
+    # residual subtraction folds into the literal-codebook codegen
+    "ann_pq_residual": (1, 0),
     "quality_pctl_by_source": (2, 0),
 }
 
@@ -62,6 +65,7 @@ MAX_SCAN_COLS = {
     # so any extra scanned column means the literal fold regressed
     "ann_pq_codes": 2,
     "ann_pq_adc": 2,
+    "ann_pq_residual": 2,
 }
 
 
