@@ -137,8 +137,10 @@ HEADLINE = [
     "ann_pq_codes",
     "ann_pq_adc",
     # round-8: true residual IVFPQ (encode v - coarse_centroid; per-cell
-    # query-residual ADC tables)
+    # query-residual ADC tables) + the tokenizer-coverage audit riding the
+    # fuzz-pinned BPE chain
     "ann_pq_residual",
+    "bpe_coverage",
     # count-min point-frequency sketch + the dedup threshold-tuning curve
     "sketch_cms_tokens",
     "dedup_threshold_sweep",

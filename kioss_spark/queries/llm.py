@@ -4239,7 +4239,9 @@ for _a, _b in _BPE_MERGES:
             )
 
 
-def _bpe_oracle(merges: list[tuple[str, str]]) -> str:
+def _bpe_chain_sql(merges: list[tuple[str, str]]) -> str:
+    """The DuckDB replace-chain segmentation expression over column ``w``
+    — shared by the bpe_segment_corpus and bpe_coverage oracles."""
     l, r = "chr(30)", "chr(31)"
     s = r"regexp_replace(w, '(.)', chr(30) || '\1' || chr(31), 'g')"
     for a, b in merges:
@@ -4248,6 +4250,11 @@ def _bpe_oracle(merges: list[tuple[str, str]]) -> str:
         pat = f"{l} || '{aq}' || {r} || {l} || '{bq}' || {r}"
         rep = f"{l} || '{aq}{bq}' || {r}"
         s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+def _bpe_oracle(merges: list[tuple[str, str]]) -> str:
+    s = _bpe_chain_sql(merges)
     return f"""
     WITH w AS (
       SELECT doc_id, x AS w FROM documents,
@@ -4293,6 +4300,117 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("n_subwords"),
         )
         .orderBy("doc_id")
+    )
+
+
+def _bpe_coverage_oracle(merges: list[tuple[str, str]]) -> str:
+    s = _bpe_chain_sql(merges)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, x AS w FROM documents,
+      UNNEST({SQL_TOKS}) u(x)
+    ),
+    seg AS (SELECT doc_id, {s} AS s FROM w),
+    kk AS (SELECT doc_id,
+                  length(s) - length(replace(s, chr(30), '')) AS k
+           FROM seg),
+    dk AS (SELECT doc_id, k, CAST(count(*) AS BIGINT) AS n
+           FROM kk GROUP BY 1, 2),
+    tok AS (SELECT 'tok' AS metric, CAST(k AS BIGINT) AS bucket,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM dk GROUP BY 2),
+    docr AS (SELECT doc_id,
+                    (CAST(sum(k * n) AS BIGINT) * 10)
+                        // CAST(sum(n) AS BIGINT) AS bucket
+             FROM dk GROUP BY 1),
+    doc AS (SELECT 'doc' AS metric, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM docr GROUP BY 2),
+    u AS (SELECT * FROM tok UNION ALL SELECT * FROM doc)
+    SELECT metric, bucket, n,
+           CAST((CAST(sum(n) OVER (PARTITION BY metric ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 * 10000)
+                // CAST(sum(n) OVER (PARTITION BY metric) AS BIGINT)
+               AS BIGINT) AS cum_pct_e4
+    FROM u ORDER BY metric, bucket
+    """
+
+
+@register("bpe_coverage", oracle=_bpe_coverage_oracle(_BPE_MERGES))
+def bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit over the fuzz-pinned BPE chain — the
+    vocab-sizing instrument for a trained tokenizer: does the merge list
+    cover the corpus, or do too many words shatter into characters? Two
+    distributions in one long-format table:
+
+    - ``metric='tok'``: corpus token occurrences by exact subword count
+      ``bucket``, with ``cum_pct_e4`` = the fraction (1e4-integerized) of
+      corpus tokens segmenting to <= bucket subwords — the "95% of tokens
+      fit in k pieces" number that sizes sequence budgets.
+    - ``metric='doc'``: documents by subword/word ratio decile
+      (``bucket`` = floor(10 * n_subwords / n_words), exact integer
+      arithmetic), the fertility distribution — a long right tail means a
+      sub-corpus the tokenizer serves badly (usually another language).
+
+    Scale shape: ONE corpus-scale shuffle — the (doc_id, subword-count)
+    histogram agg, map-side combined to distinct pairs per partition;
+    everything downstream (token histogram, per-doc fertility, the
+    two-row-partition cumulative windows) runs at histogram grain,
+    independent of corpus size. Spark reuses the exploded-scan exchange
+    across the two consumers (the quality_ensemble histogram-cumsum
+    discipline). Cumulative percentages use integral DIV on both engines
+    — no float division anywhere, so the driver hash-verifies every row.
+    Oracle reuses _bpe_chain_sql, the same replace chain
+    bpe_segment_corpus is fuzz-pinned on (tests/test_bpe.py)."""
+    docs = _docs(spark, sf_dir)
+    lb, rb = "\x1e", "\x1f"
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    s = F.regexp_replace(F.col("w"), "(.)", lb + "$1" + rb)
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(lb + a + rb + lb + b + rb), F.lit(lb + a + b + rb))
+    k = F.length(s) - F.length(F.replace(s, F.lit(lb), F.lit("")))
+    dk = (
+        words.select("doc_id", k.alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tok = dk.groupBy("k").agg(F.sum("n").cast("long").alias("n")).select(
+        F.lit("tok").alias("metric"), F.col("k").cast("long").alias("bucket"), "n"
+    )
+    docr = dk.groupBy("doc_id").agg(
+        F.expr("(CAST(sum(k * n) AS BIGINT) * 10) DIV CAST(sum(n) AS BIGINT)")
+        .alias("bucket")
+    )
+    doc = docr.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select(F.lit("doc").alias("metric"), F.col("bucket").cast("long"), "n")
+    u = tok.unionByName(doc)
+    w_cum = (
+        Window.partitionBy("metric")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("metric")
+    return (
+        u.select(
+            "metric",
+            "bucket",
+            "n",
+            F.sum("n").over(w_cum).alias("__cum__"),
+            F.sum("n").over(w_all).alias("__tot__"),
+        )
+        .select(
+            "metric",
+            "bucket",
+            "n",
+            F.expr("CAST((__cum__ * 10000) DIV __tot__ AS BIGINT)").alias(
+                "cum_pct_e4"
+            ),
+        )
+        .orderBy("metric", "bucket")
     )
 
 

@@ -55,6 +55,10 @@ BUDGET = {
     # residual subtraction folds into the literal-codebook codegen
     "ann_pq_residual": (1, 0),
     "quality_pctl_by_source": (2, 0),
+    # one corpus-scale shuffle (the (doc_id, subword-count) histogram agg,
+    # exchange REUSED across both consumers — 1 parquet scan total); the
+    # other six are histogram-grain aggs/windows/sort
+    "bpe_coverage": (7, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
