@@ -761,11 +761,25 @@ class SStream:
             writer = writer.trigger(**self._trigger_kwargs())
         return writer.start()
 
-    def foreach_batch(self, fn: Callable[[DataFrame, int], None], output_mode: str = "append"):
+    def foreach_batch(
+        self,
+        fn: Callable[[DataFrame, int], None],
+        output_mode: str = "append",
+        checkpoint: "Optional[str]" = None,
+    ):
         """Consume per micro-batch — with ``group(interval=)`` upstream,
         ``fn`` receives exactly one group per flush interval (the
-        reference's interval-flush contract)."""
+        reference's interval-flush contract). Pass ``checkpoint`` to make
+        the query restartable: the WAL + state store land there, so a
+        killed query resumed with the same pipeline and checkpoint
+        continues its offsets AND its stateful operators' accumulated
+        state exactly (pinned by the kill-and-resume tests in
+        tests/test_streaming.py) — the memory sink cannot recover from a
+        checkpoint, so this is the test-and-production path for stateful
+        restart."""
         writer = self._df.writeStream.foreachBatch(fn).outputMode(output_mode)
+        if checkpoint:
+            writer = writer.option("checkpointLocation", checkpoint)
         if self._trigger:
             writer = writer.trigger(**self._trigger_kwargs())
         return writer.start()

@@ -4,6 +4,7 @@ Wall-clock-dependent assertions use generous bounds (the reference pins
 exact timing with DELTA_RATE=0.4 tolerance, tests/test_stream.py:113; a
 distributed scheduler needs looser ones)."""
 
+import os
 import time
 
 import pytest
@@ -929,3 +930,106 @@ def test_dq_monitor_cumulative_batch_parity(spark, tmp_path):
     assert r["n_rows"] == expect["n_rows"] == 6
     assert r["null_text"] == expect["null_text"] == 2
     assert r["bad_lang"] == expect["bad_lang"] == 3
+
+
+def test_heavy_hitters_kill_and_resume_from_checkpoint(spark, tmp_path):
+    # the other half of the exactly-once claim: kill a stateful query
+    # mid-stream and resume it from its checkpoint — the SpaceSaving
+    # summaries must CONTINUE (batch-1 counts survive the restart) and
+    # batch 1 must not be re-emitted (offsets recovered too)
+    src = str(tmp_path / "hh_res_src")
+    ckpt = str(tmp_path / "hh_res_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def pipeline():
+        return SStream.files(
+            spark, src, schema="item string", max_files_per_trigger=1
+        ).heavy_hitters("item", k=8, slots=1)
+
+    emitted: list[tuple[int, list]] = []
+
+    def capture(batch_df, batch_id):
+        emitted.append((batch_id, batch_df.collect()))
+
+    b1 = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)], "item string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q1 = pipeline().foreach_batch(capture, output_mode="update", checkpoint=ckpt)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # the kill
+    pre = {r["item"]: r["est_cnt"] for _, rows in emitted for r in rows}
+    assert pre == {"a": 5, "b": 2, "c": 1}
+
+    emitted.clear()
+    b2 = spark.createDataFrame([("a",)] * 3 + [("d",)] * 2, "item string")
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = pipeline().foreach_batch(capture, output_mode="update", checkpoint=ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    post_rows = [r for _, rows in emitted for r in rows]
+    post = {r["item"]: (r["est_cnt"], r["max_err"]) for r in post_rows}
+    # cumulative ACROSS the restart: a = 5 (pre-kill) + 3 (post-resume)
+    assert post["a"] == (8, 0)
+    assert post["d"] == (2, 0)
+    # counters stayed exact and the slot total spans both batches
+    assert all(r["slot_total"] == 13 for r in post_rows)
+    # batch 1 was not replayed: exactly one post-resume micro-batch
+    assert len(emitted) == 1
+
+
+def test_dq_monitor_kill_and_resume_from_checkpoint(spark, tmp_path):
+    # the cumulative DQ counters are ONE state row; killing the monitor
+    # and resuming from its checkpoint must continue the running totals
+    # over post-restart arrivals, not restart them from zero
+    src = str(tmp_path / "dq_res_src")
+    ckpt = str(tmp_path / "dq_res_ckpt")
+    os.makedirs(src, exist_ok=True)
+    checks_sql = {
+        "null_text": "text IS NULL",
+        "bad_lang": "lang NOT IN ('de', 'en', 'es', 'fr', 'zh')",
+    }
+
+    def pipeline():
+        return SStream.files(
+            spark, src, schema="doc_id long, text string, lang string",
+            max_files_per_trigger=1,
+        ).dq_monitor({n: F.expr(c) for n, c in checks_sql.items()})
+
+    emitted: list[tuple[int, list]] = []
+
+    def capture(batch_df, batch_id):
+        emitted.append((batch_id, batch_df.collect()))
+
+    b1 = spark.createDataFrame(
+        [(0, "good", "en"), (1, None, "en"), (2, "ok", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q1 = pipeline().foreach_batch(capture, output_mode="update", checkpoint=ckpt)
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # the kill
+    assert emitted and emitted[-1][1][0]["n_rows"] == 3
+
+    emitted.clear()
+    b2 = spark.createDataFrame(
+        [(3, "fine", None), (4, None, "zz"), (5, "also good", "de")],
+        "doc_id long, text string, lang string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = pipeline().foreach_batch(capture, output_mode="update", checkpoint=ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert len(emitted) == 1  # batch 1 not replayed
+    r = emitted[0][1][0]
+    # totals CONTINUE across the restart: 3 + 3 rows, 1+1 null_text
+    # (rows 1, 4), 1+2 bad_lang (rows 2, 3-null-lang, 4)
+    assert (r["n_rows"], r["null_text"], r["bad_lang"]) == (6, 2, 3)
