@@ -709,6 +709,40 @@ class SStream:
             )
         return self._derive(self._df.agg(*aggs), f"dq_monitor({len(checks)})")
 
+    def cms_monitor(
+        self, value_col: str = "item", d: int = 4, w: int = 32
+    ) -> "SStream":
+        """Streaming count-min sketch: maintain the d×w counter grid as a
+        native stateful KEYED aggregation — the stream twin of
+        ``operators.sketch.cms_counters``. State is the counter grid
+        (at most d·w rows) FOREVER, regardless of vocabulary or stream
+        length — the heavy_hitters bounded-state argument — and counts
+        merge by addition, so the cumulative counters are exact under any
+        micro-batching (CMS mergeability made manifest: the sketch a
+        fleet of ingest streams ships to a combiner is the same (row,
+        bucket, n) table). Emits updated counter rows per micro-batch
+        (update mode); point estimates are the min over the d rows
+        downstream, exactly ``cms_estimate``; batch parity pinned in
+        tests/test_streaming.py."""
+        from kioss_spark.operators.text import salted_h60
+
+        v = F.col(value_col)
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("row"),
+                    F.pmod(salted_h60(v, j), F.lit(w)).cast("long").alias("bucket"),
+                )
+                for j in range(d)
+            ]
+        )
+        grid = (
+            self._df.select(F.explode(keys).alias("k"))
+            .groupBy(F.col("k.row").alias("row"), F.col("k.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        return self._derive(grid, f"cms_monitor({value_col!r}, d={d}, w={w})")
+
     def observe(self, name: str = "observe", *metrics: Column) -> "SStream":
         """Streaming metrics via ``df.observe`` — surfaced per micro-batch in
         StreamingQueryProgress.observedMetrics (the reference's log-cadence

@@ -1033,3 +1033,40 @@ def test_dq_monitor_kill_and_resume_from_checkpoint(spark, tmp_path):
     # totals CONTINUE across the restart: 3 + 3 rows, 1+1 null_text
     # (rows 1, 4), 1+2 bad_lang (rows 2, 3-null-lang, 4)
     assert (r["n_rows"], r["null_text"], r["bad_lang"]) == (6, 2, 3)
+
+
+def test_cms_monitor_matches_batch_counters(spark, tmp_path):
+    # the streaming counter grid after two micro-batches must equal the
+    # batch cms_counters over the SAME rows — CMS mergeability under
+    # micro-batching (counters add, no approximation drift)
+    from kioss_spark.operators.sketch import cms_counters
+
+    src = str(tmp_path / "cms_src")
+    os.makedirs(src, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "item string"
+    )
+    b2 = spark.createDataFrame([("a",)] * 2 + [("d",)] * 4, "item string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    s = SStream.files(
+        spark, src, schema="item string", max_files_per_trigger=1
+    ).cms_monitor("item", d=4, w=8)
+    q = s.to_memory("t_cms", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {
+            (r["row"], r["bucket"]): r["n"]
+            for r in spark.sql("SELECT * FROM t_cms").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["row"], r["bucket"]): r["n"]
+        for r in cms_counters(b1.unionByName(b2), F.col("item"), d=4, w=8).collect()
+    }
+    assert got == want
+    # grid-boundedness: every hash row's counters sum to the stream length
+    for j in range(4):
+        assert sum(n for (row, _), n in got.items() if row == j) == 15
