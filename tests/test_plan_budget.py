@@ -65,6 +65,14 @@ BUDGET = {
     "quality_score_drift": (3, 1),
     "token_budget_by_source": (3, 1),
     "dedup_lsh_scurve": (5, 1),
+    # the remaining top of the bench structural table (BENCH_DETAIL_r08):
+    # triangle counting is the registry's highest shuffle count (wedge
+    # build + 3 keyed joins over the persisted pair graph) — pin it and
+    # the next unpinned tier so the whole shuffle-heavy tail is gated
+    "dup_graph_triangles": (11, 0),
+    "dedup_incremental_pairs": (5, 0),
+    "retention_cohorts": (6, 0),  # 6 at sf0.001 (one more pre-AQE-broadcast
+                                  # exchange than the sf0.1 bench measures)
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
