@@ -168,9 +168,14 @@ for _round in sorted(_GREEN_ROUNDS):
 #: measured per-query denominator (similarity.py:858) affects
 #: ann_recall_eval (identical output on fixture data where truth holds
 #: exactly k rows, but the expression tree changed — re-prove at HEAD).
-#: Everything else round 7 verified is unchanged, so the rest of the
-#: window goes pure stalest-first: 16 r4-tier names then stalest r5.
-_RECHECK_FIRST = ("vocab_drift_chi2", "ann_recall_eval")
+#: bpe_segment_corpus (r6 verdict) changed in round 8: the replace chain
+#: now runs once per DISTINCT word via _bpe_wordcounts_with_k (2.1x
+#: measured at the decade corpus) — identical results by construction
+#: and re-proven locally at sf0.01/sf0.1/hostile-tz, but the driver must
+#: re-prove it at HEAD. Everything else round 7 verified is unchanged,
+#: so the rest of the window goes pure stalest-first: 16 r4-tier names
+#: then stalest r5.
+_RECHECK_FIRST = ("vocab_drift_chi2", "ann_recall_eval", "bpe_segment_corpus")
 
 
 def load_all() -> dict[str, QueryDef]:

@@ -36,7 +36,10 @@ BUDGET = {
     "hard_negative_mining": (1, 0),
     "quality_ensemble": (4, 3),
     "pipeline_curation": (7, 0),
-    "bpe_segment_corpus": (2, 0),
+    # 2 shuffles before round 8; the vocab-keyed chain (chain runs once
+    # per DISTINCT word — measured 2.1x at the decade corpus) buys its
+    # win with a (doc_id, w) combine + vocab join: 4 shuffles now
+    "bpe_segment_corpus": (4, 0),
     "quality_linear_probe": (0, 0),
     "pagerank_dup_graph": (0, 0),
     "contamination_reach": (0, 0),
@@ -55,10 +58,10 @@ BUDGET = {
     # residual subtraction folds into the literal-codebook codegen
     "ann_pq_residual": (1, 0),
     "quality_pctl_by_source": (2, 0),
-    # one corpus-scale shuffle (the (doc_id, subword-count) histogram agg,
-    # exchange REUSED across both consumers — 1 parquet scan total); the
-    # other six are histogram-grain aggs/windows/sort
-    "bpe_coverage": (7, 0),
+    # the (doc_id, w) combine + vocab join of the round-8 vocab-keyed
+    # chain, the (doc_id, k) histogram agg (exchange REUSED across both
+    # consumers), then histogram-grain aggs/windows/sort
+    "bpe_coverage": (9, 0),
     # round-8 monitors/planners: each is one corpus pass + decile/source/
     # 1-row-grain aggs; the single-partition exchange is the tiny totals
     # (or 12-sum S-curve) aggregate, never the data path
