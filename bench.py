@@ -150,6 +150,8 @@ HEADLINE = [
     "quality_score_drift",
     "token_budget_by_source",
     "dedup_lsh_scurve",
+    # the pre-join cardinality-explosion predictor
+    "join_fanout_audit",
 ]
 
 

@@ -4679,6 +4679,84 @@ def quality_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_fanout_audit",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    p AS (SELECT user_id, n, n * n AS pred FROM c),
+    b AS (SELECT CAST(length(bin(pred)) AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(n) AS BIGINT) AS in_rows,
+                 CAST(sum(pred) AS BIGINT) AS pred_rows
+          FROM p GROUP BY 1)
+    SELECT bucket, n_keys, in_rows, pred_rows,
+           CAST((CAST(sum(pred_rows) OVER (ORDER BY bucket
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 * 10000)
+                // CAST(sum(pred_rows) OVER () AS BIGINT) AS BIGINT)
+               AS cum_share_e4,
+           CAST((pred_rows * 1000) // in_rows AS BIGINT) AS amp_e3
+    FROM b ORDER BY bucket
+    """,
+)
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality-explosion predictor — the pre-flight a 100 TB
+    pipeline runs BEFORE an m:n join: for the events-on-user_id
+    self-join (the classic accidental-explosion shape: sessionization,
+    co-occurrence, same-user pairing), per join key the predicted output
+    is n_left * n_right = n^2; this audits the prediction as a
+    histogram over log2 output-size buckets (the length(bin(v)) libm-free
+    idiom, engine-exact) with per-bucket input rows, predicted rows,
+    cumulative predicted share, and the amplification factor
+    ``amp_e3 = pred/in * 1e3``. Read it as: which key-size decade
+    produces the output mass, and is the join a 10x or a 10000x
+    amplifier (salt/pre-aggregate before running it — the instrument
+    behind skew_salted_event_totals' remedy).
+
+    Plan: ONE corpus-scale shuffle (the per-key count, map-side
+    combined); the squaring, bucketing, windows and sort all run at
+    key-histogram grain. All integer arithmetic — exact oracle parity.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    p = c.select("n", (F.col("n") * F.col("n")).alias("pred"))
+    b = p.groupBy(
+        F.expr("CAST(length(bin(pred)) AS BIGINT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("in_rows"),
+        F.sum("pred").cast("long").alias("pred_rows"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return (
+        b.select(
+            "bucket",
+            "n_keys",
+            "in_rows",
+            "pred_rows",
+            F.sum("pred_rows").over(w_cum).alias("__cum__"),
+            F.sum("pred_rows").over(w_all).alias("__tot__"),
+        )
+        .select(
+            "bucket",
+            "n_keys",
+            "in_rows",
+            "pred_rows",
+            F.expr("CAST((__cum__ * 10000) DIV __tot__ AS BIGINT)").alias(
+                "cum_share_e4"
+            ),
+            F.expr("CAST((pred_rows * 1000) DIV in_rows AS BIGINT)").alias(
+                "amp_e3"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "token_budget_by_source",
     oracle=f"""
     WITH d AS (SELECT source, len({SQL_TOKS}) AS nt FROM documents),

@@ -73,6 +73,10 @@ BUDGET = {
     # build + 3 keyed joins over the persisted pair graph) — pin it and
     # the next unpinned tier so the whole shuffle-heavy tail is gated
     "dup_graph_triangles": (11, 0),
+    # one corpus-scale per-key count; squaring/bucketing/windows run at
+    # the <=64-row log2-bucket histogram (the single-partition window is
+    # that tiny subplan)
+    "join_fanout_audit": (2, 1),
     "dedup_incremental_pairs": (5, 0),
     "retention_cohorts": (6, 0),  # 6 at sf0.001 (one more pre-AQE-broadcast
                                   # exchange than the sf0.1 bench measures)
@@ -87,6 +91,7 @@ MAX_SCAN_COLS = {
     "ann_pq_codes": 2,
     "ann_pq_adc": 2,
     "ann_pq_residual": 2,
+    "join_fanout_audit": 1,  # user_id only (events has 6 columns)
 }
 
 
