@@ -95,3 +95,57 @@ def test_residual_pq_lifts_recall_on_clustered_corpus(spark):
     raw = mean_recall(S.ivf_pq_topk(q, c, k=5, m=4, n_codes=16))
     res = mean_recall(S.ivf_pq_residual_topk(q, c, k=5, m=4, n_codes=16))
     assert res > raw, f"residual recall {res} <= raw recall {raw}"
+
+
+def test_scurve_terms_match_python_model(spark):
+    # the fold-multiply S-curve expressions, evaluated by Spark on a j
+    # grid, must equal the closed form p = 1 - (1 - j^r)^b replicated in
+    # Python with the same left-fold multiplication order
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kioss_spark.queries.llm import _LSH_CONFIGS, _scurve_terms
+
+    grid = [0.0, 0.3, 0.5, 0.8, 0.95, 1.0]
+    df = spark.createDataFrame([(j,) for j in grid], "j double")
+    for b, r in _LSH_CONFIGS:
+        cand, miss = _scurve_terms(r, b, one="1.0D")
+        rows = {
+            r_["j"]: (r_["c"], r_["m"])
+            for r_ in df.select(
+                "j", F.expr(cand).alias("c"), F.expr(miss).alias("m")
+            ).collect()
+        }
+        for j in grid:
+            jr = j
+            for _ in range(r - 1):
+                jr = jr * j
+            q = 1.0 - jr
+            qb = q
+            for _ in range(b - 1):
+                qb = qb * q
+            p = 1.0 - qb
+            assert rows[j] == (math.floor(p * 1000000), math.floor(qb * 1000000)), (
+                b, r, j, rows[j],
+            )
+
+
+def test_scurve_configs_cover_k():
+    from kioss_spark.queries.llm import _LSH_CONFIGS, _LSH_K
+
+    assert all(b * r == _LSH_K for b, r in _LSH_CONFIGS)
+    assert len({(b, r) for b, r in _LSH_CONFIGS}) == len(_LSH_CONFIGS)
+
+
+def test_join_fanout_audit_predicts_actual_join(spark):
+    # the audit's predicted row count must equal the ACTUAL self-join
+    # output — the instrument is only useful if its prediction is exact
+    from pyspark.sql import functions as F
+
+    rows = [(i % 7,) for i in range(100)] + [(99,)] * 30
+    df = spark.createDataFrame(rows, "user_id long")
+    c = df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    predicted = c.select(F.sum(F.col("n") * F.col("n"))).first()[0]
+    actual = df.alias("a").join(df.alias("b"), "user_id").count()
+    assert predicted == actual == 15 * 15 * 2 + 14 * 14 * 5 + 30 * 30
