@@ -1188,6 +1188,7 @@ def ivf_pq_residual_topk(
     n_codes: int = 16,
     n_centroids: int = 16,
     nprobe: int = 3,
+    iters: int = 0,
 ) -> DataFrame:
     """The residual-IVFPQ serving path — ``ivf_pq_topk`` upgraded to true
     IVFPQ (Jégou et al. 2011 §III): candidates store residual codes
@@ -1200,8 +1201,11 @@ def ivf_pq_residual_topk(
     Returns (query_id, cand_id, adc_d2_e6, score_exact_e5, rnk), rnk <= k
     — the ivf_pq_topk schema, so the two serving paths A/B directly.
     Shuffle profile identical: one cell equi-join against the broadcast
-    query side, one per-query rank window."""
-    cents = train_ivf(corpus, n_centroids=n_centroids, iters=0)
+    query side, one per-query rank window. ``iters`` Lloyd-refines the
+    coarse quantizer — ON-MEAN centroids shrink residual norms, which is
+    where residual PQ earns its keep (measured in RECALL.md); 0 stays the
+    Forgy oracle-checkable default."""
+    cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
     codebooks, sub = train_pq_residual(corpus, cents, m=m, n_codes=n_codes)
     arr = _cents_arr_sql(cents)
 
@@ -1256,6 +1260,7 @@ def ivf_pq_topk(
     n_codes: int = 16,
     n_centroids: int = 16,
     nprobe: int = 3,
+    iters: int = 0,
 ) -> DataFrame:
     """The IVFPQ serving path: trained-IVF candidate pruning (literal-
     folded cell assignment, query-side multi-probe) + PQ-code asymmetric
@@ -1271,8 +1276,10 @@ def ivf_pq_topk(
     Returns (query_id, cand_id, adc_d2_e6, score_exact_e5, rnk), rnk <= k.
     Shuffle profile: identical to ivf_topk_trained — one cell equi-join
     with the broadcast query side, one per-query rank window; encoding
-    and ADC add zero shuffles."""
-    cents = train_ivf(corpus, n_centroids=n_centroids, iters=0)
+    and ADC add zero shuffles. ``iters`` Lloyd-refines the coarse
+    quantizer before encoding (0 = Forgy default, the oracle-checkable
+    config)."""
+    cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
     codebooks, sub = train_pq(corpus, m=m, n_codes=n_codes)
 
     vv = F.col("__vv__")
