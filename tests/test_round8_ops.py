@@ -149,3 +149,51 @@ def test_join_fanout_audit_predicts_actual_join(spark):
     predicted = c.select(F.sum(F.col("n") * F.col("n"))).first()[0]
     actual = df.alias("a").join(df.alias("b"), "user_id").count()
     assert predicted == actual == 15 * 15 * 2 + 14 * 14 * 5 + 30 * 30
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["can", "cano", "scan", "a", "ab", "co", "cu", "x"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_vocab_keyed_bpe_equals_per_occurrence_chain(spark, docs):
+    # the round-8 optimization's invariance pin: running the replace
+    # chain once per DISTINCT word and multiplying by counts must equal
+    # the chain applied to every occurrence, for ANY word multiset
+    from pyspark.sql import functions as F
+
+    from kioss_spark.queries.llm import _BPE_MERGES, _bpe_wordcounts_with_k
+
+    rows = [(i, w) for i, d in enumerate(docs) for w in d]
+    words = spark.createDataFrame(rows, "doc_id long, w string")
+
+    lb, rb = "\x1e", "\x1f"
+    s = F.regexp_replace(F.col("w"), "(.)", lb + "$1" + rb)
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(lb + a + rb + lb + b + rb), F.lit(lb + a + b + rb))
+    k = F.length(s) - F.length(F.replace(s, F.lit(lb), F.lit("")))
+    direct = {
+        (r["doc_id"], r["k"]): r["n"]
+        for r in words.select("doc_id", k.alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    vocab_keyed = {
+        (r["doc_id"], r["k"]): r["n"]
+        for r in _bpe_wordcounts_with_k(words)
+        .groupBy("doc_id", "k")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .collect()
+    }
+    assert direct == vocab_keyed
