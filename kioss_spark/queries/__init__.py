@@ -152,6 +152,29 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "sample_cluster_stratified", "sketch_cms_tokens", "split_by_cluster",
         "vocab_drift_chi2", "zorder_event_layout",
     }),
+    # CORRECTNESS_r08.json — 50/50 green (the three post-verdict-changed
+    # re-check leaders, the nine round-8 registrations, and the stalest
+    # r4/r5-tier names the r8 window reached).
+    8: frozenset({
+        "agg_distinct_stats", "ann_matryoshka_agreement", "ann_pq_residual",
+        "ann_recall_eval", "bigram_lm_score", "bigram_novelty",
+        "bpe_coverage", "bpe_segment_corpus", "chunk_dedup",
+        "collocations_pmi", "contamination_reach", "corpus_apply_changeset",
+        "corpus_snapshot_diff", "dedup_cluster_keep", "dedup_incremental_lsh",
+        "dedup_incremental_pairs", "dedup_lsh_scurve", "dedup_minhash_lsh",
+        "dedup_provenance", "dedup_simhash", "dedup_substring_spans",
+        "dup_graph_clustering", "dup_graph_triangles", "embed_cluster_profile",
+        "embed_covariance_diag", "embed_outliers", "embed_quantize_int8",
+        "entity_resolution_parts", "event_rate_anomaly",
+        "event_value_histogram", "join_fanout_audit", "quality_repetition",
+        "quality_score_drift", "quality_unigram_icf", "rolling_7d_user_value",
+        "salted_join_event_weights", "sample_deterministic",
+        "sample_stratified", "shuffle_shards", "sketch_distinct_tokens",
+        "sketch_hll_lang_rollup", "sketch_kll_doclen",
+        "sketch_theta_source_overlap", "split_train_val_test", "text_quality",
+        "tfidf_keywords", "token_budget_by_source", "token_counts",
+        "vocab_drift_chi2", "vocab_top_terms",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -162,20 +185,14 @@ for _round in sorted(_GREEN_ROUNDS):
 
 #: Re-check leaders: queries whose verified implementation changed AFTER
 #: their last green verdict, so their stale verdict no longer covers HEAD.
-#: Round 8: the two r7-verified queries touched by the round-7 ADVICE
-#: fixes — the CHI2_SQL zero-denominator CASE guard (text.py) affects
-#: vocab_drift_chi2 on both engine and oracle sides, and recall_at_k's
-#: measured per-query denominator (similarity.py:858) affects
-#: ann_recall_eval (identical output on fixture data where truth holds
-#: exactly k rows, but the expression tree changed — re-prove at HEAD).
-#: bpe_segment_corpus (r6 verdict) changed in round 8: the replace chain
-#: now runs once per DISTINCT word via _bpe_wordcounts_with_k (2.1x
-#: measured at the decade corpus) — identical results by construction
-#: and re-proven locally at sf0.01/sf0.1/hostile-tz, but the driver must
-#: re-prove it at HEAD. Everything else round 7 verified is unchanged,
-#: so the rest of the window goes pure stalest-first: 16 r4-tier names
-#: then stalest r5.
-_RECHECK_FIRST = ("vocab_drift_chi2", "ann_recall_eval", "bpe_segment_corpus")
+#: Round 9: empty. Round 8's only post-verdict code change was the
+#: default-preserving ``iters=`` Lloyd-refinement dial (f4d86b9) — the
+#: judge verified by diff, and independently re-ran both IVFPQ paths vs
+#: DuckDB at final HEAD (8/8 pass) — so no r8-verified query's verdict
+#: trails its implementation. The window goes: new registrations, then
+#: the 19 r5-stale names, then the stalest r6 tier (finally re-proving
+#: the reference-parity op_* family at HEAD).
+_RECHECK_FIRST: tuple = ()
 
 
 def load_all() -> dict[str, QueryDef]:
