@@ -152,6 +152,9 @@ HEADLINE = [
     "dedup_lsh_scurve",
     # the pre-join cardinality-explosion predictor
     "join_fanout_audit",
+    # round-9: unigram-LM (SentencePiece-style) Viterbi segmentation —
+    # the second tokenizer family, riding the distinct-word seam
+    "unigram_segment_corpus",
 ]
 
 

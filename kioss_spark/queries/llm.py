@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kioss_spark.operators import dedup, multimodal, similarity
+from kioss_spark.operators import dedup, multimodal, similarity, unigram
 from kioss_spark.operators.text import (
     LANG_MARKERS,
     CHI2_SQL,
@@ -4428,6 +4428,126 @@ def bpe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("metric", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) Viterbi segmentation
+# ---------------------------------------------------------------------------
+
+#: Unigram-LM piece vocabulary learned by operators.unigram.train_unigram
+#: (vocab_size=48, max_piece_len=4, iters=4) on the sf0.01 documents
+#: corpus — the _BPE_MERGES / train_ivf pattern: training is an offline
+#: action, the scores ship as plan literals. Scores are log-prob * 1e3
+#: integers; every corpus character is present (coverage floor), so UNK
+#: only fires on out-of-distribution input.
+_UNIGRAM_VOCAB: list[tuple[str, int]] = [
+    ("a", -2887), ("agg", -4242), ("b", -4270), ("batc", -4203),
+    ("c", -11045), ("colu", -4206), ("cust", -4206), ("d", -4230),
+    ("data", -4234), ("e", -2867), ("er", -3548), ("f", -4296),
+    ("filt", -4207), ("g", -3576), ("h", -3563), ("hash", -4192),
+    ("i", -3571), ("j", -11045), ("join", -4174), ("k", -4266),
+    ("key", -4248), ("l", -11045), ("line", -4232), ("m", -11045),
+    ("mall", -4212), ("merg", -4223), ("mn", -4206), ("n", -4259),
+    ("o", -3570), ("omer", -4206), ("or", -3559), ("orde", -4230),
+    ("p", -3159), ("q", -4276), ("r", -2871), ("ream", -4256),
+    ("row", -4196), ("s", -2651), ("scan", -4204), ("slow", -4223),
+    ("t", -2672), ("tabl", -4234), ("u", -3564), ("v", -11045),
+    ("valu", -4246), ("vect", -4230), ("w", -3566), ("y", -4276),
+]
+_UNIGRAM_UNK_E3 = -16045
+_UNIGRAM_PMAX = 4   # max piece length in the learned vocab
+_UNIGRAM_LMAX = 16  # oracle unroll bound (fixture max word length is 8);
+                    # both engines char-fallback past it, so they agree
+                    # on every input
+
+
+def _unigram_oracle() -> str:
+    dp = unigram.duck_dp_subquery(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, _UNIGRAM_LMAX,
+        source_sql="(SELECT DISTINCT w FROM wc)",
+        max_piece_len=_UNIGRAM_PMAX,
+    )
+    k = unigram.duck_extract_k("w", "p", _UNIGRAM_LMAX)
+    s = unigram.duck_extract_s("w", "p", _UNIGRAM_LMAX, _UNIGRAM_UNK_E3)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, x AS w FROM documents,
+      UNNEST({SQL_TOKS}) u(x)
+    ),
+    wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+           FROM w GROUP BY 1, 2),
+    seg AS (SELECT w, {k} AS k, {s} AS s FROM {dp} dp)
+    SELECT doc_id,
+      CAST(sum(c) AS BIGINT) AS n_words,
+      CAST(sum(k * c) AS BIGINT) AS n_pieces,
+      CAST(sum(-s * c) AS BIGINT) AS neg_logprob_e3
+    FROM wc JOIN seg USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("unigram_segment_corpus", oracle=_unigram_oracle())
+def unigram_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM token accounting — the OTHER production
+    tokenizer family next to BPE (Kudo 2018 / SentencePiece, the
+    T5/Llama/XLM-R pipelines): each word segments along the Viterbi path
+    maximizing the sum of learned piece log-probs, reporting word count,
+    piece count, and the summed negative log-prob (the corpus-perplexity
+    accounting a tokenizer-selection pass needs).
+
+    Exactness: integer piece scores (log-prob * 1e3) as plan literals and
+    a PACKED DP state (score * 1024 + (1023 - pieces), so integer
+    ``greatest`` is the (max score, fewest pieces) tie-break) make every
+    output column exact int64 — the driver hash-verifies all rows. Spark
+    runs the recurrence as ONE ``aggregate()`` fold; the oracle unrolls
+    the same recurrence to lateral-alias columns (operators/unigram.py,
+    parity fuzz-pinned in tests/test_round9_ops.py).
+
+    Scale shape: the bpe_segment_corpus discipline — one corpus-scale
+    (doc_id, w) map-side combine, the Viterbi fold evaluated once per
+    DISTINCT word (the _bpe_wordcounts_with_k seam: chain work collapses
+    from O(corpus tokens) to O(vocabulary)), AQE broadcasts the
+    vocabulary side of the join back to per-doc counts, then a per-doc
+    agg. Zero Python, whole-stage codegen throughout."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    wcnt = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pexpr = unigram.unigram_packed_expr(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, col="w",
+        max_piece_len=_UNIGRAM_PMAX,
+    )
+    vk = (
+        wcnt.select("w")
+        .distinct()
+        .select("w", F.expr(pexpr).alias("p"))
+        .select(
+            "w",
+            F.expr(
+                unigram.spark_extract_k("w", "p", _UNIGRAM_LMAX)
+            ).alias("k"),
+            F.expr(
+                unigram.spark_extract_s(
+                    "w", "p", _UNIGRAM_LMAX, _UNIGRAM_UNK_E3
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        wcnt.join(vk, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("k") * F.col("c")).cast("long").alias("n_pieces"),
+            F.sum(-F.col("s") * F.col("c")).cast("long").alias(
+                "neg_logprob_e3"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -80,6 +80,10 @@ BUDGET = {
     "dedup_incremental_pairs": (5, 0),
     "retention_cohorts": (6, 0),  # 6 at sf0.001 (one more pre-AQE-broadcast
                                   # exchange than the sf0.1 bench measures)
+    # round-9: unigram-LM Viterbi segmentation rides the exact
+    # bpe_segment_corpus shape — (doc_id, w) combine + distinct-word DP +
+    # AQE-broadcast vocab join + per-doc agg
+    "unigram_segment_corpus": (4, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
@@ -92,6 +96,7 @@ MAX_SCAN_COLS = {
     "ann_pq_adc": 2,
     "ann_pq_residual": 2,
     "join_fanout_audit": 1,  # user_id only (events has 6 columns)
+    "unigram_segment_corpus": 2,  # doc_id, text — scores are plan literals
 }
 
 

@@ -1,0 +1,223 @@
+"""Round-9 operator tests: unigram-LM (SentencePiece-style) segmentation.
+
+Reference parity note: the reference engine has no tokenizer surface;
+these pin the §2.5 LLM-pipeline addition (Kudo 2018 Viterbi semantics)
+against a trivial driver-side Viterbi and the operator's documented
+invariants (packed tie-break, UNK fallback, cross-engine agreement,
+vocab-keyed distinct-word seam).
+"""
+
+import random
+import string
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kioss_spark.operators import unigram as U
+from kioss_spark.queries.llm import (
+    _UNIGRAM_LMAX,
+    _UNIGRAM_PMAX,
+    _UNIGRAM_UNK_E3,
+    _UNIGRAM_VOCAB,
+)
+
+_SCORES = dict(_UNIGRAM_VOCAB)
+
+
+def _fuzz_words(n=200, seed=9):
+    """Seeded fuzz corpus: corpus-alphabet words, hostile chars (z/x not
+    in the trained vocab -> UNK path), boundary lengths 1..LMAX, and a
+    few quote-bearing words (SQL-escaping path)."""
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwy"
+    hostile = alpha + "zx'"
+    words = []
+    for _ in range(n):
+        pool = alpha if rng.random() < 0.7 else hostile
+        ln = rng.randint(1, _UNIGRAM_LMAX)
+        words.append("".join(rng.choice(pool) for _ in range(ln)))
+    # pin the exact boundary and some real vocab words
+    words += ["join", "joinjoinjoinjoin", "batch", "a", "z",
+              "w" * _UNIGRAM_LMAX]
+    return sorted(set(words))
+
+
+def _reference(words):
+    return {
+        w: U.viterbi_segment(w, _SCORES, _UNIGRAM_UNK_E3, _UNIGRAM_PMAX)[:2]
+        for w in words
+    }
+
+
+def test_spark_fold_matches_reference_viterbi(spark):
+    words = _fuzz_words()
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    pexpr = U.unigram_packed_expr(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, col="w", max_piece_len=_UNIGRAM_PMAX
+    )
+    got = {
+        r["w"]: (r["k"], r["s"])
+        for r in df.select("w", F.expr(pexpr).alias("p"))
+        .select(
+            "w",
+            F.expr(U.spark_extract_k("w", "p", _UNIGRAM_LMAX)).alias("k"),
+            F.expr(
+                U.spark_extract_s("w", "p", _UNIGRAM_LMAX, _UNIGRAM_UNK_E3)
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == _reference(words)
+
+
+def test_duck_unroll_matches_reference_viterbi():
+    words = _fuzz_words(seed=10)
+    vals = ", ".join("('%s')" % w.replace("'", "''") for w in words)
+    dp = U.duck_dp_subquery(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, _UNIGRAM_LMAX,
+        source_sql=f"(SELECT w FROM (VALUES {vals}) t(w))",
+        max_piece_len=_UNIGRAM_PMAX,
+    )
+    k = U.duck_extract_k("w", "p", _UNIGRAM_LMAX)
+    s = U.duck_extract_s("w", "p", _UNIGRAM_LMAX, _UNIGRAM_UNK_E3)
+    got = {
+        w: (kk, ss)
+        for w, kk, ss in duckdb.sql(
+            f"SELECT w, {k} AS k, {s} AS s FROM {dp} dp"
+        ).fetchall()
+    }
+    assert got == _reference(words)
+
+
+def test_past_lmax_char_fallback_agrees_cross_engine(spark):
+    # words longer than the oracle's unroll bound take the SAME
+    # char-per-piece UNK fallback on both engines — in-vocab pieces
+    # inside an over-long word must NOT resurrect the DP on one side only
+    words = ["join" * 5, "a" * (_UNIGRAM_LMAX + 1)]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    pexpr = U.unigram_packed_expr(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, col="w", max_piece_len=_UNIGRAM_PMAX
+    )
+    got_spark = {
+        r["w"]: (r["k"], r["s"])
+        for r in df.select("w", F.expr(pexpr).alias("p"))
+        .select(
+            "w",
+            F.expr(U.spark_extract_k("w", "p", _UNIGRAM_LMAX)).alias("k"),
+            F.expr(
+                U.spark_extract_s("w", "p", _UNIGRAM_LMAX, _UNIGRAM_UNK_E3)
+            ).alias("s"),
+        )
+        .collect()
+    }
+    vals = ", ".join("('%s')" % w for w in words)
+    dp = U.duck_dp_subquery(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, _UNIGRAM_LMAX,
+        source_sql=f"(SELECT w FROM (VALUES {vals}) t(w))",
+        max_piece_len=_UNIGRAM_PMAX,
+    )
+    k = U.duck_extract_k("w", "p", _UNIGRAM_LMAX)
+    s = U.duck_extract_s("w", "p", _UNIGRAM_LMAX, _UNIGRAM_UNK_E3)
+    got_duck = {
+        w: (kk, ss)
+        for w, kk, ss in duckdb.sql(
+            f"SELECT w, {k} AS k, {s} AS s FROM {dp} dp"
+        ).fetchall()
+    }
+    expect = {w: (len(w), len(w) * _UNIGRAM_UNK_E3) for w in words}
+    assert got_spark == expect
+    assert got_duck == expect
+
+
+def test_packed_tiebreak_prefers_fewer_pieces():
+    # two segmentations with EQUAL total score: the packed encoding
+    # (score * 1024 + (1023 - k)) must pick the shorter piece list, so
+    # the emitted counts are deterministic cross-engine
+    scores = {"a": -1000, "aa": -2000}  # "aa" == "a"+"a" on score
+    k, s, pieces = U.viterbi_segment("aa", scores, unk_e3=-9000,
+                                     max_piece_len=2)
+    assert (k, s) == (1, -2000)
+    assert pieces == ["aa"]
+
+
+def test_train_unigram_deterministic_and_covers_alphabet(spark):
+    docs = spark.createDataFrame(
+        [(i, "join scan batch filter join merge row scan") for i in range(6)],
+        "doc_id long, text string",
+    )
+    v1, u1 = U.train_unigram(docs, vocab_size=24, max_piece_len=4, iters=2)
+    v2, u2 = U.train_unigram(docs, vocab_size=24, max_piece_len=4, iters=2)
+    assert (v1, u1) == (v2, u2)
+    got = dict(v1)
+    chars = {c for w in "join scan batch filter merge row".split() for c in w}
+    assert chars <= set(got)  # character-coverage floor
+    assert u1 < min(got.values())  # UNK strictly below every piece
+    # segmentation under the learned vocab never shatters a training word
+    for w in ("join", "batch", "filter"):
+        k, _, _ = U.viterbi_segment(w, got, u1, 4)
+        assert 1 <= k < len(w) or len(w) == 1
+
+
+def test_production_vocab_covers_fixture_alphabet():
+    # the inlined literals must keep the coverage floor for the fixture
+    # corpus alphabet — a regenerated vocab that drops a char would send
+    # in-distribution text down the UNK path silently
+    alphabet = set("abcdefghijklmnopqrstuvwy")
+    assert alphabet <= {p for p, _ in _UNIGRAM_VOCAB if len(p) == 1}
+    assert _UNIGRAM_UNK_E3 < min(s for _, s in _UNIGRAM_VOCAB)
+    assert max(len(p) for p, _ in _UNIGRAM_VOCAB) <= _UNIGRAM_PMAX
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["join", "scan", "batch", "a", "er", "zq", "x", "joinscan"]
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_distinct_word_seam_equals_per_occurrence(spark, docs):
+    # the vocab-keyed seam invariance pin (the round-8 BPE lesson, same
+    # property): evaluating the Viterbi fold once per DISTINCT word and
+    # multiplying by counts must equal evaluating it per occurrence,
+    # for ANY word multiset
+    rows = [(i, w) for i, d in enumerate(docs) for w in d]
+    words = spark.createDataFrame(rows, "doc_id long, w string")
+    pexpr = U.unigram_packed_expr(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, col="w", max_piece_len=_UNIGRAM_PMAX
+    )
+    kx = U.spark_extract_k("w", "p", _UNIGRAM_LMAX)
+    per_occurrence = {
+        (r["doc_id"], r["k"]): r["n"]
+        for r in words.select("doc_id", "w", F.expr(pexpr).alias("p"))
+        .select("doc_id", F.expr(kx).alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    wcnt = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vk = (
+        wcnt.select("w").distinct()
+        .select("w", F.expr(pexpr).alias("p"))
+        .select("w", F.expr(kx).alias("k"))
+    )
+    vocab_keyed = {
+        (r["doc_id"], r["k"]): r["n"]
+        for r in wcnt.join(vk, "w")
+        .groupBy("doc_id", "k")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .collect()
+    }
+    assert per_occurrence == vocab_keyed
