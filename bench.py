@@ -155,6 +155,8 @@ HEADLINE = [
     # round-9: unigram-LM (SentencePiece-style) Viterbi segmentation —
     # the second tokenizer family, riding the distinct-word seam
     "unigram_segment_corpus",
+    # the OPQ rung of the PQ serving ladder (learned rotation, frozen model)
+    "ann_pq_opq",
 ]
 
 

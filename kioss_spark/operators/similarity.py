@@ -48,6 +48,10 @@ __all__ = [
     "train_pq_residual",
     "pq_encode_residual",
     "ivf_pq_residual_topk",
+    "train_opq",
+    "opq_rotate_expr",
+    "pq_encode_opq",
+    "ivf_pq_opq_topk",
 ]
 
 
@@ -1312,6 +1316,212 @@ def ivf_pq_topk(
         )
         qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
     qc = qc.drop(*[f"__pvv{j}__" for j in range(m)])
+    adc = F.expr(
+        " + ".join(
+            f"element_at(__adc{j}__, CAST(c{j} AS INT) + 1)" for j in range(m)
+        )
+    )
+    scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("cand_id"),
+        adc.cast("long").alias("adc_d2_e6"),
+        F.floor(
+            _dot(F.col("q.qv"), F.col("c.v")) / (F.col("q.qnv") * F.col("c.nv")) * 100000
+        ).cast("long").alias("score_exact_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2_e6"), F.col("cand_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Optimized Product Quantization (Ge et al. 2013)
+# ---------------------------------------------------------------------------
+
+
+def train_opq(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    sample_n: int = 64,
+    opq_iters: int = 10,
+    lloyd_iters: int = 4,
+    decimals: int = 6,
+):
+    """Train an OPQ rotation + rotated-space codebooks (Ge et al. 2013,
+    "Optimized Product Quantization", the non-parametric alternating
+    solver): repeat [quantize the rotated sample under per-subspace
+    Lloyd codebooks -> solve the orthogonal Procrustes problem for the
+    rotation minimizing ||X Rᵀ − Y||]. The learned R redistributes
+    variance across the m subspaces so the SAME bit budget loses less —
+    the standard fix for the geometry residual PQ loses on (isotropic /
+    unaligned corpora), at the cost of one dim×dim matvec per encode.
+
+    Training is driver-side numpy on the deterministic md5(vec_id)-order
+    sample (the train_pq/train_ivf discipline — one tiny plan-build-time
+    job; ``sample_n`` rows, not the corpus). The returned model is
+    literal-ready: R is rounded to ``decimals`` so the SAME doubles parse
+    on both engines, and codebooks are re-fit under the ROUNDED R so the
+    model is self-consistent. Returns ``(R, codebooks, sub)`` with
+    ``codebooks`` in the train_pq shape (rotated-space codewords).
+
+    Serving-path exactness does not depend on the trainer: R and the
+    codebooks travel as plan literals (and as literals inside the DuckDB
+    oracle), so both engines compute identical doubles whatever numpy
+    produced."""
+    import numpy as np
+
+    sample = (
+        corpus.orderBy(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.col("vec_id"),
+        )
+        .limit(sample_n)
+        .select("vec_id", "v")
+        .collect()
+    )
+    X = np.array([list(r["v"]) for r in sample], dtype=np.float64)
+    if len(X) < n_codes:
+        raise ValueError(
+            f"corpus holds only {len(X)} vectors; need >= {n_codes}"
+        )
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+
+    def _fit_codebooks(Xr):
+        books, Y = [], np.empty_like(Xr)
+        for j in range(m):
+            Z = Xr[:, j * sub : (j + 1) * sub]
+            C = Z[:n_codes].copy()  # Forgy init: first sample rows
+            for _ in range(lloyd_iters):
+                d2 = ((Z[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                for cid in range(n_codes):
+                    pts = Z[assign == cid]
+                    if len(pts):
+                        C[cid] = pts.mean(0)
+            d2 = ((Z[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            Y[:, j * sub : (j + 1) * sub] = C[assign]
+            books.append(C)
+        return books, Y
+
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        _, Y = _fit_codebooks(X @ R.T)
+        # orthogonal Procrustes: min_Q ||X Q − Y||_F, Q = U Vᵀ of Xᵀ Y;
+        # the rotation applied to vectors is R = Qᵀ
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = (U @ Vt).T
+    R = np.round(R, decimals)
+    books, _ = _fit_codebooks(X @ R.T)
+    codebooks = [
+        [(cid, [float(x) for x in Cj[cid]]) for cid in range(n_codes)]
+        for Cj in books
+    ]
+    return [[float(x) for x in row] for row in R], codebooks, sub
+
+
+def _rot_arr_sql(R) -> str:
+    """The rotation as ONE literal array-of-row-arrays (the _cents_arr_sql
+    discipline: render as a SQL string, not py4j Column trees)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(x) for x in row) + ")"
+            for row in R
+        )
+        + ")"
+    )
+
+
+def opq_rotate_expr(R, vec_sql: str) -> str:
+    """``R · v`` as pure column algebra: transform over the literal rows,
+    each component the same left-fold dot the whole ANN family uses — so
+    the rotated doubles match DuckDB's ``list_transform(rr, r ->
+    list_dot_product(r, v))`` to the last ulp."""
+    return (
+        f"transform({_rot_arr_sql(R)}, r -> "
+        f"aggregate(zip_with(r, {vec_sql}, (x,y)->x*y), "
+        "CAST(0.0D AS DOUBLE), (acc,x)->acc+x))"
+    )
+
+
+def pq_encode_opq(
+    df: DataFrame, R, codebooks, sub: int, vec_col: str = "v"
+) -> DataFrame:
+    """OPQ encoding: rotate ``v`` by the literal R, then the shared
+    per-subspace argmin over the ROTATED-space codebooks (the
+    pq_encode_residual seam with the residual subtraction swapped for a
+    matvec). Adds ``c0..c{m-1}`` and ``recon_err_e6`` (rotated-space
+    reconstruction error — directly comparable to pq_encode's at equal
+    bits because R is orthonormal: distances are rotation-invariant).
+    Pure literal-folded column algebra: narrow, ZERO shuffle at any
+    corpus size."""
+    vec_sql = _sql_col(vec_col)
+    out = df.withColumn("__ov__", F.expr(opq_rotate_expr(R, vec_sql)))
+    return _attach_pq_codes(out, codebooks, sub, "__ov__").drop("__ov__")
+
+
+def ivf_pq_opq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    iters: int = 0,
+    model=None,
+) -> DataFrame:
+    """The OPQ rung of the PQ serving ladder: ivf_pq_topk with both sides
+    rotated by the learned R before quantization/ADC. Coarse cells stay
+    on the ORIGINAL vectors (identical candidate sets to the raw and
+    residual paths — the three ladders A/B at equal bits on the same
+    candidates), codes quantize ``R·v``, and each query's ADC tables are
+    built on ``R·q`` — valid because R is orthonormal, so rotated-space
+    distances ARE original-space distances.
+
+    ``model`` is a trained ``(R, codebooks, sub)`` (the frozen-literals
+    deployment: train once offline, serve everywhere); None trains on
+    ``corpus`` via train_opq. Returns the ivf_pq_topk schema
+    (query_id, cand_id, adc_d2_e6, score_exact_e5, rnk). Shuffle profile
+    identical: one cell equi-join against the broadcast query side, one
+    per-query rank window — the rotation folds into the same broadcast-
+    side literal codegen, zero added shuffles."""
+    if model is None:
+        R, codebooks, sub = train_opq(corpus, m=m, n_codes=n_codes)
+    else:
+        R, codebooks, sub = model
+        m = len(codebooks)
+    cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
+
+    vv = F.col("__vv__")
+    cc = (
+        pq_encode_opq(corpus, R, codebooks, sub)
+        .withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+        .withColumn("cell", trained_cells(F.col("v"), cents, nprobe=1, vv=vv))
+        .drop("__vv__")
+        .select("vec_id", "v", "nv", "cell", *[f"c{j}" for j in range(m)])
+    )
+    qpre = queries.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+    qc = qpre.select(
+        F.col("vec_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
+        F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe, vv=vv)).alias("cell"),
+    )
+    qc = qc.withColumn("__oq__", F.expr(opq_rotate_expr(R, "qv")))
+    qc = _with_sub_vv(qc, m, sub, "__oq__")
+    for j, cb in enumerate(codebooks):
+        sl = f"slice(__oq__,{j * sub + 1},{sub})"
+        d2s = ",".join(
+            _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
+        )
+        qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
+    qc = qc.drop("__oq__", *[f"__pvv{j}__" for j in range(m)])
     adc = F.expr(
         " + ".join(
             f"element_at(__adc{j}__, CAST(c{j} AS INT) + 1)" for j in range(m)

@@ -5759,6 +5759,117 @@ def ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-subspace d2 between a ROTATED-vector slice and a sub-width literal
+#: codeword ({c}.cv arrives already sliced) — the OPQ twin of _PQ_D2
+_OPQ_D2 = (
+    "CAST(floor((list_dot_product({t}.ov[s.a:s.b], {t}.ov[s.a:s.b])"
+    " - 2 * list_dot_product({t}.ov[s.a:s.b], {c}.cv)"
+    " + list_dot_product({c}.cv, {c}.cv)) * 1000000) AS BIGINT)"
+)
+
+
+def _opq_oracle() -> str:
+    """The ann_pq_adc oracle with both sides rotated by the frozen OPQ
+    model: R and the rotated-space codebooks render as SQL literals (the
+    same doubles the Spark plan folds), cells stay on the ORIGINAL
+    vectors, and the rotation is the same left-fold dot
+    (list_dot_product) the whole ANN oracle family matches to the ulp."""
+    from kioss_spark.queries._opq_model import OPQ_CODEBOOKS, OPQ_R
+
+    rr = "[" + ",".join(
+        "[" + ",".join(repr(x) for x in row) + "]" for row in OPQ_R
+    ) + "]"
+    rows = ",".join(
+        f"({j}, {cid}, [" + ",".join(repr(x) for x in cv) + "])"
+        for j, book in enumerate(OPQ_CODEBOOKS)
+        for cid, cv in book
+    )
+    return _ANN_BASE + "," + _PQ_COARSE + f""",
+    rot AS (SELECT {rr} AS rr),
+    ocb AS (SELECT * FROM (VALUES {rows}) t(j, cid, cv)),
+    crot AS (SELECT t.vec_id, t.v, t.nv,
+                    list_transform(rr, r -> list_dot_product(r, t.v)) AS ov
+             FROM c t CROSS JOIN rot),
+    ca AS (SELECT t.vec_id, t.v, t.nv, t.ov, cent.cid, {_D2.format(t='t')} AS d2
+           FROM crot t CROSS JOIN cent),
+    cbest AS (SELECT vec_id, v, nv, ov, cid AS cell FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY d2, cid) AS rn FROM ca)
+              WHERE rn = 1),
+    cpq AS (SELECT vec_id, j, cid FROM (
+              SELECT t.vec_id, s.j, o.cid,
+                     row_number() OVER (PARTITION BY t.vec_id, s.j
+                                        ORDER BY {_OPQ_D2.format(t='t', c='o')}, o.cid)
+                         AS rn
+              FROM cbest t CROSS JOIN subs s JOIN ocb o ON o.j = s.j)
+            WHERE rn = 1),
+    qrot AS (SELECT t.vec_id, t.v, t.nv,
+                    list_transform(rr, r -> list_dot_product(r, t.v)) AS ov
+             FROM q t CROSS JOIN rot),
+    qa AS (SELECT t.vec_id, t.v, t.nv, t.ov, cent.cid, {_D2.format(t='t')} AS d2
+           FROM qrot t CROSS JOIN cent),
+    qprobe AS (SELECT vec_id, v, nv, ov, cid AS cell FROM
+               (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d2, cid) AS rn FROM qa)
+               WHERE rn <= 3),
+    adcp AS (SELECT qp.vec_id AS query_id, cb.vec_id AS cand_id,
+                    {_OPQ_D2.format(t='qp', c='oc')} AS term
+             FROM qprobe qp
+             JOIN cbest cb ON qp.cell = cb.cell
+             JOIN cpq co ON co.vec_id = cb.vec_id
+             JOIN subs s ON s.j = co.j
+             JOIN ocb oc ON oc.j = co.j AND oc.cid = co.cid),
+    adc AS (SELECT query_id, cand_id, CAST(sum(term) AS BIGINT) AS adc_d2_e6
+            FROM adcp GROUP BY 1, 2),
+    ex AS (SELECT qp.vec_id AS query_id, cb.vec_id AS cand_id,
+                  CAST(floor(list_dot_product(qp.v, cb.v)
+                             / (qp.nv * cb.nv) * 100000) AS BIGINT)
+                      AS score_exact_e5
+           FROM qprobe qp JOIN cbest cb ON qp.cell = cb.cell),
+    r AS (SELECT adc.query_id, adc.cand_id, adc.adc_d2_e6, ex.score_exact_e5,
+                 row_number() OVER (PARTITION BY adc.query_id
+                                    ORDER BY adc.adc_d2_e6, adc.cand_id) AS rnk
+          FROM adc JOIN ex USING (query_id, cand_id))
+    SELECT query_id, cand_id, adc_d2_e6, score_exact_e5, rnk FROM r WHERE rnk <= 5
+    """
+
+
+@register("ann_pq_opq", oracle=_opq_oracle())
+def ann_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ rung of the PQ serving ladder (Ge et al. 2013, "Optimized
+    Product Quantization"): a learned orthonormal rotation R is applied
+    before quantization — codes store R·v, each query's ADC tables build
+    on R·q — so the SAME bit budget spends itself along directions the
+    corpus actually varies in. R is orthonormal, so rotated-space
+    distances ARE original-space distances; coarse cells stay on the
+    original vectors, making the candidates identical to ann_pq_adc /
+    ann_pq_residual — the three ladders A/B at equal bits.
+
+    The model (rotation + rotated-space codebooks) is trained offline by
+    operators.similarity.train_opq (driver-side alternating Procrustes /
+    Lloyd on the deterministic md5-order sample) and FROZEN as literals
+    (queries/_opq_model.py — the _BPE_MERGES/_PROBE_W_E3 pattern), shipped
+    into both the Spark plan and this oracle, so the driver hash-verifies
+    the serving path exactly. Measured (RECALL.md): recovers raw-PQ
+    recall on the isotropic fixture where residual PQ loses, and roughly
+    DOUBLES recall at equal bits on an anisotropic (correlated-dimension,
+    real-embedding-like) corpus where raw and residual tie.
+
+    Shuffle profile identical to ann_pq_adc: one cell equi-join against
+    the broadcast query side, one per-query rank window — the rotation
+    folds into the same broadcast-side literal codegen
+    (operators.similarity.ivf_pq_opq_topk), zero added shuffles."""
+    from kioss_spark.queries._opq_model import OPQ_CODEBOOKS, OPQ_R, OPQ_SUB
+
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.ivf_pq_opq_topk(
+        q, c, k=5, n_centroids=16, nprobe=3,
+        model=(OPQ_R, OPQ_CODEBOOKS, OPQ_SUB),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch + dedup threshold-tuning curve
 # ---------------------------------------------------------------------------

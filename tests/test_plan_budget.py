@@ -57,6 +57,9 @@ BUDGET = {
     # residual IVFPQ must keep the raw path's exact shuffle profile — the
     # residual subtraction folds into the literal-codebook codegen
     "ann_pq_residual": (1, 0),
+    # the OPQ rung must also keep raw ADC's shuffle profile — the learned
+    # rotation folds into the broadcast-side literal codegen
+    "ann_pq_opq": (1, 0),
     "quality_pctl_by_source": (2, 0),
     # the (doc_id, w) combine + vocab join of the round-8 vocab-keyed
     # chain, the (doc_id, k) histogram agg (exchange REUSED across both
@@ -95,6 +98,7 @@ MAX_SCAN_COLS = {
     "ann_pq_codes": 2,
     "ann_pq_adc": 2,
     "ann_pq_residual": 2,
+    "ann_pq_opq": 2,
     "join_fanout_audit": 1,  # user_id only (events has 6 columns)
     "unigram_segment_corpus": 2,  # doc_id, text — scores are plan literals
 }

@@ -221,3 +221,105 @@ def test_distinct_word_seam_equals_per_occurrence(spark, docs):
         .collect()
     }
     assert per_occurrence == vocab_keyed
+
+
+# ---------------------------------------------------------------------------
+# OPQ (Ge et al. 2013) — the learned-rotation rung of the PQ ladder
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from kioss_spark.operators import similarity as S  # noqa: E402
+from kioss_spark.queries._opq_model import (  # noqa: E402
+    OPQ_CODEBOOKS,
+    OPQ_R,
+    OPQ_SUB,
+)
+
+
+def test_opq_frozen_model_shapes():
+    assert len(OPQ_R) == 64 and all(len(r) == 64 for r in OPQ_R)
+    assert len(OPQ_CODEBOOKS) == 4
+    assert all(len(b) == 16 for b in OPQ_CODEBOOKS)
+    assert all(len(cv) == OPQ_SUB for b in OPQ_CODEBOOKS for _, cv in b)
+    assert OPQ_SUB == 16
+
+
+def test_opq_rotation_is_orthonormal():
+    # R is rounded to 6 decimals for literal stability; orthonormality
+    # must survive the rounding (each dot accumulates <= 64 * ~1e-6)
+    R = np.array(OPQ_R)
+    err = np.abs(R @ R.T - np.eye(64)).max()
+    assert err < 1e-3, f"R @ R.T deviates from I by {err}"
+
+
+def test_opq_rotated_distance_equals_original(spark):
+    # the serving-validity invariant: rotated-space ADC approximates
+    # ORIGINAL-space distance only because R is orthonormal — pin that
+    # ||Rx - Ry||^2 == ||x - y||^2 within rounding tolerance, computed
+    # through the ENGINE's rotate expression (not numpy)
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    rot = df.selectExpr(
+        "vec_id", S.opq_rotate_expr(OPQ_R, "v") + " AS ov", "v"
+    ).collect()
+    for a in rot:
+        for b in rot:
+            d_orig = sum((x - y) ** 2 for x, y in zip(a["v"], b["v"]))
+            d_rot = sum((x - y) ** 2 for x, y in zip(a["ov"], b["ov"]))
+            assert abs(d_orig - d_rot) < 1e-3
+
+
+def test_opq_cuts_recon_error_at_equal_bits(spark, sf_dir):
+    # the Ge et al. objective is reconstruction error: the frozen
+    # (sf0.01-trained) model must beat raw PQ at equal bits even on the
+    # near-isotropic fixture (Lloyd + rotation vs Forgy slices)
+    from pyspark.sql import functions as F
+
+    nn = S.with_norm(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).where(F.col("vec_id") >= 16)
+    cb_raw, sub = S.train_pq(nn, m=4, n_codes=16)
+    err_raw = S.pq_encode(nn, cb_raw, sub).agg(
+        F.avg("recon_err_e6")
+    ).first()[0]
+    err_opq = S.pq_encode_opq(nn, OPQ_R, OPQ_CODEBOOKS, OPQ_SUB).agg(
+        F.avg("recon_err_e6")
+    ).first()[0]
+    assert err_opq < err_raw
+
+
+def test_opq_wins_anisotropic_recall(spark):
+    # the geometry OPQ exists for: correlated dimensions with a decaying
+    # spectrum (real embedding corpora). At equal bits OPQ must beat raw
+    # ADC on recall@5 — measured ~2x (RECALL.md); pin the direction, not
+    # the exact count (Lloyd/SVD are deterministic per platform but the
+    # pin should survive a BLAS change)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    Q_, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+    spec = np.exp(-np.arange(64) / 12.0)
+    pts = rng.normal(size=(216, 64)) * spec[None, :] @ Q_.T
+    an = S.with_norm(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(216)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    q = an.where(F.col("vec_id") < 16)
+    c = an.where(F.col("vec_id") >= 16)
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in S.cosine_topk(q, c, k=5, partial=False).collect()
+    }
+    raw = {
+        (r["query_id"], r["cand_id"])
+        for r in S.ivf_pq_topk(q, c, k=5).collect()
+    }
+    opq = {
+        (r["query_id"], r["cand_id"])
+        for r in S.ivf_pq_opq_topk(q, c, k=5).collect()
+    }
+    assert len(opq & truth) > len(raw & truth)
