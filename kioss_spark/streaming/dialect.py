@@ -683,7 +683,13 @@ class SStream:
         )
         return self._derive(df, f"distinct_count_approx({wsecs}s, lg_k={lg_k})")
 
-    def dq_monitor(self, checks: "dict[str, Column]") -> "SStream":
+    def dq_monitor(
+        self,
+        checks: "dict[str, Column]",
+        window=None,
+        event_time: str = "timestamp",
+        watermark=None,
+    ) -> "SStream":
         """Streaming twin of the batch ``dq_constraint_audit`` gate: each
         entry maps a constraint name to a boolean VIOLATION condition;
         the result stream carries one cumulative row — ``n_rows`` plus a
@@ -699,7 +705,19 @@ class SStream:
         partials merge associatively across micro-batches, so totals are
         exact regardless of how arrivals batch. Consume in ``update`` or
         ``complete`` mode; wire ``foreach_batch`` + a threshold to page a
-        human when a violation counter first moves."""
+        human when a violation counter first moves.
+
+        With ``window`` the gate becomes a per-event-time-window report
+        (one row per window), watermark-bounded like ``window_agg``
+        (``watermark`` defaults to one window): state is O(open windows)
+        and a window's counts FREEZE once the watermark passes its end —
+        late rows beyond the watermark are dropped from the aggregates
+        AND surfaced in query progress as
+        ``stateOperators[].numRowsDroppedByWatermark``, so a silently
+        shrinking report is observable (the late-data accounting pin in
+        tests/test_streaming.py). The global form keeps every row —
+        no watermark, nothing dropped — because a cumulative compliance
+        counter must not quietly exclude stragglers."""
         aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
         for name, cond in checks.items():
             aggs.append(
@@ -707,7 +725,18 @@ class SStream:
                 .cast("long")
                 .alias(name)
             )
-        return self._derive(self._df.agg(*aggs), f"dq_monitor({len(checks)})")
+        if window is None:
+            return self._derive(self._df.agg(*aggs), f"dq_monitor({len(checks)})")
+        wsecs = _seconds(window)
+        wm_secs = _seconds(watermark) if watermark is not None else wsecs
+        df = (
+            self._df.withWatermark(event_time, f"{int(wm_secs)} seconds")
+            .groupBy(F.window(F.col(event_time), f"{int(wsecs)} seconds").alias("window"))
+            .agg(*aggs)
+        )
+        return self._derive(
+            df, f"dq_monitor({len(checks)}, window={int(wsecs)}s)"
+        )
 
     def cms_monitor(
         self, value_col: str = "item", d: int = 4, w: int = 32

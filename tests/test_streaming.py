@@ -1070,3 +1070,102 @@ def test_cms_monitor_matches_batch_counters(spark, tmp_path):
     # grid-boundedness: every hash row's counters sum to the stream length
     for j in range(4):
         assert sum(n for (row, _), n in got.items() if row == j) == 15
+
+
+def _dropped_by_watermark(q) -> int:
+    return sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    )
+
+
+def test_window_agg_drops_and_surfaces_late_rows(spark, tmp_path):
+    # the late-data contract has TWO halves: rows older than the
+    # watermark must be dropped from the aggregates (batch 1's window
+    # stays frozen) AND the drop must be observable in query progress
+    # (numRowsDroppedByWatermark) — a silently shrinking aggregate is
+    # the failure mode watermark observability exists to catch
+    import os
+
+    src = str(tmp_path / "late_win_src")
+    os.makedirs(src, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [("2024-01-01 00:00:05",), ("2024-01-01 00:00:20",),
+         ("2024-01-01 00:00:59",), ("2024-01-01 00:03:00",)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("timestamp"))
+    b1.coalesce(1).write.mode("append").parquet(src)
+    s = SStream.files(
+        spark, src, schema="timestamp timestamp", max_files_per_trigger=1
+    ).window_agg(60, F.count(F.lit(1)).alias("n"))
+    q = s.to_memory("t_late_win", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # after batch 1 the watermark is max_event - 60s = 00:02:00, so
+        # the [00:00, 00:01) window is closed; 00:00:30 is LATE, 00:03:10
+        # is on time and keeps the batch non-empty
+        b2 = spark.createDataFrame(
+            [("2024-01-01 00:00:30",), ("2024-01-01 00:03:10",)], "ts string"
+        ).select(F.col("ts").cast("timestamp").alias("timestamp"))
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {}
+        for r in spark.sql(
+            "SELECT window.start AS start, n FROM t_late_win"
+        ).collect():
+            key = r["start"].isoformat()
+            got[key] = max(got.get(key, 0), r["n"])
+        dropped = _dropped_by_watermark(q)
+    finally:
+        q.stop()
+    # the late 00:00:30 row must NOT have re-opened the closed window...
+    assert got["2024-01-01T00:00:00"] == 3, got
+    # ...and the window holding the on-time row grew to 2
+    assert got["2024-01-01T00:03:00"] == 2, got
+    # the drop is SURFACED, not silent
+    assert dropped == 1, dropped
+
+
+def test_dq_monitor_windowed_drops_and_surfaces_late_rows(spark, tmp_path):
+    # the windowed DQ gate: per-window violation counts freeze at the
+    # watermark, the late violation is dropped AND counted in progress —
+    # so a compliance report can state exactly how many rows it excluded
+    import os
+
+    src = str(tmp_path / "late_dq_src")
+    os.makedirs(src, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [("2024-01-01 00:00:10", 5), ("2024-01-01 00:00:40", -1),
+         ("2024-01-01 00:03:00", 7)],
+        "ts string, value int",
+    ).select(F.col("ts").cast("timestamp").alias("timestamp"), "value")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    s = SStream.files(
+        spark, src, schema="timestamp timestamp, value int",
+        max_files_per_trigger=1,
+    ).dq_monitor({"neg_value": F.col("value") < 0}, window=60)
+    q = s.to_memory("t_late_dq", output_mode="update")
+    try:
+        q.processAllAvailable()
+        # watermark is now 00:02:00; a late VIOLATION at 00:00:45 must
+        # not mutate the closed window's report
+        b2 = spark.createDataFrame(
+            [("2024-01-01 00:00:45", -9), ("2024-01-01 00:03:20", 1)],
+            "ts string, value int",
+        ).select(F.col("ts").cast("timestamp").alias("timestamp"), "value")
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {}
+        for r in spark.sql(
+            "SELECT window.start AS start, n_rows, neg_value FROM t_late_dq"
+        ).collect():
+            key = r["start"].isoformat()
+            prev = got.get(key, (0, 0))
+            got[key] = max(prev, (r["n_rows"], r["neg_value"]))
+        dropped = _dropped_by_watermark(q)
+    finally:
+        q.stop()
+    assert got["2024-01-01T00:00:00"] == (2, 1), got  # frozen: late -9 excluded
+    assert got["2024-01-01T00:03:00"] == (2, 0), got
+    assert dropped == 1, dropped
