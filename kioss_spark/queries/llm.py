@@ -4551,6 +4551,111 @@ def unigram_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokcmp_oracle() -> str:
+    dp = unigram.duck_dp_subquery(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, _UNIGRAM_LMAX,
+        source_sql="(SELECT DISTINCT w FROM wc)",
+        max_piece_len=_UNIGRAM_PMAX,
+    )
+    ku = unigram.duck_extract_k("w", "p", _UNIGRAM_LMAX)
+    bpe = _bpe_chain_sql(_BPE_MERGES)
+    return f"""
+    WITH w AS (
+      SELECT source, x AS w FROM documents,
+      UNNEST({SQL_TOKS}) u(x)
+    ),
+    wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+           FROM w GROUP BY 1, 2),
+    useg AS (SELECT w, {ku} AS k_uni FROM {dp} dp),
+    bseg AS (SELECT w,
+                    length(s) - length(replace(s, chr(30), '')) AS k_bpe
+             FROM (SELECT w, {bpe} AS s FROM (SELECT DISTINCT w FROM wc))),
+    j AS (SELECT wc.source, wc.c, useg.k_uni, bseg.k_bpe
+          FROM wc JOIN useg USING (w) JOIN bseg USING (w))
+    SELECT source,
+      CAST(sum(c) AS BIGINT) AS n_words,
+      CAST(sum(k_bpe * c) AS BIGINT) AS bpe_subwords,
+      CAST(sum(k_uni * c) AS BIGINT) AS uni_pieces,
+      (CAST(sum(k_bpe * c) AS BIGINT) * 10000) // CAST(sum(c) AS BIGINT)
+          AS bpe_fert_e4,
+      (CAST(sum(k_uni * c) AS BIGINT) * 10000) // CAST(sum(c) AS BIGINT)
+          AS uni_fert_e4
+    FROM j GROUP BY source ORDER BY source
+    """
+
+
+@register("tokenizer_compare", oracle=_tokcmp_oracle())
+def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-selection instrument: per-source fertility
+    (subwords-per-word, 1e4-integerized) of the two production tokenizer
+    families side by side — the trained BPE merge list vs the trained
+    unigram-LM vocabulary — over ONE shared distinct-word pass. This is
+    the table a pipeline reads before committing a corpus to a
+    tokenizer: a source whose fertility is high under one family but not
+    the other segments badly under that family's inductive bias (BPE
+    over-merges frequent junk; unigram shatters unseen morphology), and
+    fertility directly prices the token budget (token_budget_by_source).
+
+    Scale shape: one corpus-scale (source, w) map-side combine; BOTH
+    chains evaluate once per DISTINCT word on the same vocabulary
+    relation (the _bpe_wordcounts_with_k seam, now shared by two
+    consumers — Spark reuses the distinct exchange), AQE broadcasts the
+    vocab join, and the final agg runs at source grain. Exact integer
+    arithmetic throughout (integral DIV fertility), driver
+    hash-verified."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    wcnt = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = wcnt.select("w").distinct()
+    # BPE chain (the bpe_segment_corpus column algebra) once per word
+    lb, rb = "\x1e", "\x1f"
+    s = F.regexp_replace(F.col("w"), "(.)", lb + "$1" + rb)
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(lb + a + rb + lb + b + rb), F.lit(lb + a + b + rb))
+    k_bpe = F.length(s) - F.length(F.replace(s, F.lit(lb), F.lit("")))
+    # unigram Viterbi fold once per the SAME word relation
+    pexpr = unigram.unigram_packed_expr(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, col="w",
+        max_piece_len=_UNIGRAM_PMAX,
+    )
+    vk = (
+        vocab.select("w", k_bpe.alias("k_bpe"), F.expr(pexpr).alias("p"))
+        .select(
+            "w",
+            "k_bpe",
+            F.expr(
+                unigram.spark_extract_k("w", "p", _UNIGRAM_LMAX)
+            ).alias("k_uni"),
+        )
+    )
+    return (
+        wcnt.join(vk, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("k_bpe") * F.col("c")).cast("long").alias(
+                "bpe_subwords"
+            ),
+            F.sum(F.col("k_uni") * F.col("c")).cast("long").alias(
+                "uni_pieces"
+            ),
+            F.expr(
+                "CAST(sum(k_bpe * c) AS BIGINT) * 10000 DIV "
+                "CAST(sum(c) AS BIGINT)"
+            ).alias("bpe_fert_e4"),
+            F.expr(
+                "CAST(sum(k_uni * c) AS BIGINT) * 10000 DIV "
+                "CAST(sum(c) AS BIGINT)"
+            ).alias("uni_fert_e4"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # learned quality filter (linear probe over embeddings)
 # ---------------------------------------------------------------------------

@@ -87,6 +87,10 @@ BUDGET = {
     # bpe_segment_corpus shape — (doc_id, w) combine + distinct-word DP +
     # AQE-broadcast vocab join + per-doc agg
     "unigram_segment_corpus": (4, 0),
+    # both tokenizer chains on ONE shared distinct-word relation: the
+    # (source, w) combine + the shared vocab distinct + broadcast join +
+    # source-grain agg — adding the second chain adds ZERO shuffles
+    "tokenizer_compare": (4, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
@@ -101,6 +105,7 @@ MAX_SCAN_COLS = {
     "ann_pq_opq": 2,
     "join_fanout_audit": 1,  # user_id only (events has 6 columns)
     "unigram_segment_corpus": 2,  # doc_id, text — scores are plan literals
+    "tokenizer_compare": 2,  # source, text — both models are plan literals
 }
 
 
