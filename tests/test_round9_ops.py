@@ -8,10 +8,8 @@ vocab-keyed distinct-word seam).
 """
 
 import random
-import string
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F
 
 from kioss_spark.operators import unigram as U
