@@ -159,6 +159,8 @@ HEADLINE = [
     "ann_pq_opq",
     # the tokenizer-selection instrument: both chains, one vocab pass
     "tokenizer_compare",
+    # SCD2 validity intervals from append-only snapshots (gaps-and-islands)
+    "corpus_scd2_history",
 ]
 
 

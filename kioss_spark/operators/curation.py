@@ -22,6 +22,7 @@ from kioss_spark.operators.text import h60
 
 __all__ = [
     "snapshot_diff",
+    "scd2_history",
     "apply_changeset",
     "hash_sample",
     "stratified_sample",
@@ -582,3 +583,61 @@ def quota_sample(
         .alias("rn"),
     )
     return ranked.where(F.col("rn") <= F.col("quota_n"))
+
+
+def scd2_history(
+    snaps: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+    version_col: str = "version",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history reconstruction: collapse
+    a long (version, id, content_hash) snapshot table into validity
+    intervals ``(id, content_hash, v_from, v_to)`` — one row per
+    contiguous run of versions where the document existed with the same
+    content. The lineage table every compliance/provenance question about
+    a training corpus reduces to ("which text did doc X carry when
+    snapshot v was cut?"), and the warehouse-classic SCD2 shape built
+    from append-only snapshots instead of CDC feeds.
+
+    Semantics: a run BREAKS when the content hash changes (eqNullSafe —
+    NULL vs non-NULL is a change, the snapshot_diff discipline) OR when
+    the id is absent from an intermediate version (presence gap: absence
+    closes the interval; reappearance opens a new one, even with
+    identical content — the document's absence from a shipped snapshot
+    is itself history).
+
+    Gaps-and-islands in two windows over (id, version): a start flag
+    (hash differs from lag, or version > lag+1, or first row), its
+    running sum as the island id, then one group-by per island for
+    (min, max) version. All three shuffles share the id key — in
+    production snapshots are bucketed by id, so the windows and the agg
+    are co-located, zero wide exchanges; state per id is its version
+    count, never corpus-sized."""
+    w = Window.partitionBy(id_col).orderBy(version_col)
+    lag_h = F.lag(F.col(hash_col)).over(w)
+    lag_v = F.lag(F.col(version_col)).over(w)
+    start = (
+        F.when(lag_v.isNull(), F.lit(1))
+        .when(F.col(version_col) != lag_v + 1, F.lit(1))
+        .when(~F.col(hash_col).eqNullSafe(lag_h), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    grp = F.sum("__start__").over(
+        Window.partitionBy(id_col)
+        .orderBy(version_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        snaps.select(
+            F.col(id_col), F.col(hash_col), F.col(version_col),
+            start.alias("__start__"),
+        )
+        .withColumn("__grp__", grp)
+        .groupBy(id_col, hash_col, "__grp__")
+        .agg(
+            F.min(version_col).cast("long").alias("v_from"),
+            F.max(version_col).cast("long").alias("v_to"),
+        )
+        .drop("__grp__")
+    )

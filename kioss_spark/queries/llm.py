@@ -2570,6 +2570,101 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_scd2_history",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {sql_h60('text')} AS h60 FROM documents),
+    base AS (SELECT doc_id, h60,
+                    md5(doc_id::VARCHAR || '~' || h60::VARCHAR) AS h1,
+                    CASE WHEN h60 % 13 = 0
+                         THEN md5(doc_id::VARCHAR || '~' || h60::VARCHAR || '~r2')
+                         ELSE md5(doc_id::VARCHAR || '~' || h60::VARCHAR) END AS h2
+             FROM h),
+    snaps AS (
+      SELECT doc_id, 1 AS version, h1 AS content_hash FROM base
+      WHERE h60 % 11 != 0
+      UNION ALL
+      SELECT doc_id, 2, h2 FROM base WHERE h60 % 7 != 0
+      UNION ALL
+      SELECT doc_id, 3,
+             CASE WHEN h60 % 19 = 0
+                  THEN md5(doc_id::VARCHAR || '~' || h60::VARCHAR || '~r3')
+                  ELSE h2 END
+      FROM base WHERE h60 % 17 != 0
+    ),
+    isl AS (SELECT doc_id, content_hash, version,
+                   CASE WHEN lag(version) OVER w IS NULL THEN 1
+                        WHEN version != lag(version) OVER w + 1 THEN 1
+                        WHEN content_hash IS DISTINCT FROM lag(content_hash) OVER w
+                             THEN 1
+                        ELSE 0 END AS st
+            FROM snaps WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+    g AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY version
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+          FROM isl)
+    SELECT doc_id, content_hash,
+           CAST(min(version) AS BIGINT) AS v_from,
+           CAST(max(version) AS BIGINT) AS v_to
+    FROM g GROUP BY doc_id, content_hash, grp
+    ORDER BY doc_id, v_from
+    """,
+)
+def corpus_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) history of the corpus
+    across three deterministic snapshot versions — the lineage table
+    every provenance/compliance question reduces to ("which text did doc
+    X carry when snapshot v was cut?"), reconstructed from append-only
+    snapshots via gaps-and-islands (operators.curation.scd2_history).
+    Hash slices of `documents` play the versions: ~9%% of ids skip v1,
+    ~14%% skip v2 (presence GAP — absence closes an interval and
+    reappearance opens a new one even with identical content), ~6%% skip
+    v3; content changes at v2 for the %%13 slice and again at v3 for the
+    %%19 slice, so the output exercises every interval shape: stable
+    1..3 runs, mid-life content breaks, gap-split runs, late adds and
+    early removals.
+
+    Scale plan: the three snapshot scans union into one (id, version)
+    relation; the two islands windows and the interval agg all share the
+    id key — one keyed exchange reused throughout (bucketed-by-id
+    snapshots make it zero wide exchanges in production); state per id
+    is its version count, never corpus-sized. Exact arithmetic, driver
+    hash-verified."""
+    from kioss_spark.operators.curation import scd2_history
+
+    docs = _docs(spark, sf_dir)
+    h = docs.select("doc_id", h60(F.col("text")).alias("h60"))
+    sid = F.col("doc_id").cast("string")
+    h1 = F.md5(F.concat(sid, F.lit("~"), F.col("h60").cast("string")))
+    h2 = F.when(
+        F.pmod(F.col("h60"), F.lit(13)) == 0,
+        F.md5(F.concat(sid, F.lit("~"), F.col("h60").cast("string"), F.lit("~r2"))),
+    ).otherwise(h1)
+    h3 = F.when(
+        F.pmod(F.col("h60"), F.lit(19)) == 0,
+        F.md5(F.concat(sid, F.lit("~"), F.col("h60").cast("string"), F.lit("~r3"))),
+    ).otherwise(h2)
+    v1 = h.where(F.pmod(F.col("h60"), F.lit(11)) != 0).select(
+        "doc_id", F.lit(1).alias("version"), h1.alias("content_hash")
+    )
+    v2 = h.where(F.pmod(F.col("h60"), F.lit(7)) != 0).select(
+        "doc_id", F.lit(2).alias("version"), h2.alias("content_hash")
+    )
+    v3 = h.where(F.pmod(F.col("h60"), F.lit(17)) != 0).select(
+        "doc_id", F.lit(3).alias("version"), h3.alias("content_hash")
+    )
+    snaps = v1.unionByName(v2).unionByName(v3)
+    return (
+        scd2_history(snaps)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "content_hash",
+            "v_from",
+            "v_to",
+        )
+        .orderBy("doc_id", "v_from")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-5 additions: quality gates, novelty, cluster profiling, contrastive
 # mining, balancing, strata sampling, rate anomaly, frame dedup

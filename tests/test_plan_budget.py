@@ -91,6 +91,9 @@ BUDGET = {
     # (source, w) combine + the shared vocab distinct + broadcast join +
     # source-grain agg — adding the second chain adds ZERO shuffles
     "tokenizer_compare": (4, 0),
+    # gaps-and-islands SCD2: the islands windows and interval agg all
+    # share the id key (one keyed exchange + the final order)
+    "corpus_scd2_history": (2, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan

@@ -321,3 +321,43 @@ def test_opq_wins_anisotropic_recall(spark):
         for r in S.ivf_pq_opq_topk(q, c, k=5).collect()
     }
     assert len(opq & truth) > len(raw & truth)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history reconstruction (gaps-and-islands over snapshots)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_interval_shapes(spark):
+    # every interval shape in one table: stable run, mid-life content
+    # break, presence GAP (absence closes, reappearance reopens even
+    # with identical content), and a NULL hash (eqNullSafe: NULL vs
+    # non-NULL breaks the run, NULL vs NULL would not)
+    from kioss_spark.operators.curation import scd2_history
+
+    rows = [
+        (1, 1, "A"), (1, 2, "A"), (1, 3, "A"),        # stable 1..3
+        (2, 1, "A"), (2, 2, "B"), (2, 3, "B"),        # content break at v2
+        (3, 1, "A"), (3, 3, "A"),                      # gap at v2
+        (4, 1, "A"), (4, 2, None), (4, 3, "A"),        # NULL break
+    ]
+    snaps = spark.createDataFrame(
+        rows, "doc_id long, version int, content_hash string"
+    )
+    got = sorted(
+        (
+            (r["doc_id"], r["content_hash"], r["v_from"], r["v_to"])
+            for r in scd2_history(snaps).collect()
+        ),
+        key=lambda t: (t[0], t[2], t[1] or ""),
+    )
+    assert got == [
+        (1, "A", 1, 3),
+        (2, "A", 1, 1),
+        (2, "B", 2, 3),
+        (3, "A", 1, 1),
+        (3, "A", 3, 3),
+        (4, "A", 1, 1),
+        (4, None, 2, 2),
+        (4, "A", 3, 3),
+    ], got
