@@ -161,6 +161,8 @@ HEADLINE = [
     "tokenizer_compare",
     # SCD2 validity intervals from append-only snapshots (gaps-and-islands)
     "corpus_scd2_history",
+    # the full FAISS-style OPQ-over-residuals composition (top PQ rung)
+    "ann_pq_opq_res",
 ]
 
 

@@ -52,6 +52,8 @@ __all__ = [
     "opq_rotate_expr",
     "pq_encode_opq",
     "ivf_pq_opq_topk",
+    "train_opq_residual",
+    "ivf_pq_opq_residual_topk",
 ]
 
 
@@ -1342,7 +1344,7 @@ def train_opq(
     corpus: DataFrame,
     m: int = 4,
     n_codes: int = 16,
-    sample_n: int = 64,
+    sample_n: int = 256,
     opq_iters: int = 10,
     lloyd_iters: int = 4,
     decimals: int = 6,
@@ -1358,7 +1360,12 @@ def train_opq(
 
     Training is driver-side numpy on the deterministic md5(vec_id)-order
     sample (the train_pq/train_ivf discipline — one tiny plan-build-time
-    job; ``sample_n`` rows, not the corpus). The returned model is
+    job; ``sample_n`` rows, not the corpus). ``sample_n`` defaults to
+    4×dim: a dim-sized sample is EXACTLY determined for a dim×dim
+    rotation, so Procrustes memorizes it — measured on the fixture,
+    64 samples tied raw PQ's recall@5 (12.5%) while 256 beats it
+    outright (18.8%); the composition rung flipped from losing to
+    winning the clustered corpus at the same bump. The returned model is
     literal-ready: R is rounded to ``decimals`` so the SAME doubles parse
     on both engines, and codebooks are re-fit under the ROUNDED R so the
     model is self-consistent. Returns ``(R, codebooks, sub)`` with
@@ -1368,8 +1375,6 @@ def train_opq(
     codebooks travel as plan literals (and as literals inside the DuckDB
     oracle), so both engines compute identical doubles whatever numpy
     produced."""
-    import numpy as np
-
     sample = (
         corpus.orderBy(
             F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
@@ -1380,11 +1385,24 @@ def train_opq(
         .select("vec_id", "v")
         .collect()
     )
-    X = np.array([list(r["v"]) for r in sample], dtype=np.float64)
+    return _opq_alternate(
+        [list(r["v"]) for r in sample], m, n_codes, opq_iters, lloyd_iters,
+        decimals,
+    )
+
+
+def _opq_alternate(rows, m, n_codes, opq_iters, lloyd_iters, decimals):
+    """The non-parametric OPQ alternating core over a driver-side sample
+    matrix: [fit per-subspace Lloyd codebooks on the rotated sample ->
+    orthogonal-Procrustes solve for R], then round R and RE-FIT the
+    codebooks under the rounded R so the returned model is
+    self-consistent. Shared by train_opq (raw vectors) and
+    train_opq_residual (coarse residuals)."""
+    import numpy as np
+
+    X = np.array(rows, dtype=np.float64)
     if len(X) < n_codes:
-        raise ValueError(
-            f"corpus holds only {len(X)} vectors; need >= {n_codes}"
-        )
+        raise ValueError(f"sample holds only {len(X)} vectors; need >= {n_codes}")
     dim = X.shape[1]
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
@@ -1422,6 +1440,49 @@ def train_opq(
         for Cj in books
     ]
     return [[float(x) for x in row] for row in R], codebooks, sub
+
+
+def train_opq_residual(
+    corpus: DataFrame,
+    cents,
+    m: int = 4,
+    n_codes: int = 16,
+    sample_n: int = 256,
+    opq_iters: int = 10,
+    lloyd_iters: int = 4,
+    decimals: int = 6,
+    offset: Optional[int] = None,
+):
+    """Train the FULL FAISS-style composition's model — "OPQ,IVF,PQ":
+    an OPQ rotation + codebooks fit on coarse-quantizer RESIDUALS
+    (rotated residual R·(v − c) == R·v − R·c, so rotating the residual
+    is exactly serving the rotated corpus against rotated centroids).
+    The sample skips the first ``offset`` md5-order rows (default
+    ``len(cents)``) for the same reason train_pq_residual does: the
+    coarse Forgy sample's own residuals are identically zero. Residuals
+    are computed driver-side with the engines' exact argmin semantics
+    (_assign_cell_py), then the shared OPQ alternating core runs on the
+    residual matrix. Returns ``(R, codebooks, sub)``."""
+    if offset is None:
+        offset = len(cents)
+    sample = (
+        corpus.orderBy(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+            F.col("vec_id"),
+        )
+        .limit(offset + sample_n)
+        .select("vec_id", "v")
+        .collect()
+    )[offset:]
+    residuals = []
+    for r in sample:
+        v = list(r["v"])
+        cv = _assign_cell_py(v, cents)
+        residuals.append([x - y for x, y in zip(v, cv)])
+    return _opq_alternate(
+        residuals, m, n_codes, opq_iters, lloyd_iters, decimals
+    )
 
 
 def _rot_arr_sql(R) -> str:
@@ -1522,6 +1583,101 @@ def ivf_pq_opq_topk(
         )
         qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
     qc = qc.drop("__oq__", *[f"__pvv{j}__" for j in range(m)])
+    adc = F.expr(
+        " + ".join(
+            f"element_at(__adc{j}__, CAST(c{j} AS INT) + 1)" for j in range(m)
+        )
+    )
+    scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("cand_id"),
+        adc.cast("long").alias("adc_d2_e6"),
+        F.floor(
+            _dot(F.col("q.qv"), F.col("c.v")) / (F.col("q.qnv") * F.col("c.nv")) * 100000
+        ).cast("long").alias("score_exact_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_d2_e6"), F.col("cand_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def ivf_pq_opq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    iters: int = 0,
+    model=None,
+) -> DataFrame:
+    """The top rung of the PQ serving ladder — the full FAISS "OPQ,IVF,PQ"
+    composition: coarse cells prune candidates, codes quantize the
+    ROTATED residual R·(v − centroid(cell)), and each (query, probed
+    cell) pair builds its ADC tables on the rotated query residual
+    R·(q − centroid(cell)). Valid because rotating a residual is exactly
+    the residual of the rotated space (R is linear and orthonormal), so
+    rotated-residual ADC approximates original-space distance with BOTH
+    corrections applied: the residual's per-cell recentering AND the
+    rotation's subspace-variance balancing.
+
+    ``model`` is a trained ``(R, codebooks, sub)`` from
+    train_opq_residual (frozen-literals deployment); None trains on
+    ``corpus``. Returns the ivf_pq_topk schema. Shuffle profile
+    identical to every other rung: one cell equi-join against the
+    broadcast query side, one per-query rank window — both the residual
+    subtraction and the rotation fold into literal codegen."""
+    if model is None:
+        cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
+        R, codebooks, sub = train_opq_residual(corpus, cents, m=m, n_codes=n_codes)
+    else:
+        R, codebooks, sub = model
+        m = len(codebooks)
+        cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
+    arr = _cents_arr_sql(cents)
+
+    cc = corpus.withColumn(
+        "__cvv__",
+        F.expr(
+            "aggregate(zip_with(v,v,(x,y)->x*y),"
+            "CAST(0.0D AS DOUBLE),(acc,x)->acc+x)"
+        ),
+    )
+    cc = cc.withColumn(
+        "cell", trained_cells(F.col("v"), cents, nprobe=1, vv=F.col("__cvv__"))
+    ).drop("__cvv__")
+    cc = cc.withColumn(
+        "__rv__",
+        F.expr(f"zip_with(v, element_at({arr}, CAST(cell AS INT) + 1),(x,y)->x-y)"),
+    )
+    cc = cc.withColumn("__orv__", F.expr(opq_rotate_expr(R, "__rv__")))
+    cc = (
+        _attach_pq_codes(cc, codebooks, sub, "__orv__")
+        .drop("__rv__", "__orv__")
+        .select("vec_id", "v", "nv", "cell", *[f"c{j}" for j in range(m)])
+    )
+
+    vv = F.col("__vv__")
+    qpre = queries.withColumn("__vv__", _dot(F.col("v"), F.col("v")))
+    qc = qpre.select(
+        F.col("vec_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qnv"),
+        F.explode(trained_cells(F.col("v"), cents, nprobe=nprobe, vv=vv)).alias("cell"),
+    )
+    qc = qc.withColumn(
+        "__qr__",
+        F.expr(f"zip_with(qv, element_at({arr}, CAST(cell AS INT) + 1),(x,y)->x-y)"),
+    )
+    qc = qc.withColumn("__oqr__", F.expr(opq_rotate_expr(R, "__qr__")))
+    qc = _with_sub_vv(qc, m, sub, "__oqr__")
+    for j, cb in enumerate(codebooks):
+        sl = f"slice(__oqr__,{j * sub + 1},{sub})"
+        d2s = ",".join(
+            _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
+        )
+        qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
+    qc = qc.drop("__qr__", "__oqr__", *[f"__pvv{j}__" for j in range(m)])
     adc = F.expr(
         " + ".join(
             f"element_at(__adc{j}__, CAST(c{j} AS INT) + 1)" for j in range(m)

@@ -6047,13 +6047,15 @@ def ann_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The model (rotation + rotated-space codebooks) is trained offline by
     operators.similarity.train_opq (driver-side alternating Procrustes /
-    Lloyd on the deterministic md5-order sample) and FROZEN as literals
-    (queries/_opq_model.py — the _BPE_MERGES/_PROBE_W_E3 pattern), shipped
-    into both the Spark plan and this oracle, so the driver hash-verifies
-    the serving path exactly. Measured (RECALL.md): recovers raw-PQ
-    recall on the isotropic fixture where residual PQ loses, and roughly
-    DOUBLES recall at equal bits on an anisotropic (correlated-dimension,
-    real-embedding-like) corpus where raw and residual tie.
+    Lloyd on the deterministic md5-order sample, sample_n=256 — the
+    4×dim floor; a dim-sized sample is exactly determined and memorizes)
+    and FROZEN as literals (queries/_opq_model.py — the
+    _BPE_MERGES/_PROBE_W_E3 pattern), shipped into both the Spark plan
+    and this oracle, so the driver hash-verifies the serving path
+    exactly. Measured (RECALL.md): BEATS raw PQ outright on the
+    isotropic fixture where residual PQ loses (18.8%% vs 12.5%% vs 7.5%%
+    recall@5), and wins every geometry's rotation-sensitive case at
+    equal bits.
 
     Shuffle profile identical to ann_pq_adc: one cell equi-join against
     the broadcast query side, one per-query rank window — the rotation
@@ -6067,6 +6069,110 @@ def ann_pq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_opq_topk(
         q, c, k=5, n_centroids=16, nprobe=3,
         model=(OPQ_R, OPQ_CODEBOOKS, OPQ_SUB),
+    )
+
+
+def _opq_res_oracle() -> str:
+    """The ann_pq_residual oracle with the frozen residual-space OPQ
+    model: residuals derive in SQL per cell (cent is SQL-derived Forgy,
+    as everywhere in the ladder), then rotate through the literal R and
+    score against the literal rotated-residual codebooks."""
+    from kioss_spark.queries._opq_model import OPQ_RES_CODEBOOKS, OPQ_RES_R
+
+    rr = "[" + ",".join(
+        "[" + ",".join(repr(x) for x in row) + "]" for row in OPQ_RES_R
+    ) + "]"
+    rows = ",".join(
+        f"({j}, {cid}, [" + ",".join(repr(x) for x in cv) + "])"
+        for j, book in enumerate(OPQ_RES_CODEBOOKS)
+        for cid, cv in book
+    )
+    rotate = "list_transform(rr, r -> list_dot_product(r, {t}.rv))"
+    return _ANN_BASE + "," + _PQ_COARSE + f""",
+    rot AS (SELECT {rr} AS rr),
+    ocb AS (SELECT * FROM (VALUES {rows}) t(j, cid, cv)),
+    ca AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_RPQ_RESID.format(t='t')} AS rv,
+                  row_number() OVER (PARTITION BY t.vec_id
+                                     ORDER BY {_D2.format(t='t')}, cent.cid) AS rn
+           FROM c t CROSS JOIN cent),
+    cres AS (SELECT vec_id, v, nv, cid AS cell, rv FROM ca WHERE rn = 1),
+    crot AS (SELECT vec_id, v, nv, cell,
+                    {rotate.format(t='cres')} AS ov
+             FROM cres CROSS JOIN rot),
+    cpq AS (SELECT vec_id, j, cid FROM (
+              SELECT t.vec_id, s.j, o.cid,
+                     row_number() OVER (PARTITION BY t.vec_id, s.j
+                                        ORDER BY {_OPQ_D2.format(t='t', c='o')}, o.cid)
+                         AS rn
+              FROM crot t CROSS JOIN subs s JOIN ocb o ON o.j = s.j)
+            WHERE rn = 1),
+    qa AS (SELECT t.vec_id, t.v, t.nv, cent.cid, {_RPQ_RESID.format(t='t')} AS rv,
+                  row_number() OVER (PARTITION BY t.vec_id
+                                     ORDER BY {_D2.format(t='t')}, cent.cid) AS rn
+           FROM q t CROSS JOIN cent),
+    qres AS (SELECT vec_id, v, nv, cid AS cell, rv FROM qa WHERE rn <= 3),
+    qrot AS (SELECT vec_id, v, nv, cell,
+                    {rotate.format(t='qres')} AS ov
+             FROM qres CROSS JOIN rot),
+    adcp AS (SELECT qp.vec_id AS query_id, cb.vec_id AS cand_id,
+                    {_OPQ_D2.format(t='qp', c='oc')} AS term
+             FROM qrot qp
+             JOIN crot cb ON qp.cell = cb.cell
+             JOIN cpq co ON co.vec_id = cb.vec_id
+             JOIN subs s ON s.j = co.j
+             JOIN ocb oc ON oc.j = co.j AND oc.cid = co.cid),
+    adc AS (SELECT query_id, cand_id, CAST(sum(term) AS BIGINT) AS adc_d2_e6
+            FROM adcp GROUP BY 1, 2),
+    ex AS (SELECT qp.vec_id AS query_id, cb.vec_id AS cand_id,
+                  CAST(floor(list_dot_product(qp.v, cb.v)
+                             / (qp.nv * cb.nv) * 100000) AS BIGINT)
+                      AS score_exact_e5
+           FROM qrot qp JOIN crot cb ON qp.cell = cb.cell),
+    r AS (SELECT adc.query_id, adc.cand_id, adc.adc_d2_e6, ex.score_exact_e5,
+                 row_number() OVER (PARTITION BY adc.query_id
+                                    ORDER BY adc.adc_d2_e6, adc.cand_id) AS rnk
+          FROM adc JOIN ex USING (query_id, cand_id))
+    SELECT query_id, cand_id, adc_d2_e6, score_exact_e5, rnk FROM r WHERE rnk <= 5
+    """
+
+
+@register("ann_pq_opq_res", oracle=_opq_res_oracle())
+def ann_pq_opq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOP rung of the PQ serving ladder — the full FAISS-style
+    "OPQ,IVF,PQ" composition: coarse cells prune candidates, codes
+    quantize the ROTATED residual R·(v − centroid(cell)), and each
+    (query, probed cell) pair builds its ADC tables on the rotated query
+    residual. Rotating a residual IS the residual of the rotated space
+    (R linear, orthonormal), so this applies both corrections at once:
+    the residual's per-cell recentering and the rotation's
+    subspace-variance balancing.
+
+    The rotation/codebook model is train_opq_residual's frozen
+    sf0.01-trained output (queries/_opq_model.py, sample_n=256 — the
+    4×dim floor; the 64-sample model was exactly determined and
+    MEASURABLY overfit, losing to plain residual everywhere). Measured
+    (RECALL.md): with a Lloyd-refined coarse quantizer the composition
+    is the BEST rung on the clustered corpus (35.0%% recall@5 vs
+    residual 30.0%%, OPQ 33.8%%, raw 22.5%%) and it recovers part of
+    residual's isotropic loss; the honest full grid is recorded, losses
+    included. Four rungs now A/B at equal bits on identical candidates:
+    raw / residual / OPQ / OPQ∘residual.
+
+    Shuffle profile identical to every rung: one cell equi-join against
+    the broadcast query side, one per-query rank window
+    (operators.similarity.ivf_pq_opq_residual_topk)."""
+    from kioss_spark.queries._opq_model import (
+        OPQ_RES_CODEBOOKS,
+        OPQ_RES_R,
+        OPQ_RES_SUB,
+    )
+
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    q = nn.where(F.col("vec_id") < 16)
+    c = nn.where(F.col("vec_id") >= 16)
+    return similarity.ivf_pq_opq_residual_topk(
+        q, c, k=5, n_centroids=16, nprobe=3,
+        model=(OPQ_RES_R, OPQ_RES_CODEBOOKS, OPQ_RES_SUB),
     )
 
 

@@ -60,6 +60,8 @@ BUDGET = {
     # the OPQ rung must also keep raw ADC's shuffle profile — the learned
     # rotation folds into the broadcast-side literal codegen
     "ann_pq_opq": (1, 0),
+    # ...and so must the full OPQ-over-residuals composition (top rung)
+    "ann_pq_opq_res": (1, 0),
     "quality_pctl_by_source": (2, 0),
     # the (doc_id, w) combine + vocab join of the round-8 vocab-keyed
     # chain, the (doc_id, k) histogram agg (exchange REUSED across both
@@ -106,6 +108,7 @@ MAX_SCAN_COLS = {
     "ann_pq_adc": 2,
     "ann_pq_residual": 2,
     "ann_pq_opq": 2,
+    "ann_pq_opq_res": 2,
     "join_fanout_audit": 1,  # user_id only (events has 6 columns)
     "unigram_segment_corpus": 2,  # doc_id, text — scores are plan literals
     "tokenizer_compare": 2,  # source, text — both models are plan literals

@@ -361,3 +361,37 @@ def test_scd2_history_interval_shapes(spark):
         (4, None, 2, 2),
         (4, "A", 3, 3),
     ], got
+
+
+def test_opq_residual_identity_rotation_equals_plain_residual(spark):
+    # plumbing equivalence: with R = I and the SAME residual codebooks,
+    # the OPQ∘residual path must reproduce ivf_pq_residual_topk
+    # row-for-row (identity dot is IEEE-exact: 0.0*x terms vanish, the
+    # 1.0*x term passes through) — isolating the rotation as the ONLY
+    # semantic difference between the two rungs
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(120, 64))
+    nn = S.with_norm(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(120)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    q = nn.where(F.col("vec_id") < 8)
+    c = nn.where(F.col("vec_id") >= 8)
+    cents = S.train_ivf(c, n_centroids=16, iters=0)
+    cb, sub = S.train_pq_residual(c, cents, m=4, n_codes=16)
+    eye = [[1.0 if i == j else 0.0 for j in range(64)] for i in range(64)]
+    plain = sorted(
+        tuple(r) for r in S.ivf_pq_residual_topk(
+            q, c, k=5, m=4, n_codes=16, n_centroids=16, nprobe=3
+        ).collect()
+    )
+    composed = sorted(
+        tuple(r) for r in S.ivf_pq_opq_residual_topk(
+            q, c, k=5, n_centroids=16, nprobe=3, model=(eye, cb, sub)
+        ).collect()
+    )
+    assert composed == plain
