@@ -163,6 +163,8 @@ HEADLINE = [
     "corpus_scd2_history",
     # the full FAISS-style OPQ-over-residuals composition (top PQ rung)
     "ann_pq_opq_res",
+    # CCNet-style per-source perplexity terciles under the unigram LM
+    "quality_ccnet_buckets",
 ]
 
 

@@ -4646,6 +4646,149 @@ def unigram_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ccnet_oracle() -> str:
+    dp = unigram.duck_dp_subquery(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, _UNIGRAM_LMAX,
+        source_sql="(SELECT DISTINCT w FROM wc)",
+        max_piece_len=_UNIGRAM_PMAX,
+    )
+    k = unigram.duck_extract_k("w", "p", _UNIGRAM_LMAX)
+    s = unigram.duck_extract_s("w", "p", _UNIGRAM_LMAX, _UNIGRAM_UNK_E3)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source, x AS w FROM documents,
+      UNNEST({SQL_TOKS}) u(x)
+    ),
+    wc AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS c
+           FROM w GROUP BY 1, 2, 3),
+    seg AS (SELECT w, {k} AS k, {s} AS s FROM {dp} dp),
+    d AS (SELECT doc_id, source,
+                 CAST(sum(k * c) AS BIGINT) AS n_pieces,
+                 CAST(sum(-s * c) AS BIGINT) AS neg_lp
+          FROM wc JOIN seg USING (w) GROUP BY 1, 2),
+    scored AS (SELECT doc_id, source,
+                      neg_lp // n_pieces AS ppl_e3
+               FROM d WHERE n_pieces > 0),
+    hist AS (SELECT source, ppl_e3, CAST(count(*) AS BIGINT) AS cnt
+             FROM scored GROUP BY 1, 2),
+    cum AS (SELECT source, ppl_e3,
+                   sum(cnt) OVER (PARTITION BY source ORDER BY ppl_e3
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY source) AS n
+            FROM hist),
+    thr AS (SELECT source,
+                   min(CASE WHEN cum * 3 >= n THEN ppl_e3 END) AS t1,
+                   min(CASE WHEN cum * 3 >= 2 * n THEN ppl_e3 END) AS t2
+            FROM cum GROUP BY source)
+    SELECT s.doc_id, s.source, s.ppl_e3,
+           CASE WHEN s.ppl_e3 <= t.t1 THEN 'head'
+                WHEN s.ppl_e3 <= t.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN thr t USING (source)
+    ORDER BY s.doc_id
+    """
+
+
+@register("quality_ccnet_buckets", oracle=_ccnet_oracle())
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document by its mean per-piece negative log-prob under the trained
+    unigram LM (the in-repo analog of CCNet's KenLM perplexity), then
+    split each source into head / middle / tail TERCILES of that score —
+    the standard pre-training recipe keeps head+middle and drops or
+    downweights tail. Per-source thresholds (not global) are the point:
+    they normalize away the base rate differences between sources.
+
+    Exactness: ppl_e3 = neg_logprob_e3 DIV n_pieces (exact integral
+    mean); tercile thresholds are the smallest ppl values whose
+    cumulative count covers 1/3 resp. 2/3 of the source (ties at a
+    threshold go to the better bucket — deterministic on both engines).
+
+    Scale shape: the unigram corpus pass (distinct-word Viterbi seam, 4
+    shuffles) feeds a (source, ppl) HISTOGRAM; the cumulative window and
+    threshold agg run at histogram grain, never over the corpus (the
+    quality_pctl_by_source discipline — no per-source row_number over
+    corpus-sized partitions), and the 20-row threshold table broadcasts
+    back. Driver hash-verified end to end."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    wcnt = words.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pexpr = unigram.unigram_packed_expr(
+        _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, col="w",
+        max_piece_len=_UNIGRAM_PMAX,
+    )
+    vk = (
+        wcnt.select("w").distinct()
+        .select("w", F.expr(pexpr).alias("p"))
+        .select(
+            "w",
+            F.expr(
+                unigram.spark_extract_k("w", "p", _UNIGRAM_LMAX)
+            ).alias("k"),
+            F.expr(
+                unigram.spark_extract_s(
+                    "w", "p", _UNIGRAM_LMAX, _UNIGRAM_UNK_E3
+                )
+            ).alias("s"),
+        )
+    )
+    scored = (
+        wcnt.join(vk, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("k") * F.col("c")).cast("long").alias("n_pieces"),
+            F.sum(-F.col("s") * F.col("c")).cast("long").alias("neg_lp"),
+        )
+        .where(F.col("n_pieces") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.expr("neg_lp DIV n_pieces").alias("ppl_e3"),
+        )
+    )
+    hist = scored.groupBy("source", "ppl_e3").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("ppl_e3")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "source",
+        "ppl_e3",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    thr = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("ppl_e3"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("ppl_e3"))
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("ppl_e3") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl_e3") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            "ppl_e3",
+            bucket.alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _tokcmp_oracle() -> str:
     dp = unigram.duck_dp_subquery(
         _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, _UNIGRAM_LMAX,

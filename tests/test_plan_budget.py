@@ -96,6 +96,10 @@ BUDGET = {
     # gaps-and-islands SCD2: the islands windows and interval agg all
     # share the id key (one keyed exchange + the final order)
     "corpus_scd2_history": (2, 0),
+    # the unigram corpus pass (4) + the (source, ppl) histogram agg,
+    # histogram-grain cumulative window, and the broadcast-back of the
+    # 20-row threshold table — never a corpus-sized per-source window
+    "quality_ccnet_buckets": (7, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
@@ -112,6 +116,7 @@ MAX_SCAN_COLS = {
     "join_fanout_audit": 1,  # user_id only (events has 6 columns)
     "unigram_segment_corpus": 2,  # doc_id, text — scores are plan literals
     "tokenizer_compare": 2,  # source, text — both models are plan literals
+    "quality_ccnet_buckets": 3,  # doc_id, source, text
 }
 
 

@@ -87,9 +87,14 @@ QUERIES = [
     "token_budget_by_source",
     "join_fanout_audit",
     "dq_constraint_audit",
-    # round-9: the second tokenizer family + the OPQ serving rung
+    # round-9: the second tokenizer family + the OPQ serving rungs,
+    # the two-chain tokenizer comparator, SCD2, and the CCNet terciles
     "unigram_segment_corpus",
     "ann_pq_opq",
+    "ann_pq_opq_res",
+    "tokenizer_compare",
+    "corpus_scd2_history",
+    "quality_ccnet_buckets",
 ]
 
 
