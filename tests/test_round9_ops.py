@@ -395,3 +395,52 @@ def test_opq_residual_identity_rotation_equals_plain_residual(spark):
         ).collect()
     )
     assert composed == plain
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    snaps=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # doc_id
+            st.integers(min_value=1, max_value=4),   # version
+            st.sampled_from(["A", "B", None]),       # content hash
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: (t[0], t[1]),  # one row per (id, version)
+    )
+)
+def test_scd2_history_matches_trivial_reconstruction(spark, snaps):
+    # property pin vs a trivial single-process reconstruction: walk each
+    # id's versions in order, open a new interval on first sight, on a
+    # version gap, or on a hash change (None vs value IS a change;
+    # None vs None is not — the eqNullSafe contract)
+    from kioss_spark.operators.curation import scd2_history
+
+    expected = []
+    by_id = {}
+    for i, v, h in snaps:
+        by_id.setdefault(i, []).append((v, h))
+    for i, rows in by_id.items():
+        rows.sort()
+        cur = None  # (hash, v_from, v_to)
+        for v, h in rows:
+            if cur is not None and v == cur[2] + 1 and h == cur[0]:
+                cur = (cur[0], cur[1], v)
+            else:
+                if cur is not None:
+                    expected.append((i, cur[0], cur[1], cur[2]))
+                cur = (h, v, v)
+        expected.append((i, cur[0], cur[1], cur[2]))
+    df = spark.createDataFrame(
+        [(i, v, h) for i, v, h in snaps],
+        "doc_id long, version int, content_hash string",
+    )
+    got = sorted(
+        (
+            (r["doc_id"], r["content_hash"], r["v_from"], r["v_to"])
+            for r in scd2_history(df).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == sorted(expected, key=lambda t: (t[0], t[2]))
