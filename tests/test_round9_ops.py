@@ -444,3 +444,26 @@ def test_scd2_history_matches_trivial_reconstruction(spark, snaps):
         key=lambda t: (t[0], t[2]),
     )
     assert got == sorted(expected, key=lambda t: (t[0], t[2]))
+
+
+def test_tokenizer_compare_consistent_with_single_family_queries(spark):
+    # cross-query consistency: tokenizer_compare's corpus-wide subword
+    # totals must equal the sums of the single-family accounting queries
+    # (bpe_segment_corpus / unigram_segment_corpus) — three independent
+    # plans over the same chains agreeing on the same corpus
+    from kioss_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    tc = reg["tokenizer_compare"].fn(spark, sf).agg(
+        F.sum("n_words"), F.sum("bpe_subwords"), F.sum("uni_pieces")
+    ).first()
+    bpe = reg["bpe_segment_corpus"].fn(spark, sf).agg(
+        F.sum("n_words"), F.sum("n_subwords")
+    ).first()
+    uni = reg["unigram_segment_corpus"].fn(spark, sf).agg(
+        F.sum("n_words"), F.sum("n_pieces")
+    ).first()
+    assert tc[0] == bpe[0] == uni[0]   # same word total
+    assert tc[1] == bpe[1]             # same BPE subword total
+    assert tc[2] == uni[1]             # same unigram piece total

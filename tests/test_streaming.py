@@ -1169,3 +1169,39 @@ def test_dq_monitor_windowed_drops_and_surfaces_late_rows(spark, tmp_path):
     assert got["2024-01-01T00:00:00"] == (2, 1), got  # frozen: late -9 excluded
     assert got["2024-01-01T00:03:00"] == (2, 0), got
     assert dropped == 1, dropped
+
+
+def test_window_agg_sliding_overlapping_windows(spark, tmp_path):
+    # slide= was implemented in round 6 but never pinned: a 60s window
+    # sliding by 30s must assign each event to BOTH overlapping windows,
+    # and counts must match the batch F.window() semantics exactly
+    src = str(tmp_path / "slide_src")
+    rows = [("2024-01-01 00:00:10",), ("2024-01-01 00:00:40",),
+            ("2024-01-01 00:01:10",)]
+    df = spark.createDataFrame(rows, "ts string").select(
+        F.col("ts").cast("timestamp").alias("timestamp")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    s = SStream.files(
+        spark, src, schema="timestamp timestamp"
+    ).window_agg(60, F.count(F.lit(1)).alias("n"), slide=30)
+    q = s.to_memory("t_slide", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = {
+            r["start"].isoformat(): r["n"]
+            for r in spark.sql(
+                "SELECT window.start AS start, n FROM t_slide"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    # event 00:00:10 -> windows starting 23:59:30 and 00:00:00;
+    # 00:00:40 -> 00:00:00 (wait: also 00:00:30); 00:01:10 -> 00:00:30? no:
+    # windows are [start, start+60) for start in multiples of 30
+    assert got == {
+        "2023-12-31T23:59:30": 1,  # covers 00:00:10
+        "2024-01-01T00:00:00": 2,  # covers 00:00:10, 00:00:40
+        "2024-01-01T00:00:30": 2,  # covers 00:00:40, 00:01:10
+        "2024-01-01T00:01:00": 1,  # covers 00:01:10
+    }, got
