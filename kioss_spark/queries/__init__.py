@@ -175,6 +175,29 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "tfidf_keywords", "token_budget_by_source", "token_counts",
         "vocab_drift_chi2", "vocab_top_terms",
     }),
+    # CORRECTNESS_r09.json — 50/50 green (the six round-9 registrations,
+    # the op_* reference-parity family re-proven at HEAD, and the stalest
+    # r5/r6-tier names the r9 window reached).
+    9: frozenset({
+        "ann_int8_rescore", "ann_ivf_multiprobe", "ann_ivf_topk",
+        "ann_ivf_trained", "ann_pq_opq", "ann_pq_opq_res",
+        "anti_customers_no_pending", "asof_last_purchase", "asof_last_signup",
+        "corpus_scd2_history", "dedup_containment_pairs", "dedup_exact",
+        "dedup_jaccard_pairs", "funnel_click_purchase",
+        "funnel_delay_quantiles", "heavy_hitter_tokens", "kanon_risk_docs",
+        "label_balance_weights", "length_strata_sample", "minhash_signatures",
+        "mm_frame_dedup", "mm_image_resize", "op_amap_enrich", "op_catch_pyfn",
+        "op_catch_replacement", "op_concat_streams", "op_distinct_first",
+        "op_filter_highvalue", "op_flatten_tokens", "op_foreach_passthrough",
+        "op_group_batches", "op_groupby_key", "op_map_revenue",
+        "op_observe_metrics", "op_skip_truncate", "pagerank_dup_graph",
+        "pipeline_incremental_refresh", "pivot_status_revenue",
+        "q10_returned_items", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_nation_revenue", "quality_ccnet_buckets", "retention_cohorts",
+        "rollup_order_counts", "sequence_view_click_purchase",
+        "split_leakage_pairs", "tokenizer_compare", "unigram_segment_corpus",
+        "winsorize_event_values",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -185,13 +208,11 @@ for _round in sorted(_GREEN_ROUNDS):
 
 #: Re-check leaders: queries whose verified implementation changed AFTER
 #: their last green verdict, so their stale verdict no longer covers HEAD.
-#: Round 9: empty. Round 8's only post-verdict code change was the
-#: default-preserving ``iters=`` Lloyd-refinement dial (f4d86b9) — the
-#: judge verified by diff, and independently re-ran both IVFPQ paths vs
-#: DuckDB at final HEAD (8/8 pass) — so no r8-verified query's verdict
-#: trails its implementation. The window goes: new registrations, then
-#: the 19 r5-stale names, then the stalest r6 tier (finally re-proving
-#: the reference-parity op_* family at HEAD).
+#: Round 10: empty at round start — round 9 landed no post-verdict package
+#: code (the judge re-ran 14 queries at final HEAD, 14/14). The window
+#: goes: the round-10 registrations, then the 24 r6-stale names (the TPC-H
+#: literal wave + the window-function family — the verdict's rotation-debt
+#: list), then the stalest r7 tier.
 _RECHECK_FIRST: tuple = ()
 
 
