@@ -336,10 +336,19 @@ def main() -> None:
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
         import re as _re
+        import subprocess
 
+        try:  # committed files only — a stray local BENCH_r*.json must
+            # not bump the round stamp
+            tracked = subprocess.run(
+                ["git", "-C", repo, "ls-files", "BENCH_r*.json"],
+                capture_output=True, text=True, check=True,
+            ).stdout.split()
+        except (OSError, subprocess.CalledProcessError):
+            tracked = os.listdir(repo)
         prior = [
             int(m.group(1))
-            for f in os.listdir(repo)
+            for f in tracked
             if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
         if prior:

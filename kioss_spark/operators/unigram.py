@@ -177,7 +177,7 @@ def train_unigram(
         )
         keep = set(chars) | set(multi[: max(0, vocab_size - len(chars))])
         scores = _scores({p: usage[p] for p in keep})
-        unk = min(scores.values()) - UNK_MARGIN_E3
+        unk = min(scores.values()) - UNK_MARGIN_E3 if scores else -UNK_MARGIN_E3
 
     return sorted(scores.items()), unk
 
@@ -256,7 +256,9 @@ def spark_extract_s(col: str, p: str, lmax: int, unk_e3: int) -> str:
 
 
 def _duck_idx(n1: int, sub: str) -> str:
-    pos = f"list_position(pc, {sub})"
+    # coalesce: duckdb 1.0 returns 0 for a list_position miss, newer
+    # versions return NULL — normalize both to the sentinel redirect.
+    pos = f"coalesce(list_position(pc, {sub}), 0)"
     return f"(CASE WHEN {pos} = 0 THEN {n1} ELSE {pos} END)"
 
 

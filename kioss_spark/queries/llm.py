@@ -4596,7 +4596,8 @@ def unigram_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``greatest`` is the (max score, fewest pieces) tie-break) make every
     output column exact int64 — the driver hash-verifies all rows. Spark
     runs the recurrence as ONE ``aggregate()`` fold; the oracle unrolls
-    the same recurrence to lateral-alias columns (operators/unigram.py,
+    the same recurrence to nested subquery layers — NOT lateral aliases,
+    which expand exponentially in the binder (operators/unigram.py,
     parity fuzz-pinned in tests/test_round9_ops.py).
 
     Scale shape: the bpe_segment_corpus discipline — one corpus-scale
