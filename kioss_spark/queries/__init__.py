@@ -208,12 +208,18 @@ for _round in sorted(_GREEN_ROUNDS):
 
 #: Re-check leaders: queries whose verified implementation changed AFTER
 #: their last green verdict, so their stale verdict no longer covers HEAD.
-#: Round 10: empty at round start — round 9 landed no post-verdict package
-#: code (the judge re-ran 14 queries at final HEAD, 14/14). The window
-#: goes: the round-10 registrations, then the 24 r6-stale names (the TPC-H
-#: literal wave + the window-function family — the verdict's rotation-debt
-#: list), then the stalest r7 tier.
-_RECHECK_FIRST: tuple = ()
+#: Round 10: the round-9 advisor-notes commit (2eade56) changed the
+#: unigram ORACLE codegen after the r9 verdicts landed (_duck_idx now
+#: wraps list_position in coalesce), so the three queries whose oracle
+#: SQL embeds that codegen re-prove first. Then the round-10
+#: registrations, the 24 r6-stale names (the TPC-H literal wave + the
+#: window-function family — the verdict's rotation-debt list), and the
+#: stalest r7 tier fill the window.
+_RECHECK_FIRST: tuple = (
+    "unigram_segment_corpus",
+    "tokenizer_compare",
+    "quality_ccnet_buckets",
+)
 
 
 def load_all() -> dict[str, QueryDef]:
