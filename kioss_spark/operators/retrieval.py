@@ -1,0 +1,174 @@
+"""Sparse retrieval — exact-integer Okapi BM25 top-k over an inverted
+term-statistics table.
+
+The sparse complement of the dense ANN ladder (operators/similarity.py):
+a real RAG / decontamination pipeline runs HYBRID retrieval, dense
+cosine + BM25, and the reference's fetch-enrich ETL shape
+(reference README.md:534-576) is exactly the consumer of both.
+
+BM25 (Robertson et al., Okapi at TREC-3, 1994):
+
+    score(q, D) = sum_{t in q} IDF(t) * tf(t,D)*(k1+1)
+                                / (tf(t,D) + k1*(1 - b + b*|D|/avgdl))
+
+Exactness across engines is the design constraint (the driver
+hash-verifies values, and Spark/DuckDB ``ln``/double division differ in
+the last ulp), so every factor is integerized as a rational:
+
+- IDF: the Robertson-Sparck Jones form ln((N-df+0.5)/(df+0.5)+1) is
+  MONOTONE in (N-df+0.5)/(df+0.5) = (2N-2df+1)/(2df+1), so serving uses
+  the rational itself, e6-scaled:  idf_e6 = (1_000_000*(2N-2df+1)) DIV
+  (2df+1).  Rankings agree with the log form for single-term scores;
+  for multi-term sums it is the standard "raw idf odds" variant — what
+  matters here is that it is EXACT integer arithmetic both engines
+  reproduce bit-for-bit.
+- tf saturation with k1=1.2=6/5, b=0.75=3/4 and exact rational
+  avgdl = T/N (T = total corpus tokens, N = docs): multiplying
+  numerator and denominator by 20*T clears every fraction:
+
+      tf_part = 44*T*tf / (20*T*tf + 6*T + 18*N*dl)
+
+  e4-scaled:  tfp_e4 = (10_000*44*T*tf) DIV (20*T*tf + 6*T + 18*N*dl).
+- per-(term, doc) score_e6 = (idf_e6 * tfp_e4) DIV 10_000; summed per
+  (query, doc).
+
+int64 headroom: the largest intermediate is 10_000*44*T*tf_doc
+(tf_doc = PER-DOCUMENT term count, not corpus tf); it overflows only
+past T*tf_doc ~ 2e13 — a multi-TB token stream with pathological
+per-doc repetition.  Past that, widen the two scaled products to
+DECIMAL(38,0) (both engines) — the formula is unchanged.
+
+Scale shape (the 100 TB story): ONE corpus scan builds the inverted
+stats — tf is a (doc_id, term)-keyed agg with map-side combine, df and
+dl DERIVE from tf (no second scan), N/T are a 1-row aggregate.  The
+query set is vocabulary-derived and TINY (it broadcasts); the scoring
+join touches only postings of query terms — the keyed shuffle carries
+the matched postings, never the corpus — and the final top-k is a
+per-query rank window over candidate docs (|q| partitions).  Nothing
+all-pairs, nothing corpus-grain after the first combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_stats", "bm25_score_topk", "bm25_score_py"]
+
+#: k1 = 1.2 and b = 0.75 as the cleared-fraction coefficients of
+#: tf_part = 44*T*tf / (20*T*tf + 6*T + 18*N*dl)  (see module docstring)
+_NUM_C = 44
+_DEN_TF = 20
+_DEN_T = 6
+_DEN_DL = 18
+
+
+def bm25_stats(inv: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Inverted statistics from a (doc_id, term) occurrence stream:
+    returns ``(tfdl, df, g)`` where tfdl = per-(doc, term) counts WITH
+    the per-doc length attached by a doc-keyed window (no join — the
+    postings table stays one relation, and Spark's ReuseExchange shares
+    its (doc_id, term) combine with the df branch), df derives from the
+    same combine, and g is the 1-row (n_docs, n_toks) global table."""
+    tf = inv.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tfdl = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    g = (
+        tfdl.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_toks"),
+        )
+    )
+    return tfdl, df, g
+
+
+def bm25_score_topk(
+    tfdl: DataFrame,
+    df: DataFrame,
+    g: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-integer BM25 top-``k`` per query.
+
+    ``queries`` is a small (query_id, term, df) table (vocabulary-grain,
+    df already attached) — broadcast into the postings join after the
+    1-row global table rides a broadcast crossJoin, so only query-term
+    postings move. Returns (query_id, rnk, doc_id, score_e6) with the
+    deterministic (score desc, doc_id) tie-break."""
+    if "df" not in queries.columns:
+        queries = queries.join(df, "term")
+    qstats = (
+        queries.crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "term",
+            F.expr(
+                "CAST(1000000 * (2 * n_docs - 2 * df + 1) AS BIGINT) "
+                "DIV CAST(2 * df + 1 AS BIGINT)"
+            ).alias("idf_e6"),
+            "n_docs",
+            "n_toks",
+        )
+    )
+    scored = (
+        tfdl.join(F.broadcast(qstats), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(idf_e6 * ((10000 * {_NUM_C} * n_toks * tf) DIV "
+                f"({_DEN_TF} * n_toks * tf + {_DEN_T} * n_toks "
+                f"+ {_DEN_DL} * n_docs * dl)) DIV 10000 AS BIGINT)"
+            ).alias("score_e6"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_e6").cast("long").alias("score_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_e6")
+    )
+
+
+def bm25_score_py(
+    docs: dict[int, list[str]], query: list[str]
+) -> dict[int, int]:
+    """Trivial single-process BM25 under the SAME integer semantics —
+    the parity oracle for tests (tests/test_round10_ops.py)."""
+    from collections import Counter
+
+    n_docs = len(docs)
+    tfs = {d: Counter(ws) for d, ws in docs.items()}
+    dls = {d: len(ws) for d, ws in docs.items()}
+    n_toks = sum(dls.values())
+    dfs: Counter = Counter()
+    for c in tfs.values():
+        dfs.update(c.keys())
+    out: dict[int, int] = {}
+    for d, c in tfs.items():
+        s = 0
+        for t in query:
+            tf = c.get(t, 0)
+            if tf == 0 or t not in dfs:
+                continue
+            idf_e6 = (1_000_000 * (2 * n_docs - 2 * dfs[t] + 1)) // (
+                2 * dfs[t] + 1
+            )
+            tfp_e4 = (10_000 * _NUM_C * n_toks * tf) // (
+                _DEN_TF * n_toks * tf + _DEN_T * n_toks + _DEN_DL * n_docs * dls[d]
+            )
+            s += (idf_e6 * tfp_e4) // 10_000
+        if s:
+            out[d] = s
+    return out

@@ -1527,6 +1527,96 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_topk",
+    oracle=f"""
+    WITH inv AS (
+      SELECT doc_id, x AS term
+      FROM (SELECT doc_id, {SQL_TOKS} AS t FROM documents), UNNEST(t) u(x)
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM inv GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    g  AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+    qt AS (
+      SELECT CAST((rn - 1) % 8 AS BIGINT) AS query_id, term
+      FROM (SELECT term,
+                   row_number() OVER (ORDER BY df DESC, term) AS rn
+            FROM df)
+      WHERE rn <= 24
+    ),
+    qs AS (
+      SELECT qt.query_id, qt.term,
+             (1000000 * (2 * g.n_docs - 2 * df.df + 1)) // (2 * df.df + 1)
+                 AS idf_e6,
+             g.n_docs, g.n_toks
+      FROM qt JOIN df USING (term), g
+    ),
+    scored AS (
+      SELECT qs.query_id, tf.doc_id,
+             (qs.idf_e6 * ((10000 * 44 * qs.n_toks * tf.tf)
+                // (20 * qs.n_toks * tf.tf + 6 * qs.n_toks
+                    + 18 * qs.n_docs * dl.dl))) // 10000 AS s
+      FROM tf JOIN qs USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+    ),
+    agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_e6
+            FROM scored GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_e6 DESC, doc_id) AS rnk
+          FROM agg)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_e6
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 sparse retrieval top-10 — the sparse complement of the
+    dense ANN ladder (a real RAG/decontamination pipeline runs hybrid
+    retrieval; the reference's fetch-enrich ETL, README.md:534-576, is
+    the consumer shape). Algorithm + exact-integer rationalization
+    (k1=6/5, b=3/4, rational avgdl cleared by 20*T): operators/
+    retrieval.py.
+
+    The query set is fixture-derived and deterministic: rank the
+    vocabulary by (df desc, term) and deal ranks 1..24 round-robin into
+    8 three-term queries — each query mixes a common, a mid, and a rarer
+    term, and both engines derive the identical set from the same stats.
+
+    Scale shape: ONE corpus scan builds tf with a (doc_id, term)
+    map-side combine; df and dl DERIVE from tf; the 24-row query-stats
+    table broadcasts into the postings join (only query-term postings
+    move); per-query top-10 is an 8-partition rank window. The
+    vocabulary rank window runs single-partition BY DESIGN on the
+    vocabulary table (31 terms here; sublinear in corpus always).
+    Parity-pinned vs a trivial Python scorer in
+    tests/test_round10_ops.py."""
+    from kioss_spark.operators import retrieval
+
+    docs = _docs(spark, sf_dir)
+    inv = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tfdl, df, g = retrieval.bm25_stats(inv)
+    qt = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("term"))
+            ),
+        )
+        .where(F.col("rn") <= 24)
+        .select(
+            ((F.col("rn") - 1) % 8).cast("long").alias("query_id"),
+            "term",
+            "df",
+        )
+    )
+    return retrieval.bm25_score_topk(tfdl, df, g, qt, k=10).orderBy(
+        "query_id", "rnk"
+    )
+
+
+@register(
     "profile_corpus",
     oracle=f"""
     WITH m AS (SELECT source, lang, len({SQL_TOKS}) AS n_tok FROM documents),

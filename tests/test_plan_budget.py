@@ -100,6 +100,11 @@ BUDGET = {
     # histogram-grain cumulative window, and the broadcast-back of the
     # 20-row threshold table — never a corpus-sized per-source window
     "quality_ccnet_buckets": (7, 0),
+    # round-10: BM25 — the (doc_id, term) combine (reused by the df
+    # branch), the doc-keyed dl window, the (doc, dl) global agg, the
+    # (query, doc) score agg, per-query rank, and the final sort; the
+    # single-partition window is the 31-term vocabulary rank BY DESIGN
+    "bm25_topk": (8, 1),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
@@ -117,6 +122,7 @@ MAX_SCAN_COLS = {
     "unigram_segment_corpus": 2,  # doc_id, text — scores are plan literals
     "tokenizer_compare": 2,  # source, text — both models are plan literals
     "quality_ccnet_buckets": 3,  # doc_id, source, text
+    "bm25_topk": 2,  # doc_id, text — stats derive from one token stream
 }
 
 
