@@ -31,6 +31,10 @@ __all__ = [
     "frame_sample",
     "frame_dedup",
     "decode_image_real",
+    "average_hash_py",
+    "with_average_hash",
+    "average_hash_real",
+    "phash_near_dup",
 ]
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -375,6 +379,200 @@ def _make_probe_png() -> bytes:
 
 
 _PROBE_PNG = _make_probe_png()
+
+
+# ---------------------------------------------------------------------------
+# perceptual average-hash (the real algorithm; decode stays the gated seam)
+# ---------------------------------------------------------------------------
+
+#: int64 two's-complement value of bit 63 — written as arithmetic because
+#: neither Spark SQL nor DuckDB parses the most-negative literal directly
+_BIT63 = "(-9223372036854775807L - 1L)"
+
+
+def average_hash_py(values, cells: int = 64) -> int:
+    """Reference average-hash (aHash) over a pixel/value stream: position
+    ``i`` belongs to block ``(i * cells) DIV n`` (the inverse block map —
+    blocks are contiguous, partition the stream, and reduce to the
+    identity when n == cells); set bit j iff block j's mean exceeds the
+    global mean (strict, integer cross-multiplied — no division,
+    engine-exact), pack with bit 63 two's-complement into int64.  THE
+    algorithm of perceptual-hash folklore ("aHash"; cf. pHash.org /
+    imagehash) — on a decoded 8x8 grayscale image each cell is one pixel
+    and this IS the canonical 64-bit aHash.  This single function is the
+    parity oracle for the distributed column form (``with_average_hash``)
+    and the packing step of the real PIL path (``average_hash_real``)."""
+    n = len(values)
+    if n == 0:
+        return 0
+    tsum = sum(values)
+    csum = [0] * cells
+    ccnt = [0] * cells
+    for i, v in enumerate(values):
+        j = (i * cells) // n
+        csum[j] += v
+        ccnt[j] += 1
+    h = 0
+    for j in range(cells):
+        if ccnt[j] and csum[j] * n > tsum * ccnt[j]:
+            h |= 1 << j
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def with_average_hash(
+    frames: DataFrame, text_col: str = "frame", out_col: str = "phash"
+) -> DataFrame:
+    """Distributed aHash as pure column algebra over a string column whose
+    CODEPOINTS stand in for the pixel stream (the deterministic-fake
+    decode of this module's stubbing policy: the hash algorithm is real,
+    only the codec is faked — swap ``average_hash_real`` in where PIL
+    exists and everything downstream is unchanged).
+
+    Three narrow projections, zero Python, zero shuffles: per-cell
+    (sum, count) via a fold over each cell's position range (ranges
+    partition 1..n, so total work is O(n + 64) per row), the global sum
+    as a fold over the 64 cells, then the bit pack — the strict
+    cross-multiplied comparison and two's-complement bit 63 exactly as
+    ``average_hash_py``.  Fuzz-pinned against it in
+    tests/test_round10_ops.py; the DuckDB oracle reproduces it via an
+    explode + groupBy of the same integer arithmetic."""
+    # cell j covers 1-based positions [(j*n+63) DIV 64 + 1, ((j+1)*n+63)
+    # DIV 64] — the inverse image of average_hash_py's (i*64) DIV n map;
+    # the ranges partition 1..n so total fold work is O(n + 64) per row
+    L = f"length({text_col})"
+    lo = f"(j * {L} + 63) DIV 64 + 1"
+    hi = f"((j + 1) * {L} + 63) DIV 64"
+    cells = (
+        "transform(sequence(0, 63), j -> named_struct("
+        f"'cs', CASE WHEN {hi} >= {lo} "
+        f"THEN aggregate(sequence({lo}, {hi}), "
+        f"0L, (a, p) -> a + ascii(substr({text_col}, p, 1))) ELSE 0L END, "
+        f"'cc', CAST(greatest({hi} - ({lo}) + 1, 0) AS BIGINT)))"
+    )
+    pack = (
+        "aggregate(sequence(0, 63), 0L, (a, j) -> a + "
+        "CASE WHEN element_at(__cells__, j + 1).cs * __tsum__.n "
+        "> __tsum__.s * element_at(__cells__, j + 1).cc "
+        f"THEN CASE WHEN j = 63 THEN {_BIT63} ELSE shiftleft(1L, j) END "
+        "ELSE 0L END)"
+    )
+    return (
+        frames.withColumn("__cells__", F.expr(cells))
+        .withColumn(
+            "__tsum__",
+            F.expr(
+                f"named_struct('s', aggregate(__cells__, 0L, (a, x) -> a + x.cs), "
+                f"'n', CAST({L} AS BIGINT))"
+            ),
+        )
+        .withColumn(out_col, F.expr(pack))
+        .drop("__cells__", "__tsum__")
+    )
+
+
+def average_hash_real(
+    docs_with_payload: DataFrame, hash_size: int = 8
+) -> DataFrame:
+    """Canonical 64-bit perceptual aHash with the REAL decoder: PIL decode
+    -> grayscale -> ``hash_size`` x ``hash_size`` resize -> threshold at
+    the mean (``average_hash_py`` on the 64 resized pixels — each cell is
+    exactly one pixel).  Import probed eagerly at plan build (fail fast,
+    not mid-job; the ``image_meta_real`` pattern).  Arrow-batched 1->1
+    mapInPandas: partitions exactly like the payload scan; the output
+    (doc_id, phash) feeds the SAME ``phash_near_dup`` / ``scene_cuts``
+    plumbing as the fake path.  Exercised by tests/test_multimodal_real.py
+    wherever PIL is installed."""
+    decode_image_real(_PROBE_PNG)  # fail fast if PIL is absent
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import PIL.Image  # type: ignore
+
+        for pdf in batches:
+            hashes = []
+            for p in pdf["payload"]:
+                with PIL.Image.open(io.BytesIO(bytes(p))) as img:
+                    px = list(
+                        img.convert("L")
+                        .resize((hash_size, hash_size))
+                        .getdata()
+                    )
+                hashes.append(average_hash_py(px, cells=hash_size * hash_size))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "phash": hashes})
+
+    return docs_with_payload.mapInPandas(hash_batch, schema=schema)
+
+
+def phash_near_dup(
+    hashed: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Visual near-dup pairs at Hamming <= ``max_hamming`` over a
+    (doc_id, frame_idx, phash) table — the image/video analog of
+    MinHash-LSH dedup, via multi-index Hamming banding (the Hamming-ball
+    multiprobe family of operators/similarity.py applied bandwise):
+    split the 64-bit hash into ``bands`` equal slices; by pigeonhole any
+    pair within ``max_hamming < bands`` bits must agree EXACTLY on at
+    least one slice, so an equi-join on (band, slice value) finds every
+    qualifying pair and the exact ``bit_count(xor)`` verify prunes the
+    rest.  NEVER all-pairs: the join is keyed on 16-bit band values
+    (65k buckets per band at the default), candidates are
+    band-collision-bounded, and multi-band double-hits dedupe in the
+    same distinct as the pair canonicalization.
+
+    Returns (doc_a, frame_a, doc_b, frame_b, hamming), pair-ordered
+    (doc, frame) lexicographically."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64 (got {bands})")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashed.select(
+        F.col("doc_id"),
+        F.col("frame_idx"),
+        F.col("phash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> named_struct("
+                f"'band', b, 'val', shiftright(phash, b * {width}) & {mask}L))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", "frame_idx", "phash", "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (
+            F.struct(F.col("a.doc_id"), F.col("a.frame_idx"))
+            < F.struct(F.col("b.doc_id"), F.col("b.frame_idx"))
+        ),
+    )
+    dist = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    ).cast("long")
+    return (
+        cand.where(dist <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.frame_idx").alias("frame_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.frame_idx").alias("frame_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 def scene_cuts(frames: DataFrame, cut_hamming: int = 20) -> DataFrame:
