@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kioss_spark.operators import dedup, multimodal, similarity, unigram
+from kioss_spark.operators import dedup, multimodal, similarity, unigram, wordpiece
 from kioss_spark.operators.text import (
     LANG_MARKERS,
     CHI2_SQL,
@@ -3237,6 +3237,86 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             substr(text, CAST(i * 48 + 1 AS INTEGER), 48) AS frame
+      FROM documents,
+           UNNEST(range(0, (length(text) + 47) // 48, 4)) u(i)
+    ),
+    ch AS (
+      SELECT doc_id, frame_idx,
+             ascii(substr(frame, CAST(p AS INTEGER), 1)) AS cp,
+             ((p - 1) * 64) // length(frame) AS cell
+      FROM fr, UNNEST(range(1, length(frame) + 1)) v(p)
+    ),
+    cells AS (SELECT doc_id, frame_idx, cell,
+                     CAST(sum(cp) AS BIGINT) AS csum,
+                     CAST(count(*) AS BIGINT) AS ccnt
+              FROM ch GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, frame_idx,
+                   CAST(sum(csum) AS BIGINT) AS tsum,
+                   CAST(sum(ccnt) AS BIGINT) AS tcnt
+            FROM cells GROUP BY 1, 2),
+    bt AS (SELECT c.doc_id, c.frame_idx, c.cell,
+                  CASE WHEN c.csum * t.tcnt > t.tsum * c.ccnt
+                       THEN 1 ELSE 0 END AS b
+           FROM cells c JOIN tot t USING (doc_id, frame_idx)),
+    h AS (SELECT doc_id, frame_idx,
+                 CAST(sum(CASE WHEN cell = 63
+                               THEN b * (-9223372036854775807 - 1)
+                               ELSE b * (CAST(1 AS BIGINT) << cell)
+                          END) AS BIGINT) AS phash
+          FROM bt GROUP BY 1, 2)
+    SELECT a.doc_id AS doc_a, a.frame_idx AS frame_a,
+           b.doc_id AS doc_b, b.frame_idx AS frame_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b
+      ON (a.doc_id < b.doc_id
+          OR (a.doc_id = b.doc_id AND a.frame_idx < b.frame_idx))
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    ORDER BY doc_a, frame_a, doc_b, frame_b
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup dedup: perceptual average-hash per sampled frame
+    (the REAL aHash algorithm — 64-cell block means thresholded at the
+    global mean — over the deterministic-fake codepoint "pixels"; PIL
+    decode swaps in via ``average_hash_real`` with identical downstream
+    plumbing), then every frame pair within Hamming <= 3 via 4x16-bit
+    multi-index banding — the image/video analog of MinHash-LSH dedup
+    that ``frame_dedup``'s exact-md5 form cannot see (operators/
+    multimodal.py:with_average_hash, phash_near_dup).
+
+    Scale shape: frame fan-out and the three hash projections are
+    NARROW (zero Python, zero shuffles — the per-frame fold is
+    O(chars + 64)); the only wide ops are the band-keyed self-join
+    (65k buckets per band, pigeonhole-complete for hamming < bands,
+    never all-pairs) and the pair distinct. The oracle verifies
+    all-pairs at fixture scale — banding's completeness guarantee makes
+    the two forms EQUAL, which is exactly what the hash check proves."""
+    docs = _docs(spark, sf_dir)
+    frames = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(0, greatest((length(text) + 47)"
+                " DIV 48 - 1, 0)), i -> i % 4 = 0 AND i * 48 < length(text)),"
+                " i -> named_struct('frame_idx', CAST(i AS BIGINT),"
+                " 'frame', substr(text, i * 48 + 1, 48)))"
+            )
+        ).alias("fr"),
+    ).select("doc_id", "fr.frame_idx", "fr.frame")
+    hashes = multimodal.with_average_hash(frames).select(
+        "doc_id", "frame_idx", "phash"
+    )
+    return multimodal.phash_near_dup(hashes, max_hamming=3, bands=4).orderBy(
+        "doc_a", "frame_a", "doc_b", "frame_b"
+    )
+
+
+@register(
     "mm_image_resize",
     oracle="""
     WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
@@ -4880,6 +4960,115 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# WordPiece (BERT-style) greedy segmentation
+# ---------------------------------------------------------------------------
+
+#: WordPiece vocabulary learned by operators.wordpiece.train_wordpiece
+#: (n_merges=24, max_piece_len=4) on the sf0.01 documents corpus — the
+#: _BPE_MERGES / _UNIGRAM_VOCAB pattern: training is an offline action,
+#: the vocab ships as plan literals. Word-initial and continuation
+#: pieces are separate tables (the ## convention, stored stripped);
+#: every corpus character is present in both (coverage floor), so [UNK]
+#: only fires on out-of-distribution input.
+_WORDPIECE_HEADS: list[str] = [
+    "a", "agg", "b", "big", "c", "cus", "d", "e", "f", "fil", "g", "h",
+    "i", "j", "k", "l", "lin", "m", "n", "o", "p", "q", "qu", "r", "s",
+    "sp", "t", "th", "u", "v", "w", "wind", "y",
+]
+_WORDPIECE_CONTS: list[str] = [
+    "a", "b", "bl", "c", "ch", "d", "e", "f", "g", "h", "i", "in", "j",
+    "k", "l", "lu", "lumn", "m", "n", "o", "p", "q", "r", "s", "sh",
+    "t", "u", "up", "v", "w", "y",
+]
+_WORDPIECE_PMAX = 4  # max raw piece length in the learned vocab
+
+
+def _wordpiece_oracle() -> str:
+    dp = wordpiece.duck_wp_subquery(
+        _WORDPIECE_HEADS, _WORDPIECE_CONTS, _UNIGRAM_LMAX,
+        source_sql="(SELECT DISTINCT w FROM wc)",
+        max_piece_len=_WORDPIECE_PMAX,
+    )
+    k = wordpiece.duck_extract_k("w", "p", _UNIGRAM_LMAX)
+    u = wordpiece.duck_extract_unk("w", "p", _UNIGRAM_LMAX)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, x AS w FROM documents,
+      UNNEST({SQL_TOKS}) u(x)
+    ),
+    wc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+           FROM w GROUP BY 1, 2),
+    seg AS (SELECT w, {k} AS k, {u} AS unk FROM {dp} dp)
+    SELECT doc_id,
+      CAST(sum(c) AS BIGINT) AS n_words,
+      CAST(sum(k * c) AS BIGINT) AS n_pieces,
+      CAST(sum(unk * c) AS BIGINT) AS n_unk_words
+    FROM wc JOIN seg USING (w)
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("wordpiece_segment_corpus", oracle=_wordpiece_oracle())
+def wordpiece_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document WordPiece token accounting — the THIRD production
+    tokenizer family (Schuster & Nakajima 2012; Devlin 2018: the BERT
+    lineage): greedy longest-match-first over a learned two-position
+    vocabulary (word-initial vs ## continuation), whole word -> [UNK]
+    when a position has no match, reporting word/piece/UNK counts per
+    document.
+
+    Exactness: the greedy scan is a packed integer state machine
+    (state = pos*128 + k*2 + fail) — Spark folds it with ONE
+    ``aggregate()`` per DISTINCT word, the oracle unrolls the identical
+    recurrence into nested subquery layers, and both engines
+    char-fallback past the same unroll bound, so every output column is
+    exact int64 (operators/wordpiece.py, parity fuzz-pinned in
+    tests/test_round10_ops.py).
+
+    Scale shape: identical to unigram_segment_corpus — one corpus-scale
+    (doc_id, w) map-side combine, the fold evaluated once per DISTINCT
+    word, AQE broadcasts the vocabulary side back, per-doc agg. Zero
+    Python, whole-stage codegen throughout."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    wcnt = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pexpr = wordpiece.wordpiece_packed_expr(
+        _WORDPIECE_HEADS, _WORDPIECE_CONTS, col="w",
+        max_piece_len=_WORDPIECE_PMAX, lmax=_UNIGRAM_LMAX,
+    )
+    vk = (
+        wcnt.select("w")
+        .distinct()
+        .select("w", F.expr(pexpr).alias("p"))
+        .select(
+            "w",
+            F.expr(
+                wordpiece.spark_extract_k("w", "p", _UNIGRAM_LMAX)
+            ).alias("k"),
+            F.expr(
+                wordpiece.spark_extract_unk("w", "p", _UNIGRAM_LMAX)
+            ).alias("unk"),
+        )
+    )
+    return (
+        wcnt.join(vk, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("k") * F.col("c")).cast("long").alias("n_pieces"),
+            F.sum(F.col("unk") * F.col("c")).cast("long").alias(
+                "n_unk_words"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _tokcmp_oracle() -> str:
     dp = unigram.duck_dp_subquery(
         _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, _UNIGRAM_LMAX,
@@ -4887,6 +5076,12 @@ def _tokcmp_oracle() -> str:
         max_piece_len=_UNIGRAM_PMAX,
     )
     ku = unigram.duck_extract_k("w", "p", _UNIGRAM_LMAX)
+    wdp = wordpiece.duck_wp_subquery(
+        _WORDPIECE_HEADS, _WORDPIECE_CONTS, _UNIGRAM_LMAX,
+        source_sql="(SELECT DISTINCT w FROM wc)",
+        max_piece_len=_WORDPIECE_PMAX,
+    )
+    kw = wordpiece.duck_extract_k("w", "p", _UNIGRAM_LMAX)
     bpe = _bpe_chain_sql(_BPE_MERGES)
     return f"""
     WITH w AS (
@@ -4896,19 +5091,24 @@ def _tokcmp_oracle() -> str:
     wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
            FROM w GROUP BY 1, 2),
     useg AS (SELECT w, {ku} AS k_uni FROM {dp} dp),
+    wseg AS (SELECT w, {kw} AS k_wp FROM {wdp} dp),
     bseg AS (SELECT w,
                     length(s) - length(replace(s, chr(30), '')) AS k_bpe
              FROM (SELECT w, {bpe} AS s FROM (SELECT DISTINCT w FROM wc))),
-    j AS (SELECT wc.source, wc.c, useg.k_uni, bseg.k_bpe
-          FROM wc JOIN useg USING (w) JOIN bseg USING (w))
+    j AS (SELECT wc.source, wc.c, useg.k_uni, wseg.k_wp, bseg.k_bpe
+          FROM wc JOIN useg USING (w) JOIN wseg USING (w)
+                  JOIN bseg USING (w))
     SELECT source,
       CAST(sum(c) AS BIGINT) AS n_words,
       CAST(sum(k_bpe * c) AS BIGINT) AS bpe_subwords,
       CAST(sum(k_uni * c) AS BIGINT) AS uni_pieces,
+      CAST(sum(k_wp * c) AS BIGINT) AS wp_pieces,
       (CAST(sum(k_bpe * c) AS BIGINT) * 10000) // CAST(sum(c) AS BIGINT)
           AS bpe_fert_e4,
       (CAST(sum(k_uni * c) AS BIGINT) * 10000) // CAST(sum(c) AS BIGINT)
-          AS uni_fert_e4
+          AS uni_fert_e4,
+      (CAST(sum(k_wp * c) AS BIGINT) * 10000) // CAST(sum(c) AS BIGINT)
+          AS wp_fert_e4
     FROM j GROUP BY source ORDER BY source
     """
 
@@ -4916,22 +5116,24 @@ def _tokcmp_oracle() -> str:
 @register("tokenizer_compare", oracle=_tokcmp_oracle())
 def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-selection instrument: per-source fertility
-    (subwords-per-word, 1e4-integerized) of the two production tokenizer
-    families side by side — the trained BPE merge list vs the trained
-    unigram-LM vocabulary — over ONE shared distinct-word pass. This is
-    the table a pipeline reads before committing a corpus to a
-    tokenizer: a source whose fertility is high under one family but not
-    the other segments badly under that family's inductive bias (BPE
-    over-merges frequent junk; unigram shatters unseen morphology), and
-    fertility directly prices the token budget (token_budget_by_source).
+    (subwords-per-word, 1e4-integerized) of the THREE production
+    tokenizer families side by side — the trained BPE merge list, the
+    trained unigram-LM vocabulary, and the trained WordPiece vocabulary
+    — over ONE shared distinct-word pass. This is the table a pipeline
+    reads before committing a corpus to a tokenizer: a source whose
+    fertility is high under one family but not the others segments badly
+    under that family's inductive bias (BPE over-merges frequent junk;
+    unigram shatters unseen morphology; WordPiece's greedy scan pays for
+    unseen word-initial pieces), and fertility directly prices the token
+    budget (token_budget_by_source).
 
-    Scale shape: one corpus-scale (source, w) map-side combine; BOTH
-    chains evaluate once per DISTINCT word on the same vocabulary
-    relation (the _bpe_wordcounts_with_k seam, now shared by two
-    consumers — Spark reuses the distinct exchange), AQE broadcasts the
-    vocab join, and the final agg runs at source grain. Exact integer
-    arithmetic throughout (integral DIV fertility), driver
-    hash-verified."""
+    Scale shape: one corpus-scale (source, w) map-side combine; ALL
+    THREE chains evaluate once per DISTINCT word on the same vocabulary
+    relation (the _bpe_wordcounts_with_k seam — Spark reuses the
+    distinct exchange), AQE broadcasts the vocab join, and the final agg
+    runs at source grain. Adding the third family adds ZERO shuffles
+    (plan-budget-pinned). Exact integer arithmetic throughout (integral
+    DIV fertility), driver hash-verified."""
     docs = _docs(spark, sf_dir)
     words = docs.select(
         "source", F.explode(tokens(F.col("text"))).alias("w")
@@ -4946,19 +5148,32 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a, b in _BPE_MERGES:
         s = F.replace(s, F.lit(lb + a + rb + lb + b + rb), F.lit(lb + a + b + rb))
     k_bpe = F.length(s) - F.length(F.replace(s, F.lit(lb), F.lit("")))
-    # unigram Viterbi fold once per the SAME word relation
+    # unigram Viterbi fold + WordPiece greedy fold once per the SAME
+    # word relation
     pexpr = unigram.unigram_packed_expr(
         _UNIGRAM_VOCAB, _UNIGRAM_UNK_E3, col="w",
         max_piece_len=_UNIGRAM_PMAX,
     )
+    wexpr = wordpiece.wordpiece_packed_expr(
+        _WORDPIECE_HEADS, _WORDPIECE_CONTS, col="w",
+        max_piece_len=_WORDPIECE_PMAX, lmax=_UNIGRAM_LMAX,
+    )
     vk = (
-        vocab.select("w", k_bpe.alias("k_bpe"), F.expr(pexpr).alias("p"))
+        vocab.select(
+            "w",
+            k_bpe.alias("k_bpe"),
+            F.expr(pexpr).alias("p"),
+            F.expr(wexpr).alias("pw"),
+        )
         .select(
             "w",
             "k_bpe",
             F.expr(
                 unigram.spark_extract_k("w", "p", _UNIGRAM_LMAX)
             ).alias("k_uni"),
+            F.expr(
+                wordpiece.spark_extract_k("w", "pw", _UNIGRAM_LMAX)
+            ).alias("k_wp"),
         )
     )
     return (
@@ -4972,6 +5187,9 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("k_uni") * F.col("c")).cast("long").alias(
                 "uni_pieces"
             ),
+            F.sum(F.col("k_wp") * F.col("c")).cast("long").alias(
+                "wp_pieces"
+            ),
             F.expr(
                 "CAST(sum(k_bpe * c) AS BIGINT) * 10000 DIV "
                 "CAST(sum(c) AS BIGINT)"
@@ -4980,6 +5198,10 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(sum(k_uni * c) AS BIGINT) * 10000 DIV "
                 "CAST(sum(c) AS BIGINT)"
             ).alias("uni_fert_e4"),
+            F.expr(
+                "CAST(sum(k_wp * c) AS BIGINT) * 10000 DIV "
+                "CAST(sum(c) AS BIGINT)"
+            ).alias("wp_fert_e4"),
         )
         .orderBy("source")
     )

@@ -89,10 +89,15 @@ BUDGET = {
     # bpe_segment_corpus shape — (doc_id, w) combine + distinct-word DP +
     # AQE-broadcast vocab join + per-doc agg
     "unigram_segment_corpus": (4, 0),
-    # both tokenizer chains on ONE shared distinct-word relation: the
-    # (source, w) combine + the shared vocab distinct + broadcast join +
-    # source-grain agg — adding the second chain adds ZERO shuffles
+    # ALL THREE tokenizer chains on ONE shared distinct-word relation:
+    # the (source, w) combine + the shared vocab distinct + broadcast
+    # join + source-grain agg — the second and third chains each added
+    # ZERO shuffles (r9 added unigram, r10 added WordPiece)
     "tokenizer_compare": (4, 0),
+    # round-10: WordPiece rides the exact unigram_segment_corpus shape —
+    # (doc_id, w) combine + distinct-word greedy fold + AQE-broadcast
+    # vocab join + per-doc agg
+    "wordpiece_segment_corpus": (4, 0),
     # gaps-and-islands SCD2: the islands windows and interval agg all
     # share the id key (one keyed exchange + the final order)
     "corpus_scd2_history": (2, 0),
@@ -105,6 +110,10 @@ BUDGET = {
     # (query, doc) score agg, per-query rank, and the final sort; the
     # single-partition window is the 31-term vocabulary rank BY DESIGN
     "bm25_topk": (8, 1),
+    # round-10: perceptual-hash near-dup — hashing is three NARROW
+    # projections (zero shuffles); the only wide ops are the band-keyed
+    # self-join and the pair distinct/sort
+    "mm_phash_dedup": (2, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
@@ -123,6 +132,8 @@ MAX_SCAN_COLS = {
     "tokenizer_compare": 2,  # source, text — both models are plan literals
     "quality_ccnet_buckets": 3,  # doc_id, source, text
     "bm25_topk": 2,  # doc_id, text — stats derive from one token stream
+    "mm_phash_dedup": 2,  # doc_id, text — the hash folds are pure algebra
+    "wordpiece_segment_corpus": 2,  # doc_id, text — vocab is plan literals
 }
 
 
