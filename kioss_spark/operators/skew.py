@@ -25,7 +25,14 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_join", "write_bucketed", "read_bucketed", "zvalue"]
+__all__ = [
+    "salted_agg",
+    "salted_join",
+    "write_bucketed",
+    "read_bucketed",
+    "zvalue",
+    "file_layout_audit",
+]
 
 
 def salted_agg(
@@ -143,3 +150,47 @@ def zvalue(a, b, bits: int = 16):
         terms.append(f"((({a_sql} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({b_sql} >> {i}) & 1) << {2 * i + 1})")
     return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+
+
+def file_layout_audit(spark: SparkSession, path: str) -> DataFrame:
+    """Small-files / size-skew audit of a written parquet layout — the
+    post-write health check for the ``write_parquet(target_mb=)`` /
+    ``maxRecordsPerFile`` levers: at 100 TB a table written as millions
+    of KB-files kills scans on listing + open overhead, and one hot
+    oversized file kills parallelism, so writer discipline needs a
+    MEASURED audit, not faith.
+
+    One narrow pass over the scan's hidden ``_metadata`` column (file
+    path and on-disk size ride the reader — no filesystem listing job,
+    no driver loop), a file-grain agg, then single-row global stats:
+
+    (n_files, n_rows, rows_min, rows_max, bytes_min, bytes_max,
+     bytes_total, rows_skew_e4, bytes_skew_e4)
+
+    where ``*_skew_e4 = max * 10000 DIV avg`` — 10000 means perfectly
+    even; alert thresholds are a deployment policy (2x is a common line).
+    The agg runs at FILE grain (sublinear in rows), the final reduce at
+    1 row; both integer-exact."""
+    df = spark.read.parquet(path).select(
+        F.col("_metadata.file_path").alias("__file__"),
+        F.col("_metadata.file_size").alias("__size__"),
+    )
+    per_file = df.groupBy("__file__").agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.first("__size__").cast("long").alias("bytes"),
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.min("rows").cast("long").alias("rows_min"),
+        F.max("rows").cast("long").alias("rows_max"),
+        F.min("bytes").cast("long").alias("bytes_min"),
+        F.max("bytes").cast("long").alias("bytes_max"),
+        F.sum("bytes").cast("long").alias("bytes_total"),
+        F.expr(
+            "CAST(max(rows) * 10000 * count(*) DIV sum(rows) AS BIGINT)"
+        ).alias("rows_skew_e4"),
+        F.expr(
+            "CAST(max(bytes) * 10000 * count(*) DIV sum(bytes) AS BIGINT)"
+        ).alias("bytes_skew_e4"),
+    )

@@ -2441,6 +2441,26 @@ def zorder_event_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("layout_small_files_audit", oracle=None)
+def layout_small_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Written-layout health audit of the documents table: file count,
+    rows/bytes per file extrema, and max/avg skew ratios — the companion
+    query to the ``write_parquet(target_mb= / max_records_per_file=)``
+    output-sizing levers (operators/skew.py:file_layout_audit has the
+    full scale argument; roundtrip file-count pins live in
+    tests/test_round10_ops.py).
+
+    Rows-only oracle BY DESIGN: file boundaries are physical layout, not
+    relational content — DuckDB's registered views cannot see them (the
+    documented non-SQL-expressible class). Determinism still holds: the
+    fixture layout is static, so the single output row is stable across
+    runs; the unit tests verify the VALUES against layouts they write
+    themselves."""
+    from kioss_spark.operators.skew import file_layout_audit
+
+    return file_layout_audit(spark, f"{sf_dir}/documents.parquet")
+
+
 @register(
     "event_value_histogram",
     oracle="""

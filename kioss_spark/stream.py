@@ -1470,12 +1470,59 @@ class Stream:
 
     # ------------------------------------------------------------ sinks
 
-    def write_parquet(self, path: str, mode: str = "error", partition_by=None) -> None:
+    def write_parquet(
+        self,
+        path: str,
+        mode: str = "error",
+        partition_by=None,
+        target_mb: Optional[float] = None,
+        max_records_per_file: Optional[int] = None,
+        compression_ratio: float = 0.5,
+    ) -> None:
         """Columnar sink (the reference's sinks are user foreach effects,
         README.md:541-570; a real engine needs first-class writes).
         ``partition_by`` columns become directory partitions — the layout
-        lever for downstream partition pruning at 100 TB."""
-        self._write(path, "parquet", mode, partition_by)
+        lever for downstream partition pruning at 100 TB.
+
+        Output FILE-SIZE discipline is as load-bearing at scale as the
+        directory layout (a 100 TB table written as millions of KB-files
+        kills every later scan on listing + open overhead; one giant file
+        kills parallelism):
+
+        - ``target_mb``: size-targeted write — estimate the plan's bytes
+          from Catalyst's statistics (``optimizedPlan().stats``, the same
+          numbers AQE plans with), scale by ``compression_ratio``
+          (in-memory stats vs parquet-encoded bytes; 0.5 is conservative
+          for snappy on mixed columns — tune per table) and round-robin
+          ``repartition`` to ``ceil(bytes / target)`` so every output
+          file lands near the target regardless of upstream partitioning.
+        - ``max_records_per_file``: the writer-level hard cap (Spark's
+          ``maxRecordsPerFile``) — splits oversized partitions at write
+          time without a shuffle; the belt to target_mb's suspenders.
+
+        Audit what was actually written with
+        ``operators.skew.file_layout_audit``."""
+        df = self.to_df(ordered=False)
+        if target_mb is not None:
+            if target_mb <= 0:
+                raise ValueError(f"target_mb must be > 0 (got {target_mb})")
+            stat_bytes = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            est = max(1, int(stat_bytes * compression_ratio))
+            n_files = max(1, -(-est // int(target_mb * 1024 * 1024)))
+            df = df.repartition(n_files)
+        writer = df.write.mode(mode).format("parquet")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        if partition_by:
+            cols = (
+                [partition_by]
+                if isinstance(partition_by, str)
+                else list(partition_by)
+            )
+            writer = writer.partitionBy(*cols)
+        writer.save(path)
 
     def write_csv(self, path: str, mode: str = "error", header: bool = True) -> None:
         df = self.to_df(ordered=False)
