@@ -133,3 +133,34 @@ def test_image_resize_real_with_pil(spark):
                                  "doc_id long, payload binary")
     out = M.image_resize(pngs, real=True).collect()
     assert len(out) == 1 and out[0]["src_width"] == 1 and out[0]["width"] == 1
+
+
+def test_average_hash_real_fails_fast_without_pil(spark):
+    try:
+        import PIL  # type: ignore  # noqa: F401
+
+        pytest.skip("PIL installed; covered by test_average_hash_real_with_pil")
+    except ImportError:
+        pass
+    pngs = spark.createDataFrame([(1, bytearray(M._PROBE_PNG))],
+                                 "doc_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="image library"):
+        M.average_hash_real(pngs)  # plan build, before any job
+
+
+def test_average_hash_real_with_pil(spark):
+    pytest.importorskip("PIL")
+    import io
+
+    import PIL.Image
+
+    pngs = spark.createDataFrame([(9, bytearray(M._PROBE_PNG))],
+                                 "doc_id long, payload binary")
+    out = M.average_hash_real(pngs).collect()
+    assert len(out) == 1
+    # parity: same packing as the reference on the resized pixel stream
+    with PIL.Image.open(io.BytesIO(M._PROBE_PNG)) as img:
+        px = list(img.convert("L").resize((8, 8)).getdata())
+    assert out[0]["phash"] == M.average_hash_py(px, cells=64)
+    # a uniform 1x1 image has no above-mean cell (strict >): hash == 0
+    assert out[0]["phash"] == 0
