@@ -1617,6 +1617,162 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    dq AS (SELECT * FROM n WHERE vec_id < 8),
+    dc AS (SELECT * FROM n WHERE vec_id >= 8),
+    ds AS (
+        SELECT dq.vec_id AS query_id, dc.vec_id AS cand_id,
+               CAST(floor(list_dot_product(dq.v, dc.v) / (dq.nv * dc.nv)
+                          * 100000) AS BIGINT) AS score_e5
+        FROM dc, dq
+    ),
+    dr AS (SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score_e5 DESC, cand_id)
+                      AS rnk_dense
+           FROM ds),
+    dtop AS (SELECT * FROM dr WHERE rnk_dense <= 20),
+    inv AS (
+      SELECT doc_id, x AS term
+      FROM (SELECT doc_id, {SQL_TOKS} AS t FROM documents
+            WHERE doc_id >= 8), UNNEST(t) u(x)
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM inv GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    g  AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+    qt AS (
+      SELECT doc_id AS query_id, x AS term
+      FROM (SELECT doc_id, list_distinct({SQL_TOKS}) AS t FROM documents
+            WHERE doc_id < 8), UNNEST(t) u(x)
+    ),
+    qs AS (
+      SELECT qt.query_id, qt.term,
+             (1000000 * (2 * g.n_docs - 2 * df.df + 1)) // (2 * df.df + 1)
+                 AS idf_e6,
+             g.n_docs, g.n_toks
+      FROM qt JOIN df USING (term), g
+    ),
+    ss AS (
+      SELECT qs.query_id, tf.doc_id AS cand_id,
+             CAST(sum((qs.idf_e6 * ((10000 * 44 * qs.n_toks * tf.tf)
+                // (20 * qs.n_toks * tf.tf + 6 * qs.n_toks
+                    + 18 * qs.n_docs * dl.dl))) // 10000) AS BIGINT) AS s
+      FROM tf JOIN qs USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+      GROUP BY 1, 2
+    ),
+    sr AS (SELECT query_id, cand_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, cand_id) AS rnk_sparse
+           FROM ss),
+    stop AS (SELECT * FROM sr WHERE rnk_sparse <= 20),
+    fused AS (
+      SELECT coalesce(d.query_id, s.query_id) AS query_id,
+             coalesce(d.cand_id, s.cand_id) AS cand_id,
+             CAST(coalesce(d.rnk_dense, 0) AS BIGINT) AS rnk_dense,
+             CAST(coalesce(s.rnk_sparse, 0) AS BIGINT) AS rnk_sparse,
+             CAST(CASE WHEN d.rnk_dense IS NULL THEN 0
+                       ELSE 1000000 // (60 + d.rnk_dense) END
+                + CASE WHEN s.rnk_sparse IS NULL THEN 0
+                       ELSE 1000000 // (60 + s.rnk_sparse) END
+                  AS BIGINT) AS rrf_e6
+      FROM dtop d FULL OUTER JOIN stop s
+        ON d.query_id = s.query_id AND d.cand_id = s.cand_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf_e6 DESC, cand_id)
+                        AS rnk
+          FROM fused)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, rrf_e6,
+           rnk_dense, rnk_sparse
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009,
+    the standard zero-tuning fusion): the SAME 8 query documents retrieve
+    through BOTH the dense lane (brute-force cosine over their
+    embeddings — the ANN family's exact idiom) and the sparse lane (BM25
+    over their distinct terms — operators/retrieval.py), each lane keeps
+    top-20, and the fused score is  sum over lanes of
+    1e6 DIV (60 + rank)  — exact integer, engine-identical, no score
+    normalization across incomparable scales (RRF's whole point).  This
+    is THE production RAG / decontamination retrieval shape: dense
+    recall for paraphrase, sparse precision for rare exact terms; the
+    fixture's vec_id == doc_id alignment is the join key a real corpus
+    carries as metadata.
+
+    Scale shape: each lane keeps its own proven plan (broadcast query
+    vectors + Arrow partial top-k; broadcast query-term stats — only
+    query-term postings shuffle); fusion joins two |q| x 20 rank lists —
+    grain bounded by the query count, independent of corpus size — and
+    the final rank window runs at |q| partitions.  Missing-from-lane
+    candidates contribute 0 (reported rank 0), the standard RRF
+    convention."""
+    from kioss_spark.operators import retrieval, similarity
+
+    # dense lane
+    nn = similarity.with_norm(_emb(spark, sf_dir))
+    dq = nn.where(F.col("vec_id") < 8)
+    dc = nn.where(F.col("vec_id") >= 8)
+    dtop = (
+        similarity.cosine_topk(dq, dc, k=20)
+        .select("query_id", "cand_id", F.col("rnk").alias("rnk_dense"))
+    )
+    # sparse lane (corpus stats exclude the query docs, matching dense)
+    docs = _docs(spark, sf_dir)
+    inv = docs.where(F.col("doc_id") >= 8).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tfdl, df, g = retrieval.bm25_stats(inv)
+    qt = docs.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    )
+    stop = (
+        retrieval.bm25_score_topk(tfdl, df, g, qt, k=20)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            F.col("rnk").alias("rnk_sparse"),
+        )
+    )
+    fused = (
+        dtop.join(stop, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            "cand_id",
+            F.coalesce("rnk_dense", F.lit(0)).cast("long").alias("rnk_dense"),
+            F.coalesce("rnk_sparse", F.lit(0)).cast("long").alias(
+                "rnk_sparse"
+            ),
+            F.expr(
+                "CAST(CASE WHEN rnk_dense IS NULL THEN 0 "
+                "ELSE 1000000 DIV (60 + rnk_dense) END "
+                "+ CASE WHEN rnk_sparse IS NULL THEN 0 "
+                "ELSE 1000000 DIV (60 + rnk_sparse) END AS BIGINT)"
+            ).alias("rrf_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "query_id", "rnk", "cand_id", "rrf_e6", "rnk_dense", "rnk_sparse"
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
     "profile_corpus",
     oracle=f"""
     WITH m AS (SELECT source, lang, len({SQL_TOKS}) AS n_tok FROM documents),

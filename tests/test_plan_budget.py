@@ -114,6 +114,11 @@ BUDGET = {
     # projections (zero shuffles); the only wide ops are the band-keyed
     # self-join and the pair distinct/sort
     "mm_phash_dedup": (2, 0),
+    # round-10: hybrid RRF = the full bm25 shape (8) + the dense rank +
+    # the (query, cand) fusion join of two |q|x20 rank lists + the final
+    # per-query rank — every added exchange is rank-list-grain (bounded
+    # by |q| x k, corpus-independent); the onep is the vocabulary rank
+    "hybrid_rrf_topk": (12, 1),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan

@@ -289,6 +289,85 @@ def test_wordpiece_training_is_deterministic_and_longest_match(spark):
 
 
 # ---------------------------------------------------------------------------
+# hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_matches_python_fusion(spark):
+    """Fuse the two lanes in plain Python (left-fold dot products match
+    the engines to the ulp; BM25 via bm25_score_py) and compare the full
+    fused table."""
+    import math
+
+    out = load_all()["hybrid_rrf_topk"].fn(spark, SF).collect()
+
+    emb = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    docs = _py_corpus(spark, SF)
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    norms = {i: math.sqrt(dot(v, v)) for i, v in emb.items()}
+    dense_rnk: dict[tuple[int, int], int] = {}
+    sparse_rnk: dict[tuple[int, int], int] = {}
+    corpus_docs = {d: ws for d, ws in docs.items() if d >= 8}
+    for qid in range(8):
+        ds = [
+            (
+                math.floor(
+                    dot(emb[qid], emb[c]) / (norms[qid] * norms[c]) * 100000
+                ),
+                c,
+            )
+            for c in emb
+            if c >= 8
+        ]
+        for rnk, (_, c) in enumerate(
+            sorted(ds, key=lambda t: (-t[0], t[1]))[:20], 1
+        ):
+            dense_rnk[(qid, c)] = rnk
+        scores = retrieval.bm25_score_py(
+            corpus_docs, sorted(set(docs[qid]))
+        )
+        for rnk, (c, _) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20], 1
+        ):
+            sparse_rnk[(qid, c)] = rnk
+    expect = {}
+    for qid in range(8):
+        cands = {
+            c for (q, c) in list(dense_rnk) + list(sparse_rnk) if q == qid
+        }
+        fused = []
+        for c in cands:
+            rd = dense_rnk.get((qid, c), 0)
+            rs = sparse_rnk.get((qid, c), 0)
+            rrf = (1_000_000 // (60 + rd) if rd else 0) + (
+                1_000_000 // (60 + rs) if rs else 0
+            )
+            fused.append((rrf, c, rd, rs))
+        top = sorted(fused, key=lambda t: (-t[0], t[1]))[:10]
+        for rnk, (rrf, c, rd, rs) in enumerate(top, 1):
+            expect[(qid, rnk)] = (c, rrf, rd, rs)
+    got = {
+        (r["query_id"], r["rnk"]): (
+            r["cand_id"],
+            r["rrf_e6"],
+            r["rnk_dense"],
+            r["rnk_sparse"],
+        )
+        for r in out
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
 # sized writes + layout audit
 # ---------------------------------------------------------------------------
 

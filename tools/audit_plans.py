@@ -31,6 +31,9 @@ PYTHON_OK = {"op_catch_pyfn", "op_amap_enrich", "op_foreach_passthrough",
              # the rank window (see operators.similarity.cosine_topk): bounds
              # the window's shuffle to |queries| x k x batches rows
              "ann_cosine_topk",
+             # its dense lane IS cosine_topk — same partial-top-k seam;
+             # the sparse lane and the RRF fusion are pure JVM
+             "hybrid_rrf_topk",
              # two cosine_topk passes (full + truncated dims) — same
              # deliberate partial-top-k seam as ann_cosine_topk
              "ann_matryoshka_agreement",
