@@ -32,6 +32,7 @@ __all__ = [
     "frame_dedup",
     "decode_image_real",
     "average_hash_py",
+    "average_hash_expr",
     "with_average_hash",
     "average_hash_real",
     "phash_near_dup",
@@ -419,6 +420,47 @@ def average_hash_py(values, cells: int = 64) -> int:
     return h - (1 << 64) if h >= 1 << 63 else h
 
 
+def average_hash_expr(text_col: str = "frame") -> str:
+    """Spark SQL for the 64-bit aHash of a string column's codepoints —
+    rendered as ONE self-contained ``aggregate()`` whose INIT state
+    carries the codepoint array and its total, so every sub-result is
+    computed exactly once per row NO MATTER how the optimizer inlines
+    the expression into consumers.  (The original three-``withColumn``
+    form was semantically identical but let CollapseProject inline the
+    64-cell transform into each downstream reference — measured 60x
+    wall on the band self-join because the inlined copy re-evaluated
+    inside fold lambdas.  A single expression has no cross-projection
+    references to duplicate; total work is O(n + 64) per row even if a
+    consumer embeds the whole expression several times.)
+
+    Cell j covers 1-based positions [(j*n+63) DIV 64 + 1,
+    ((j+1)*n+63) DIV 64] — the inverse image of ``average_hash_py``'s
+    (i*64) DIV n block map; the ranges partition 1..n."""
+    L = f"length({text_col})"
+    cps = (
+        f"transform(sequence(1, greatest({L}, 1)), "
+        f"p -> CASE WHEN p <= {L} "
+        f"THEN CAST(ascii(substr({text_col}, p, 1)) AS BIGINT) "
+        "ELSE 0L END)"
+    )
+    lo = "(j * size(acc.cp) + 63) DIV 64 + 1"
+    hi = "((j + 1) * size(acc.cp) + 63) DIV 64"
+    # empty strings degrade to a single zero "pixel": every cell sum is
+    # 0, the strict > never fires, hash = 0 == average_hash_py([])
+    return (
+        "aggregate(sequence(0, 63), "
+        f"named_struct('cp', {cps}, "
+        f"'t', aggregate({cps}, 0L, (a, x) -> a + x), 'h', 0L), "
+        "(acc, j) -> named_struct('cp', acc.cp, 't', acc.t, 'h', acc.h + "
+        f"CASE WHEN aggregate(slice(acc.cp, CAST({lo} AS INT), "
+        f"CAST(greatest({hi} - ({lo}) + 1, 0) AS INT)), 0L, (a, x) -> a + x) "
+        f"* size(acc.cp) > acc.t * greatest({hi} - ({lo}) + 1, 0) "
+        f"THEN CASE WHEN j = 63 THEN {_BIT63} ELSE shiftleft(1L, j) END "
+        "ELSE 0L END), "
+        "acc -> acc.h)"
+    )
+
+
 def with_average_hash(
     frames: DataFrame, text_col: str = "frame", out_col: str = "phash"
 ) -> DataFrame:
@@ -428,46 +470,14 @@ def with_average_hash(
     only the codec is faked — swap ``average_hash_real`` in where PIL
     exists and everything downstream is unchanged).
 
-    Three narrow projections, zero Python, zero shuffles: per-cell
-    (sum, count) via a fold over each cell's position range (ranges
-    partition 1..n, so total work is O(n + 64) per row), the global sum
-    as a fold over the 64 cells, then the bit pack — the strict
-    cross-multiplied comparison and two's-complement bit 63 exactly as
-    ``average_hash_py``.  Fuzz-pinned against it in
-    tests/test_round10_ops.py; the DuckDB oracle reproduces it via an
-    explode + groupBy of the same integer arithmetic."""
-    # cell j covers 1-based positions [(j*n+63) DIV 64 + 1, ((j+1)*n+63)
-    # DIV 64] — the inverse image of average_hash_py's (i*64) DIV n map;
-    # the ranges partition 1..n so total fold work is O(n + 64) per row
-    L = f"length({text_col})"
-    lo = f"(j * {L} + 63) DIV 64 + 1"
-    hi = f"((j + 1) * {L} + 63) DIV 64"
-    cells = (
-        "transform(sequence(0, 63), j -> named_struct("
-        f"'cs', CASE WHEN {hi} >= {lo} "
-        f"THEN aggregate(sequence({lo}, {hi}), "
-        f"0L, (a, p) -> a + ascii(substr({text_col}, p, 1))) ELSE 0L END, "
-        f"'cc', CAST(greatest({hi} - ({lo}) + 1, 0) AS BIGINT)))"
-    )
-    pack = (
-        "aggregate(sequence(0, 63), 0L, (a, j) -> a + "
-        "CASE WHEN element_at(__cells__, j + 1).cs * __tsum__.n "
-        "> __tsum__.s * element_at(__cells__, j + 1).cc "
-        f"THEN CASE WHEN j = 63 THEN {_BIT63} ELSE shiftleft(1L, j) END "
-        "ELSE 0L END)"
-    )
-    return (
-        frames.withColumn("__cells__", F.expr(cells))
-        .withColumn(
-            "__tsum__",
-            F.expr(
-                f"named_struct('s', aggregate(__cells__, 0L, (a, x) -> a + x.cs), "
-                f"'n', CAST({L} AS BIGINT))"
-            ),
-        )
-        .withColumn(out_col, F.expr(pack))
-        .drop("__cells__", "__tsum__")
-    )
+    One narrow projection, zero Python, zero shuffles — see
+    ``average_hash_expr`` for the single-expression discipline and the
+    O(n + 64) per-row bound; the strict cross-multiplied comparison and
+    two's-complement bit 63 exactly as ``average_hash_py``.  Fuzz-pinned
+    against it in tests/test_round10_ops.py; the DuckDB oracle
+    reproduces it via an explode + groupBy of the same integer
+    arithmetic."""
+    return frames.withColumn(out_col, F.expr(average_hash_expr(text_col)))
 
 
 def average_hash_real(
