@@ -165,6 +165,16 @@ HEADLINE = [
     "ann_pq_opq_res",
     # CCNet-style per-source perplexity terciles under the unigram LM
     "quality_ccnet_buckets",
+    # round-10: BM25 sparse retrieval (the sparse half of hybrid RAG)
+    "bm25_topk",
+    # round-10: perceptual-hash visual near-dup (band-keyed, never all-pairs)
+    "mm_phash_dedup",
+    # round-10: the third tokenizer family (greedy packed WordPiece)
+    "wordpiece_segment_corpus",
+    # round-10: dense+sparse reciprocal-rank fusion (both lanes, one query)
+    "hybrid_rrf_topk",
+    # round-10: written-layout health (file-grain _metadata agg)
+    "layout_small_files_audit",
 ]
 
 

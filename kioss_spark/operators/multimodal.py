@@ -548,16 +548,21 @@ def phash_near_dup(
         raise ValueError(f"bands must divide 64 (got {bands})")
     width = 64 // bands
     mask = (1 << width) - 1
+    # the band array is UNROLLED (not a transform lambda): with `phash`
+    # referenced once inside a lambda, CollapseProject treats the whole
+    # upstream hash expression as single-use and inlines it — re-evaluated
+    # once per band at runtime; bands+1 syntactic references trip the
+    # optimizer's multi-reference guard so the hash stays one projection
+    unrolled = ", ".join(
+        f"named_struct('band', {b}, "
+        f"'val', shiftright(phash, {b * width}) & {mask}L)"
+        for b in range(bands)
+    )
     banded = hashed.select(
         F.col("doc_id"),
         F.col("frame_idx"),
         F.col("phash"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> named_struct("
-                f"'band', b, 'val', shiftright(phash, b * {width}) & {mask}L))"
-            )
-        ).alias("bv"),
+        F.explode(F.expr(f"array({unrolled})")).alias("bv"),
     ).select("doc_id", "frame_idx", "phash", "bv.band", "bv.val")
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
