@@ -32,6 +32,7 @@ __all__ = [
     "read_bucketed",
     "zvalue",
     "file_layout_audit",
+    "compact_parquet",
 ]
 
 
@@ -194,3 +195,38 @@ def file_layout_audit(spark: SparkSession, path: str) -> DataFrame:
             "CAST(max(bytes) * 10000 * count(*) DIV sum(bytes) AS BIGINT)"
         ).alias("bytes_skew_e4"),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_mb: float = 128.0,
+    mode: str = "error",
+) -> DataFrame:
+    """Small-files compaction — the maintenance action
+    ``file_layout_audit`` motivates (the OPTIMIZE of Delta/Iceberg,
+    expressed on plain parquet): read the fragmented layout, size the
+    output from the layout's ACTUAL on-disk bytes (the ``_metadata``
+    file sizes — exact, unlike plan-statistics estimates, because the
+    source is already parquet-encoded), and rewrite with a round-robin
+    ``repartition`` to ``ceil(bytes / target)`` near-equal files.
+
+    Returns the ``file_layout_audit`` of the NEW layout so callers can
+    assert the contract (n_files, skew) in the same breath — compaction
+    without a measured audit is faith, not maintenance.  One extra
+    shuffle by design: round-robin is what equalizes output sizes
+    regardless of source fragmentation.  At 100 TB run it per partition
+    directory, not per table."""
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be > 0 (got {target_mb})")
+    df = spark.read.parquet(src_path)
+    total_bytes = (
+        df.select(F.col("_metadata.file_path").alias("f"),
+                  F.col("_metadata.file_size").alias("s"))
+        .groupBy("f").agg(F.first("s").alias("s"))
+        .agg(F.sum("s").alias("b")).collect()[0]["b"]
+    ) or 0
+    n_files = max(1, -(-int(total_bytes) // int(target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode(mode).parquet(dst_path)
+    return file_layout_audit(spark, dst_path)

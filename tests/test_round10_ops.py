@@ -417,6 +417,28 @@ def test_write_parquet_target_mb_validates(spark, tmp_path):
         )
 
 
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    from kioss_spark.operators.skew import compact_parquet, file_layout_audit
+
+    src = str(tmp_path / "fragmented")
+    # 20 tiny files (the small-files pathology)
+    spark.range(2000, numPartitions=1).selectExpr(
+        "id", "repeat('x', 50) AS pad"
+    ).repartition(20).write.parquet(src)
+    assert file_layout_audit(spark, src).collect()[0]["n_files"] == 20
+
+    dst = str(tmp_path / "compacted")
+    row = compact_parquet(spark, src, dst, target_mb=64.0).collect()[0]
+    assert row["n_files"] == 1  # tiny table, generous target
+    assert row["n_rows"] == 2000
+    back = spark.read.parquet(dst)
+    assert back.count() == 2000
+    assert back.selectExpr("sum(id)").collect()[0][0] == sum(range(2000))
+
+    with pytest.raises(ValueError, match="target_mb"):
+        compact_parquet(spark, src, str(tmp_path / "bad"), target_mb=-1)
+
+
 def test_layout_audit_matches_known_layout(spark, tmp_path):
     from kioss_spark.operators.skew import file_layout_audit
 
