@@ -564,7 +564,15 @@ def phash_near_dup(
         F.col("phash"),
         F.explode(F.expr(f"array({unrolled})")).alias("bv"),
     ).select("doc_id", "frame_idx", "phash", "bv.band", "bv.val")
-    a, b = banded.alias("a"), banded.alias("b")
+    # self-join as SortMergeJoin BY HINT, not AQE's broadcast: the two
+    # sides are the SAME subplan, so shuffled sides become ONE exchange
+    # (ReuseExchange) and the hash subtree evaluates once instead of
+    # twice (measured 10.9s -> 4.9s at sf0.1); a broadcast side can
+    # never reuse the stream side, and at corpus scale the build side
+    # is the corpus itself — never broadcastable anyway. SMJ over SHJ
+    # for skew robustness: degenerate hashes (short frames) cluster in
+    # a few band buckets, and AQE's skew-join splitting covers SMJ.
+    a, b = banded.alias("a"), banded.hint("merge").alias("b")
     cand = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))

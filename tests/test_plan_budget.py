@@ -110,10 +110,12 @@ BUDGET = {
     # (query, doc) score agg, per-query rank, and the final sort; the
     # single-partition window is the 31-term vocabulary rank BY DESIGN
     "bm25_topk": (8, 1),
-    # round-10: perceptual-hash near-dup — hashing is three NARROW
-    # projections (zero shuffles); the only wide ops are the band-keyed
-    # self-join and the pair distinct/sort
-    "mm_phash_dedup": (2, 0),
+    # round-10: perceptual-hash near-dup — hashing is ONE narrow
+    # projection (zero shuffles); the wide ops are the band-keyed SMJ
+    # self-join (both sides ONE reused exchange — the hint that halved
+    # wall by evaluating the hash subtree once), the pair distinct, and
+    # the final sort
+    "mm_phash_dedup": (4, 0),
     # round-10: hybrid RRF = the full bm25 shape (8) + the dense rank +
     # the (query, cand) fusion join of two |q|x20 rank lists + the final
     # per-query rank — every added exchange is rank-list-grain (bounded
