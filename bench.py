@@ -175,6 +175,8 @@ HEADLINE = [
     "hybrid_rrf_topk",
     # round-10: written-layout health (file-grain _metadata agg)
     "layout_small_files_audit",
+    # round-10: incremental sparse-index ingest (additive stats merge)
+    "bm25_index_ingest",
 ]
 
 

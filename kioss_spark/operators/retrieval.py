@@ -53,7 +53,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_stats", "bm25_score_topk", "bm25_score_py"]
+__all__ = [
+    "bm25_stats",
+    "bm25_merge_stats",
+    "bm25_score_topk",
+    "bm25_score_py",
+]
 
 #: k1 = 1.2 and b = 0.75 as the cleared-fraction coefficients of
 #: tf_part = 44*T*tf / (20*T*tf + 6*T + 18*N*dl)  (see module docstring)
@@ -83,6 +88,50 @@ def bm25_stats(inv: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("n_toks"),
+        )
+    )
+    return tfdl, df, g
+
+
+def bm25_merge_stats(
+    tfdl_a: DataFrame,
+    df_a: DataFrame,
+    g_a: DataFrame,
+    tfdl_b: DataFrame,
+    df_b: DataFrame,
+    g_b: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental BM25 index maintenance — merge the stats of a NEW
+    document batch into an existing index WITHOUT re-touching the old
+    corpus (the sparse-retrieval analog of ``ann_index_ingest``; the
+    O(batch)/day property every incremental-dedup operator here holds).
+
+    Every BM25 statistic is ADDITIVE over disjoint document sets:
+    postings union (doc sets disjoint, so no tf conflicts and each
+    doc's dl is already final), df sums per term (a doc contributes to
+    a term's df in exactly one batch), and the global (n_docs, n_toks)
+    pair sums.  The merge therefore costs one vocabulary-grain outer
+    join + one postings union + one 2-row global agg — all independent
+    of the existing corpus size.  Callers are responsible for the
+    disjointness precondition (re-ingesting a doc must delete its old
+    postings first — the exactly-once MERGE in streaming/dialect.py is
+    the upsert path)."""
+    tfdl = tfdl_a.unionByName(tfdl_b)
+    df = (
+        df_a.withColumnRenamed("df", "__a__")
+        .join(df_b.withColumnRenamed("df", "__b__"), "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.coalesce("__a__", F.lit(0)) + F.coalesce("__b__", F.lit(0))
+            ).cast("long").alias("df"),
+        )
+    )
+    g = (
+        g_a.unionByName(g_b)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
         )
     )
     return tfdl, df, g

@@ -1526,9 +1526,10 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
+#: shared by bm25_topk and bm25_index_ingest: the ingest query must
+#: produce EXACTLY the scores a from-scratch index gives, so both
+#: registrations verify against the same direct-computation oracle
+_BM25_ORACLE = f"""
     WITH inv AS (
       SELECT doc_id, x AS term
       FROM (SELECT doc_id, {SQL_TOKS} AS t FROM documents), UNNEST(t) u(x)
@@ -1567,8 +1568,10 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM agg)
     SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score_e6
     FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
-    """,
-)
+    """
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 sparse retrieval top-10 — the sparse complement of the
     dense ANN ladder (a real RAG/decontamination pipeline runs hybrid
@@ -1597,6 +1600,54 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tfdl, df, g = retrieval.bm25_stats(inv)
+    qt = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("term"))
+            ),
+        )
+        .where(F.col("rn") <= 24)
+        .select(
+            ((F.col("rn") - 1) % 8).cast("long").alias("query_id"),
+            "term",
+            "df",
+        )
+    )
+    return retrieval.bm25_score_topk(tfdl, df, g, qt, k=10).orderBy(
+        "query_id", "rnk"
+    )
+
+
+@register("bm25_index_ingest", oracle=_BM25_ORACLE)
+def bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sparse-index maintenance: the corpus arrives as an
+    EXISTING index (doc_id % 10 != 0) plus a NEW batch (doc_id % 10 ==
+    0); batch stats are built from the batch alone and merged into the
+    index by the additive law (postings union, per-term df sum, global
+    sums — operators/retrieval.py:bm25_merge_stats), and the SAME
+    8x3-term query set is served from the MERGED stats. The oracle is
+    bm25_topk's direct full-corpus computation VERBATIM — hash equality
+    proves the merge law end-to-end through idf, length norms, and
+    ranking, not just on the stats table. The sparse analog of
+    ann_index_ingest.
+
+    Scale shape: the merge touches batch-sized postings, a
+    vocabulary-grain outer join, and a 2-row global agg — independent
+    of the existing corpus size (here both sides are computed from the
+    fixture because no stored index exists; in production the index
+    side is the stats table the last ingest persisted)."""
+    from kioss_spark.operators import retrieval
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    base = words.where(F.col("doc_id") % 10 != 0)
+    batch = words.where(F.col("doc_id") % 10 == 0)
+    tfdl, df, g = retrieval.bm25_merge_stats(
+        *retrieval.bm25_stats(base), *retrieval.bm25_stats(batch)
+    )
     qt = (
         df.withColumn(
             "rn",

@@ -121,6 +121,12 @@ BUDGET = {
     # per-query rank — every added exchange is rank-list-grain (bounded
     # by |q| x k, corpus-independent); the onep is the vocabulary rank
     "hybrid_rrf_topk": (12, 1),
+    # round-10: incremental ingest runs TWO bm25_stats pipelines (the
+    # fixture stands in for the stored index side, so its combine/window
+    # exchanges appear here; production reads them as a table) + the
+    # vocabulary-grain df outer join + the 2-row global union agg (the
+    # second onep) — nothing beyond stats/vocab/rank grain
+    "bm25_index_ingest": (14, 2),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
@@ -141,6 +147,7 @@ MAX_SCAN_COLS = {
     "bm25_topk": 2,  # doc_id, text — stats derive from one token stream
     "mm_phash_dedup": 2,  # doc_id, text — the hash folds are pure algebra
     "wordpiece_segment_corpus": 2,  # doc_id, text — vocab is plan literals
+    "bm25_index_ingest": 2,  # doc_id, text — both batches off one scan shape
 }
 
 

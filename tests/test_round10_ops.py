@@ -452,6 +452,32 @@ def test_layout_audit_matches_known_layout(spark, tmp_path):
     assert row["rows_skew_e4"] == 10_000
 
 
+def test_bm25_merge_stats_equals_direct(spark):
+    """Additive-merge law: stats merged from two disjoint batches must
+    equal stats computed from the union — through df, dl, and globals."""
+    rng = random.Random(14)
+    vocab = ["red", "blue", "ox", "owl", "fig"]
+    rows = [
+        (d, rng.choice(vocab))
+        for d in range(30)
+        for _ in range(rng.randint(1, 6))
+    ]
+    inv = spark.createDataFrame(rows, "doc_id long, term string")
+    a = inv.where(F.col("doc_id") % 3 == 0)
+    b = inv.where(F.col("doc_id") % 3 != 0)
+    m_tfdl, m_df, m_g = retrieval.bm25_merge_stats(
+        *retrieval.bm25_stats(a), *retrieval.bm25_stats(b)
+    )
+    d_tfdl, d_df, d_g = retrieval.bm25_stats(inv)
+    assert sorted(map(tuple, m_tfdl.collect())) == sorted(
+        map(tuple, d_tfdl.collect())
+    )
+    assert {tuple(r) for r in m_df.collect()} == {
+        tuple(r) for r in d_df.collect()
+    }
+    assert m_g.collect() == d_g.collect()
+
+
 def test_bm25_idf_decreases_with_df():
     # common terms must contribute less: same tf/dl, different df
     docs = {0: ["a", "b"], 1: ["a", "c"], 2: ["a", "d"], 3: ["b", "e"]}
