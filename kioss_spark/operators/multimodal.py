@@ -489,14 +489,18 @@ def average_hash_real(
     exactly one pixel).  Import probed eagerly at plan build (fail fast,
     not mid-job; the ``image_meta_real`` pattern).  Arrow-batched 1->1
     mapInPandas: partitions exactly like the payload scan; the output
-    (doc_id, phash) feeds the SAME ``phash_near_dup`` / ``scene_cuts``
-    plumbing as the fake path.  Exercised by tests/test_multimodal_real.py
-    wherever PIL is installed."""
+    (doc_id, frame_idx, phash) feeds the SAME ``phash_near_dup`` /
+    ``scene_cuts`` plumbing as the fake path — ``frame_idx`` is threaded
+    through from the input when present, else emitted as 0 (a
+    one-frame-per-doc image corpus).  Exercised by
+    tests/test_multimodal_real.py wherever PIL is installed."""
     decode_image_real(_PROBE_PNG)  # fail fast if PIL is absent
 
+    has_frame_idx = "frame_idx" in docs_with_payload.columns
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
             T.StructField("phash", T.LongType()),
         ]
     )
@@ -516,7 +520,15 @@ def average_hash_real(
                         .getdata()
                     )
                 hashes.append(average_hash_py(px, cells=hash_size * hash_size))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "phash": hashes})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "frame_idx": pdf["frame_idx"].values
+                    if has_frame_idx
+                    else [0] * len(pdf),
+                    "phash": hashes,
+                }
+            )
 
     return docs_with_payload.mapInPandas(hash_batch, schema=schema)
 

@@ -32,11 +32,24 @@ the last ulp), so every factor is integerized as a rational:
 - per-(term, doc) score_e6 = (idf_e6 * tfp_e4) DIV 10_000; summed per
   (query, doc).
 
-int64 headroom: the largest intermediate is 10_000*44*T*tf_doc
-(tf_doc = PER-DOCUMENT term count, not corpus tf); it overflows only
-past T*tf_doc ~ 2e13 — a multi-TB token stream with pathological
-per-doc repetition.  Past that, widen the two scaled products to
-DECIMAL(38,0) (both engines) — the formula is unchanged.
+Integer headroom: TWO products dominate, and both are computed in
+DECIMAL(38,0) in ``bm25_score_topk`` so neither can silently wrap:
+
+- the tf-part numerator/denominator 10_000*44*T*tf_doc (tf_doc =
+  PER-DOCUMENT term count, not corpus tf) passes int64 at
+  T*tf_doc ~ 2e13 — a multi-TB token stream with per-doc repetition;
+- idf_e6 * tfp_e4 passes int64 EARLIER: for a rare term (df=1),
+  idf_e6 ~ 6.7e5*N, and with tfp_e4 up to 22_000 the product is
+  ~1.5e10*N — int64 runs out near N ~ 6e8 docs, inside the 100 TB
+  target.
+
+DECIMAL(38,0) covers both to ~1e38 (N ~ 1e27); the DIVs return
+BIGINT, and the per-(term,doc) score_e6 <= 2.2e9*N fits int64 to
+N ~ 4e9 docs (and the per-(query,doc) SUM adds only a |q| factor).
+``bm25_score_py`` matches trivially — Python ints are unbounded.
+The DuckDB oracle keeps BIGINT (DuckDB *raises* on overflow rather
+than wrapping, and the oracle only runs at test scale); at index
+scale the same widening there is HUGEINT.
 
 Scale shape (the 100 TB story): ONE corpus scan builds the inverted
 stats — tf is a (doc_id, term)-keyed agg with map-side combine, df and
@@ -171,10 +184,17 @@ def bm25_score_topk(
         .select(
             "query_id",
             "doc_id",
+            # both scaled products run in DECIMAL(38,0) — int64 wraps at
+            # T*tf ~ 2e13 (tf part) and N ~ 6e8 docs (idf_e6 * tfp_e4);
+            # DIV on decimals returns BIGINT, so the output type is
+            # unchanged (see module headroom note)
             F.expr(
-                f"CAST(idf_e6 * ((10000 * {_NUM_C} * n_toks * tf) DIV "
-                f"({_DEN_TF} * n_toks * tf + {_DEN_T} * n_toks "
-                f"+ {_DEN_DL} * n_docs * dl)) DIV 10000 AS BIGINT)"
+                f"CAST(CAST(idf_e6 AS DECIMAL(38,0)) * "
+                f"((CAST(10000 * {_NUM_C} AS DECIMAL(38,0)) * n_toks * tf) "
+                f"DIV (CAST({_DEN_TF} AS DECIMAL(38,0)) * n_toks * tf "
+                f"+ {_DEN_T} * n_toks "
+                f"+ CAST({_DEN_DL} AS DECIMAL(38,0)) * n_docs * dl)) "
+                f"DIV 10000 AS BIGINT)"
             ).alias("score_e6"),
         )
         .groupBy("query_id", "doc_id")

@@ -33,6 +33,7 @@ __all__ = [
     "zvalue",
     "file_layout_audit",
     "compact_parquet",
+    "pruning_effectiveness_audit",
 ]
 
 
@@ -203,21 +204,40 @@ def compact_parquet(
     dst_path: str,
     target_mb: float = 128.0,
     mode: str = "error",
+    cluster_by=None,
+    zbits: int = 16,
 ) -> DataFrame:
     """Small-files compaction — the maintenance action
-    ``file_layout_audit`` motivates (the OPTIMIZE of Delta/Iceberg,
-    expressed on plain parquet): read the fragmented layout, size the
-    output from the layout's ACTUAL on-disk bytes (the ``_metadata``
-    file sizes — exact, unlike plan-statistics estimates, because the
-    source is already parquet-encoded), and rewrite with a round-robin
-    ``repartition`` to ``ceil(bytes / target)`` near-equal files.
+    ``file_layout_audit`` motivates (the OPTIMIZE [ZORDER] of
+    Delta/Iceberg, expressed on plain parquet): read the fragmented
+    layout, size the output from the layout's ACTUAL on-disk bytes (the
+    ``_metadata`` file sizes — exact, unlike plan-statistics estimates,
+    because the source is already parquet-encoded), and rewrite to
+    ``ceil(bytes / target)`` near-equal files.
+
+    ``cluster_by`` picks the rewrite's data layout:
+
+    - ``None`` (plain OPTIMIZE): round-robin ``repartition`` — equalizes
+      file sizes regardless of source fragmentation, but scatters every
+      column's values across every file, so min/max file statistics
+      prune nothing afterwards.
+    - one column: ``repartitionByRange`` + ``sortWithinPartitions`` on
+      it — each file covers a disjoint value range; point/range
+      predicates on that column skip every non-overlapping file.
+    - two integer columns (OPTIMIZE ZORDER): range-partition + sort on
+      their interleaved ``zvalue`` — files become near-square tiles of
+      the 2-D value grid, so predicates on EITHER column prune (each
+      tile spans ~1/sqrt(n_files) of each dimension), where
+      single-column sorting leaves the other column unclustered.
+      ``zbits`` low bits of each operand are interleaved; clamp/bucket
+      wider domains first (``zvalue`` docstring).
 
     Returns the ``file_layout_audit`` of the NEW layout so callers can
-    assert the contract (n_files, skew) in the same breath — compaction
-    without a measured audit is faith, not maintenance.  One extra
-    shuffle by design: round-robin is what equalizes output sizes
-    regardless of source fragmentation.  At 100 TB run it per partition
-    directory, not per table."""
+    assert the size contract in the same breath; measure the CLUSTERING
+    contract with ``pruning_effectiveness_audit`` (round-robin ~1e4,
+    clustered collapses).  Range partitioning samples the z-values
+    (Spark's RangePartitioner) — still one shuffle, same as round-robin.
+    At 100 TB run it per partition directory, not per table."""
     if target_mb <= 0:
         raise ValueError(f"target_mb must be > 0 (got {target_mb})")
     df = spark.read.parquet(src_path)
@@ -227,6 +247,112 @@ def compact_parquet(
         .groupBy("f").agg(F.first("s").alias("s"))
         .agg(F.sum("s").alias("b")).collect()[0]["b"]
     ) or 0
-    n_files = max(1, -(-int(total_bytes) // int(target_mb * 1024 * 1024)))
-    df.repartition(n_files).write.mode(mode).parquet(dst_path)
+    n_files = max(
+        1, -(-int(total_bytes) // max(1, int(target_mb * 1024 * 1024)))
+    )
+    if cluster_by:
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        if len(cols) == 1:
+            key = F.col(cols[0])
+        elif len(cols) == 2:
+            key = zvalue(cols[0], cols[1], bits=zbits)
+        else:
+            raise ValueError(
+                f"cluster_by supports 1 or 2 columns (got {len(cols)}); "
+                "z-interleaving beyond 2 dims dilutes per-dim locality "
+                "below usefulness at this file count"
+            )
+        out = df.repartitionByRange(n_files, key).sortWithinPartitions(key)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst_path)
     return file_layout_audit(spark, dst_path)
+
+
+def pruning_effectiveness_audit(
+    spark: SparkSession, path: str, cols, probes: int = 32
+) -> DataFrame:
+    """How well does a layout's file-level min/max prune? — the measured
+    clustering check ``compact_parquet(cluster_by=)`` is graded by (the
+    size half is ``file_layout_audit``; this is the skipping half, the
+    number OPTIMIZE ZORDER exists to improve).
+
+    For each audited column: build per-FILE min/max (one file-grain agg
+    over the scan's ``_metadata``), derive ``probes`` equally spaced
+    integer probe points across the column's global [min, max] (exact
+    integer lerp — engine-reproducible), and count, per probe, the
+    files whose [min, max] contains it — exactly the files a reader
+    with a ``col = probe`` predicate must open.  Reports, per column:
+
+    (col, n_files, avg_files_hit_e4, max_files_hit_e4)
+
+    e4-scaled fractions of n_files: 10000 means every probe opens every
+    file (round-robin's signature — each file spans the whole range);
+    a range/z-clustered layout collapses toward 10000/n_files (1-D) or
+    ~10000/sqrt(n_files) per dimension (2-D z-order tiles).
+
+    Scale shape: per-file stats are FILE-grain (sublinear in rows); the
+    probe table is ``probes`` rows and broadcasts into the containment
+    join, so the pair work is n_files x probes — never rows, never
+    file-pairs."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    df = spark.read.parquet(path)
+    out = None
+    for c in cols:
+        per_file = (
+            df.select(
+                F.col("_metadata.file_path").alias("__file__"),
+                F.col(c).cast("long").alias("__v__"),
+            )
+            .groupBy("__file__")
+            .agg(F.min("__v__").alias("lo"), F.max("__v__").alias("hi"))
+        )
+        g = per_file.agg(
+            F.min("lo").alias("glo"),
+            F.max("hi").alias("ghi"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+        )
+        # probe i = glo + (ghi - glo) * i DIV (probes - 1): exact integer
+        # lerp, endpoints included; the tiny probe table broadcasts into
+        # a cross join so zero-hit probes still contribute (sum of 0s)
+        probe = (
+            g.select(
+                "n_files",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {probes - 1}), i -> "
+                        f"glo + (ghi - glo) * CAST(i AS BIGINT) "
+                        f"DIV {probes - 1})"
+                    )
+                ).alias("p"),
+            )
+            .distinct()
+        )
+        hits = (
+            per_file.crossJoin(F.broadcast(probe))
+            .groupBy("p", "n_files")
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("lo") <= F.col("p"))
+                        & (F.col("p") <= F.col("hi")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("files_hit")
+            )
+        )
+        res = hits.agg(
+            F.lit(c).alias("col"),
+            F.max("n_files").cast("long").alias("n_files"),
+            F.expr(
+                "CAST(sum(files_hit * 10000 DIV n_files) DIV count(1) "
+                "AS BIGINT)"
+            ).alias("avg_files_hit_e4"),
+            F.expr(
+                "CAST(max(files_hit) * 10000 DIV max(n_files) AS BIGINT)"
+            ).alias("max_files_hit_e4"),
+        )
+        out = res if out is None else out.unionByName(res)
+    return out

@@ -198,6 +198,31 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "split_leakage_pairs", "tokenizer_compare", "unigram_segment_corpus",
         "winsorize_event_values",
     }),
+    # CORRECTNESS_r10.json — 49/50 hash-green + layout_small_files_audit
+    # rows-only BY DESIGN (the six round-10 registrations, the three
+    # unigram-oracle recheck leaders, the 24 r6-stale names, and the
+    # stalest r7 names the r10 window reached).
+    10: frozenset({
+        "ann_cosine_topk", "ann_index_ingest", "ann_pq_adc", "ann_pq_codes",
+        "bm25_index_ingest", "bm25_topk", "boilerplate_ngrams",
+        "bucketed_user_event_totals", "budget_cap_per_source",
+        "chunk_text_windows", "cube_status_segment", "decontaminate_eval",
+        "dedup_cluster_best", "dedup_embedding", "dedup_lsh_recall",
+        "dedup_semantic", "dedup_threshold_sweep", "doc_fingerprint",
+        "dq_constraint_audit", "hybrid_rrf_topk", "layout_small_files_audit",
+        "mm_phash_dedup", "q11_important_parts", "q13_customer_distribution",
+        "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
+        "q18_large_orders", "q19_disjunctive_pushdown",
+        "q21_sole_late_supplier", "q22_dormant_customers", "q4_order_priority",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "quality_ccnet_buckets", "quality_linear_probe",
+        "range_join_error_windows", "rollup_hourly_events",
+        "running_total_per_customer", "semi_parts_ordered",
+        "sessionize_events", "set_ops_half_year", "skew_salted_event_totals",
+        "sql_balance_quartiles", "tokenizer_compare",
+        "top3_customers_per_segment", "unigram_segment_corpus",
+        "wordpiece_segment_corpus", "zip_customers_suppliers",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -208,17 +233,19 @@ for _round in sorted(_GREEN_ROUNDS):
 
 #: Re-check leaders: queries whose verified implementation changed AFTER
 #: their last green verdict, so their stale verdict no longer covers HEAD.
-#: Round 10: the round-9 advisor-notes commit (2eade56) changed the
-#: unigram ORACLE codegen after the r9 verdicts landed (_duck_idx now
-#: wraps list_position in coalesce), so the three queries whose oracle
-#: SQL embeds that codegen re-prove first. Then the round-10
-#: registrations, the 24 r6-stale names (the TPC-H literal wave + the
-#: window-function family — the verdict's rotation-debt list), and the
-#: stalest r7 tier fill the window.
+#: Round 11: the round-10 ADVICE int64-headroom fix widened
+#: ``bm25_score_topk``'s scaled products to DECIMAL(38,0)
+#: (operators/retrieval.py) AFTER the r10 verdicts landed, so its three
+#: consumers re-prove first (values are identical at test scale — the
+#: widening only moves the overflow point — but that is exactly what the
+#: fresh verdict certifies). Then the round-11 registrations, ALL 31
+#: r7-stale names (the verdict's corrected rotation-debt histogram:
+#: {r7: 31, r8: 50, r9: 47, r10: 50}), and the stalest r8 tier fill the
+#: window.
 _RECHECK_FIRST: tuple = (
-    "unigram_segment_corpus",
-    "tokenizer_compare",
-    "quality_ccnet_buckets",
+    "bm25_topk",
+    "bm25_index_ingest",
+    "hybrid_rrf_topk",
 )
 
 

@@ -1493,9 +1493,18 @@ class Stream:
           from Catalyst's statistics (``optimizedPlan().stats``, the same
           numbers AQE plans with), scale by ``compression_ratio``
           (in-memory stats vs parquet-encoded bytes; 0.5 is conservative
-          for snappy on mixed columns — tune per table) and round-robin
-          ``repartition`` to ``ceil(bytes / target)`` so every output
-          file lands near the target regardless of upstream partitioning.
+          for snappy on mixed columns — tune per table) and ``repartition``
+          to ``ceil(bytes / target)`` so every output file lands near the
+          target regardless of upstream partitioning.  When
+          ``partition_by`` is ALSO set the repartition keys on the
+          partition columns instead of round-robin: round-robin spreads
+          every directory-partition value across every task, so each of
+          the n tasks writes one file per value it holds — up to
+          n x n_values files, recreating the small-files pathology this
+          lever exists to fix.  Hash-keying on the partition columns
+          sends each value to exactly one task (one file per value);
+          within-value splitting is ``max_records_per_file``'s job, the
+          no-extra-shuffle lever for hot partition values.
         - ``max_records_per_file``: the writer-level hard cap (Spark's
           ``maxRecordsPerFile``) — splits oversized partitions at write
           time without a shuffle; the belt to target_mb's suspenders.
@@ -1510,8 +1519,16 @@ class Stream:
                 df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
             est = max(1, int(stat_bytes * compression_ratio))
-            n_files = max(1, -(-est // int(target_mb * 1024 * 1024)))
-            df = df.repartition(n_files)
+            n_files = max(1, -(-est // max(1, int(target_mb * 1024 * 1024))))
+            if partition_by:
+                part_cols = (
+                    [partition_by]
+                    if isinstance(partition_by, str)
+                    else list(partition_by)
+                )
+                df = df.repartition(n_files, *[F.col(c) for c in part_cols])
+            else:
+                df = df.repartition(n_files)
         writer = df.write.mode(mode).format("parquet")
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))

@@ -164,3 +164,14 @@ def test_average_hash_real_with_pil(spark):
     assert out[0]["phash"] == M.average_hash_py(px, cells=64)
     # a uniform 1x1 image has no above-mean cell (strict >): hash == 0
     assert out[0]["phash"] == 0
+    # no frame_idx on the input -> constant 0, so the output slots into
+    # phash_near_dup / scene_cuts as documented
+    assert out[0]["frame_idx"] == 0
+    framed = spark.createDataFrame(
+        [(9, 4, bytearray(M._PROBE_PNG))],
+        "doc_id long, frame_idx long, payload binary",
+    )
+    out2 = M.average_hash_real(framed).collect()
+    assert out2[0]["frame_idx"] == 4 and out2[0]["phash"] == 0
+    # the documented composition resolves (plan build is enough)
+    M.phash_near_dup(M.average_hash_real(framed))

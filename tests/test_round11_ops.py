@@ -1,0 +1,219 @@
+"""Round-11 operator tests: BM25 DECIMAL headroom, clustered (z-order)
+compaction + pruning-effectiveness audit, and the partitioned
+size-targeted write fix."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kioss_spark.operators import retrieval
+from kioss_spark.operators.skew import (
+    compact_parquet,
+    file_layout_audit,
+    pruning_effectiveness_audit,
+)
+from kioss_spark.stream import Stream
+
+
+# ---------------------------------------------------------------------------
+# BM25 integer headroom (round-10 ADVICE: idf_e6 * tfp_e4 wraps int64 near
+# N ~ 6e8 docs; both scaled products now run in DECIMAL(38,0))
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_score_exact_past_int64_headroom(spark):
+    # synthetic stats table with n_docs past the int64 wrap point for
+    # idf_e6 * tfp_e4 (df=1 gives idf_e6 ~ 6.7e5 * N; N = 2e9 puts the
+    # product near 3e19 > 2^63-1 ~ 9.2e18); the Python oracle uses
+    # unbounded ints, so agreement proves the DECIMAL path is exact, not
+    # wrapped
+    n_docs = 2_000_000_000
+    n_toks = 50 * n_docs
+    tfdl = spark.createDataFrame(
+        [(1, "rare", 7, 50), (2, "rare", 2, 40), (2, "hot", 9, 40)],
+        "doc_id long, term string, tf long, dl long",
+    )
+    df = spark.createDataFrame(
+        [("rare", 1), ("hot", n_docs // 2)], "term string, df long"
+    )
+    g = spark.createDataFrame(
+        [(n_docs, n_toks)], "n_docs long, n_toks long"
+    )
+    q = spark.createDataFrame([(0, "rare"), (0, "hot")],
+                              "query_id long, term string")
+    out = {
+        r["doc_id"]: r["score_e6"]
+        for r in retrieval.bm25_score_topk(tfdl, df, g, q, k=10).collect()
+    }
+
+    def py_score(tf, dl, dfv):
+        idf_e6 = (1_000_000 * (2 * n_docs - 2 * dfv + 1)) // (2 * dfv + 1)
+        tfp_e4 = (10_000 * 44 * n_toks * tf) // (
+            20 * n_toks * tf + 6 * n_toks + 18 * n_docs * dl
+        )
+        return (idf_e6 * tfp_e4) // 10_000
+
+    expect = {
+        1: py_score(7, 50, 1),
+        2: py_score(2, 40, 1) + py_score(9, 40, n_docs // 2),
+    }
+    assert out == expect
+    # and the rare-term product really is past int64 (the wrap regime)
+    idf_e6 = (1_000_000 * (2 * n_docs - 2 + 1)) // 3
+    assert idf_e6 * py_tfp_max() > 2**63 - 1
+
+
+def py_tfp_max():
+    # tf-part ceiling: 44/20 e4-scaled
+    return 22_000
+
+
+def test_bm25_fuzz_still_matches_python_after_decimal_widening(spark):
+    rng = random.Random(11)
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox"]
+    docs = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(1, 9))]
+        for d in range(30)
+    }
+    inv = spark.createDataFrame(
+        [(d, t) for d, ws in docs.items() for t in ws],
+        "doc_id long, term string",
+    )
+    tfdl, df, g = retrieval.bm25_stats(inv)
+    q = spark.createDataFrame(
+        [(0, "ant"), (0, "fox"), (1, "cat")], "query_id long, term string"
+    )
+    out = retrieval.bm25_score_topk(tfdl, df, g, q, k=30).collect()
+    for qid, qterms in [(0, ["ant", "fox"]), (1, ["cat"])]:
+        expect = sorted(
+            retrieval.bm25_score_py(docs, qterms).items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        got = [
+            (int(r["doc_id"]), int(r["score_e6"]))
+            for r in sorted(
+                (r for r in out if r["query_id"] == qid),
+                key=lambda r: r["rnk"],
+            )
+        ]
+        assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# clustered (z-order) compaction + pruning-effectiveness audit
+# ---------------------------------------------------------------------------
+
+
+def _grid_df(spark, n=4096):
+    # two independent uniform dimensions — the shape z-order exists for
+    return spark.range(n).select(
+        (F.col("id") * 2654435761 % 1024).alias("x"),
+        (F.col("id") * 40503 % 1024).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+
+def test_compact_zorder_sizes_and_prunes_both_dims(spark, tmp_path):
+    src = str(tmp_path / "frag")
+    _grid_df(spark).repartition(64).write.parquet(src)  # 64 tiny files
+
+    rr = str(tmp_path / "rr")
+    zo = str(tmp_path / "zo")
+    audit_rr = compact_parquet(spark, src, rr, target_mb=0.01).collect()[0]
+    audit_zo = compact_parquet(
+        spark, src, zo, target_mb=0.01, cluster_by=["x", "y"], zbits=10
+    ).collect()[0]
+
+    # (a) both rewrites still hit the size target: same file count regime
+    # (sized from identical on-disk bytes) and bounded skew
+    assert audit_rr["n_files"] >= 4 and audit_zo["n_files"] >= 4
+    assert abs(audit_rr["n_files"] - audit_zo["n_files"]) <= 2
+    assert audit_zo["bytes_skew_e4"] < 30_000
+
+    # (b) the pruning metric collapses for BOTH dimensions under z-order
+    prr = {r["col"]: r for r in
+           pruning_effectiveness_audit(spark, rr, ["x", "y"]).collect()}
+    pzo = {r["col"]: r for r in
+           pruning_effectiveness_audit(spark, zo, ["x", "y"]).collect()}
+    for c in ("x", "y"):
+        # round-robin: every file spans ~the whole domain -> ~10000
+        assert prr[c]["avg_files_hit_e4"] > 9_000, (c, prr[c])
+        # z-order tiles: each probe hits a strict subset of files
+        assert pzo[c]["avg_files_hit_e4"] < prr[c]["avg_files_hit_e4"] // 2, (
+            c, pzo[c], prr[c],
+        )
+
+
+def test_compact_single_column_range_clusters_that_column(spark, tmp_path):
+    src = str(tmp_path / "frag1")
+    _grid_df(spark).repartition(32).write.parquet(src)
+    dst = str(tmp_path / "byx")
+    compact_parquet(spark, src, dst, target_mb=0.01, cluster_by="x")
+    p = {r["col"]: r for r in
+         pruning_effectiveness_audit(spark, dst, ["x", "y"]).collect()}
+    n_files = p["x"]["n_files"]
+    if n_files > 1:
+        # x is range-partitioned: disjoint-ish per-file ranges
+        assert p["x"]["avg_files_hit_e4"] < 9_000
+        # y stays unclustered: ~every file spans the y domain
+        assert p["y"]["avg_files_hit_e4"] > 9_000
+
+
+def test_compact_cluster_by_validates_arity(spark, tmp_path):
+    src = str(tmp_path / "frag2")
+    _grid_df(spark, 64).write.parquet(src)
+    with pytest.raises(ValueError, match="1 or 2 columns"):
+        compact_parquet(
+            spark, src, str(tmp_path / "no"), cluster_by=["x", "y", "payload"]
+        )
+
+
+def test_pruning_audit_fully_clustered_single_file(spark, tmp_path):
+    # one file == every probe hits exactly that file: avg == max == 10000
+    p = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(p)
+    row = pruning_effectiveness_audit(spark, p, "id").collect()[0]
+    assert row["n_files"] == 1
+    assert row["avg_files_hit_e4"] == 10_000
+    assert row["max_files_hit_e4"] == 10_000
+
+
+# ---------------------------------------------------------------------------
+# partitioned size-targeted writes (round-10 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_write_parquet_partition_by_with_target_mb_no_file_explosion(
+    spark, tmp_path
+):
+    base = str(tmp_path / "parted")
+    n_vals = 8
+    df = spark.range(20_000).select(
+        (F.col("id") % n_vals).alias("k"), F.col("id").alias("v")
+    )
+    # a tiny target forces a large n_files estimate; round-robin would
+    # write up to n_files x n_vals files — keyed repartition caps it at
+    # one file per partition value
+    Stream.from_df(df).write_parquet(
+        base, partition_by="k", target_mb=0.001, compression_ratio=1.0
+    )
+    audit = file_layout_audit(spark, base).collect()[0]
+    assert audit["n_files"] == n_vals
+    assert audit["n_rows"] == 20_000
+
+
+def test_write_parquet_tiny_target_mb_no_zero_division(spark, tmp_path):
+    # target_mb < ~1e-6 used to truncate the divisor to 0 past the >0 guard
+    p = str(tmp_path / "tiny")
+    Stream.range(spark, 10).write_parquet(p, target_mb=1e-9)
+    assert file_layout_audit(spark, p).collect()[0]["n_rows"] == 10
+
+
+def test_compact_tiny_target_mb_no_zero_division(spark, tmp_path):
+    src = str(tmp_path / "src_tiny")
+    spark.range(10).write.parquet(src)
+    out = compact_parquet(
+        spark, src, str(tmp_path / "dst_tiny"), target_mb=1e-9
+    ).collect()[0]
+    assert out["n_rows"] == 10
