@@ -68,9 +68,12 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bm25_stats",
+    "bm25_stats_positional",
     "bm25_merge_stats",
     "bm25_score_topk",
+    "bm25_phrase_topk",
     "bm25_score_py",
+    "phrase_hits_py",
 ]
 
 #: k1 = 1.2 and b = 0.75 as the cleared-fraction coefficients of
@@ -90,6 +93,42 @@ def bm25_stats(inv: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     same combine, and g is the 1-row (n_docs, n_toks) global table."""
     tf = inv.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tfdl = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    g = (
+        tfdl.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_toks"),
+        )
+    )
+    return tfdl, df, g
+
+
+def bm25_stats_positional(
+    inv_pos: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Positional inverted statistics from a (doc_id, term, pos)
+    occurrence stream (1-based positions — ``posexplode`` callers add 1):
+    the same one-scan shape as ``bm25_stats`` — tf/dl/df/globals all
+    derive from ONE (doc_id, term) combine — but the combine also keeps
+    each posting's sorted position array, which is what phrase and
+    proximity queries consume (``bm25_phrase_topk``).  Positions ride
+    the aggregation the bag-of-words index already pays for; the only
+    extra cost is the array payload on the postings rows.
+
+    Returns ``(tfdl, df, g)`` where tfdl additionally carries
+    ``positions: array<bigint>`` (sorted, one entry per occurrence, so
+    ``size(positions) == tf``)."""
+    tf = inv_pos.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+            "positions"
+        ),
     )
     tfdl = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
@@ -208,6 +247,150 @@ def bm25_score_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "rnk", "doc_id", "score_e6")
     )
+
+
+def bm25_phrase_topk(
+    tfdl: DataFrame,
+    df: DataFrame,
+    g: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    slop: int = 0,
+    require_phrase: bool = True,
+) -> DataFrame:
+    """Phrase / proximity BM25 top-``k`` over a POSITIONAL index
+    (``bm25_stats_positional``) — the second thing a real RAG /
+    decontamination user runs after bag-of-words BM25 (the reference's
+    fetch-enrich ETL, reference README.md:534-576, is the consumer).
+
+    ``phrases`` is a small (query_id, terms array<string>) table.  A doc
+    hits the phrase at base position p iff for every offset o >= 1 the
+    o-th term has some position q with p + o <= q <= p + o + ``slop``
+    (slop=0 is the exact phrase; slop>0 is Lucene-style proximity).
+    ``n_hits`` counts base positions, and scoring is
+
+        score_e6 = bow_bm25_e6(phrase terms, dedup'd)
+                 + n_hits * (sum of member idf_e6) * 22000 DIV 10000
+
+    — each full phrase occurrence scores as a virtual term whose idf is
+    the members' sum (an AND-semantics rarity lower bound) taken at the
+    tf-saturation ceiling tfp_e4 = 22000 (= 44/20 e4), linear in
+    n_hits.  All integer (DECIMAL(38,0) products — same headroom story
+    as ``bm25_score_topk``), so both engines reproduce it bit-for-bit.
+    With ``require_phrase`` (default) only docs containing the phrase
+    rank — Lucene PhraseQuery semantics; False gives proximity-BOOSTED
+    bag-of-words ranking instead.
+
+    Scale shape: the phrase table is query-grain and broadcasts (with
+    idf attached at vocabulary grain); the postings join moves only
+    query-term postings WITH their position arrays (payload bounded by
+    per-doc tf); the per-(query, doc) fold touches |phrase| arrays; the
+    top-k is a |q|-partition rank window.  Nothing corpus-grain after
+    the index combine.  Parity-pinned vs ``phrase_hits_py`` +
+    ``bm25_score_py`` in tests/test_round11_ops.py."""
+    qterms = (
+        phrases.select(
+            "query_id",
+            F.size("terms").cast("long").alias("phrase_len"),
+            F.posexplode("terms").alias("offset", "term"),
+        )
+        .join(df, "term")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "term",
+            F.col("offset").cast("long").alias("offset"),
+            "phrase_len",
+            F.expr(
+                "CAST(1000000 * (2 * n_docs - 2 * df + 1) AS BIGINT) "
+                "DIV CAST(2 * df + 1 AS BIGINT)"
+            ).alias("idf_e6"),
+            "n_docs",
+            "n_toks",
+        )
+    )
+    matched = tfdl.join(F.broadcast(qterms), "term")
+    # bag-of-words lane: one contribution per DISTINCT (query, term) even
+    # when a phrase repeats a term at two offsets
+    bow = (
+        matched.dropDuplicates(["query_id", "doc_id", "term"])
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(CAST(idf_e6 AS DECIMAL(38,0)) * "
+                f"((CAST(10000 * {_NUM_C} AS DECIMAL(38,0)) * n_toks * tf) "
+                f"DIV (CAST({_DEN_TF} AS DECIMAL(38,0)) * n_toks * tf "
+                f"+ {_DEN_T} * n_toks "
+                f"+ CAST({_DEN_DL} AS DECIMAL(38,0)) * n_docs * dl)) "
+                f"DIV 10000 AS BIGINT)"
+            ).alias("s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("s").cast("long").alias("bow_e6"))
+    )
+    # phrase lane: fold the offset-sorted position arrays; a doc must
+    # match EVERY offset (size(arr) == phrase_len) before the fold runs
+    hits = (
+        matched.groupBy("query_id", "doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("offset", "positions"))
+            ).alias("arr"),
+            F.max("phrase_len").alias("phrase_len"),
+            F.sum("idf_e6").cast("long").alias("idf_sum_e6"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "idf_sum_e6",
+            F.expr(
+                "CAST(CASE WHEN size(arr) = phrase_len THEN "
+                "size(aggregate(slice(arr, 2, size(arr) - 1), "
+                "element_at(arr, 1).positions, "
+                "(acc, x) -> filter(acc, p -> exists(x.positions, "
+                f"q -> q >= p + x.offset AND q <= p + x.offset + {slop}"
+                ")))) ELSE 0 END AS BIGINT)"
+            ).alias("n_hits"),
+        )
+    )
+    scored = (
+        bow.join(hits, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            "doc_id",
+            "n_hits",
+            F.expr(
+                "CAST(bow_e6 + CAST(n_hits AS DECIMAL(38,0)) * idf_sum_e6 "
+                "* 22000 DIV 10000 AS BIGINT)"
+            ).alias("score_e6"),
+        )
+    )
+    if require_phrase:
+        scored = scored.where(F.col("n_hits") >= 1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "n_hits", "score_e6")
+    )
+
+
+def phrase_hits_py(
+    positions: dict[str, list[int]], terms: list[str], slop: int = 0
+) -> int:
+    """Single-process phrase/proximity hit count under the SAME
+    semantics as ``bm25_phrase_topk``'s fold — the parity oracle for
+    tests."""
+    if any(t not in positions for t in terms):
+        return 0
+    acc = list(positions[terms[0]])
+    for o, t in enumerate(terms[1:], start=1):
+        ps = positions[t]
+        acc = [p for p in acc if any(p + o <= q <= p + o + slop for q in ps)]
+    return len(acc)
 
 
 def bm25_score_py(

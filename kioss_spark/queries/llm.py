@@ -1823,6 +1823,184 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared by bm25_phrase_topk (slop=0) and bm25_proximity_topk (slop=2):
+#: the phrase set is fixture-derived on BOTH engines — top-6 corpus
+#: bigrams + top-2 trigrams by (count desc, joined-text) — and the
+#: positional fold mirrors operators/retrieval.py:bm25_phrase_topk
+#: (arity-specialized to <= 3 here because DuckDB's list_reduce cannot
+#: carry a positions-list accumulator; the Spark side stays general)
+def _bm25_phrase_oracle(slop: int) -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS t FROM documents),
+    inv AS (SELECT doc_id, t[i] AS term, CAST(i AS BIGINT) AS pos
+            FROM toks, UNNEST(range(1, len(t)+1)) u(i)),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+                  list(pos ORDER BY pos) AS positions
+           FROM inv GROUP BY 1, 2),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    g  AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+    bgr AS (SELECT terms, row_number() OVER (ORDER BY count(*) DESC,
+                       array_to_string(terms, ' ')) AS rn
+            FROM (SELECT [t[i], t[i+1]] AS terms
+                  FROM toks, UNNEST(range(1, len(t))) u(i)
+                  WHERE len(t) >= 2)
+            GROUP BY terms),
+    tgr AS (SELECT terms, row_number() OVER (ORDER BY count(*) DESC,
+                       array_to_string(terms, ' ')) AS rn
+            FROM (SELECT [t[i], t[i+1], t[i+2]] AS terms
+                  FROM toks, UNNEST(range(1, len(t)-1)) u(i)
+                  WHERE len(t) >= 3)
+            GROUP BY terms),
+    ph AS (SELECT CAST(rn - 1 AS BIGINT) AS query_id, terms
+           FROM bgr WHERE rn <= 6
+           UNION ALL
+           SELECT CAST(rn + 5 AS BIGINT) AS query_id, terms
+           FROM tgr WHERE rn <= 2),
+    qt AS (SELECT query_id, CAST(len(terms) AS BIGINT) AS plen,
+                  CAST(o AS BIGINT) AS off, terms[o + 1] AS term
+           FROM ph, UNNEST(range(0, len(terms))) u(o)),
+    qs AS (SELECT qt.query_id, qt.plen, qt.off, qt.term,
+                  (1000000 * (2 * g.n_docs - 2 * df.df + 1))
+                      // (2 * df.df + 1) AS idf_e6,
+                  g.n_docs, g.n_toks
+           FROM qt JOIN df USING (term), g),
+    m AS (SELECT qs.query_id, qs.plen, qs.off, qs.idf_e6, qs.n_docs,
+                 qs.n_toks, qs.term, tf.doc_id, tf.tf, tf.positions
+          FROM qs JOIN tf USING (term)),
+    bow AS (SELECT query_id, dm.doc_id,
+                   CAST(sum((idf_e6 * ((10000 * 44 * n_toks * tf)
+                        // (20 * n_toks * tf + 6 * n_toks
+                            + 18 * n_docs * dl.dl))) // 10000) AS BIGINT)
+                       AS bow_e6
+            FROM (SELECT DISTINCT query_id, doc_id, term, idf_e6,
+                                  n_docs, n_toks, tf FROM m) dm
+            JOIN dl ON dl.doc_id = dm.doc_id
+            GROUP BY 1, 2),
+    piv AS (SELECT query_id, doc_id,
+                   max(plen) AS plen,
+                   CAST(count(*) AS BIGINT) AS nmatched,
+                   CAST(sum(idf_e6) AS BIGINT) AS idf_sum_e6,
+                   max(CASE WHEN off = 0 THEN positions END) AS p0,
+                   max(CASE WHEN off = 1 THEN positions END) AS p1,
+                   max(CASE WHEN off = 2 THEN positions END) AS p2
+            FROM m GROUP BY 1, 2),
+    nh AS (SELECT query_id, doc_id, idf_sum_e6,
+                  CAST(CASE WHEN nmatched < plen THEN 0
+                       WHEN plen = 1 THEN len(p0)
+                       WHEN plen = 2 THEN len(list_filter(p0, p ->
+                            len(list_filter(p1, q -> q >= p + 1
+                                AND q <= p + 1 + {slop})) > 0))
+                       ELSE len(list_filter(p0, p ->
+                            len(list_filter(p1, q -> q >= p + 1
+                                AND q <= p + 1 + {slop})) > 0
+                            AND len(list_filter(p2, q -> q >= p + 2
+                                AND q <= p + 2 + {slop})) > 0))
+                       END AS BIGINT) AS n_hits
+           FROM piv),
+    sc AS (SELECT b.query_id, b.doc_id, nh.n_hits,
+                  CAST(b.bow_e6 + (nh.n_hits * nh.idf_sum_e6 * 22000)
+                       // 10000 AS BIGINT) AS score_e6
+           FROM bow b JOIN nh ON b.query_id = nh.query_id
+                             AND b.doc_id = nh.doc_id
+           WHERE nh.n_hits >= 1),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_e6 DESC, doc_id) AS rnk
+          FROM sc)
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_hits, score_e6
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk
+    """
+
+
+def _phrase_query_set(docs: DataFrame) -> DataFrame:
+    """Deterministic fixture-derived phrase queries: top-6 corpus bigrams
+    (query_id 0-5) + top-2 trigrams (6-7) by (count desc, joined text) —
+    both engines derive the identical set from the same token stream.
+    The rank windows run single-partition BY DESIGN on the n-gram COUNT
+    tables (vocabulary^n-grain, sublinear in corpus — the fixture
+    vocabulary is ~31 words; at larger vocabularies swap in a two-stage
+    partial top-k, the counts themselves stay map-side combined)."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+
+    def ngrams(n: int) -> DataFrame:
+        items = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+        # CASE guard: sequence(1, 0) DESCENDS in Spark, so short docs
+        # must yield an empty array, not a reversed range
+        return toks.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(t) >= {n} THEN "
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> array({items})) "
+                    "ELSE array() END"
+                )
+            ).alias("terms")
+        )
+
+    def top(n: int, limit: int, id_base: int) -> DataFrame:
+        cnt = ngrams(n).groupBy("terms").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(
+            F.col("c").desc(), F.array_join(F.col("terms"), " ")
+        )
+        return (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= limit)
+            .select(
+                (F.col("rn") + id_base).cast("long").alias("query_id"),
+                "terms",
+            )
+        )
+
+    return top(2, 6, -1).unionByName(top(3, 2, 5))
+
+
+def _bm25_phrase_query(spark: SparkSession, sf_dir: str, slop: int) -> DataFrame:
+    from kioss_spark.operators import retrieval
+
+    docs = _docs(spark, sf_dir)
+    inv = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("pos"))
+    tfdl, df, g = retrieval.bm25_stats_positional(inv)
+    phrases = _phrase_query_set(docs)
+    return retrieval.bm25_phrase_topk(
+        tfdl, df, g, phrases, k=10, slop=slop
+    ).orderBy("query_id", "rnk")
+
+
+@register("bm25_phrase_topk", oracle=_bm25_phrase_oracle(slop=0))
+def bm25_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase BM25 top-10 over a POSITIONAL inverted index — the
+    phrase-query companion to bm25_topk (algorithm + integer scoring:
+    operators/retrieval.py:bm25_phrase_topk; positions ride the same
+    one-scan combine via posexplode, operators/retrieval.py:
+    bm25_stats_positional).  Queries are the fixture's top-6 bigrams +
+    top-2 trigrams (_phrase_query_set); only docs CONTAINING the phrase
+    rank (Lucene PhraseQuery semantics), scored bag-of-words + an
+    idf-sum virtual-term bonus per phrase occurrence.
+
+    Scale shape: the postings join moves only query-term postings (with
+    their position arrays — payload bounded by per-doc tf); the
+    per-(query, doc) adjacency fold touches |phrase| arrays; top-10 is
+    an 8-partition rank window.  Parity-pinned vs phrase_hits_py +
+    bm25_score_py in tests/test_round11_ops.py."""
+    return _bm25_phrase_query(spark, sf_dir, slop=0)
+
+
+@register("bm25_proximity_topk", oracle=_bm25_phrase_oracle(slop=2))
+def bm25_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity BM25 top-10: the same positional machinery as
+    bm25_phrase_topk with slop=2 — the o-th phrase term may trail the
+    base position by up to 2 extra tokens (Lucene slop), so near-misses
+    ("new BLANK york") still count, with n_hits and the virtual-term
+    bonus reflecting every in-window occurrence.  Same phrase set, same
+    oracle template, different slop constant — the two registrations
+    prove the window arithmetic at both its boundary (exact adjacency)
+    and its interior."""
+    return _bm25_phrase_query(spark, sf_dir, slop=2)
+
+
 @register(
     "profile_corpus",
     oracle=f"""

@@ -101,6 +101,107 @@ def test_bm25_fuzz_still_matches_python_after_decimal_widening(spark):
 
 
 # ---------------------------------------------------------------------------
+# positional index + phrase / proximity BM25
+# ---------------------------------------------------------------------------
+
+
+def _pos_corpus(rng, n_docs=30, vocab=("sun", "moon", "star", "sky", "sea")):
+    return {
+        d: [rng.choice(vocab) for _ in range(rng.randint(2, 14))]
+        for d in range(n_docs)
+    }
+
+
+def _phrase_expect(docs, terms, slop, k=30):
+    """Python-side ranking under bm25_phrase_topk semantics."""
+    from collections import Counter
+
+    n_docs = len(docs)
+    dls = {d: len(ws) for d, ws in docs.items()}
+    n_toks = sum(dls.values())
+    dfs = Counter()
+    for ws in docs.values():
+        dfs.update(set(ws))
+    idf = {
+        t: (1_000_000 * (2 * n_docs - 2 * dfs[t] + 1)) // (2 * dfs[t] + 1)
+        for t in dfs
+    }
+    out = []
+    for d, ws in docs.items():
+        pos = {}
+        for i, t in enumerate(ws, start=1):
+            pos.setdefault(t, []).append(i)
+        hits = retrieval.phrase_hits_py(pos, list(terms), slop=slop)
+        if hits < 1:
+            continue
+        bow = retrieval.bm25_score_py(docs, sorted(set(terms)))[d]
+        idf_sum = sum(idf[t] for t in terms)
+        score = bow + (hits * idf_sum * 22_000) // 10_000
+        out.append((d, hits, score))
+    out.sort(key=lambda x: (-x[2], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("slop", [0, 2])
+def test_bm25_phrase_topk_matches_python(spark, slop):
+    rng = random.Random(17 + slop)
+    docs = _pos_corpus(rng)
+    inv = spark.createDataFrame(
+        [(d, t, i) for d, ws in docs.items() for i, t in enumerate(ws, 1)],
+        "doc_id long, term string, pos long",
+    )
+    tfdl, df, g = retrieval.bm25_stats_positional(inv)
+    phrases = spark.createDataFrame(
+        [(0, ["sun", "moon"]), (1, ["sea", "sky", "star"]), (2, ["moon"])],
+        "query_id long, terms array<string>",
+    )
+    out = retrieval.bm25_phrase_topk(tfdl, df, g, phrases, k=30, slop=slop)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_hits"], r["score_e6"])
+        )
+    for qid, terms in [(0, ["sun", "moon"]), (1, ["sea", "sky", "star"]),
+                       (2, ["moon"])]:
+        expect = _phrase_expect(docs, terms, slop)
+        assert sorted(got.get(qid, []), key=lambda x: (-x[2], x[0])) == expect, (
+            qid, slop,
+        )
+
+
+def test_phrase_hits_py_examples():
+    pos = {"a": [1, 5, 9], "b": [2, 11], "c": [3]}
+    assert retrieval.phrase_hits_py(pos, ["a", "b"]) == 1          # 1->2
+    assert retrieval.phrase_hits_py(pos, ["a", "b", "c"]) == 1     # 1,2,3
+    assert retrieval.phrase_hits_py(pos, ["a", "b"], slop=1) == 2  # 9->11 too
+    assert retrieval.phrase_hits_py(pos, ["b", "a"]) == 0
+    assert retrieval.phrase_hits_py(pos, ["a", "zz"]) == 0
+    assert retrieval.phrase_hits_py(pos, ["a"]) == 3
+
+
+def test_bm25_phrase_no_require_ranks_all_candidates(spark):
+    docs = {0: ["x", "y"], 1: ["x", "z", "y"], 2: ["z"]}
+    inv = spark.createDataFrame(
+        [(d, t, i) for d, ws in docs.items() for i, t in enumerate(ws, 1)],
+        "doc_id long, term string, pos long",
+    )
+    tfdl, df, g = retrieval.bm25_stats_positional(inv)
+    phrases = spark.createDataFrame(
+        [(0, ["x", "y"])], "query_id long, terms array<string>"
+    )
+    strict = retrieval.bm25_phrase_topk(tfdl, df, g, phrases, k=10).collect()
+    assert [r["doc_id"] for r in strict] == [0]  # only doc 0 has "x y"
+    boosted = retrieval.bm25_phrase_topk(
+        tfdl, df, g, phrases, k=10, require_phrase=False
+    ).collect()
+    # doc 1 has both terms but not adjacent: ranked, zero hits, below doc 0
+    by_doc = {r["doc_id"]: r for r in boosted}
+    assert set(by_doc) == {0, 1}
+    assert by_doc[1]["n_hits"] == 0
+    assert by_doc[0]["score_e6"] > by_doc[1]["score_e6"]
+
+
+# ---------------------------------------------------------------------------
 # clustered (z-order) compaction + pruning-effectiveness audit
 # ---------------------------------------------------------------------------
 
