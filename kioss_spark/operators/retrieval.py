@@ -74,6 +74,8 @@ __all__ = [
     "bm25_phrase_topk",
     "bm25_score_py",
     "phrase_hits_py",
+    "bm25_index_sink",
+    "read_bm25_index",
 ]
 
 #: k1 = 1.2 and b = 0.75 as the cleared-fraction coefficients of
@@ -391,6 +393,89 @@ def phrase_hits_py(
         ps = positions[t]
         acc = [p for p in acc if any(p + o <= q <= p + o + slop for q in ps)]
     return len(acc)
+
+
+def read_bm25_index(spark, state_dir: str):
+    """Load the latest COMPLETE version of a ``bm25_index_sink`` state
+    directory: returns ``(version, tfdl, df, g)`` with version = -1 and
+    None frames when no complete version exists.  A version is complete
+    when all three stats subdirs carry the writer's ``_SUCCESS`` marker —
+    a torn write (crash mid-version) is simply never visible to readers,
+    and the replayed batch overwrites it.  Listing goes through the
+    Hadoop FS API (portable to any defaultFS, no driver-side os.listdir
+    assumptions)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return -1, None, None, None
+    versions = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if all(
+            fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v}/{part}/_SUCCESS")
+            )
+            for part in ("tfdl", "df", "g")
+        ):
+            versions.append(v)
+    if not versions:
+        return -1, None, None, None
+    v = max(versions)
+    base = f"{state_dir}/v{v}"
+    return (
+        v,
+        spark.read.parquet(f"{base}/tfdl"),
+        spark.read.parquet(f"{base}/df"),
+        spark.read.parquet(f"{base}/g"),
+    )
+
+
+def bm25_index_sink(state_dir: str):
+    """``foreachBatch`` maintainer that keeps a BM25 index FRESH under a
+    stream of new documents — ``bm25_merge_stats`` ridden on Structured
+    Streaming's checkpointed micro-batches (the verdict-10 streaming
+    leg; kill-and-resume pinned in tests/test_streaming.py).
+
+    Each batch is a (doc_id, term) occurrence stream (tokenize in the
+    stream projection); the sink builds the batch's stats with ONE
+    batch-grain combine and folds them into the stored index by the
+    additive merge law — O(batch) per micro-batch, independent of the
+    accumulated corpus.
+
+    Exactly-once: the additive merge is NOT idempotent, so the sink uses
+    the transactional-foreachBatch pattern — state versions are keyed by
+    ``batch_id`` (``{state_dir}/v{batch_id}/``), and a batch whose id is
+    <= the latest complete version is skipped (an at-least-once
+    redelivery recomputes the identical version from the identical
+    inputs, or no-ops).  Structured Streaming's checkpoint makes
+    batch_id deterministic across restarts, which is what makes this
+    sound.  Completeness is the ``_SUCCESS``-marker protocol of
+    ``read_bm25_index``; readers never see a torn version.  Callers own
+    the disjointness precondition of ``bm25_merge_stats`` (upserts must
+    route through a delete-first changeset)."""
+
+    def merge(batch_inv, batch_id: int) -> None:
+        spark = batch_inv.sparkSession
+        version, tfdl_a, df_a, g_a = read_bm25_index(spark, state_dir)
+        if batch_id <= version:
+            return  # replayed batch: already folded into the index
+        b = bm25_stats(batch_inv)
+        merged = (
+            b if tfdl_a is None else bm25_merge_stats(tfdl_a, df_a, g_a, *b)
+        )
+        base = f"{state_dir}/v{batch_id}"
+        for part, df_part in zip(("tfdl", "df", "g"), merged):
+            df_part.write.mode("overwrite").parquet(f"{base}/{part}")
+
+    return merge
 
 
 def bm25_score_py(

@@ -1621,23 +1621,29 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bm25_index_ingest", oracle=_BM25_ORACLE)
 def bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental sparse-index maintenance: the corpus arrives as an
-    EXISTING index (doc_id % 10 != 0) plus a NEW batch (doc_id % 10 ==
-    0); batch stats are built from the batch alone and merged into the
-    index by the additive law (postings union, per-term df sum, global
-    sums — operators/retrieval.py:bm25_merge_stats), and the SAME
+    """Incremental sparse-index maintenance WITH the stored-index leg:
+    the existing index (doc_id % 10 != 0) is PERSISTED as term-bucketed
+    tables (operators/skew.py:write_bucketed — the day-0 bootstrap the
+    fixture stands in for; in production it is whatever the last ingest
+    wrote), then READ BACK and merged with the new batch's (doc_id % 10
+    == 0) stats by the additive law (postings union, per-term df sum,
+    global sums — operators/retrieval.py:bm25_merge_stats); the SAME
     8x3-term query set is served from the MERGED stats. The oracle is
     bm25_topk's direct full-corpus computation VERBATIM — hash equality
-    proves the merge law end-to-end through idf, length norms, and
-    ranking, not just on the stats table. The sparse analog of
-    ann_index_ingest.
+    proves the merge law end-to-end THROUGH the parquet roundtrip, idf,
+    length norms, and ranking. The sparse analog of ann_index_ingest;
+    the streaming twin (foreachBatch + kill-and-resume) is
+    retrieval.bm25_index_sink, pinned in tests/test_streaming.py.
 
-    Scale shape: the merge touches batch-sized postings, a
-    vocabulary-grain outer join, and a 2-row global agg — independent
-    of the existing corpus size (here both sides are computed from the
-    fixture because no stored index exists; in production the index
-    side is the stats table the last ingest persisted)."""
+    Scale shape: the SERVED plan's existing-corpus work is a bucketed
+    SCAN (no recompute — what the round-10 fixture, which rebuilt both
+    sides per run, could not show); the merge adds batch-sized postings,
+    a vocabulary-grain outer join (the stored df side pre-bucketed on
+    the join key), and a 2-row global agg — all independent of the
+    stored corpus size. The bootstrap write is corpus-grain ONCE, the
+    amortized cost of every later O(batch) ingest."""
     from kioss_spark.operators import retrieval
+    from kioss_spark.operators.skew import read_bucketed, write_bucketed
 
     docs = _docs(spark, sf_dir)
     words = docs.select(
@@ -1645,8 +1651,15 @@ def bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = words.where(F.col("doc_id") % 10 != 0)
     batch = words.where(F.col("doc_id") % 10 == 0)
+    t_base, d_base, g_base = retrieval.bm25_stats(base)
+    write_bucketed(t_base, "bm25_ingest_tfdl", bucket_by="term", n_buckets=8)
+    write_bucketed(d_base, "bm25_ingest_df", bucket_by="term", n_buckets=8)
+    write_bucketed(g_base, "bm25_ingest_g", bucket_by="n_docs", n_buckets=1)
     tfdl, df, g = retrieval.bm25_merge_stats(
-        *retrieval.bm25_stats(base), *retrieval.bm25_stats(batch)
+        read_bucketed(spark, "bm25_ingest_tfdl"),
+        read_bucketed(spark, "bm25_ingest_df"),
+        read_bucketed(spark, "bm25_ingest_g"),
+        *retrieval.bm25_stats(batch),
     )
     qt = (
         df.withColumn(

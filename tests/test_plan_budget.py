@@ -121,12 +121,31 @@ BUDGET = {
     # per-query rank — every added exchange is rank-list-grain (bounded
     # by |q| x k, corpus-independent); the onep is the vocabulary rank
     "hybrid_rrf_topk": (12, 1),
-    # round-10: incremental ingest runs TWO bm25_stats pipelines (the
-    # fixture stands in for the stored index side, so its combine/window
-    # exchanges appear here; production reads them as a table) + the
-    # vocabulary-grain df outer join + the 2-row global union agg (the
-    # second onep) — nothing beyond stats/vocab/rank grain
-    "bm25_index_ingest": (14, 2),
+    # round-11: the stored-index leg landed — the SERVED plan's existing-
+    # corpus work is now a bucketed-table SCAN (round 10 rebuilt both
+    # sides: 14 shuffles), leaving the batch-side stats pipeline, the
+    # vocabulary-grain df outer join, the 2-row global union agg, and
+    # the query rank; the two oneps are the vocabulary rank + that
+    # 2-row agg (the bootstrap write happens at plan build, not in the
+    # served plan)
+    "bm25_index_ingest": (9, 2),
+    # round-11: phrase/proximity BM25 — positional stats ride the same
+    # (doc_id, term) combine; the bow and phrase lanes each aggregate
+    # the query-term-bounded postings join on (query, doc) (different
+    # subplans — dropDuplicates vs position-fold — so their exchanges
+    # don't dedupe), plus the fixture-derived phrase set's two n-gram
+    # count/rank pipelines; the 2 oneps are those vocabulary^n-grain
+    # rank windows BY DESIGN (~31-word vocabulary; two-stage top-k at
+    # larger vocabularies)
+    "bm25_phrase_topk": (17, 2),
+    "bm25_proximity_topk": (17, 2),
+    # round-11: IR quality harness — PPJoin pair truth + shingle-grain
+    # BM25 + dense cosine + fusion + rank-list-grain metrics; the 8-row
+    # query set and both |q|x20 rank lists are eagerly checkpointed
+    # (each had 2-6 consumers), so several upstream exchanges run once
+    # at plan build; zero single-partition exchanges in the served plan
+    # (the qset rank runs behind the checkpoint)
+    "retrieval_quality": (18, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
@@ -147,7 +166,10 @@ MAX_SCAN_COLS = {
     "bm25_topk": 2,  # doc_id, text — stats derive from one token stream
     "mm_phash_dedup": 2,  # doc_id, text — the hash folds are pure algebra
     "wordpiece_segment_corpus": 2,  # doc_id, text — vocab is plan literals
-    "bm25_index_ingest": 2,  # doc_id, text — both batches off one scan shape
+    # round-11 stored-index leg: the widest scan is now the persisted
+    # tfdl bucketed table — all 4 of its columns (doc_id, term, tf, dl)
+    # ARE the postings payload; the documents scan stays at 2
+    "bm25_index_ingest": 4,
 }
 
 

@@ -1205,3 +1205,94 @@ def test_window_agg_sliding_overlapping_windows(spark, tmp_path):
         "2024-01-01T00:00:30": 2,  # covers 00:00:40, 00:01:10
         "2024-01-01T00:01:00": 1,  # covers 00:01:10
     }, got
+
+
+def test_bm25_streaming_ingest_kill_and_resume(spark, tmp_path):
+    # the sparse index stays fresh under a document stream: each
+    # micro-batch folds into the stored stats by the additive merge law
+    # (operators/retrieval.py bm25_index_sink), the query is KILLED
+    # between batches and resumed from its checkpoint, and the
+    # post-restart index must serve scores EQUAL to a from-scratch batch
+    # computation over everything ingested — plus an at-least-once
+    # redelivery of the last batch must change nothing (the
+    # transactional batch-id versioning)
+    from kioss_spark.operators import retrieval
+
+    src = str(tmp_path / "bm25_src")
+    ckpt = str(tmp_path / "bm25_ckpt")
+    state = str(tmp_path / "bm25_state")
+    os.makedirs(src, exist_ok=True)
+
+    def pipeline():
+        s = SStream.files(
+            spark, src, schema="doc_id long, text string",
+            max_files_per_trigger=1,
+        )
+        inv = s._df.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "term"
+            ),
+        )
+        return (
+            inv.writeStream.foreachBatch(retrieval.bm25_index_sink(state))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    docs1 = [(1, "sun moon star"), (2, "sun sun sea"), (3, "sky sea moon sky")]
+    docs2 = [(4, "star star sun"), (5, "moon sea")]
+    spark.createDataFrame(docs1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q1 = pipeline()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # the kill
+    v1, tfdl1, _, g1 = retrieval.read_bm25_index(spark, state)
+    assert v1 == 0 and g1.collect()[0]["n_docs"] == 3
+
+    spark.createDataFrame(docs2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = pipeline()  # resume from the same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    v2, tfdl, df, g = retrieval.read_bm25_index(spark, state)
+    assert v2 == 1  # batch 0 not replayed: offsets recovered
+
+    # post-restart scores == the batch oracle over the full corpus
+    q = spark.createDataFrame(
+        [(0, "sun"), (0, "moon"), (1, "sea")], "query_id long, term string"
+    )
+    served = sorted(
+        (r["query_id"], r["doc_id"], r["score_e6"])
+        for r in retrieval.bm25_score_topk(tfdl, df, g, q, k=10).collect()
+    )
+    docs_all = {d: t.split() for d, t in docs1 + docs2}
+    expect = []
+    for qid, terms in [(0, ["sun", "moon"]), (1, ["sea"])]:
+        for d, s in retrieval.bm25_score_py(docs_all, terms).items():
+            expect.append((qid, d, s))
+    assert served == sorted(expect)
+
+    # at-least-once redelivery of the LAST batch: same version recomputed
+    # from the same inputs (or skipped) — the index must not double-count
+    replay = spark.createDataFrame(docs2, "doc_id long, text string").select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "term"
+        ),
+    )
+    retrieval.bm25_index_sink(state)(replay, 1)
+    v3, tfdl3, df3, g3 = retrieval.read_bm25_index(spark, state)
+    assert v3 == 1
+    served3 = sorted(
+        (r["query_id"], r["doc_id"], r["score_e6"])
+        for r in retrieval.bm25_score_topk(tfdl3, df3, g3, q, k=10).collect()
+    )
+    assert served3 == served
