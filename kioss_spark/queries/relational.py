@@ -2461,6 +2461,66 @@ def layout_small_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_layout_audit(spark, f"{sf_dir}/documents.parquet")
 
 
+@register("layout_zorder_pruning", oracle=None)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER, measured end-to-end: rewrite the event stream's
+    (u, h) projection (the zorder_event_layout dimensions) from a
+    fragmented layout two ways — plain compaction (round-robin) and
+    clustered compaction (``compact_parquet(cluster_by=["u", "h"])`` =
+    range-partition + sort on the interleaved z-value) — and report the
+    ``pruning_effectiveness_audit`` of BOTH layouts for BOTH dimensions:
+    the e4 fraction of files a point predicate must open.  Round-robin
+    files span ~the whole domain of every column (avg -> 10000); z-order
+    tiles collapse both dimensions at once — the number OPTIMIZE ZORDER
+    exists to improve, measured on the actual written files rather than
+    asserted from the curve. Output: one row per (layout, col), 4 rows.
+
+    Rows-only oracle BY DESIGN: file boundaries and min/max footer stats
+    are physical layout, invisible to the relational oracle (the
+    layout_small_files_audit class); the VALUES are pinned by the
+    round-11 unit tests against layouts the tests write themselves
+    (size target held by both rewrites, pruning collapse >= 2x on both
+    dimensions under z-order).
+
+    Scale shape: both rewrites are ONE shuffle each (round-robin /
+    range-on-z); the audits are file-grain aggs plus a 32-row broadcast
+    probe join — never row-grain, never file-pairs."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        compact_parquet,
+        pruning_effectiveness_audit,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("u"),
+        F.pmod(
+            F.floor(epoch_us("ts") / F.lit(3_600_000_000.0)).cast("long"),
+            F.lit(256),
+        ).alias("h"),
+        F.col("event_id").alias("payload"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_zorder_")
+    src = f"{base}/frag"
+    e.repartition(16).write.parquet(src)  # the fragmented starting layout
+    out = None
+    for tag, cluster in (("roundrobin", None), ("zorder", ["u", "h"])):
+        dst = f"{base}/{tag}"
+        compact_parquet(
+            spark, src, dst, target_mb=0.008, cluster_by=cluster, zbits=8
+        )
+        audit = pruning_effectiveness_audit(spark, dst, ["u", "h"]).select(
+            F.lit(tag).alias("layout"),
+            "col",
+            "n_files",
+            "avg_files_hit_e4",
+            "max_files_hit_e4",
+        )
+        out = audit if out is None else out.unionByName(audit)
+    return out.orderBy("layout", "col")
+
+
 @register(
     "event_value_histogram",
     oracle="""
