@@ -177,6 +177,17 @@ HEADLINE = [
     "layout_small_files_audit",
     # round-10: incremental sparse-index ingest (additive stats merge)
     "bm25_index_ingest",
+    # round-11: phrase / proximity retrieval over the positional index
+    "bm25_phrase_topk",
+    "bm25_proximity_topk",
+    # round-11: IR quality harness — MRR@10/nDCG@10 for both lanes + RRF
+    "retrieval_quality",
+    # round-11: clustered compaction with measured min/max pruning effect
+    "layout_zorder_pruning",
+    # round-11: manifest-style data-skipping scan (exactness oracle)
+    "skipping_scan_events",
+    # round-11: mergeable KMV sketch-state ingest (idempotent merge law)
+    "sketch_state_ingest",
 ]
 
 

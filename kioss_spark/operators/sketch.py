@@ -34,6 +34,11 @@ from kioss_spark.operators.text import h60
 
 __all__ = [
     "kmv_distinct",
+    "kmv_state",
+    "kmv_merge_states",
+    "kmv_estimate",
+    "read_kmv_state",
+    "kmv_state_sink",
     "theta_overlap_matrix",
     "hll_rollup",
     "kll_quantiles",
@@ -44,6 +49,42 @@ __all__ = [
 
 #: hash domain size (h60 is 60 bits) — exactly representable as a double
 _DOMAIN = float(1 << 60)
+
+
+def _kmv_bottomk(
+    df: DataFrame, value: Column, keys: list, k: int, partial: bool
+) -> DataFrame:
+    """Shared KMV pipeline: per-group k smallest DISTINCT h60 hashes as
+    rows (keys..., __h__) — consumed by ``kmv_distinct`` (estimate) and
+    ``kmv_state`` (persistable sketch state)."""
+    hashed = df.select(*keys, h60(value).alias("__h__"))
+    if partial:
+        # per-batch DISTINCT bottom-k per group BEFORE the global dedup
+        # shuffle: any of the k smallest distinct global hashes is also in
+        # its own batch's distinct bottom-k, so the shuffle carries ~k rows
+        # per (group, batch) instead of every distinct hash occurrence
+        def _local_bottomk(batches):
+            for pdf in batches:
+                uniq = pdf.drop_duplicates(keys + ["__h__"])
+                if keys:
+                    yield (
+                        uniq.sort_values(keys + ["__h__"])
+                        .groupby(keys, sort=False)
+                        .head(k)
+                    )
+                else:
+                    yield uniq.nsmallest(k, "__h__")
+
+        hashed = hashed.mapInPandas(_local_bottomk, schema=hashed.schema)
+    hashed = hashed.dropDuplicates(keys + ["__h__"])
+    w = (
+        Window.partitionBy(*keys).orderBy("__h__")
+        if keys
+        else Window.partitionBy(F.lit(1)).orderBy("__h__")
+    )
+    return hashed.withColumn("__r__", F.row_number().over(w)).where(
+        F.col("__r__") <= k
+    )
 
 
 def kmv_distinct(
@@ -70,34 +111,7 @@ def kmv_distinct(
     reproducible in plain SQL.
     """
     keys = list(by or [])
-    hashed = df.select(*keys, h60(value).alias("__h__"))
-    if partial:
-        # per-batch DISTINCT bottom-k per group BEFORE the global dedup
-        # shuffle: any of the k smallest distinct global hashes is also in
-        # its own batch's distinct bottom-k, so the shuffle carries ~k rows
-        # per (group, batch) instead of every distinct hash occurrence
-        def _local_bottomk(batches):
-            for pdf in batches:
-                uniq = pdf.drop_duplicates(keys + ["__h__"])
-                if keys:
-                    yield (
-                        uniq.sort_values(keys + ["__h__"])
-                        .groupby(keys, sort=False)
-                        .head(k)
-                    )
-                else:
-                    yield uniq.nsmallest(k, "__h__")
-
-        hashed = hashed.mapInPandas(_local_bottomk, schema=hashed.schema)
-    hashed = hashed.dropDuplicates(keys + ["__h__"])
-    w = (
-        Window.partitionBy(*keys).orderBy("__h__")
-        if keys
-        else Window.partitionBy(F.lit(1)).orderBy("__h__")
-    )
-    ranked = hashed.withColumn("__r__", F.row_number().over(w)).where(
-        F.col("__r__") <= k
-    )
+    ranked = _kmv_bottomk(df, value, keys, k, partial)
     grouped = ranked.groupBy(*keys) if keys else ranked.groupBy()
     agg = grouped.agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
@@ -108,6 +122,159 @@ def kmv_distinct(
     ).otherwise(F.floor(F.lit(float(k - 1)) * F.lit(_DOMAIN) / F.col("__mk__")))
     return agg.select(
         *keys, "n_kept", est.cast("long").alias("est_distinct")
+    )
+
+
+def kmv_state(
+    df: DataFrame,
+    value: Column,
+    by: Optional[Sequence[str]] = None,
+    k: int = 256,
+    partial: bool = True,
+) -> DataFrame:
+    """The persistable KMV sketch STATE: one row per group,
+    (by..., hashes) where ``hashes`` is the ASCENDING-sorted array of the
+    group's k smallest distinct h60 hashes (shorter than k when the group
+    has fewer distinct values — then the state IS the exact value set's
+    hashes).
+
+    This is the column a sketch WAREHOUSE stores: per-shard/per-day
+    states written once at ingest, any later rollup or refresh is a
+    cheap ``kmv_merge_states`` over the tiny state tables — no corpus
+    re-scan (the manifest-style incremental pattern of
+    ``bm25_index_ingest``, for cardinality).  O(k) per group regardless
+    of corpus size; same one-combine shape as ``kmv_distinct``."""
+    keys = list(by or [])
+    ranked = _kmv_bottomk(df, value, keys, k, partial)
+    grouped = ranked.groupBy(*keys) if keys else ranked.groupBy()
+    return grouped.agg(
+        F.sort_array(F.collect_list("__h__")).alias("hashes")
+    )
+
+
+def kmv_merge_states(
+    a: DataFrame, b: DataFrame, by: Optional[Sequence[str]] = None,
+    k: int = 256,
+) -> DataFrame:
+    """Merge two KMV state tables: full-outer join on the group keys,
+    union the hash arrays, keep the k smallest distinct — EXACTLY the
+    state a from-scratch build over the union of the inputs produces
+    (bottom-k(distinct(A u B)) == bottom-k(bottom-k(A) u bottom-k(B)):
+    any of the union's k smallest hashes is within the k smallest of its
+    own side).
+
+    The merge law is IDEMPOTENT and commutative (set union), so —
+    unlike ``bm25_merge_stats``'s additive law — replaying a batch is a
+    no-op and the streaming maintainer needs no versioned exactly-once
+    plumbing: at-least-once delivery is already exact.  Cost: state-grain
+    join (groups x k), independent of corpus size."""
+    keys = list(by or [])
+    a2 = a.select(*keys, F.col("hashes").alias("__ha__"))
+    b2 = b.select(*keys, F.col("hashes").alias("__hb__"))
+    joined = (
+        a2.join(b2, on=keys, how="full_outer")
+        if keys
+        else a2.crossJoin(b2)
+    )
+    empty = F.array().cast("array<long>")
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce(F.col("__ha__"), empty),
+                    F.coalesce(F.col("__hb__"), empty),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return joined.select(*keys, merged.alias("hashes"))
+
+
+def read_kmv_state(spark, state_dir: str):
+    """Load the latest COMPLETE version of a ``kmv_state_sink`` state
+    directory: ``(version, state_df)``, or ``(-1, None)`` when none
+    exists.  Completeness = the parquet writer's ``_SUCCESS`` marker —
+    a torn write (crash mid-version) is never visible to readers.
+    Listing goes through the Hadoop FS API (portable to any defaultFS)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return -1, None
+    versions = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v}/_SUCCESS")
+        ):
+            versions.append(v)
+    if not versions:
+        return -1, None
+    v = max(versions)
+    return v, spark.read.parquet(f"{state_dir}/v{v}")
+
+
+def kmv_state_sink(
+    state_dir: str,
+    value_col: str,
+    by: Optional[Sequence[str]] = None,
+    k: int = 256,
+):
+    """``foreachBatch`` maintainer that keeps a KMV sketch warehouse
+    fresh under a stream — the cardinality twin of
+    ``retrieval.bm25_index_sink``, structurally SIMPLER because the
+    set-union merge law is idempotent: a replayed batch re-merges to the
+    identical state, so there is NO batch-id skip gate; at-least-once
+    delivery is already exact.  What remains is torn-write safety:
+    each merge writes a NEW monotonically-numbered version directory
+    (never overwriting the version it read), and ``read_kmv_state``
+    only surfaces versions with a ``_SUCCESS`` marker — so a crash
+    mid-write leaves the previous version serving.  O(batch + state)
+    per trigger."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        version, stored = read_kmv_state(spark, state_dir)
+        b = kmv_state(batch_df, F.col(value_col), by=by, k=k)
+        merged = b if stored is None else kmv_merge_states(
+            stored, b, by=by, k=k
+        )
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/v{version + 1}"
+        )
+
+    return merge
+
+
+def kmv_estimate(state: DataFrame, by: Optional[Sequence[str]] = None,
+                 k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV state table — the same
+    estimator (and the same IEEE-double arithmetic, so the DuckDB oracle
+    reproduces it bit-for-bit) as ``kmv_distinct``: exact count when the
+    state holds fewer than k hashes, else (k-1) * 2^60 / m_k floored.
+    Returns (by..., n_kept, est_distinct); zero shuffles — pure column
+    algebra over the state rows."""
+    keys = list(by or [])
+    n_kept = F.size("hashes").cast("long")
+    est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.floor(
+            F.lit(float(k - 1)) * F.lit(_DOMAIN)
+            / F.element_at("hashes", -1)
+        )
+    )
+    return state.select(
+        *keys,
+        n_kept.alias("n_kept"),
+        est.cast("long").alias("est_distinct"),
     )
 
 

@@ -34,6 +34,8 @@ __all__ = [
     "file_layout_audit",
     "compact_parquet",
     "pruning_effectiveness_audit",
+    "stats_index",
+    "skipping_scan",
 ]
 
 
@@ -356,3 +358,111 @@ def pruning_effectiveness_audit(
         )
         out = res if out is None else out.unionByName(res)
     return out
+
+
+def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
+    """Per-file min/max/null-count statistics table — the data-skipping
+    manifest of Delta/Iceberg (their per-file ``stats`` / manifest
+    entries), built for plain parquet from ONE file-grain agg over the
+    scan's hidden ``_metadata`` column (no filesystem listing job, no
+    footer-reading driver loop).
+
+    Output is LONG format, one row per (file, col):
+
+    (file_path, file_bytes, file_rows, col, lo, hi, n_nulls)
+
+    ``lo``/``hi`` are the column's min/max over the file's NON-NULL
+    values, cast to BIGINT (integer-domain columns — same contract as
+    ``pruning_effectiveness_audit``); an all-null file carries NULL
+    lo/hi. The long format is what ``skipping_scan`` joins against and
+    what incremental maintenance appends to: a new file's stats row is
+    computable from that file alone (file-grain, O(new files) — the
+    reason Delta can commit manifests without rereading the table).
+
+    Scale shape: one scan of the audited columns, one file-grain agg
+    (sublinear in rows: n_files x n_cols output), no joins."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("long")).alias(f"__lo_{c}"),
+            F.max(F.col(c).cast("long")).alias(f"__hi_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+        ]
+    per_file = (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("__size__"),
+            *[F.col(c) for c in cols],
+        )
+        .groupBy("file_path")
+        .agg(
+            F.first("__size__").cast("long").alias("file_bytes"),
+            F.count(F.lit(1)).cast("long").alias("file_rows"),
+            *aggs,
+        )
+    )
+    # wide -> long: stack(n, 'col1', lo1, hi1, nn1, 'col2', ...)
+    stack_args = ", ".join(
+        f"'{c}', `__lo_{c}`, `__hi_{c}`, `__nn_{c}`" for c in cols
+    )
+    return per_file.select(
+        "file_path",
+        "file_bytes",
+        "file_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col, lo, hi, n_nulls)"
+        ),
+    )
+
+
+def skipping_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    index: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact-answer-preserving pruned scan: read ONLY the files whose
+    per-file [min, max] for ``col`` overlaps [lo, hi], then apply the
+    predicate — returns exactly the rows a full scan + filter would
+    (min/max skipping is conservative: a skipped file provably contains
+    no qualifying row; all-null files carry NULL lo/hi, and a range
+    predicate never matches NULL, so skipping them is exact too).
+
+    This is the query half of the Delta/Iceberg manifest pattern: the
+    candidate file list comes from the (tiny, file-grain) stats table —
+    built here on the fly, or passed in via ``index=`` when maintained
+    incrementally (``stats_index`` docstring) — and the driver-side
+    collect of that list is EXACTLY what Delta's planner does when it
+    prunes ``add`` actions from the log: bounded by n_files, never rows.
+    Spark's own row-group min/max pushdown then prunes WITHIN the chosen
+    files; this layer saves the file opens + footer reads + task
+    scheduling that dominate fragmented 100 TB scans.
+
+    Pair with ``compact_parquet(cluster_by=...)``: on a round-robin
+    layout every file overlaps every predicate (nothing skips); on a
+    range/z-clustered layout the candidate list collapses to
+    ~overlap-fraction x n_files (measured: pruning_effectiveness_audit).
+    """
+    if lo is None and hi is None:
+        raise ValueError("skipping_scan needs at least one bound (lo/hi)")
+    idx = index if index is not None else stats_index(spark, path, [col])
+    cand = idx.where(F.col("col") == col)
+    if hi is not None:
+        cand = cand.where(F.col("lo") <= F.lit(hi))
+    if lo is not None:
+        cand = cand.where(F.col("hi") >= F.lit(lo))
+    files = [r["file_path"] for r in cand.select("file_path").collect()]
+    pred = None
+    if lo is not None:
+        pred = F.col(col) >= F.lit(lo)
+    if hi is not None:
+        p2 = F.col(col) <= F.lit(hi)
+        pred = p2 if pred is None else (pred & p2)
+    if not files:
+        # schema-stable empty result without touching any data file
+        return spark.read.parquet(path).where(F.lit(False))
+    return spark.read.parquet(*files).where(pred)

@@ -2449,9 +2449,11 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "sketch_distinct_tokens",
-    oracle=f"""
+#: from-scratch per-lang KMV(k=64) over the FULL corpus — shared verbatim
+#: by sketch_distinct_tokens (one-shot) and sketch_state_ingest
+#: (stored-state + merge): a hash match on the latter proves the merge
+#: law end-to-end through the parquet roundtrip and the IEEE estimator.
+_KMV_LANG_ORACLE = f"""
     WITH toks AS (SELECT lang, unnest({SQL_TOKS}) AS tok FROM documents),
     hashed AS (SELECT DISTINCT lang,
                       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
@@ -2466,8 +2468,10 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE floor(63.0 * 1152921504606846976.0 / mk)
                 END AS BIGINT) AS est_distinct
     FROM agg
-    """,
-)
+    """
+
+
+@register("sketch_distinct_tokens", oracle=_KMV_LANG_ORACLE)
 def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token cardinality via a KMV (bottom-k) sketch
     (operators.sketch.kmv_distinct, k=64): the mergeable approximate-
@@ -2484,6 +2488,60 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(tokens(F.col("text"))).alias("tok")
     )
     return kmv_distinct(toks, value=F.col("tok"), by=["lang"], k=64)
+
+
+@register("sketch_state_ingest", oracle=_KMV_LANG_ORACLE)
+def sketch_state_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch-warehouse maintenance: the existing corpus's
+    per-lang KMV(k=64) token-cardinality STATE (doc_id % 10 != 0) is
+    PERSISTED to parquet (operators.sketch.kmv_state — the sorted
+    bottom-k hash array per group, the column a 100 TB profile stores
+    per shard/day), READ BACK, merged with the new batch's (doc_id % 10
+    == 0) state by the set-union law (kmv_merge_states), and estimated
+    (kmv_estimate).  The oracle is the from-scratch full-corpus KMV
+    VERBATIM (sketch_distinct_tokens's SQL) — hash equality proves
+    bottom-k(distinct(A u B)) == bottom-k(bottom-k(A) u bottom-k(B))
+    end-to-end through the parquet roundtrip and the IEEE estimator.
+
+    The cardinality analog of bm25_index_ingest, with one structural
+    difference worth the registration: KMV's merge is IDEMPOTENT (set
+    union), so — unlike BM25's additive stats, which need a batch-id
+    skip gate (retrieval.bm25_index_sink) — an at-least-once replay is
+    already exact; the streaming maintainer (sketch.kmv_state_sink)
+    needs only torn-write versioning, no replay gate (replay no-op
+    pinned in tests/test_round11_ops.py; kill-and-resume in
+    tests/test_streaming.py).
+
+    Scale shape: each side's state build is the one-combine KMV pipeline
+    (partial bottom-k per batch, ~k rows per group-batch on the
+    shuffle); the merge is a state-grain outer join (groups x k rows);
+    the bootstrap write is corpus-grain ONCE — every later ingest is
+    O(batch + state)."""
+    import tempfile
+
+    from kioss_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge_states,
+        kmv_state,
+    )
+    from kioss_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    base = toks.where(F.col("doc_id") % 10 != 0)
+    batch = toks.where(F.col("doc_id") % 10 == 0)
+    state_dir = tempfile.mkdtemp(prefix="kioss_kmv_state_") + "/base"
+    kmv_state(base, value=F.col("tok"), by=["lang"], k=64).write.mode(
+        "overwrite"
+    ).parquet(state_dir)
+    stored = spark.read.parquet(state_dir)
+    merged = kmv_merge_states(
+        stored, kmv_state(batch, value=F.col("tok"), by=["lang"], k=64),
+        by=["lang"], k=64,
+    )
+    return kmv_estimate(merged, by=["lang"], k=64)
 
 
 @register(

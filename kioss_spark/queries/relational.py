@@ -2522,6 +2522,77 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skipping_scan_events",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 256 AS BIGINT) AS u,
+                      CAST(CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                           % 256 AS BIGINT) AS h,
+                      CAST(event_id AS BIGINT) AS payload
+               FROM events)
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_hours,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e WHERE u BETWEEN 4 AND 11 GROUP BY u
+    """,
+)
+def skipping_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping scan, end-to-end with an EXACTNESS oracle: write the
+    event stream's (u, h, payload) projection z-clustered
+    (``compact_parquet(cluster_by=["u", "h"])``), build the per-file
+    min/max ``stats_index`` (the Delta/Iceberg manifest for plain
+    parquet), and answer a range query ``u BETWEEN 4 AND 11`` through
+    ``skipping_scan`` — which reads ONLY the files whose [min, max]
+    overlaps the range (driver-side candidate-list pruning, exactly what
+    Delta's planner does against the transaction log, bounded by n_files
+    never rows) — then aggregates the survivors.
+
+    The DuckDB oracle computes the same aggregate over the FULL logical
+    table: a hash match proves the pruned scan is exact-answer-preserving
+    (min/max skipping is conservative — a skipped file provably contains
+    no qualifying row).  The companion unit tests pin the PHYSICAL half
+    (files actually opened collapses to the overlap fraction on a
+    clustered layout; stays exact on round-robin and all-null files).
+
+    Scale shape: the rewrite is one range shuffle; the stats index is one
+    file-grain agg; the candidate collect is n_files-bounded; the pruned
+    scan reads ~the range's share of the files (8 of the 256-value
+    u-domain; non-degenerate even at sf0.001, whose user_ids span 0..14)
+    and Spark's
+    row-group pushdown prunes within them."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        compact_parquet,
+        skipping_scan,
+        stats_index,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("u"),
+        F.pmod(
+            F.floor(epoch_us("ts") / F.lit(3_600_000_000.0)).cast("long"),
+            F.lit(256),
+        ).alias("h"),
+        F.col("event_id").cast("long").alias("payload"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_skip_")
+    src = f"{base}/frag"
+    e.repartition(8).write.parquet(src)
+    dst = f"{base}/zorder"
+    compact_parquet(spark, src, dst, target_mb=0.02, cluster_by=["u", "h"], zbits=8)
+    idx = stats_index(spark, dst, ["u", "h"])
+    hits = skipping_scan(spark, dst, "u", lo=4, hi=11, index=idx)
+    return hits.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("h").cast("long").alias("n_hours"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
+    )
+
+
+@register(
     "event_value_histogram",
     oracle="""
     WITH e AS (SELECT event_type,

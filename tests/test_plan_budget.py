@@ -146,6 +146,14 @@ BUDGET = {
     # at plan build; zero single-partition exchanges in the served plan
     # (the qset rank runs behind the checkpoint)
     "retrieval_quality": (18, 0),
+    # round-11: the SERVED plan is the pruned candidate-file scan + one
+    # keyed agg (the compaction/stats-index/candidate-collect run at
+    # plan build, manifest-style); AQE may split the agg's partials
+    "skipping_scan_events": (2, 0),
+    # round-11: two KMV state builds (each: partial bottom-k -> distinct
+    # -> keyed rank) + the state-grain outer join + estimate; the stored
+    # side's bootstrap write happens at plan build
+    "sketch_state_ingest": (3, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan

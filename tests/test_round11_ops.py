@@ -370,3 +370,215 @@ def test_compact_tiny_target_mb_no_zero_division(spark, tmp_path):
         spark, src, str(tmp_path / "dst_tiny"), target_mb=1e-9
     ).collect()[0]
     assert out["n_rows"] == 10
+
+
+# ---------------------------------------------------------------------------
+# stats_index / skipping_scan — the data-skipping manifest + pruned scan
+# (exactness vs a full scan + filter; physical file-open collapse on a
+# clustered layout; conservative-correct on round-robin and all-null files)
+# ---------------------------------------------------------------------------
+
+
+def _files_read(df):
+    return df.select(F.col("_metadata.file_path")).distinct().count()
+
+
+def test_stats_index_shape_and_values(spark, tmp_path):
+    from kioss_spark.operators.skew import stats_index
+
+    path = str(tmp_path / "si")
+    _grid_df(spark, n=1024).repartition(4).write.parquet(path)
+    idx = stats_index(spark, path, ["x", "y"]).collect()
+    n_files = len({r["file_path"] for r in idx})
+    assert len(idx) == 2 * n_files  # long format: one row per (file, col)
+    for r in idx:
+        assert r["col"] in ("x", "y")
+        assert r["n_nulls"] == 0
+        assert 0 <= r["lo"] <= r["hi"] <= 1023
+        assert r["file_rows"] > 0 and r["file_bytes"] > 0
+    # per-file rows sum to the table
+    per_file = {r["file_path"]: r["file_rows"] for r in idx}
+    assert sum(per_file.values()) == 1024
+
+
+def test_skipping_scan_exact_on_clustered_layout_and_prunes(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan, stats_index
+
+    src = str(tmp_path / "frag")
+    _grid_df(spark).repartition(32).write.parquet(src)
+    dst = str(tmp_path / "byx")
+    compact_parquet(spark, src, dst, target_mb=0.01, cluster_by="x")
+
+    full = spark.read.parquet(dst).where(
+        (F.col("x") >= 100) & (F.col("x") <= 227)
+    )
+    idx = stats_index(spark, dst, ["x"])
+    pruned = skipping_scan(spark, dst, "x", lo=100, hi=227, index=idx)
+
+    # exactness: identical multiset of rows
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # physical collapse: the range covers 1/8 of the x-domain; on a
+    # range-clustered layout the candidate list must be a strict subset
+    n_files = file_layout_audit(spark, dst).collect()[0]["n_files"]
+    if n_files > 2:
+        assert _files_read(pruned) < n_files
+
+
+def test_skipping_scan_exact_on_roundrobin_layout(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan
+
+    src = str(tmp_path / "frag_rr")
+    _grid_df(spark).repartition(16).write.parquet(src)
+    dst = str(tmp_path / "rr")
+    compact_parquet(spark, src, dst, target_mb=0.01)  # round-robin
+    full = sorted(
+        map(
+            tuple,
+            spark.read.parquet(dst)
+            .where((F.col("y") >= 512) & (F.col("y") <= 600))
+            .collect(),
+        )
+    )
+    pruned = sorted(
+        map(
+            tuple,
+            skipping_scan(spark, dst, "y", lo=512, hi=600).collect(),
+        )
+    )
+    assert pruned == full  # nothing skips, nothing lost
+
+
+def test_skipping_scan_empty_candidates_schema_stable(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan
+
+    path = str(tmp_path / "dom")
+    _grid_df(spark, n=256).write.parquet(path)
+    out = skipping_scan(spark, path, "x", lo=5000, hi=6000)  # outside domain
+    assert out.count() == 0
+    assert out.columns == spark.read.parquet(path).columns
+
+
+def test_skipping_scan_all_null_file_is_skipped_exactly(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan
+
+    path = str(tmp_path / "nulls")
+    spark.range(100).select(
+        F.col("id").alias("x"), F.lit("a").alias("tag")
+    ).coalesce(1).write.parquet(path)
+    spark.range(50).select(
+        F.lit(None).cast("long").alias("x"), F.lit("b").alias("tag")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    full = sorted(
+        map(
+            tuple,
+            spark.read.parquet(path)
+            .where((F.col("x") >= 10) & (F.col("x") <= 20))
+            .collect(),
+        )
+    )
+    pruned = skipping_scan(spark, path, "x", lo=10, hi=20)
+    assert sorted(map(tuple, pruned.collect())) == full
+    # the all-null file has NULL lo/hi -> never a candidate
+    assert _files_read(pruned) == 1
+
+
+def test_skipping_scan_requires_a_bound(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan
+
+    path = str(tmp_path / "nobound")
+    spark.range(10).select(F.col("id").alias("x")).write.parquet(path)
+    with pytest.raises(ValueError, match="at least one bound"):
+        skipping_scan(spark, path, "x")
+
+
+def test_skipping_scan_one_sided_bounds(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan
+
+    path = str(tmp_path / "onesided")
+    _grid_df(spark, n=512).repartition(4).write.parquet(path)
+    lo_only = skipping_scan(spark, path, "x", lo=900)
+    hi_only = skipping_scan(spark, path, "x", hi=100)
+    base = spark.read.parquet(path)
+    assert lo_only.count() == base.where(F.col("x") >= 900).count()
+    assert hi_only.count() == base.where(F.col("x") <= 100).count()
+
+
+# ---------------------------------------------------------------------------
+# kmv_state / kmv_merge_states / kmv_estimate — the mergeable sketch
+# warehouse (set-union merge law: idempotent, commutative, and exactly
+# equal to a from-scratch build over the union)
+# ---------------------------------------------------------------------------
+
+
+def _kmv_fixture(spark, seed, n, tag):
+    random.seed(seed)
+    rows = [(tag, f"w{random.randrange(4000)}") for _ in range(n)]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_kmv_merge_equals_from_scratch(spark):
+    from kioss_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_estimate,
+        kmv_merge_states,
+        kmv_state,
+    )
+
+    a = _kmv_fixture(spark, 1, 600, "x").union(_kmv_fixture(spark, 2, 20, "y"))
+    b = _kmv_fixture(spark, 3, 600, "x").union(_kmv_fixture(spark, 4, 900, "z"))
+    k = 32
+    merged = kmv_merge_states(
+        kmv_state(a, F.col("v"), by=["g"], k=k),
+        kmv_state(b, F.col("v"), by=["g"], k=k),
+        by=["g"],
+        k=k,
+    )
+    scratch = kmv_state(a.union(b), F.col("v"), by=["g"], k=k)
+    assert {r["g"]: r["hashes"] for r in merged.collect()} == {
+        r["g"]: r["hashes"] for r in scratch.collect()
+    }
+    # estimates agree with the one-shot operator on the union, per group
+    est_m = {r["g"]: (r["n_kept"], r["est_distinct"])
+             for r in kmv_estimate(merged, by=["g"], k=k).collect()}
+    est_s = {r["g"]: (r["n_kept"], r["est_distinct"])
+             for r in kmv_distinct(a.union(b), F.col("v"), by=["g"], k=k).collect()}
+    assert est_m == est_s
+    # groups from only one side survive the outer join ('y' only in a,
+    # 'z' only in b); 'y' has < k distinct values -> exact count
+    assert set(est_m) == {"x", "y", "z"}
+    y_exact = a.union(b).where("g = 'y'").select("v").distinct().count()
+    assert est_m["y"] == (y_exact, y_exact)
+
+
+def test_kmv_merge_idempotent_and_commutative(spark):
+    from kioss_spark.operators.sketch import kmv_merge_states, kmv_state
+
+    k = 16
+    sa = kmv_state(_kmv_fixture(spark, 5, 300, "x"), F.col("v"), by=["g"], k=k)
+    sb = kmv_state(_kmv_fixture(spark, 6, 300, "x"), F.col("v"), by=["g"], k=k)
+    ab = kmv_merge_states(sa, sb, by=["g"], k=k).collect()
+    ba = kmv_merge_states(sb, sa, by=["g"], k=k).collect()
+    assert [r["hashes"] for r in ab] == [r["hashes"] for r in ba]
+    # replaying a batch (at-least-once delivery) is a no-op — the property
+    # that lets the streaming maintainer be a plain overwrite, where
+    # bm25_index_sink's additive law needs versioned exactly-once plumbing
+    merged = kmv_merge_states(sa, sb, by=["g"], k=k)
+    replay = kmv_merge_states(merged, sb, by=["g"], k=k).collect()
+    assert [r["hashes"] for r in replay] == [r["hashes"] for r in ab]
+
+
+def test_kmv_state_ungrouped_and_short_state(spark):
+    from kioss_spark.operators.sketch import kmv_estimate, kmv_state
+
+    df = spark.createDataFrame([("g", f"v{i}") for i in range(10)],
+                               "g string, v string")
+    st = kmv_state(df, F.col("v"), by=None, k=64)
+    rows = st.collect()
+    assert len(rows) == 1
+    assert len(rows[0]["hashes"]) == 10  # fewer than k -> full hash set
+    assert rows[0]["hashes"] == sorted(rows[0]["hashes"])
+    est = kmv_estimate(st, by=None, k=64).collect()[0]
+    assert (est["n_kept"], est["est_distinct"]) == (10, 10)

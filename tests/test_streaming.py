@@ -1296,3 +1296,74 @@ def test_bm25_streaming_ingest_kill_and_resume(spark, tmp_path):
         for r in retrieval.bm25_score_topk(tfdl3, df3, g3, q, k=10).collect()
     )
     assert served3 == served
+
+
+def test_kmv_state_streaming_kill_and_resume(spark, tmp_path):
+    # the sketch warehouse stays fresh under a token stream: each
+    # micro-batch merges into the stored KMV state by the set-union law
+    # (operators/sketch.py kmv_state_sink). The query is KILLED between
+    # batches and resumed from its checkpoint; post-restart estimates
+    # must equal a from-scratch computation over everything ingested.
+    # Unlike bm25_index_sink there is NO batch-id skip gate — the merge
+    # is idempotent, so an out-of-band redelivery changes nothing.
+    from kioss_spark.operators import sketch
+
+    src = str(tmp_path / "kmv_src")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    state = str(tmp_path / "kmv_state")
+    os.makedirs(src, exist_ok=True)
+
+    def pipeline():
+        s = SStream.files(
+            spark, src, schema="g string, v string",
+            max_files_per_trigger=1,
+        )
+        return (
+            s._df.writeStream.foreachBatch(
+                sketch.kmv_state_sink(state, "v", by=["g"], k=8)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    batch1 = [("a", f"t{i}") for i in range(20)] + [("b", "t1")]
+    batch2 = [("a", f"u{i}") for i in range(20)] + [("c", "t2")]
+    spark.createDataFrame(batch1, "g string, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q1 = pipeline()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # the kill
+    v1, st1 = sketch.read_kmv_state(spark, state)
+    assert v1 == 0 and st1.count() == 2  # groups a, b
+
+    spark.createDataFrame(batch2, "g string, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = pipeline()  # resume from the same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    v2, st2 = sketch.read_kmv_state(spark, state)
+    assert v2 == 1  # batch 0 not replayed: offsets recovered
+
+    # post-restart state == from-scratch over the full ingest
+    full = spark.createDataFrame(batch1 + batch2, "g string, v string")
+    scratch = {
+        r["g"]: r["hashes"]
+        for r in sketch.kmv_state(full, F.col("v"), by=["g"], k=8).collect()
+    }
+    assert {r["g"]: r["hashes"] for r in st2.collect()} == scratch
+
+    # at-least-once redelivery of the LAST batch: the idempotent merge
+    # writes a NEW version with IDENTICAL content — no skip gate needed
+    sketch.kmv_state_sink(state, "v", by=["g"], k=8)(
+        spark.createDataFrame(batch2, "g string, v string"), 1
+    )
+    v3, st3 = sketch.read_kmv_state(spark, state)
+    assert v3 == 2
+    assert {r["g"]: r["hashes"] for r in st3.collect()} == scratch

@@ -42,6 +42,9 @@ PYTHON_OK = {"op_catch_pyfn", "op_amap_enrich", "op_foreach_passthrough",
              # same partial pattern: per-batch bottom-k partial KMV sketches
              # bound the keyed rank's shuffle (operators.sketch.kmv_distinct)
              "sketch_distinct_tokens",
+             # the same KMV partial bottom-k seam, twice (base + batch
+             # state builds — operators.sketch.kmv_state)
+             "sketch_state_ingest",
              # rides the frame_sample mapInPandas fan-out (the multimodal
              # decode seam); the dedup agg itself is JVM-side
              "mm_frame_dedup",
