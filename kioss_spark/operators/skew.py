@@ -35,6 +35,7 @@ __all__ = [
     "compact_parquet",
     "pruning_effectiveness_audit",
     "stats_index",
+    "stats_index_merge",
     "skipping_scan",
 ]
 
@@ -420,24 +421,32 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
 def skipping_scan(
     spark: SparkSession,
     path: str,
-    col: str,
+    col=None,
     lo=None,
     hi=None,
     index: Optional[DataFrame] = None,
+    ranges: Optional[dict] = None,
 ) -> DataFrame:
     """Exact-answer-preserving pruned scan: read ONLY the files whose
-    per-file [min, max] for ``col`` overlaps [lo, hi], then apply the
+    per-file [min, max] overlaps the requested range(s), then apply the
     predicate — returns exactly the rows a full scan + filter would
     (min/max skipping is conservative: a skipped file provably contains
     no qualifying row; all-null files carry NULL lo/hi, and a range
     predicate never matches NULL, so skipping them is exact too).
 
+    Single-column form: ``skipping_scan(spark, p, "u", lo=4, hi=11)``.
+    Multi-column form (AND of ranges — the predicate shape z-order
+    layouts exist to serve, each dimension's overlap fraction
+    MULTIPLIES): ``skipping_scan(spark, p, ranges={"u": (4, 11),
+    "h": (32, None)})`` — a file is a candidate only if it overlaps
+    EVERY range (None = unbounded side).
+
     This is the query half of the Delta/Iceberg manifest pattern: the
     candidate file list comes from the (tiny, file-grain) stats table —
     built here on the fly, or passed in via ``index=`` when maintained
-    incrementally (``stats_index`` docstring) — and the driver-side
-    collect of that list is EXACTLY what Delta's planner does when it
-    prunes ``add`` actions from the log: bounded by n_files, never rows.
+    incrementally (``stats_index_merge``) — and the driver-side collect
+    of that list is EXACTLY what Delta's planner does when it prunes
+    ``add`` actions from the log: bounded by n_files, never rows.
     Spark's own row-group min/max pushdown then prunes WITHIN the chosen
     files; this layer saves the file opens + footer reads + task
     scheduling that dominate fragmented 100 TB scans.
@@ -445,24 +454,55 @@ def skipping_scan(
     Pair with ``compact_parquet(cluster_by=...)``: on a round-robin
     layout every file overlaps every predicate (nothing skips); on a
     range/z-clustered layout the candidate list collapses to
-    ~overlap-fraction x n_files (measured: pruning_effectiveness_audit).
-    """
-    if lo is None and hi is None:
+    ~overlap-fraction x n_files per dimension (measured:
+    pruning_effectiveness_audit)."""
+    if ranges is None:
+        if col is None:
+            raise ValueError("skipping_scan needs col= or ranges=")
+        ranges = {col: (lo, hi)}
+    if not ranges or all(
+        lo is None and hi is None for lo, hi in ranges.values()
+    ):
         raise ValueError("skipping_scan needs at least one bound (lo/hi)")
-    idx = index if index is not None else stats_index(spark, path, [col])
-    cand = idx.where(F.col("col") == col)
-    if hi is not None:
-        cand = cand.where(F.col("lo") <= F.lit(hi))
-    if lo is not None:
-        cand = cand.where(F.col("hi") >= F.lit(lo))
+    idx = index if index is not None else stats_index(
+        spark, path, list(ranges)
+    )
+    # a file survives iff it overlaps EVERY bounded range: OR the per-col
+    # overlap tests over the long-format rows, then require all of them
+    overlap = F.lit(False)
+    for c, (c_lo, c_hi) in ranges.items():
+        t = F.col("col") == c
+        if c_hi is not None:
+            t = t & (F.col("lo") <= F.lit(c_hi))
+        if c_lo is not None:
+            t = t & (F.col("hi") >= F.lit(c_lo))
+        overlap = overlap | t
+    cand = (
+        idx.where(overlap)
+        .groupBy("file_path")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .where(F.col("__n__") == len(ranges))
+    )
     files = [r["file_path"] for r in cand.select("file_path").collect()]
     pred = None
-    if lo is not None:
-        pred = F.col(col) >= F.lit(lo)
-    if hi is not None:
-        p2 = F.col(col) <= F.lit(hi)
-        pred = p2 if pred is None else (pred & p2)
+    for c, (c_lo, c_hi) in ranges.items():
+        for p2 in (
+            (F.col(c) >= F.lit(c_lo)) if c_lo is not None else None,
+            (F.col(c) <= F.lit(c_hi)) if c_hi is not None else None,
+        ):
+            if p2 is not None:
+                pred = p2 if pred is None else (pred & p2)
     if not files:
         # schema-stable empty result without touching any data file
         return spark.read.parquet(path).where(F.lit(False))
     return spark.read.parquet(*files).where(pred)
+
+
+def stats_index_merge(existing: DataFrame, new_files: DataFrame) -> DataFrame:
+    """Incremental manifest maintenance: parquet files are IMMUTABLE, so
+    a file's stats row never changes and the merge law is a plain UNION
+    of long-format rows — index(old files) ∪ stats_index(new files) ==
+    stats_index(all files), O(new files) per ingest (the reason Delta
+    commits manifests without rereading the table).  ``new_files`` is
+    ``stats_index`` run over just the appended files' paths."""
+    return existing.unionByName(new_files)

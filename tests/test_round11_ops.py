@@ -582,3 +582,84 @@ def test_kmv_state_ungrouped_and_short_state(spark):
     assert rows[0]["hashes"] == sorted(rows[0]["hashes"])
     est = kmv_estimate(st, by=None, k=64).collect()[0]
     assert (est["n_kept"], est["est_distinct"]) == (10, 10)
+
+
+def test_skipping_scan_multidim_exact_and_multiplicative(spark, tmp_path):
+    # AND-of-ranges over a z-ordered layout: each dimension's overlap
+    # fraction multiplies — the predicate shape OPTIMIZE ZORDER serves
+    from kioss_spark.operators.skew import skipping_scan, stats_index
+
+    src = str(tmp_path / "frag2d")
+    _grid_df(spark, n=8192).repartition(32).write.parquet(src)
+    dst = str(tmp_path / "zo2d")
+    compact_parquet(
+        spark, src, dst, target_mb=0.005, cluster_by=["x", "y"], zbits=10
+    )
+    idx = stats_index(spark, dst, ["x", "y"])
+    ranges = {"x": (0, 255), "y": (256, 511)}  # a quarter x a quarter
+    pruned = skipping_scan(spark, dst, ranges=ranges, index=idx)
+    full = spark.read.parquet(dst).where(
+        (F.col("x") >= 0) & (F.col("x") <= 255)
+        & (F.col("y") >= 256) & (F.col("y") <= 511)
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    n_files = file_layout_audit(spark, dst).collect()[0]["n_files"]
+    got_2d = _files_read(pruned)
+    if n_files >= 8:
+        # 2-D candidates must be fewer than either 1-D cut alone
+        got_x = _files_read(
+            skipping_scan(spark, dst, ranges={"x": (0, 255)}, index=idx)
+        )
+        got_y = _files_read(
+            skipping_scan(spark, dst, ranges={"y": (256, 511)}, index=idx)
+        )
+        assert got_2d < min(got_x, got_y), (got_2d, got_x, got_y, n_files)
+
+
+def test_skipping_scan_one_sided_range_in_dict_form(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan
+
+    path = str(tmp_path / "dictform")
+    _grid_df(spark, n=512).repartition(4).write.parquet(path)
+    out = skipping_scan(spark, path, ranges={"x": (900, None)})
+    base = spark.read.parquet(path).where(F.col("x") >= 900)
+    assert out.count() == base.count()
+    with pytest.raises(ValueError, match="at least one bound"):
+        skipping_scan(spark, path, ranges={"x": (None, None)})
+
+
+def test_stats_index_merge_equals_from_scratch(spark, tmp_path):
+    # file immutability makes the manifest merge a plain union:
+    # index(old) u stats(new files) == index(all) — O(new) per ingest
+    from kioss_spark.operators.skew import stats_index, stats_index_merge
+
+    path = str(tmp_path / "grow")
+    _grid_df(spark, n=1000).coalesce(2).write.parquet(path)
+    old_idx = stats_index(spark, path, ["x", "y"]).collect()
+    old_files = {r["file_path"] for r in old_idx}
+
+    spark.range(1000, 1500).select(
+        (F.col("id") * 2654435761 % 1024).alias("x"),
+        (F.col("id") * 40503 % 1024).alias("y"),
+        F.col("id").alias("payload"),
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    all_idx = stats_index(spark, path, ["x", "y"])
+    new_paths = [
+        r["file_path"]
+        for r in all_idx.select("file_path").distinct().collect()
+        if r["file_path"] not in old_files
+    ]
+    assert len(new_paths) == 1
+    new_stats = stats_index(spark, ",".join(new_paths), ["x", "y"]) \
+        if False else stats_index(spark, new_paths[0], ["x", "y"])
+    old_df = spark.createDataFrame(old_idx, all_idx.schema)
+    merged = stats_index_merge(old_df, new_stats)
+
+    def key(rows):
+        return sorted((r["file_path"], r["col"], r["lo"], r["hi"],
+                       r["n_nulls"], r["file_rows"]) for r in rows)
+
+    assert key(merged.collect()) == key(all_idx.collect())
