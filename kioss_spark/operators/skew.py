@@ -37,6 +37,7 @@ __all__ = [
     "stats_index",
     "stats_index_merge",
     "skipping_scan",
+    "compact_incremental",
 ]
 
 
@@ -506,3 +507,105 @@ def stats_index_merge(existing: DataFrame, new_files: DataFrame) -> DataFrame:
     commits manifests without rereading the table).  ``new_files`` is
     ``stats_index`` run over just the appended files' paths."""
     return existing.unionByName(new_files)
+
+
+def compact_incremental(
+    spark: SparkSession,
+    path: str,
+    target_mb: float = 128.0,
+    small_file_mb: Optional[float] = None,
+) -> DataFrame:
+    """Incremental (bin-pack) compaction IN PLACE: rewrite only the files
+    smaller than ``small_file_mb`` (default ``target_mb / 2``) into
+    ~``target_mb`` files and delete the originals, leaving every
+    already-well-sized file untouched — the default mode of Delta/Iceberg
+    OPTIMIZE, where ``compact_parquet`` is the full rewrite.  At 100 TB
+    the difference is the whole point: steady-state maintenance touches
+    only the small tail each run (bytes_rewritten ~ small-file bytes,
+    not table bytes).
+
+    Mechanics: one file-grain ``_metadata`` agg finds the small files
+    (n_files-bounded driver list, the manifest pattern); their rows are
+    read back (only those files), written to a scratch dir sized from
+    their ACTUAL bytes, and the new part-files are MOVED into ``path``
+    via the Hadoop FS API before the originals are deleted.
+
+    NOT transactional (plain parquet has no log): a reader racing the
+    move-then-delete window can see duplicates. Run it per partition
+    directory under the table's maintenance lock, exactly like
+    Hive-style compaction; Delta/Iceberg buy atomicity with their commit
+    log, which is out of scope for a plain-directory layout.
+
+    Returns one row: (n_files, n_rows, bytes_total, files_rewritten,
+    files_kept, bytes_rewritten) — the post-compaction layout audit plus
+    the incremental-cost counters the maintenance scheduler tracks."""
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be > 0 (got {target_mb})")
+    small_bytes_cap = int(
+        (small_file_mb if small_file_mb is not None else target_mb / 2)
+        * 1024 * 1024
+    )
+    per_file = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("f"),
+            F.col("_metadata.file_size").alias("s"),
+        )
+        .groupBy("f")
+        .agg(F.first("s").alias("s"))
+        .collect()
+    )
+    smalls = [r["f"] for r in per_file if r["s"] < small_bytes_cap]
+    small_bytes = sum(r["s"] for r in per_file if r["s"] < small_bytes_cap)
+    kept = len(per_file) - len(smalls)
+
+    def _result():
+        audit = file_layout_audit(spark, path)
+        return audit.select(
+            "n_files",
+            "n_rows",
+            "bytes_total",
+            F.lit(len(smalls)).cast("long").alias("files_rewritten"),
+            F.lit(kept).cast("long").alias("files_kept"),
+            F.lit(int(small_bytes)).cast("long").alias("bytes_rewritten"),
+        )
+
+    if len(smalls) < 2:
+        # nothing to bin-pack: 0 or 1 small file gains nothing
+        return file_layout_audit(spark, path).select(
+            "n_files",
+            "n_rows",
+            "bytes_total",
+            F.lit(0).cast("long").alias("files_rewritten"),
+            F.lit(len(per_file)).cast("long").alias("files_kept"),
+            F.lit(0).cast("long").alias("bytes_rewritten"),
+        )
+    n_new = max(
+        1, -(-int(small_bytes) // max(1, int(target_mb * 1024 * 1024)))
+    )
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(hconf)
+    scratch = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "__compact_tmp"
+    )
+    if fs.exists(scratch):
+        fs.delete(scratch, True)
+    spark.read.parquet(*smalls).repartition(n_new).write.mode(
+        "overwrite"
+    ).parquet(scratch.toString())
+    # move the new part-files in FIRST, then delete the originals: a
+    # crash between the two leaves duplicates (recoverable by re-running
+    # dedup/compaction), never data loss
+    for st in fs.listStatus(scratch):
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            fs.rename(
+                st.getPath(),
+                jvm.org.apache.hadoop.fs.Path(path, "compacted-" + name),
+            )
+    for f in smalls:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    fs.delete(scratch, True)
+    return _result()

@@ -663,3 +663,64 @@ def test_stats_index_merge_equals_from_scratch(spark, tmp_path):
                        r["n_nulls"], r["file_rows"]) for r in rows)
 
     assert key(merged.collect()) == key(all_idx.collect())
+
+
+# ---------------------------------------------------------------------------
+# compact_incremental — bin-pack ONLY the small files, in place
+# ---------------------------------------------------------------------------
+
+
+def test_compact_incremental_rewrites_only_smalls(spark, tmp_path):
+    from kioss_spark.operators.skew import compact_incremental
+
+    path = str(tmp_path / "mix")
+    # one big file + many small ones
+    _grid_df(spark, n=60_000).coalesce(1).write.parquet(path)
+    _grid_df(spark, n=600).repartition(12).write.mode("append").parquet(path)
+
+    before = {
+        r["f"]: r["s"]
+        for r in spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("f"),
+                F.col("_metadata.file_size").alias("s"))
+        .groupBy("f").agg(F.first("s").alias("s")).collect()
+    }
+    big = {f for f, s in before.items() if s == max(before.values())}
+    rows_before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    cap = max(before.values())  # everything but the big file is "small"
+    out = compact_incremental(
+        spark, path, target_mb=cap / 1024 / 1024,
+        small_file_mb=(cap - 1) / 1024 / 1024,
+    ).collect()[0]
+
+    after = {
+        r["f"]
+        for r in spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("f")).distinct().collect()
+    }
+    # rows preserved exactly
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows_before
+    # the big file is untouched (same physical path survives)
+    assert big <= after
+    # every small file is gone, replaced by fewer compacted files
+    assert out["files_rewritten"] == len(before) - 1
+    assert out["files_kept"] == 1
+    assert out["n_files"] < len(before)
+    # incremental cost: bytes_rewritten is the smalls' bytes, not the table's
+    small_bytes = sum(s for f, s in before.items() if f not in big)
+    assert out["bytes_rewritten"] == small_bytes
+    assert out["bytes_rewritten"] < sum(before.values())
+
+
+def test_compact_incremental_noop_when_nothing_small(spark, tmp_path):
+    from kioss_spark.operators.skew import compact_incremental
+
+    path = str(tmp_path / "healthy")
+    _grid_df(spark, n=2000).coalesce(2).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    out = compact_incremental(
+        spark, path, target_mb=128.0, small_file_mb=1e-6
+    ).collect()[0]
+    assert out["files_rewritten"] == 0 and out["bytes_rewritten"] == 0
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
