@@ -32,24 +32,30 @@ the last ulp), so every factor is integerized as a rational:
 - per-(term, doc) score_e6 = (idf_e6 * tfp_e4) DIV 10_000; summed per
   (query, doc).
 
-Integer headroom: TWO products dominate, and both are computed in
-DECIMAL(38,0) in ``bm25_score_topk`` so neither can silently wrap:
+Integer headroom: TWO products dominate, and each gets the CHEAPEST
+exact treatment (an all-DECIMAL(38,0) score measured 2.4x slower on
+hybrid_rrf_topk at sf0.1 — DECIMAL(38) runs on Int128/BigDecimal):
 
 - the tf-part numerator/denominator 10_000*44*T*tf_doc (tf_doc =
   PER-DOCUMENT term count, not corpus tf) passes int64 at
-  T*tf_doc ~ 2e13 — a multi-TB token stream with per-doc repetition;
-- idf_e6 * tfp_e4 passes int64 EARLIER: for a rare term (df=1),
-  idf_e6 ~ 6.7e5*N, and with tfp_e4 up to 22_000 the product is
-  ~1.5e10*N — int64 runs out near N ~ 6e8 docs, inside the 100 TB
-  target.
+  T*tf_doc ~ 2e13 — a multi-TB token stream with per-doc repetition —
+  so the RATIO's operands stay DECIMAL(38,0) (exact to ~1e38), but its
+  DIV result tfp_e4 <= 22_000 is a small BIGINT, materialized ONCE per
+  posting row (``_TFP_E4_SQL``);
+- idf_e6 * tfp_e4 would pass int64 at N ~ 6e8 docs (idf_e6 ~ 6.7e5*N
+  for df=1, times 22_000 => ~1.5e10*N), so it uses the exact
+  split-multiply identity (``_SCORE_E6_SQL``)
+      (a*b) DIV m == (a DIV m)*b + ((a % m)*b) DIV m     (m = 10_000)
+  whose largest term (idf_e6 DIV 1e4)*tfp_e4 <= 67*N*22_000 stays
+  int64 through N ~ 6e12 docs; idf_e6 itself fits int64 to N ~ 1.4e13
+  — both far past a 100 TB corpus (~1e11 docs).
 
-DECIMAL(38,0) covers both to ~1e38 (N ~ 1e27); the DIVs return
-BIGINT, and the per-(term,doc) score_e6 <= 2.2e9*N fits int64 to
-N ~ 4e9 docs (and the per-(query,doc) SUM adds only a |q| factor).
-``bm25_score_py`` matches trivially — Python ints are unbounded.
-The DuckDB oracle keeps BIGINT (DuckDB *raises* on overflow rather
-than wrapping, and the oracle only runs at test scale); at index
-scale the same widening there is HUGEINT.
+The per-(term,doc) score_e6 <= 2.2e9*N fits int64 to N ~ 4e9 docs (and
+the per-(query,doc) SUM adds only a |q| factor).  ``bm25_score_py``
+matches trivially — Python ints are unbounded; tests pin equality past
+the OLD int64 wrap point (N = 2e9).  The DuckDB oracle keeps BIGINT
+(DuckDB *raises* on overflow rather than wrapping, and the oracle only
+runs at test scale); at index scale the same widening there is HUGEINT.
 
 Scale shape (the 100 TB story): ONE corpus scan builds the inverted
 stats — tf is a (doc_id, term)-keyed agg with map-side combine, df and
@@ -84,6 +90,55 @@ _NUM_C = 44
 _DEN_TF = 20
 _DEN_T = 6
 _DEN_DL = 18
+
+#: Exact per-(term, doc) score_e6 = (idf_e6 * tfp_e4) DIV 10000, computed
+#: WITHOUT a DECIMAL product on the posting-grain hot path (measured
+#: 2.4x on hybrid_rrf_topk at sf0.1: DECIMAL(38) runs on Int128/BigDecimal):
+#:
+#: - the tf-part RATIO keeps DECIMAL(38,0) operands — its numerator
+#:   10000*44*T*tf passes int64 at T*tf ~ 2e13, genuinely reachable at
+#:   100 TB — but its DIV result tfp_e4 <= 22000 is a small BIGINT;
+#: - the idf product uses the exact split-multiply identity
+#:       (a*b) DIV m == (a DIV m)*b + ((a % m)*b) DIV m   (m = 10000):
+#:   a DIV m <= 67*N and b <= 22000 keep every term under int64 through
+#:   N ~ 6e12 docs ((a%m)*b < 2.2e8), and idf_e6 itself fits int64 to
+#:   N ~ 1.4e13 — far past any 100 TB corpus (~1e11 docs). Overflow
+#:   safety therefore matches the DECIMAL form everywhere the inputs
+#:   themselves are representable; tests pin equality with unbounded
+#:   Python ints past the OLD int64 wrap point (N = 2e9).
+#: tfp_e4 as a standalone column expression: the split formula consumes
+#: it TWICE, so callers materialize it in its own projection first —
+#: the double reference also trips CollapseProject's multi-reference
+#: guard, keeping the ratio evaluated ONCE per posting row.
+#:
+#: ADAPTIVE exactness: the int64 branch is provably wrap-free while
+#: n_toks*tf <= 2.09e13 (numerator 440_000*T*tf <= 9.196e18 < 2^63-1)
+#: AND n_docs*dl <= 5.1e17 (denominator 18*N*dl <= 9.18e18, plus the
+#: other two terms <= 5.5e14, total < 2^63-1); the per-row CASE picks
+#: the DECIMAL branch only past those bounds, so every corpus pays
+#: int64 cost until the arithmetic genuinely needs 128-bit.  Both
+#: branches compute the IDENTICAL exact value where both are defined.
+_TFP_INT64_SQL = (
+    f"(10000 * {_NUM_C} * n_toks * tf) "
+    f"DIV ({_DEN_TF} * n_toks * tf "
+    f"+ {_DEN_T} * n_toks "
+    f"+ {_DEN_DL} * n_docs * dl)"
+)
+_TFP_DEC_SQL = (
+    f"CAST((CAST(10000 * {_NUM_C} AS DECIMAL(38,0)) * n_toks * tf) "
+    f"DIV (CAST({_DEN_TF} AS DECIMAL(38,0)) * n_toks * tf "
+    f"+ {_DEN_T} * n_toks "
+    f"+ CAST({_DEN_DL} AS DECIMAL(38,0)) * n_docs * dl) AS BIGINT)"
+)
+_TFP_E4_SQL = (
+    "CAST(CASE WHEN n_toks <= 20900000000000 DIV GREATEST(tf, 1) "
+    "AND n_docs <= 510000000000000000 DIV GREATEST(dl, 1) "
+    f"THEN {_TFP_INT64_SQL} ELSE {_TFP_DEC_SQL} END AS BIGINT)"
+)
+_SCORE_E6_SQL = (
+    "CAST((idf_e6 DIV 10000) * __tfp__ "
+    "+ ((idf_e6 % 10000) * __tfp__) DIV 10000 AS BIGINT)"
+)
 
 
 def bm25_stats(inv: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -222,21 +277,21 @@ def bm25_score_topk(
     )
     scored = (
         tfdl.join(F.broadcast(qstats), "term")
+        # two-stage projection: the DECIMAL tf-ratio materializes ONCE
+        # per posting (referenced twice by the split score), and the
+        # idf product runs in pure int64 via the exact split-multiply —
+        # see the _SCORE_E6_SQL headroom note (the all-DECIMAL product
+        # measured 2.4x slower on hybrid_rrf_topk at sf0.1)
         .select(
             "query_id",
             "doc_id",
-            # both scaled products run in DECIMAL(38,0) — int64 wraps at
-            # T*tf ~ 2e13 (tf part) and N ~ 6e8 docs (idf_e6 * tfp_e4);
-            # DIV on decimals returns BIGINT, so the output type is
-            # unchanged (see module headroom note)
-            F.expr(
-                f"CAST(CAST(idf_e6 AS DECIMAL(38,0)) * "
-                f"((CAST(10000 * {_NUM_C} AS DECIMAL(38,0)) * n_toks * tf) "
-                f"DIV (CAST({_DEN_TF} AS DECIMAL(38,0)) * n_toks * tf "
-                f"+ {_DEN_T} * n_toks "
-                f"+ CAST({_DEN_DL} AS DECIMAL(38,0)) * n_docs * dl)) "
-                f"DIV 10000 AS BIGINT)"
-            ).alias("score_e6"),
+            "idf_e6",
+            F.expr(_TFP_E4_SQL).alias("__tfp__"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(_SCORE_E6_SQL).alias("score_e6"),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.sum("score_e6").cast("long").alias("score_e6"))
@@ -316,17 +371,19 @@ def bm25_phrase_topk(
     # when a phrase repeats a term at two offsets
     bow = (
         matched.dropDuplicates(["query_id", "doc_id", "term"])
+        # same two-stage projection as bm25_score_topk: DECIMAL only in
+        # the once-materialized tf-ratio, int64 split-multiply for the
+        # idf product (_SCORE_E6_SQL headroom note)
         .select(
             "query_id",
             "doc_id",
-            F.expr(
-                f"CAST(CAST(idf_e6 AS DECIMAL(38,0)) * "
-                f"((CAST(10000 * {_NUM_C} AS DECIMAL(38,0)) * n_toks * tf) "
-                f"DIV (CAST({_DEN_TF} AS DECIMAL(38,0)) * n_toks * tf "
-                f"+ {_DEN_T} * n_toks "
-                f"+ CAST({_DEN_DL} AS DECIMAL(38,0)) * n_docs * dl)) "
-                f"DIV 10000 AS BIGINT)"
-            ).alias("s"),
+            "idf_e6",
+            F.expr(_TFP_E4_SQL).alias("__tfp__"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(_SCORE_E6_SQL).alias("s"),
         )
         .groupBy("query_id", "doc_id")
         .agg(F.sum("s").cast("long").alias("bow_e6"))

@@ -724,3 +724,34 @@ def test_compact_incremental_noop_when_nothing_small(spark, tmp_path):
     ).collect()[0]
     assert out["files_rewritten"] == 0 and out["bytes_rewritten"] == 0
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_bm25_tfp_decimal_branch_exact_past_int64(spark):
+    # n_toks * tf > 2.09e13 forces the adaptive tf-ratio into its
+    # DECIMAL branch (the int64 branch would wrap); the unbounded-int
+    # Python oracle proves the branch is exact, and a row BELOW the
+    # bound (int64 branch) must agree with it on the same corpus stats
+    n_docs = 5_000_000
+    n_toks = 100_000_000_000_000  # 1e14: n_toks*tf passes 2.09e13 at tf=1
+    tfdl = spark.createDataFrame(
+        [(1, "w", 3, 60), (2, "w", 1, 40)],
+        "doc_id long, term string, tf long, dl long",
+    )
+    df = spark.createDataFrame([("w", 2)], "term string, df long")
+    g = spark.createDataFrame([(n_docs, n_toks)], "n_docs long, n_toks long")
+    q = spark.createDataFrame([(0, "w")], "query_id long, term string")
+    out = {
+        r["doc_id"]: r["score_e6"]
+        for r in retrieval.bm25_score_topk(tfdl, df, g, q, k=10).collect()
+    }
+
+    def py_score(tf, dl):
+        idf_e6 = (1_000_000 * (2 * n_docs - 2 * 2 + 1)) // (2 * 2 + 1)
+        tfp_e4 = (10_000 * 44 * n_toks * tf) // (
+            20 * n_toks * tf + 6 * n_toks + 18 * n_docs * dl
+        )
+        return (idf_e6 * tfp_e4) // 10_000
+
+    assert out == {1: py_score(3, 60), 2: py_score(1, 40)}
+    # confirm the bound really was crossed (decimal branch exercised)
+    assert n_toks * 1 > 20_900_000_000_000
