@@ -38,6 +38,9 @@ __all__ = [
     "stats_index_merge",
     "skipping_scan",
     "compact_incremental",
+    "manifest_sink",
+    "read_manifest",
+    "read_via_manifest",
 ]
 
 
@@ -495,7 +498,13 @@ def skipping_scan(
                 pred = p2 if pred is None else (pred & p2)
     if not files:
         # schema-stable empty result without touching any data file
-        return spark.read.parquet(path).where(F.lit(False))
+        # (recursiveFileLookup: also works on manifest-backed nested
+        # layouts like manifest_sink's batch_N subdirectories)
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
+            .where(F.lit(False))
+        )
     return spark.read.parquet(*files).where(pred)
 
 
@@ -609,3 +618,59 @@ def compact_incremental(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     fs.delete(scratch, True)
     return _result()
+
+
+def manifest_sink(data_dir: str, manifest_dir: str, cols):
+    """``foreachBatch`` writer that keeps a ``stats_index`` manifest as
+    the SOURCE OF TRUTH for a streaming parquet table — the plain-parquet
+    version of Delta's log commit, giving exactly-once VISIBILITY
+    without a transaction log:
+
+    - each micro-batch writes its rows to ``{data_dir}/batch_{id}``
+      (mode=overwrite: a replayed batch rewrites the same directory —
+      idempotent);
+    - THEN its per-file stats rows (``stats_index`` over just the new
+      directory, O(batch)) overwrite ``{manifest_dir}/v{id}``.
+
+    Readers (``read_via_manifest`` / ``skipping_scan(index=...)``) read
+    ONLY manifest-listed files, so a crash between the two writes leaves
+    the batch's files INVISIBLE until the replay commits both — data
+    files without manifest rows are uncommitted, never lost rows.  The
+    reverse order would be wrong twice: a manifest row without its file
+    breaks the read, and readers racing an append could otherwise see a
+    file the stats do not yet cover."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = f"{data_dir}/batch_{batch_id}"
+        batch_df.write.mode("overwrite").parquet(out)
+        stats_index(spark, out, cols).write.mode("overwrite").parquet(
+            f"{manifest_dir}/v{batch_id}"
+        )
+
+    return write
+
+
+def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """All committed manifest rows (the long-format ``stats_index``
+    table): the union of every version directory's stats."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        manifest_dir
+    )
+
+
+def read_via_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """The table AS DEFINED BY its manifest: read exactly the files the
+    manifest lists (n_files-bounded driver list, like Delta replaying
+    ``add`` actions). Uncommitted data files are invisible by
+    construction."""
+    files = [
+        r["file_path"]
+        for r in read_manifest(spark, manifest_dir)
+        .select("file_path")
+        .distinct()
+        .collect()
+    ]
+    if not files:
+        raise ValueError(f"empty manifest at {manifest_dir}")
+    return spark.read.parquet(*files)

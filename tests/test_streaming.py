@@ -1367,3 +1367,85 @@ def test_kmv_state_streaming_kill_and_resume(spark, tmp_path):
     v3, st3 = sketch.read_kmv_state(spark, state)
     assert v3 == 2
     assert {r["g"]: r["hashes"] for r in st3.collect()} == scratch
+
+
+def test_manifest_sink_streaming_exactly_once_visibility(spark, tmp_path):
+    # the stats_index manifest is the SOURCE OF TRUTH for a streaming
+    # parquet table (operators/skew.py manifest_sink): each batch's
+    # files become visible only when its manifest version commits, so a
+    # kill between batches, a resume, and a crash-window simulation all
+    # keep manifest readers exact; skipping_scan over the live manifest
+    # equals full-scan-and-filter
+    from kioss_spark.operators.skew import (
+        manifest_sink,
+        read_manifest,
+        read_via_manifest,
+        skipping_scan,
+    )
+
+    src = str(tmp_path / "mf_src")
+    ckpt = str(tmp_path / "mf_ckpt")
+    data = str(tmp_path / "mf_data")
+    manifest = str(tmp_path / "mf_manifest")
+    os.makedirs(src, exist_ok=True)
+
+    def pipeline():
+        s = SStream.files(
+            spark, src, schema="x long, payload string",
+            max_files_per_trigger=1,
+        )
+        return (
+            s._df.writeStream.foreachBatch(
+                manifest_sink(data, manifest, ["x"])
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    b1 = [(i, f"p{i}") for i in range(100)]
+    b2 = [(i, f"p{i}") for i in range(100, 250)]
+    spark.createDataFrame(b1, "x long, payload string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q1 = pipeline()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()  # the kill
+    assert read_via_manifest(spark, manifest).count() == 100
+
+    spark.createDataFrame(b2, "x long, payload string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = pipeline()  # resume from the same checkpoint
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    # the manifest-defined table is exactly everything ingested
+    got = sorted(map(tuple, read_via_manifest(spark, manifest).collect()))
+    assert got == sorted(b1 + b2)
+
+    # skipping_scan over the live manifest == full filter
+    idx = read_manifest(spark, manifest)
+    pruned = skipping_scan(spark, data, ranges={"x": (40, 140)}, index=idx)
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        (x, p) for x, p in b1 + b2 if 40 <= x <= 140
+    )
+
+    # crash-window simulation: a data directory WITHOUT its manifest
+    # version is invisible (write order: data first, manifest commits)
+    spark.createDataFrame(
+        [(999, "uncommitted")], "x long, payload string"
+    ).write.mode("overwrite").parquet(f"{data}/batch_99")
+    assert read_via_manifest(spark, manifest).count() == 250
+    # the replay commits both halves idempotently
+    manifest_sink(data, manifest, ["x"])(
+        spark.createDataFrame([(999, "committed")], "x long, payload string"),
+        99,
+    )
+    rows = read_via_manifest(spark, manifest)
+    assert rows.count() == 251
+    assert rows.where("x = 999").collect()[0]["payload"] == "committed"
