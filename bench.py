@@ -188,6 +188,8 @@ HEADLINE = [
     "skipping_scan_events",
     # round-11: mergeable KMV sketch-state ingest (idempotent merge law)
     "sketch_state_ingest",
+    # round-11: manifest-as-truth ingest + pruned scan (Delta-log pattern)
+    "manifest_ingest_scan",
 ]
 
 

@@ -2522,6 +2522,74 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_ingest_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 3 AS BIGINT) AS b
+               FROM events)
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT b) AS BIGINT) AS n_batches,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e WHERE u BETWEEN 2 AND 9 GROUP BY u
+    """,
+)
+def manifest_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-as-truth ingest, oracle-verified end-to-end: the event
+    stream arrives in three batches (event_id % 3 — the micro-batch
+    stand-in), each committed through ``manifest_sink`` (data directory
+    first, THEN its ``stats_index`` rows as a manifest version — the
+    plain-parquet Delta-log commit), and the query is answered by
+    ``skipping_scan`` over the LIVE manifest: candidate files from the
+    committed stats only, ``u BETWEEN 2 AND 9`` applied after.
+
+    The DuckDB oracle aggregates the FULL logical table, so hash
+    equality proves the composed contract: no ingested row is lost by
+    the manifest handoff, and no candidate the pruning drops was needed
+    (min/max skipping stays conservative across independently-committed
+    batches whose files all overlap in u — pruning here collapses only
+    within batches, which is exactly what an unclustered ingest gives;
+    clustering is compact_incremental/compact_parquet's job afterward).
+    The exactly-once-visibility half (crash window, idempotent replay,
+    kill-and-resume) is pinned in tests/test_streaming.py.
+
+    Scale shape: each commit is batch-grain (write + one file-grain
+    stats agg); the manifest read is n_files x n_cols rows; the
+    candidate collect is n_files-bounded; the served scan reads only
+    listed files."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_sink,
+        read_manifest,
+        skipping_scan,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_manifest_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id), batch_id)
+    hits = skipping_scan(
+        spark, data, ranges={"u": (2, 9)},
+        index=read_manifest(spark, manifest),
+    )
+    return hits.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("b").cast("long").alias("n_batches"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
+    )
+
+
+@register(
     "skipping_scan_events",
     oracle="""
     WITH e AS (SELECT CAST(user_id % 256 AS BIGINT) AS u,

@@ -154,6 +154,10 @@ BUDGET = {
     # -> keyed rank) + the state-grain outer join + estimate; the stored
     # side's bootstrap write happens at plan build
     "sketch_state_ingest": (3, 0),
+    # round-11: manifest-as-truth ingest — 3 batch commits run at plan
+    # build; the served plan is the manifest-listed candidate scan +
+    # one keyed agg
+    "manifest_ingest_scan": (2, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
