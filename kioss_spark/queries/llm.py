@@ -2178,7 +2178,11 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kioss_spark.operators import retrieval, similarity
 
     docs = _docs(spark, sf_dir)
-    inv = dedup.shingle_index(docs)
+    # the shingle index feeds THREE corpus-grain consumers (the PPJoin
+    # pair truth, the held-out corpus split, the query terms) on
+    # DIFFERENT keys — join-shaped sharing ReuseExchange does not
+    # dedupe; materialize once (A/B'd at sf0.1: 12.0 -> 9.1 s best-of-3)
+    inv = dedup.shingle_index(docs).localCheckpoint(eager=True)
     pairs = dedup.jaccard_pairs(docs, threshold=0.5, inv=inv)
     touch = pairs.select(F.col("doc_a").alias("d")).unionByName(
         pairs.select(F.col("doc_b").alias("d"))
