@@ -388,6 +388,19 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
     (sublinear in rows: n_files x n_cols output), no joins."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     df = spark.read.parquet(path)
+    # integer-domain contract ENFORCED: casting a string/array column to
+    # long yields NULLs, which would make every file look all-null and
+    # silently drop rows from pruned scans — fail loudly instead
+    numeric_ok = ("byte", "short", "int", "long", "float", "double",
+                  "decimal", "date", "timestamp", "boolean")
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        if not t.startswith(numeric_ok):
+            raise ValueError(
+                f"stats_index column {c!r} has non-numeric type {t}: "
+                "min/max skipping stats are integer-domain (cast or "
+                "bucket the column first)"
+            )
     aggs = []
     for c in cols:
         aggs += [
@@ -471,6 +484,17 @@ def skipping_scan(
     idx = index if index is not None else stats_index(
         spark, path, list(ranges)
     )
+    # a passed-in index must COVER every predicate column: a missing col
+    # would zero the per-file match count and silently return an empty
+    # (wrong) result instead of a full one — fail loudly (tiny distinct)
+    if index is not None:
+        idx_cols = {r["col"] for r in idx.select("col").distinct().collect()}
+        missing = [c for c in ranges if c not in idx_cols]
+        if missing:
+            raise ValueError(
+                f"skipping_scan index has no stats for {missing}: "
+                f"rebuild the index with these columns (has {sorted(idx_cols)})"
+            )
     # a file survives iff it overlaps EVERY bounded range: OR the per-col
     # overlap tests over the long-format rows, then require all of them
     overlap = F.lit(False)
@@ -564,6 +588,19 @@ def compact_incremental(
         .agg(F.first("s").alias("s"))
         .collect()
     )
+    # in-place compaction moves new files into the ROOT of ``path``; on
+    # a hive-partitioned layout (files under key=value subdirs) that
+    # would silently strip rows' partition values — run it per partition
+    # DIRECTORY instead (pass the leaf dir), enforced here
+    root = path.rstrip("/")
+    for r in per_file:
+        rel = r["f"].split(root + "/", 1)[-1]
+        if "/" in rel:
+            raise ValueError(
+                f"compact_incremental on a nested/partitioned layout "
+                f"(found {rel!r} under {path}): compact each leaf "
+                "partition directory separately"
+            )
     smalls = [r["f"] for r in per_file if r["s"] < small_bytes_cap]
     small_bytes = sum(r["s"] for r in per_file if r["s"] < small_bytes_cap)
     kept = len(per_file) - len(smalls)

@@ -755,3 +755,36 @@ def test_bm25_tfp_decimal_branch_exact_past_int64(spark):
     assert out == {1: py_score(3, 60), 2: py_score(1, 40)}
     # confirm the bound really was crossed (decimal branch exercised)
     assert n_toks * 1 > 20_900_000_000_000
+
+
+def test_stats_index_rejects_non_numeric_column(spark, tmp_path):
+    from kioss_spark.operators.skew import stats_index
+
+    path = str(tmp_path / "strcol")
+    spark.range(10).select(
+        F.col("id").alias("x"), F.lit("abc").alias("tag")
+    ).write.parquet(path)
+    with pytest.raises(ValueError, match="non-numeric type"):
+        stats_index(spark, path, ["tag"])
+
+
+def test_skipping_scan_rejects_index_missing_predicate_col(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan, stats_index
+
+    path = str(tmp_path / "partial_idx")
+    _grid_df(spark, n=256).write.parquet(path)
+    idx = stats_index(spark, path, ["x"])  # no y stats
+    with pytest.raises(ValueError, match="no stats for \\['y'\\]"):
+        skipping_scan(spark, path, ranges={"x": (0, 100), "y": (0, 100)},
+                      index=idx)
+
+
+def test_compact_incremental_rejects_partitioned_layout(spark, tmp_path):
+    from kioss_spark.operators.skew import compact_incremental
+
+    path = str(tmp_path / "parted")
+    _grid_df(spark, n=256).withColumn(
+        "p", F.col("x") % 2
+    ).write.partitionBy("p").parquet(path)
+    with pytest.raises(ValueError, match="partitioned layout"):
+        compact_incremental(spark, path, target_mb=1.0)
