@@ -223,6 +223,30 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "top3_customers_per_segment", "unigram_segment_corpus",
         "wordpiece_segment_corpus", "zip_customers_suppliers",
     }),
+    # CORRECTNESS_r11.json — 49/50 hash-green + layout_zorder_pruning
+    # rows-only BY DESIGN (the three DECIMAL-widened BM25 recheck
+    # leaders, the seven round-11 registrations, ALL 31 r7-stale names,
+    # and the nine stalest r8 names the r11 window reached).
+    11: frozenset({
+        "agg_distinct_stats", "ann_matryoshka_agreement", "ann_pq_residual",
+        "ann_recall_eval", "bigram_lm_score", "bigram_novelty",
+        "bm25_index_ingest", "bm25_phrase_topk", "bm25_proximity_topk",
+        "bm25_topk", "bpe_coverage", "bpe_segment_corpus", "chunk_dedup",
+        "dsir_importance", "forget_apply_audit", "forget_fanout",
+        "fuzzy_part_names", "gapfill_hourly_locf", "hard_negative_mining",
+        "hybrid_rrf_topk", "json_props_stats", "lang_id",
+        "layout_zorder_pruning", "manifest_ingest_scan", "mix_quota_sample",
+        "mix_weighted_order", "mm_audio_chunks", "mm_frame_sample",
+        "mm_image_meta", "pack_sequences", "pii_redact", "pipeline_curation",
+        "probe_calibration_bins", "profile_corpus", "profile_dup_rate",
+        "q12_shipclass_adapted", "q16_supplier_variety_adapted",
+        "q20_dominant_supplier_adapted", "q2_best_supplier_adapted",
+        "q9_profit_adapted", "quality_ensemble", "quality_gopher_rules",
+        "quality_pctl_by_source", "retrieval_quality",
+        "sample_cluster_stratified", "sketch_cms_tokens",
+        "sketch_state_ingest", "skipping_scan_events", "split_by_cluster",
+        "zorder_event_layout",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -233,19 +257,21 @@ for _round in sorted(_GREEN_ROUNDS):
 
 #: Re-check leaders: queries whose verified implementation changed AFTER
 #: their last green verdict, so their stale verdict no longer covers HEAD.
-#: Round 11: the round-10 ADVICE int64-headroom fix widened
-#: ``bm25_score_topk``'s scaled products to DECIMAL(38,0)
-#: (operators/retrieval.py) AFTER the r10 verdicts landed, so its three
-#: consumers re-prove first (values are identical at test scale — the
-#: widening only moves the overflow point — but that is exactly what the
-#: fresh verdict certifies). Then the round-11 registrations, ALL 31
-#: r7-stale names (the verdict's corrected rotation-debt histogram:
-#: {r7: 31, r8: 50, r9: 47, r10: 50}), and the stalest r8 tier fill the
-#: window.
+#: Round 12: four r11-green names sit on code this round rewrote —
+#: ``skipping_scan_events`` + ``manifest_ingest_scan`` (stats_index grew
+#: typed/conservative bounds and the manifest moved to the snapshot
+#: commit model, operators/skew.py), ``bm25_topk`` (WAND-style max-score
+#: pruning must be provably lossless — the fresh hash IS the proof), and
+#: ``retrieval_quality`` (checkpoints routed through tracked
+#: persist/release).  Then the round-12 registrations, then ALL 41
+#: r8-stale names (post-r11-fold histogram {r8: 41, r9: 47, r10: 47,
+#: r11: 50}), and the stalest r9 names fill the window — afterward no
+#: verdict is older than r9.
 _RECHECK_FIRST: tuple = (
+    "skipping_scan_events",
+    "manifest_ingest_scan",
     "bm25_topk",
-    "bm25_index_ingest",
-    "hybrid_rrf_topk",
+    "retrieval_quality",
 )
 
 
