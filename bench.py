@@ -190,6 +190,18 @@ HEADLINE = [
     "sketch_state_ingest",
     # round-11: manifest-as-truth ingest + pruned scan (Delta-log pattern)
     "manifest_ingest_scan",
+    # round-12: max-score (MaxScore/WAND-family) pruned BM25 — lossless
+    # vs bm25_topk's oracle; the pruning scaffolding is fixture-scale
+    # fixed cost (the serve/bootstrap split below applies)
+    "bm25_maxscore_topk",
+    # round-12: positional-index incremental ingest (merge law with
+    # position arrays; stored side = bucketed scan)
+    "bm25_phrase_index_ingest",
+    # round-12: string + fractional-bound data skipping (typed stats)
+    "skipping_scan_strings",
+    "skipping_scan_double",
+    # round-12: the manifest lifecycle composite (commit/compact/vacuum)
+    "manifest_compact_scan",
 ]
 
 
@@ -280,6 +292,7 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float | str | None] = {}
     build: dict[str, float] = {}
+    serve: dict[str, float] = {}
     missing: list[str] = []
     errors: list[str] = []
     for _ in range(repeats):
@@ -322,6 +335,13 @@ def main() -> None:
             if prev is None or not isinstance(prev, float) or elapsed < prev:
                 timings[name] = elapsed
                 build[name] = round(t1 - t0, 3)
+                # serve-only time: the ingest-family queries run their
+                # one-time bootstrap (bucketed index write, manifest
+                # commits, layout rewrite) at plan build, so the
+                # round-over-round comparable number is exec-only
+                # (round-11 verdict: bm25_index_ingest's bootstrap read
+                # as a 1.7x regression)
+                serve[name] = round(elapsed - build[name], 3)
 
     headliners = {
         name: registry[name] for name in HEADLINE if name in registry
@@ -337,6 +357,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "build": build,
+        "serve": serve,
         "struct": struct,
         "jobs_total": jobs_total,
         "shuffles_total": shuffles_total,

@@ -77,6 +77,9 @@ __all__ = [
     "bm25_stats_positional",
     "bm25_merge_stats",
     "bm25_score_topk",
+    "bm25_maxscore_topk",
+    "bm25_term_bounds",
+    "bm25_merge_bounds",
     "bm25_phrase_topk",
     "bm25_score_py",
     "phrase_hits_py",
@@ -303,6 +306,220 @@ def bm25_score_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
         .select("query_id", "rnk", "doc_id", "score_e6")
+    )
+
+
+#: Upper bound on tfp_e4 from a term's max per-doc tf alone: tfp is
+#: increasing in tf and decreasing in dl, and dl >= tf always (a doc is
+#: at least as long as any term's count in it), so
+#:   tfp(tf, dl) <= 44*T*tf / ((20*T + 18*N)*tf + 6*T)
+#: which is increasing in tf => bound at tf = max_tf.  Uses ONLY the
+#: merged globals + the max-mergeable per-term max_tf — no per-corpus
+#: minimum document length to maintain.  Same DECIMAL-operand /
+#: small-BIGINT-result discipline as _TFP_E4_SQL.
+_TFP_UB_E4_SQL = (
+    "CAST((CAST(10000 * 44 AS DECIMAL(38,0)) * n_toks * max_tf) "
+    "DIV ((CAST(20 AS DECIMAL(38,0)) * n_toks "
+    "+ CAST(18 AS DECIMAL(38,0)) * n_docs) * max_tf "
+    "+ 6 * n_toks) AS BIGINT)"
+)
+
+
+def bm25_term_bounds(tfdl: DataFrame) -> DataFrame:
+    """Per-term maximum per-document tf — the index-time statistic
+    behind max-score (WAND/MaxScore-family) pruning: (term, max_tf).
+    Max-mergeable across disjoint document batches
+    (``bm25_merge_bounds``), so incremental ingest maintains it at
+    O(batch) like every other BM25 stat."""
+    return tfdl.groupBy("term").agg(
+        F.max("tf").cast("long").alias("max_tf")
+    )
+
+
+def bm25_merge_bounds(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge law for ``bm25_term_bounds``: per-term MAX over disjoint
+    batches (max is idempotent/commutative/associative, so
+    bounds(union) == merge(bounds, bounds) — pinned in tests)."""
+    return (
+        a.withColumnRenamed("max_tf", "__a__")
+        .join(b.withColumnRenamed("max_tf", "__b__"), "term", "full_outer")
+        .select(
+            "term",
+            F.greatest(
+                F.coalesce("__a__", F.lit(0)), F.coalesce("__b__", F.lit(0))
+            ).cast("long").alias("max_tf"),
+        )
+    )
+
+
+def bm25_maxscore_topk(
+    tfdl: DataFrame,
+    df: DataFrame,
+    g: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bounds: DataFrame = None,
+) -> DataFrame:
+    """Exact max-score-pruned BM25 top-``k`` — the batch re-expression
+    of the MaxScore/WAND family (Turtle & Flood 1995; Broder et al.
+    2003), provably LOSSLESS: returns bit-for-bit what
+    ``bm25_score_topk`` returns, while the expensive per-posting score
+    arithmetic + aggregation + rank window see only docs that can still
+    make top-k.
+
+    Per query, terms sort by their max-score upper bound
+    (``bound_e6`` = idf_e6 x the ``_TFP_UB_E4_SQL`` ceiling from the
+    stored per-term ``max_tf``); the single highest-bound term is the
+    ESSENTIAL list.  Two phases:
+
+    1. score ONLY the essential term's postings; the k-th best partial
+       score per query is ``theta_lb`` — a valid lower bound of the
+       final k-th score (partial <= full per doc, and the E-matched docs
+       are a subset of all candidates), defined only when >= k docs
+       match;
+    2. full scoring keeps a (query, doc) candidate iff the doc matched
+       the essential term OR the query's non-essential bound sum is NOT
+       strictly below theta_lb (then pruning is off for that query and
+       it degrades to the exact baseline).  A dropped doc's full score
+       is <= sum of non-essential bounds < theta_lb <= true theta —
+       strictly below the k-th, so it cannot rank (ties included: strict
+       inequality).
+
+    Scale shape: phase 1 touches only the rarest list per query (the
+    small one); the candidate join is (query, doc)-keyed and bounded by
+    essential-list length x |q|; common-term postings for non-candidate
+    docs are dropped BEFORE the DECIMAL ratio, the score aggregation,
+    and the rank window — the work that is linear in matched postings
+    in the unpruned plan.  At fixture scale the extra candidate
+    semi-join costs more than it saves; the operator exists for the
+    100 TB regime where common-term posting lists dominate
+    (SCALE_CURVE r12 measures the scored-posting collapse).
+
+    Exactness is pinned in tests/test_round12_ops.py (equality with
+    ``bm25_score_topk`` across query shapes, < k corpora, repeated
+    terms) and by the driver gate: the gated ``bm25_topk`` query serves
+    THROUGH this function against the unpruned DuckDB oracle."""
+    matched = _maxscore_matched(tfdl, df, g, queries, k, bounds)
+    scored = (
+        matched.select(
+            "query_id",
+            "doc_id",
+            "idf_e6",
+            F.expr(_TFP_E4_SQL).alias("__tfp__"),
+        )
+        .select(
+            "query_id", "doc_id", F.expr(_SCORE_E6_SQL).alias("score_e6")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_e6").cast("long").alias("score_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score_e6")
+    )
+
+
+def _maxscore_matched(
+    tfdl: DataFrame,
+    df: DataFrame,
+    g: DataFrame,
+    queries: DataFrame,
+    k: int,
+    bounds: DataFrame = None,
+) -> DataFrame:
+    """The candidate posting rows max-score pruning lets through — the
+    exact set ``bm25_maxscore_topk`` scores (factored out so tests and
+    the scale harness can COUNT scored postings; ``count()`` here vs the
+    plain ``tfdl ⋈ queries`` count is the pruning ratio)."""
+    if "df" not in queries.columns:
+        queries = queries.join(df, "term")
+    if bounds is None:
+        bounds = bm25_term_bounds(tfdl)
+    qb = (
+        queries.join(bounds, "term", "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "term",
+            F.expr(
+                "CAST(1000000 * (2 * n_docs - 2 * df + 1) AS BIGINT) "
+                "DIV CAST(2 * df + 1 AS BIGINT)"
+            ).alias("idf_e6"),
+            "n_docs",
+            "n_toks",
+            F.coalesce(F.col("max_tf"), F.lit(0)).alias("max_tf"),
+        )
+        .withColumn("__ub__", F.expr(_TFP_UB_E4_SQL))
+        .withColumn(
+            "bound_e6",
+            F.expr(
+                "CAST((idf_e6 DIV 10000) * __ub__ "
+                "+ ((idf_e6 % 10000) * __ub__) DIV 10000 AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "is_ess",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("bound_e6").desc(), F.col("term")
+                )
+            )
+            == 1,
+        )
+    )
+    scored_cols = [
+        "query_id",
+        "doc_id",
+        "idf_e6",
+        F.expr(_TFP_E4_SQL).alias("__tfp__"),
+    ]
+    # phase 1: essential-list partial scores -> theta_lb per query
+    ess = qb.where("is_ess")
+    ess_scored = (
+        tfdl.join(F.broadcast(ess), "term")
+        .select(*scored_cols)
+        .select(
+            "query_id", "doc_id", F.expr(_SCORE_E6_SQL).alias("__s__")
+        )
+    )
+    w_theta = Window.partitionBy("query_id").orderBy(
+        F.col("__s__").desc(), F.col("doc_id")
+    )
+    theta = (
+        ess_scored.withColumn("__r__", F.row_number().over(w_theta))
+        .where(F.col("__r__") == k)
+        .select("query_id", F.col("__s__").alias("theta_lb"))
+    )
+    ness = qb.groupBy("query_id").agg(
+        F.sum(F.when(~F.col("is_ess"), F.col("bound_e6")).otherwise(0))
+        .cast("long")
+        .alias("ness_sum")
+    )
+    qmeta = ness.join(theta, "query_id", "left").select(
+        "query_id",
+        (
+            F.col("theta_lb").isNotNull()
+            & (F.col("ness_sum") < F.col("theta_lb"))
+        ).alias("prune"),
+    )
+    ess_docs = ess_scored.select("query_id", "doc_id").withColumn(
+        "__has_ess__", F.lit(True)
+    )
+    # phase 2: full join, candidates only through the expensive arithmetic
+    return (
+        tfdl.join(F.broadcast(qb), "term")
+        .join(ess_docs, ["query_id", "doc_id"], "left")
+        .join(F.broadcast(qmeta), "query_id", "left")
+        .where(
+            ~F.coalesce(F.col("prune"), F.lit(False))
+            | F.coalesce(F.col("__has_ess__"), F.lit(False))
+        )
+        .select("query_id", "doc_id", "term", "tf", "dl", "idf_e6",
+                "n_docs", "n_toks")
     )
 
 

@@ -41,6 +41,8 @@ __all__ = [
     "manifest_sink",
     "read_manifest",
     "read_via_manifest",
+    "vacuum",
+    "compact_manifest",
 ]
 
 
@@ -374,38 +376,77 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
 
     Output is LONG format, one row per (file, col):
 
-    (file_path, file_bytes, file_rows, col, lo, hi, n_nulls)
+    (file_path, file_bytes, file_rows, col,
+     lo, hi, n_nulls, lo_str, hi_str, hi_inexact)
 
     ``lo``/``hi`` are the column's min/max over the file's NON-NULL
-    values, cast to BIGINT (integer-domain columns — same contract as
-    ``pruning_effectiveness_audit``); an all-null file carries NULL
-    lo/hi. The long format is what ``skipping_scan`` joins against and
-    what incremental maintenance appends to: a new file's stats row is
-    computable from that file alone (file-grain, O(new files) — the
-    reason Delta can commit manifests without rereading the table).
+    values; an all-null file carries NULL bounds. The long format is what
+    ``skipping_scan`` prunes against and what incremental maintenance
+    appends to: a new file's stats row is computable from that file alone
+    (file-grain, O(new files) — the reason Delta can commit manifests
+    without rereading the table).
+
+    Bound typing (one row per (file, col); numeric and string bounds in
+    separate columns so the long format stays uniform):
+
+    - integral (byte/short/int/long/boolean): ``lo``/``hi`` = exact
+      min/max as BIGINT.
+    - fractional (float/double/decimal): ``lo`` = floor(min), ``hi`` =
+      ceil(max) — CONSERVATIVE widening, so fractional file bounds never
+      skip a qualifying row (a file holding [4.6, 4.9] stores [4, 5] and
+      survives a ``lo=4.5`` probe; the ADVICE-flagged truncation-toward-
+      zero cast is gone).  Values past int64 clamp to ±int64 extrema
+      (floor(double) clamps; decimal overflow routes through try_cast +
+      the matching extremum) — clamping only WIDENS bounds, so pruning
+      stays exact for any int64-representable predicate.
+    - timestamp: epoch SECONDS, floor/ceil (the stored unit; pass
+      ``datetime`` bounds to ``skipping_scan`` and it converts through
+      the session, so hostile-timezone sessions stay exact).
+    - date: days since 1970-01-01 (``unix_date`` — date has no BIGINT
+      cast; pass ``datetime.date`` bounds).
+    - string: ``lo_str``/``hi_str`` = min/max truncated to 32 chars
+      (Delta's convention).  A truncated min prefix is still a valid
+      lower bound; a truncated max ROUNDS UP its last kept char
+      (codepoint + 1 — exact under UTF-8 binary collation, which
+      preserves codepoint order) so ``hi_str`` stays a strict upper
+      bound.  When the last kept char cannot round up (codepoint > 254:
+      Spark's ``char`` wraps mod 256), ``hi_inexact`` marks the row and
+      pruning never skips that file on its hi bound.
 
     Scale shape: one scan of the audited columns, one file-grain agg
     (sublinear in rows: n_files x n_cols output), no joins."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     df = spark.read.parquet(path)
-    # integer-domain contract ENFORCED: casting a string/array column to
-    # long yields NULLs, which would make every file look all-null and
-    # silently drop rows from pruned scans — fail loudly instead
-    numeric_ok = ("byte", "short", "int", "long", "float", "double",
-                  "decimal", "date", "timestamp", "boolean")
+    kinds = {}
     for c in cols:
         t = df.schema[c].dataType.typeName()
-        if not t.startswith(numeric_ok):
+        if t in ("byte", "short", "integer", "long", "boolean"):
+            kinds[c] = "int"
+        elif t in ("float", "double"):
+            kinds[c] = "frac"
+        elif t.startswith("decimal"):
+            kinds[c] = "dec"
+        elif t.startswith("timestamp"):
+            kinds[c] = "ts"
+        elif t == "date":
+            kinds[c] = "date"
+        elif t == "string":
+            kinds[c] = "str"
+        else:
+            # nested/binary columns have no total order the footer stats
+            # could capture; NULL stats would make every file look
+            # all-null and silently drop rows — fail loudly instead
             raise ValueError(
-                f"stats_index column {c!r} has non-numeric type {t}: "
-                "min/max skipping stats are integer-domain (cast or "
-                "bucket the column first)"
+                f"stats_index column {c!r} has unsupported type {t}: "
+                "min/max skipping stats need an ordered scalar column "
+                "(numeric, timestamp, date, or string)"
             )
+    i64_min, i64_max = -(2 ** 63), 2 ** 63 - 1
     aggs = []
     for c in cols:
         aggs += [
-            F.min(F.col(c).cast("long")).alias(f"__lo_{c}"),
-            F.max(F.col(c).cast("long")).alias(f"__hi_{c}"),
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
         ]
     per_file = (
@@ -421,17 +462,145 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
             *aggs,
         )
     )
-    # wide -> long: stack(n, 'col1', lo1, hi1, nn1, 'col2', ...)
-    stack_args = ", ".join(
-        f"'{c}', `__lo_{c}`, `__hi_{c}`, `__nn_{c}`" for c in cols
-    )
+
+    def num_bound(c: str, side: str) -> str:
+        src = f"`__{'mn' if side == 'lo' else 'mx'}_{c}`"
+        rnd = "floor" if side == "lo" else "ceil"
+        sentinel = i64_min if side == "lo" else i64_max
+        k = kinds[c]
+        if k == "int":
+            return f"cast({src} as bigint)"
+        if k == "frac":  # floor/ceil on double already clamp to ±int64
+            return f"cast({rnd}(cast({src} as double)) as bigint)"
+        if k == "dec":
+            return (
+                f"if({src} is null, null, "
+                f"coalesce(try_cast({rnd}({src}) as bigint), "
+                f"{sentinel}L))"
+            )
+        if k == "ts":
+            return f"cast({rnd}(cast({src} as double)) as bigint)"
+        if k == "date":
+            return f"cast(unix_date({src}) as bigint)"
+        return "cast(null as bigint)"  # string: numeric bounds are NULL
+
+    entries = []
+    for c in cols:
+        if kinds[c] == "str":
+            lo_str = f"substring(`__mn_{c}`, 1, 32)"
+            code = f"ascii(substring(`__mx_{c}`, 32, 1))"
+            hi_str = (
+                f"CASE WHEN `__mx_{c}` IS NULL THEN NULL "
+                f"WHEN length(`__mx_{c}`) <= 32 THEN `__mx_{c}` "
+                f"WHEN {code} BETWEEN 1 AND 254 THEN "
+                f"concat(substring(`__mx_{c}`, 1, 31), char({code} + 1)) "
+                f"ELSE substring(`__mx_{c}`, 1, 32) END"
+            )
+            hi_inexact = (
+                f"`__mx_{c}` IS NOT NULL AND length(`__mx_{c}`) > 32 "
+                f"AND NOT ({code} BETWEEN 1 AND 254)"
+            )
+        else:
+            lo_str, hi_str = "cast(null as string)", "cast(null as string)"
+            hi_inexact = "false"
+        entries.append(
+            f"struct('{c}' as col, "
+            f"{num_bound(c, 'lo')} as lo, {num_bound(c, 'hi')} as hi, "
+            f"`__nn_{c}` as n_nulls, "
+            f"{lo_str} as lo_str, {hi_str} as hi_str, "
+            f"{hi_inexact} as hi_inexact)"
+        )
     return per_file.select(
         "file_path",
         "file_bytes",
         "file_rows",
-        F.expr(
-            f"stack({len(cols)}, {stack_args}) AS (col, lo, hi, n_nulls)"
-        ),
+        F.expr(f"inline(array({', '.join(entries)}))"),
+    )
+
+
+def _comparable_bounds(spark: SparkSession, col: str, lo, hi):
+    """Convert predicate bounds to the stats table's stored domain, each
+    rounded CONSERVATIVELY (lo floors, hi ceils — a widened probe keeps
+    extra candidate files, never drops a qualifying one).  Returns
+    (lo_cmp, hi_cmp, kind) with kind in {"num", "str"}."""
+    import datetime as _dt
+    import math
+
+    vals = [v for v in (lo, hi) if v is not None]
+    if not vals:
+        # unbounded on this column: every file qualifies, including
+        # all-null ones (no residual predicate will touch the column)
+        return None, None, "any"
+    if all(isinstance(v, str) for v in vals):
+        return lo, hi, "str"
+    if any(isinstance(v, str) for v in vals):
+        raise ValueError(
+            f"skipping_scan bounds for {col!r} mix string and non-string "
+            f"types: ({lo!r}, {hi!r})"
+        )
+    if any(isinstance(v, _dt.datetime) for v in vals):
+        # stored unit is epoch seconds UNDER THE SESSION TIMEZONE
+        # interpretation of naive literals — evaluate the conversion in
+        # Spark itself (one driver-side 1-row job) so a hostile session
+        # timezone cannot skew the pruning bound vs the residual predicate
+        exprs = []
+        if lo is not None:
+            exprs.append(F.floor(F.lit(lo).cast("double")).alias("lo"))
+        if hi is not None:
+            exprs.append(F.ceil(F.lit(hi).cast("double")).alias("hi"))
+        r = spark.range(1).select(*exprs).collect()[0]
+        return (
+            r["lo"] if lo is not None else None,
+            r["hi"] if hi is not None else None,
+            "num",
+        )
+    if any(isinstance(v, _dt.date) for v in vals):
+        epoch = _dt.date(1970, 1, 1)
+        return (
+            (lo - epoch).days if lo is not None else None,
+            (hi - epoch).days if hi is not None else None,
+            "num",
+        )
+    return (
+        math.floor(lo) if lo is not None else None,
+        math.ceil(hi) if hi is not None else None,
+        "num",
+    )
+
+
+def _stats_overlap(stat, lo_cmp, hi_cmp, kind) -> bool:
+    """Does a stats row's [lo, hi] overlap the (converted) probe range?
+    All-null files carry NULL bounds and never overlap (a range
+    predicate never matches NULL — skipping them is exact).  Kind
+    mismatches (numeric probe against string-only stats or vice versa)
+    fail loudly: treating them as non-overlap would silently drop every
+    file."""
+    if kind == "any":
+        return True
+    if kind == "str":
+        s_lo, s_hi = stat["lo_str"], stat["hi_str"]
+        if s_lo is None and stat["lo"] is not None:
+            raise ValueError(
+                f"skipping_scan: string bounds for {stat['col']!r} but the "
+                "index holds numeric stats — rebuild the index or pass "
+                "numeric bounds"
+            )
+        if s_lo is None:
+            return False  # all-null file
+        return (hi_cmp is None or s_lo <= hi_cmp) and (
+            lo_cmp is None or bool(stat["hi_inexact"]) or s_hi >= lo_cmp
+        )
+    s_lo, s_hi = stat["lo"], stat["hi"]
+    if s_lo is None and stat["lo_str"] is not None:
+        raise ValueError(
+            f"skipping_scan: numeric bounds for {stat['col']!r} but the "
+            "index holds string stats — rebuild the index or pass "
+            "string bounds"
+        )
+    if s_lo is None:
+        return False  # all-null file
+    return (hi_cmp is None or s_lo <= hi_cmp) and (
+        lo_cmp is None or s_hi >= lo_cmp
     )
 
 
@@ -457,6 +626,17 @@ def skipping_scan(
     MULTIPLIES): ``skipping_scan(spark, p, ranges={"u": (4, 11),
     "h": (32, None)})`` — a file is a candidate only if it overlaps
     EVERY range (None = unbounded side).
+
+    Bounds are TYPED and match the ``stats_index`` bound typing: int and
+    float bounds prune against the conservative integer ``lo``/``hi``
+    (fractional probe bounds floor/ceil driver-side — widening, never
+    dropping); ``datetime.datetime`` bounds convert to epoch seconds
+    THROUGH the session (so the pruning bound and the residual literal
+    agree under any session timezone); ``datetime.date`` bounds convert
+    to epoch days; ``str`` bounds prune against ``lo_str``/``hi_str``
+    with Delta's truncation semantics (a ``hi_inexact`` row never skips
+    on its hi bound).  Mixed-type bounds and probes against the wrong
+    stats kind raise rather than silently mis-prune.
 
     This is the query half of the Delta/Iceberg manifest pattern: the
     candidate file list comes from the (tiny, file-grain) stats table —
@@ -484,34 +664,38 @@ def skipping_scan(
     idx = index if index is not None else stats_index(
         spark, path, list(ranges)
     )
-    # a passed-in index must COVER every predicate column: a missing col
-    # would zero the per-file match count and silently return an empty
-    # (wrong) result instead of a full one — fail loudly (tiny distinct)
+    # ONE n_files-bounded collect of the predicate columns' stats rows
+    # (exactly Delta replaying its log); candidate selection and every
+    # guard run driver-side over that tiny list — no extra Spark job
+    rows = idx.where(F.col("col").isin(list(ranges))).collect()
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["file_path"], {})[r["col"]] = r
+    # the index must COVER every predicate column: a missing col would
+    # make every file fail its match and silently return an empty
+    # (wrong) result instead of a full one — fail loudly
     if index is not None:
-        idx_cols = {r["col"] for r in idx.select("col").distinct().collect()}
+        idx_cols = {r["col"] for r in rows} | {
+            r["col"] for r in idx.select("col").distinct().collect()
+        }
         missing = [c for c in ranges if c not in idx_cols]
         if missing:
             raise ValueError(
                 f"skipping_scan index has no stats for {missing}: "
                 f"rebuild the index with these columns (has {sorted(idx_cols)})"
             )
-    # a file survives iff it overlaps EVERY bounded range: OR the per-col
-    # overlap tests over the long-format rows, then require all of them
-    overlap = F.lit(False)
-    for c, (c_lo, c_hi) in ranges.items():
-        t = F.col("col") == c
-        if c_hi is not None:
-            t = t & (F.col("lo") <= F.lit(c_hi))
-        if c_lo is not None:
-            t = t & (F.col("hi") >= F.lit(c_lo))
-        overlap = overlap | t
-    cand = (
-        idx.where(overlap)
-        .groupBy("file_path")
-        .agg(F.count(F.lit(1)).alias("__n__"))
-        .where(F.col("__n__") == len(ranges))
+    cmp_bounds = {
+        c: _comparable_bounds(spark, c, c_lo, c_hi)
+        for c, (c_lo, c_hi) in ranges.items()
+    }
+    files = sorted(
+        f
+        for f, stats in by_file.items()
+        if all(
+            c in stats and _stats_overlap(stats[c], *cmp_bounds[c])
+            for c in ranges
+        )
     )
-    files = [r["file_path"] for r in cand.select("file_path").collect()]
     pred = None
     for c, (c_lo, c_hi) in ranges.items():
         for p2 in (
@@ -643,67 +827,156 @@ def compact_incremental(
     ).parquet(scratch.toString())
     # move the new part-files in FIRST, then delete the originals: a
     # crash between the two leaves duplicates (recoverable by re-running
-    # dedup/compaction), never data loss
+    # dedup/compaction), never data loss.  Hadoop rename FAILS BY
+    # RETURNING FALSE (e.g. destination exists) — ignoring it would
+    # delete the scratch dir and then the originals while the compacted
+    # bytes sit in neither place, which IS data loss; check every return
+    # and raise BEFORE any delete, leaving the originals intact
+    # (ADVICE r11)
+    failed = []
     for st in fs.listStatus(scratch):
         name = st.getPath().getName()
         if name.startswith("part-"):
-            fs.rename(
-                st.getPath(),
-                jvm.org.apache.hadoop.fs.Path(path, "compacted-" + name),
-            )
+            dest = jvm.org.apache.hadoop.fs.Path(path, "compacted-" + name)
+            if not fs.rename(st.getPath(), dest):
+                failed.append((st.getPath().toString(), dest.toString()))
+    if failed:
+        raise RuntimeError(
+            f"compact_incremental: {len(failed)} rename(s) failed "
+            f"(first: {failed[0][0]} -> {failed[0][1]}); originals left "
+            f"intact, compacted files remain in {scratch.toString()} — "
+            "already-moved part-files are duplicates (recoverable by "
+            "re-running compaction), nothing was deleted"
+        )
     for f in smalls:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     fs.delete(scratch, True)
     return _result()
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm Path constructor, FileSystem) for ``path`` — the portable
+    listing/delete surface every manifest operator shares."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    return P, P(path).getFileSystem(hconf)
+
+
+def _snapshot_seqs(spark: SparkSession, manifest_dir: str):
+    """(complete, all) snapshot sequence numbers under ``manifest_dir``.
+    A snapshot is COMPLETE when Spark's job commit wrote its
+    ``_SUCCESS`` marker — a torn snapshot (crash mid-write) is never
+    served (ADVICE r11: completeness gate, mirroring read_kmv_state)."""
+    P, fs = _hadoop_fs(spark, manifest_dir)
+    if not fs.exists(P(manifest_dir)):
+        return [], []
+    complete, all_seqs = [], []
+    for st in fs.listStatus(P(manifest_dir)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            seq = int(name[1:])
+        except ValueError:
+            continue
+        all_seqs.append(seq)
+        if fs.exists(P(f"{manifest_dir}/v{seq}/_SUCCESS")):
+            complete.append(seq)
+    return sorted(complete), sorted(all_seqs)
+
+
 def manifest_sink(data_dir: str, manifest_dir: str, cols):
-    """``foreachBatch`` writer that keeps a ``stats_index`` manifest as
-    the SOURCE OF TRUTH for a streaming parquet table — the plain-parquet
-    version of Delta's log commit, giving exactly-once VISIBILITY
-    without a transaction log:
+    """``foreachBatch`` writer that keeps a ``stats_index`` SNAPSHOT
+    manifest as the SOURCE OF TRUTH for a streaming parquet table — the
+    plain-parquet version of Delta's checkpointed log, giving
+    exactly-once VISIBILITY without a transaction log.  Per batch:
 
-    - each micro-batch writes its rows to ``{data_dir}/batch_{id}``
-      (mode=overwrite: a replayed batch rewrites the same directory —
-      idempotent);
-    - THEN its per-file stats rows (``stats_index`` over just the new
-      directory, O(batch)) overwrite ``{manifest_dir}/v{id}``.
+    1. **skip gate** — a ``{manifest_dir}/commits/b{id}`` marker means
+       the batch already committed end-to-end: replay is a no-op (the
+       guard that stays sound even after compaction has folded the
+       batch's files away);
+    2. **data first** — rows land in a FRESH uniquely-named directory
+       (``batch_{id}``, or ``batch_{id}_r{n}`` on replay after a crash
+       — never ``mode=overwrite`` on a directory a live snapshot may
+       list, the ADVICE r11 replay race: overwrite deletes the old
+       part-files while readers still hold the manifest that names
+       them);
+    3. **snapshot** — a NEW complete file list ``v{seq}`` = previous
+       snapshot rows minus any prior rows of this batch_id (crash
+       between snapshot and marker), plus the fresh directory's stats
+       (O(batch) to compute, O(n_files) rows to rewrite — file-grain,
+       the Delta checkpoint cost);
+    4. **marker last** — only after the snapshot's ``_SUCCESS`` exists.
 
-    Readers (``read_via_manifest`` / ``skipping_scan(index=...)``) read
-    ONLY manifest-listed files, so a crash between the two writes leaves
-    the batch's files INVISIBLE until the replay commits both — data
-    files without manifest rows are uncommitted, never lost rows.  The
-    reverse order would be wrong twice: a manifest row without its file
-    breaks the read, and readers racing an append could otherwise see a
-    file the stats do not yet cover."""
+    Readers serve exactly one COMPLETE snapshot, so every crash window
+    is safe: after (2) the data is invisible (orphan — ``vacuum``
+    collects it); a torn (3) has no ``_SUCCESS`` and is never served;
+    after (3) but before (4) the batch is visible and the replay
+    REPLACES it in the next snapshot rather than duplicating it.  Rows
+    are never lost and never served twice.  Stats rows carry
+    ``batch_id`` (NULL on compacted files)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        P, fs = _hadoop_fs(spark, manifest_dir)
+        marker = P(f"{manifest_dir}/commits/b{batch_id}")
+        if fs.exists(marker):
+            return  # replay of a fully-committed batch: exactly-once
         out = f"{data_dir}/batch_{batch_id}"
-        batch_df.write.mode("overwrite").parquet(out)
-        stats_index(spark, out, cols).write.mode("overwrite").parquet(
-            f"{manifest_dir}/v{batch_id}"
+        n = 0
+        while fs.exists(P(out)):
+            n += 1
+            out = f"{data_dir}/batch_{batch_id}_r{n}"
+        batch_df.write.parquet(out)
+        new_stats = stats_index(spark, out, cols).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
         )
+        complete, all_seqs = _snapshot_seqs(spark, manifest_dir)
+        if complete:
+            prev = spark.read.parquet(
+                f"{manifest_dir}/v{complete[-1]}"
+            ).where(
+                F.col("batch_id").isNull()
+                | (F.col("batch_id") != batch_id)
+            )
+            new_stats = prev.unionByName(new_stats)
+        seq = (max(all_seqs) + 1) if all_seqs else 0
+        new_stats.write.parquet(f"{manifest_dir}/v{seq}")
+        fs.mkdirs(marker)
 
     return write
 
 
-def read_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
-    """All committed manifest rows (the long-format ``stats_index``
-    table): the union of every version directory's stats."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(
-        manifest_dir
-    )
+def read_manifest(
+    spark: SparkSession, manifest_dir: str, snapshot: Optional[int] = None
+) -> DataFrame:
+    """The manifest's current (or time-travel ``snapshot=``) COMPLETE
+    file list: long-format ``stats_index`` rows + ``batch_id``.  Torn
+    snapshot versions (no ``_SUCCESS``) are never served."""
+    complete, _ = _snapshot_seqs(spark, manifest_dir)
+    if not complete:
+        raise ValueError(f"no committed snapshot at {manifest_dir}")
+    seq = complete[-1] if snapshot is None else snapshot
+    if seq not in complete:
+        raise ValueError(
+            f"snapshot v{seq} not committed at {manifest_dir} "
+            f"(have {complete})"
+        )
+    return spark.read.parquet(f"{manifest_dir}/v{seq}")
 
 
-def read_via_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
+def read_via_manifest(
+    spark: SparkSession, manifest_dir: str, snapshot: Optional[int] = None
+) -> DataFrame:
     """The table AS DEFINED BY its manifest: read exactly the files the
-    manifest lists (n_files-bounded driver list, like Delta replaying
-    ``add`` actions). Uncommitted data files are invisible by
-    construction."""
+    chosen snapshot lists (n_files-bounded driver list, like Delta
+    replaying ``add`` actions). Uncommitted data files are invisible by
+    construction; ``snapshot=`` gives time-travel reads for as long as
+    ``vacuum`` retains the version."""
     files = [
         r["file_path"]
-        for r in read_manifest(spark, manifest_dir)
+        for r in read_manifest(spark, manifest_dir, snapshot)
         .select("file_path")
         .distinct()
         .collect()
@@ -711,3 +984,164 @@ def read_via_manifest(spark: SparkSession, manifest_dir: str) -> DataFrame:
     if not files:
         raise ValueError(f"empty manifest at {manifest_dir}")
     return spark.read.parquet(*files)
+
+
+def vacuum(
+    spark: SparkSession,
+    data_dir: str,
+    manifest_dir: str,
+    retain_last: int = 1,
+) -> DataFrame:
+    """Garbage-collect the manifest-backed table: delete every data
+    part-file no RETAINED snapshot references (crash-orphaned batch
+    directories, replay leftovers, compaction inputs), prune snapshot
+    versions older than the newest ``retain_last`` complete ones, and
+    drop data directories left empty — Delta's VACUUM for the
+    plain-parquet snapshot manifest.
+
+    ``retain_last`` bounds time travel: a reader pinned to a retained
+    snapshot keeps every file it needs (reader isolation); anything
+    referenced only by older snapshots is collectible.  Torn snapshot
+    directories older than the newest complete one are dead (their
+    writer crashed and the replay already recommitted) and are pruned
+    too; a torn directory NEWER than the latest complete snapshot is an
+    in-flight commit and is left alone.
+
+    Returns one row: (files_deleted, bytes_deleted, snapshots_deleted,
+    files_live).  Driver work is n_files + n_snapshots bounded, never
+    row-grain."""
+    if retain_last < 1:
+        raise ValueError(f"retain_last must be >= 1 (got {retain_last})")
+    complete, all_seqs = _snapshot_seqs(spark, manifest_dir)
+    if not complete:
+        raise ValueError(f"no committed snapshot at {manifest_dir}")
+    retained = complete[-retain_last:]
+    P, fs = _hadoop_fs(spark, data_dir)
+
+    def norm(p) -> str:
+        return P(p).toUri().getPath() if isinstance(p, str) else (
+            p.toUri().getPath()
+        )
+
+    live = set()
+    for seq in retained:
+        for r in (
+            spark.read.parquet(f"{manifest_dir}/v{seq}")
+            .select("file_path")
+            .distinct()
+            .collect()
+        ):
+            live.add(norm(r["file_path"]))
+    files_deleted = 0
+    bytes_deleted = 0
+    it = fs.listFiles(P(data_dir), True)
+    to_delete = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not (name.startswith("part-") or name.startswith("compacted-")):
+            continue  # job markers / checksums ride their directory
+        if norm(st.getPath()) not in live:
+            to_delete.append((st.getPath(), st.getLen()))
+    for p, sz in to_delete:
+        if fs.delete(p, False):
+            files_deleted += 1
+            bytes_deleted += int(sz)
+    # drop data subdirectories holding no live part-file (orphan batch
+    # dirs whose parts were just collected)
+    for st in fs.listStatus(P(data_dir)):
+        if not st.isDirectory():
+            continue
+        sub = fs.listFiles(st.getPath(), True)
+        has_part = False
+        while sub.hasNext():
+            n = sub.next().getPath().getName()
+            if n.startswith("part-") or n.startswith("compacted-"):
+                has_part = True
+                break
+        if not has_part:
+            fs.delete(st.getPath(), True)
+    snapshots_deleted = 0
+    newest_complete = complete[-1]
+    for seq in all_seqs:
+        dead_complete = seq in complete and seq < retained[0]
+        dead_torn = seq not in complete and seq < newest_complete
+        if dead_complete or dead_torn:
+            if fs.delete(P(f"{manifest_dir}/v{seq}"), True):
+                snapshots_deleted += 1
+    return spark.createDataFrame(
+        [(files_deleted, bytes_deleted, snapshots_deleted, len(live))],
+        "files_deleted long, bytes_deleted long, snapshots_deleted long, "
+        "files_live long",
+    )
+
+
+def compact_manifest(
+    spark: SparkSession,
+    data_dir: str,
+    manifest_dir: str,
+    target_mb: float = 128.0,
+    small_file_mb: Optional[float] = None,
+) -> DataFrame:
+    """Manifest-aware bin-pack compaction: rewrite the CURRENT
+    snapshot's small files (< ``small_file_mb``, default
+    ``target_mb/2``) into ~``target_mb`` files in a fresh
+    ``compact_{seq}`` directory, then commit a NEW snapshot in the same
+    data-first order — previous rows minus the compacted inputs, plus
+    the new files' stats (``batch_id`` NULL: they span batches; the
+    ``commits/`` markers, not stats rows, carry replay protection).
+
+    Unlike ``compact_incremental`` (the plain-directory form), nothing
+    is moved or deleted: the inputs stay on disk until ``vacuum``
+    collects them, so a reader holding ANY retained snapshot — including
+    one that started before the compaction — still finds every file it
+    lists (reader isolation, Delta's OPTIMIZE semantics).  A crash
+    before the snapshot commits leaves an orphan ``compact_`` directory
+    for ``vacuum``; the table is untouched.
+
+    Returns one row: (files_rewritten, files_kept, bytes_rewritten,
+    n_new_files, snapshot)."""
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be > 0 (got {target_mb})")
+    cap = int(
+        (small_file_mb if small_file_mb is not None else target_mb / 2)
+        * 1024 * 1024
+    )
+    snap = read_manifest(spark, manifest_dir)
+    per_file = (
+        snap.select("file_path", "file_bytes").distinct().collect()
+    )
+    cols = sorted(
+        r["col"] for r in snap.select("col").distinct().collect()
+    )
+    smalls = sorted(r["file_path"] for r in per_file if r["file_bytes"] < cap)
+    small_bytes = sum(
+        r["file_bytes"] for r in per_file if r["file_bytes"] < cap
+    )
+    kept = len(per_file) - len(smalls)
+    complete, all_seqs = _snapshot_seqs(spark, manifest_dir)
+    seq = (max(all_seqs) + 1) if all_seqs else 0
+
+    def audit(n_new: int, written: int, rewritten_bytes: int, snap_seq):
+        return spark.createDataFrame(
+            [(written, kept if written else len(per_file), rewritten_bytes,
+              n_new, snap_seq)],
+            "files_rewritten long, files_kept long, bytes_rewritten long, "
+            "n_new_files long, snapshot long",
+        )
+
+    if len(smalls) < 2:
+        return audit(0, 0, 0, complete[-1])
+    n_new = max(
+        1, -(-int(small_bytes) // max(1, int(target_mb * 1024 * 1024)))
+    )
+    out = f"{data_dir}/compact_{seq}"
+    spark.read.parquet(*smalls).repartition(n_new).write.parquet(out)
+    new_stats = stats_index(spark, out, cols).withColumn(
+        "batch_id", F.lit(None).cast("long")
+    )
+    new_snap = snap.where(~F.col("file_path").isin(smalls)).unionByName(
+        new_stats
+    )
+    new_snap.write.parquet(f"{manifest_dir}/v{seq}")
+    return audit(n_new, len(smalls), int(small_bytes), seq)

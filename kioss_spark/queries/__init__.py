@@ -257,20 +257,19 @@ for _round in sorted(_GREEN_ROUNDS):
 
 #: Re-check leaders: queries whose verified implementation changed AFTER
 #: their last green verdict, so their stale verdict no longer covers HEAD.
-#: Round 12: four r11-green names sit on code this round rewrote —
+#: Round 12: three r11-green names sit on code this round rewrote —
 #: ``skipping_scan_events`` + ``manifest_ingest_scan`` (stats_index grew
 #: typed/conservative bounds and the manifest moved to the snapshot
-#: commit model, operators/skew.py), ``bm25_topk`` (WAND-style max-score
-#: pruning must be provably lossless — the fresh hash IS the proof), and
-#: ``retrieval_quality`` (checkpoints routed through tracked
-#: persist/release).  Then the round-12 registrations, then ALL 41
-#: r8-stale names (post-r11-fold histogram {r8: 41, r9: 47, r10: 47,
-#: r11: 50}), and the stalest r9 names fill the window — afterward no
-#: verdict is older than r9.
+#: commit model, operators/skew.py) and ``retrieval_quality``
+#: (checkpoints routed through tracked persist/release; bm25_topk's own
+#: serving path is UNCHANGED — the max-score pruned plan gated
+#: separately as bm25_maxscore_topk).  Then the round-12 registrations,
+#: then ALL 41 r8-stale names (post-r11-fold histogram {r8: 41, r9: 47,
+#: r10: 47, r11: 50}), and the stalest r9 names fill the window —
+#: afterward no verdict is older than r9.
 _RECHECK_FIRST: tuple = (
     "skipping_scan_events",
     "manifest_ingest_scan",
-    "bm25_topk",
     "retrieval_quality",
 )
 

@@ -106,3 +106,43 @@ def test_fused_skip_truncate_error_rows(spark):
     # skip 4 ok yields -> starts at 5th ok value; take 6
     ok = [x for x in range(40) if x % 10 != 5]
     assert s.collect() == ok[4:10]
+
+
+def test_retrieval_quality_checkpoints_do_not_accumulate(spark):
+    # round-12 verdict ask: retrieval_quality's four eager checkpoints
+    # outlive each call BY DESIGN (the returned plan reads them), but a
+    # long-lived session calling it repeatedly must hold at most ONE
+    # call's worth of checkpoint state (latest-call-wins release)
+    from kioss_spark.queries import load_all
+    from kioss_spark.queries import llm
+
+    fn = load_all()["retrieval_quality"].fn
+    sf = "/root/testdata/sf0.001"
+
+    def persisted_ids():
+        return set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+
+    base = persisted_ids()
+    first = fn(spark, sf).collect()
+    after_one = persisted_ids() - base
+    assert after_one  # the checkpoints exist and serve the plan
+    for _ in range(2):
+        again = fn(spark, sf).collect()
+    after_three = persisted_ids() - base
+    # no growth across repeated calls: one call's worth, not three (a
+    # transient async-unpersist straggler can inflate the FIRST
+    # snapshot, so the bound is <=, never proportional to call count)
+    assert len(after_three) <= len(after_one)
+    # the first call's blocks are gone (released by the later calls)
+    assert not (after_one & after_three)
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    # release the final call's state so this test leaves the session
+    # cache as it found it (suite-level hygiene)
+    live = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(llm._RQ_CKPT_IDS):
+        rdd = live.get(rid)
+        if rdd is not None:
+            rdd.unpersist(True)
+    llm._RQ_CKPT_IDS.clear()

@@ -158,6 +158,33 @@ BUDGET = {
     # build; the served plan is the manifest-listed candidate scan +
     # one keyed agg
     "manifest_ingest_scan": (2, 0),
+    # round-12: max-score pruned BM25 — the bm25_topk shape (8) plus the
+    # pruning scaffolding: the per-term bounds agg, the essential-list
+    # partial-score pipeline + theta rank, the per-query bound-sum agg,
+    # and the (query, doc) candidate join keying BOTH sides; every
+    # addition is either vocabulary/query-grain or bounded by the
+    # essential (rarest) posting list — the common-list postings the
+    # pruning exists to drop never reach the score agg.  onep = the
+    # vocabulary rank BY DESIGN (as bm25_topk)
+    "bm25_maxscore_topk": (19, 1),
+    # round-12: positional ingest — bm25_phrase_topk's serving shape
+    # (17) with the existing-corpus side swapped for bucketed scans and
+    # the batch-side positional stats pipeline + vocabulary-grain df
+    # outer join + 2-row global agg added; oneps = the two n-gram rank
+    # windows (phrase-set derivation) + the 2-row global agg + the
+    # stored-g 1-bucket scan
+    "bm25_phrase_index_ingest": (20, 4),
+    # round-12: string skipping — the served plan is the pruned
+    # candidate scan + one source-keyed agg (rewrite/stats/candidates at
+    # plan build, the skipping_scan_events pattern)
+    "skipping_scan_strings": (1, 0),
+    # round-12: fractional-bound skipping — pruned candidate scan + ONE
+    # global agg (its single partial->final collapse is the onep)
+    "skipping_scan_double": (1, 1),
+    # round-12: the full manifest lifecycle (commit x3, compact, vacuum)
+    # runs at plan build; the served plan is the manifest-listed
+    # candidate scan + one keyed agg
+    "manifest_compact_scan": (2, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan

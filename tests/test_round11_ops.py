@@ -757,14 +757,18 @@ def test_bm25_tfp_decimal_branch_exact_past_int64(spark):
     assert n_toks * 1 > 20_900_000_000_000
 
 
-def test_stats_index_rejects_non_numeric_column(spark, tmp_path):
+def test_stats_index_rejects_unorderable_column(spark, tmp_path):
+    # string columns gained real truncated min/max stats in round 12;
+    # the loud-failure guard now covers the genuinely unorderable types
+    # (nested/binary), whose NULL stats would make every file look
+    # all-null and silently drop rows from pruned scans
     from kioss_spark.operators.skew import stats_index
 
-    path = str(tmp_path / "strcol")
+    path = str(tmp_path / "arrcol")
     spark.range(10).select(
-        F.col("id").alias("x"), F.lit("abc").alias("tag")
+        F.col("id").alias("x"), F.array(F.lit(1), F.lit(2)).alias("tag")
     ).write.parquet(path)
-    with pytest.raises(ValueError, match="non-numeric type"):
+    with pytest.raises(ValueError, match="unsupported type"):
         stats_index(spark, path, ["tag"])
 
 

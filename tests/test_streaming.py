@@ -1435,13 +1435,15 @@ def test_manifest_sink_streaming_exactly_once_visibility(spark, tmp_path):
         (x, p) for x, p in b1 + b2 if 40 <= x <= 140
     )
 
-    # crash-window simulation: a data directory WITHOUT its manifest
-    # version is invisible (write order: data first, manifest commits)
+    # crash-window simulation: a data directory WITHOUT a snapshot that
+    # lists it is invisible (write order: data first, snapshot commits)
     spark.createDataFrame(
         [(999, "uncommitted")], "x long, payload string"
     ).write.mode("overwrite").parquet(f"{data}/batch_99")
     assert read_via_manifest(spark, manifest).count() == 250
-    # the replay commits both halves idempotently
+    # the replay never touches the crashed directory (the ADVICE r11
+    # replay race): it writes a FRESH uniquely-named one and commits a
+    # snapshot pointing at it — the orphan stays on disk for vacuum
     manifest_sink(data, manifest, ["x"])(
         spark.createDataFrame([(999, "committed")], "x long, payload string"),
         99,
@@ -1449,3 +1451,21 @@ def test_manifest_sink_streaming_exactly_once_visibility(spark, tmp_path):
     rows = read_via_manifest(spark, manifest)
     assert rows.count() == 251
     assert rows.where("x = 999").collect()[0]["payload"] == "committed"
+    # a re-replay of the now-marker-committed batch is a no-op
+    manifest_sink(data, manifest, ["x"])(
+        spark.createDataFrame([(999, "dup")], "x long, payload string"),
+        99,
+    )
+    rows2 = read_via_manifest(spark, manifest)
+    assert rows2.count() == 251
+    assert rows2.where("x = 999").collect()[0]["payload"] == "committed"
+    # vacuum collects the crashed orphan directory; the served table is
+    # bit-identical before/after
+    from kioss_spark.operators.skew import vacuum
+
+    before = sorted(map(tuple, read_via_manifest(spark, manifest).collect()))
+    audit = vacuum(spark, data, manifest).collect()[0]
+    assert audit["files_deleted"] >= 1  # the batch_99 orphan part-file
+    after = sorted(map(tuple, read_via_manifest(spark, manifest).collect()))
+    assert after == before
+    assert not os.path.exists(f"{data}/batch_99")
