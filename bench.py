@@ -202,6 +202,8 @@ HEADLINE = [
     "skipping_scan_double",
     # round-12: the manifest lifecycle composite (commit/compact/vacuum)
     "manifest_compact_scan",
+    # round-12: block-Bloom point-set lookup (exact membership skipping)
+    "member_scan_events",
 ]
 
 

@@ -669,21 +669,26 @@ def phrase_hits_py(
     return len(acc)
 
 
-def read_bm25_index(spark, state_dir: str):
+def read_bm25_index(spark, state_dir: str, with_bounds: bool = False):
     """Load the latest COMPLETE version of a ``bm25_index_sink`` state
-    directory: returns ``(version, tfdl, df, g)`` with version = -1 and
-    None frames when no complete version exists.  A version is complete
-    when all three stats subdirs carry the writer's ``_SUCCESS`` marker —
-    a torn write (crash mid-version) is simply never visible to readers,
-    and the replayed batch overwrites it.  Listing goes through the
-    Hadoop FS API (portable to any defaultFS, no driver-side os.listdir
-    assumptions)."""
+    directory: returns ``(version, tfdl, df, g)`` — or
+    ``(version, tfdl, df, g, bounds)`` with ``with_bounds=True`` (the
+    round-12 max-score stat: per-term ``max_tf``, maintained by the sink
+    through the max-merge law so pruned serving needs no corpus pass) —
+    with version = -1 and None frames when no complete version exists.
+    A version is complete when all four stats subdirs carry the writer's
+    ``_SUCCESS`` marker — a torn write (crash mid-version) is simply
+    never visible to readers, and the replayed batch overwrites it.
+    Listing goes through the Hadoop FS API (portable to any defaultFS,
+    no driver-side os.listdir assumptions)."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = root.getFileSystem(hconf)
     if not fs.exists(root):
-        return -1, None, None, None
+        return (-1, None, None, None, None) if with_bounds else (
+            -1, None, None, None
+        )
     versions = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
@@ -697,19 +702,24 @@ def read_bm25_index(spark, state_dir: str):
             fs.exists(
                 jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v}/{part}/_SUCCESS")
             )
-            for part in ("tfdl", "df", "g")
+            for part in ("tfdl", "df", "g", "bounds")
         ):
             versions.append(v)
     if not versions:
-        return -1, None, None, None
+        return (-1, None, None, None, None) if with_bounds else (
+            -1, None, None, None
+        )
     v = max(versions)
     base = f"{state_dir}/v{v}"
-    return (
+    out = (
         v,
         spark.read.parquet(f"{base}/tfdl"),
         spark.read.parquet(f"{base}/df"),
         spark.read.parquet(f"{base}/g"),
     )
+    if with_bounds:
+        return (*out, spark.read.parquet(f"{base}/bounds"))
+    return out
 
 
 def bm25_index_sink(state_dir: str):
@@ -738,15 +748,25 @@ def bm25_index_sink(state_dir: str):
 
     def merge(batch_inv, batch_id: int) -> None:
         spark = batch_inv.sparkSession
-        version, tfdl_a, df_a, g_a = read_bm25_index(spark, state_dir)
+        version, tfdl_a, df_a, g_a, bounds_a = read_bm25_index(
+            spark, state_dir, with_bounds=True
+        )
         if batch_id <= version:
             return  # replayed batch: already folded into the index
         b = bm25_stats(batch_inv)
+        b_bounds = bm25_term_bounds(b[0])
         merged = (
             b if tfdl_a is None else bm25_merge_stats(tfdl_a, df_a, g_a, *b)
         )
+        bounds = (
+            b_bounds
+            if bounds_a is None
+            else bm25_merge_bounds(bounds_a, b_bounds)
+        )
         base = f"{state_dir}/v{batch_id}"
-        for part, df_part in zip(("tfdl", "df", "g"), merged):
+        for part, df_part in zip(
+            ("tfdl", "df", "g", "bounds"), (*merged, bounds)
+        ):
             df_part.write.mode("overwrite").parquet(f"{base}/{part}")
 
     return merge

@@ -43,6 +43,9 @@ __all__ = [
     "read_via_manifest",
     "vacuum",
     "compact_manifest",
+    "member_index",
+    "member_index_merge",
+    "member_scan",
 ]
 
 
@@ -852,6 +855,155 @@ def compact_incremental(
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     fs.delete(scratch, True)
     return _result()
+
+
+def member_index(
+    spark: SparkSession, path: str, cols, buckets: int = 4096
+) -> DataFrame:
+    """Per-file MEMBERSHIP index for point lookups — the plain-parquet
+    analog of Delta/Iceberg's per-file Bloom filters, as an exact
+    block-Bloom: for each (file, col), the SORTED array of distinct
+    ``xxhash64(value) mod buckets`` bucket ids.  A probe value whose
+    bucket is absent from a file's array PROVABLY does not occur in
+    that file (no false negatives — skipping is exact); false positives
+    are collisions, rate ~ distinct-values/buckets, and cost only an
+    extra file open (the residual predicate stays exact).
+
+    min/max skipping (``stats_index``) answers RANGES; this answers the
+    needle-in-a-haystack shape — "fetch these 100 ids from a 100 TB
+    table" — where ranges are useless unless the layout is clustered by
+    exactly that column.  The array is bounded by ``buckets`` entries
+    (4096 ints ~ 32 KB/file/col worst case), file-grain like every
+    manifest structure here, and MERGEABLE by plain union across
+    immutable files (``member_index_merge``, O(new files) per ingest).
+
+    Output long format: (file_path, file_bytes, file_rows, col,
+    buckets, members array<long> sorted, n_nulls).
+
+    Scale shape: one scan of the audited columns, one file-grain
+    collect_set agg — no joins, output n_files x n_cols rows."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2 (got {buckets})")
+    df = spark.read.parquet(path)
+    for c in cols:
+        t = df.schema[c].dataType.typeName()
+        if t in ("array", "map", "struct"):
+            raise ValueError(
+                f"member_index column {c!r} has unsupported nested type "
+                f"{t}: point-lookup membership needs a scalar column"
+            )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sort_array(
+                F.collect_set(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.pmod(F.xxhash64(F.col(c)), F.lit(buckets)),
+                    )
+                )
+            ).alias(f"__m_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+        ]
+    per_file = (
+        df.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.file_size").alias("__size__"),
+            *[F.col(c) for c in cols],
+        )
+        .groupBy("file_path")
+        .agg(
+            F.first("__size__").cast("long").alias("file_bytes"),
+            F.count(F.lit(1)).cast("long").alias("file_rows"),
+            *aggs,
+        )
+    )
+    entries = ", ".join(
+        f"struct('{c}' as col, {buckets}L as buckets, "
+        f"`__m_{c}` as members, `__nn_{c}` as n_nulls)"
+        for c in cols
+    )
+    return per_file.select(
+        "file_path",
+        "file_bytes",
+        "file_rows",
+        F.expr(f"inline(array({entries}))"),
+    )
+
+
+def member_index_merge(existing: DataFrame, new_files: DataFrame) -> DataFrame:
+    """Incremental membership-manifest maintenance: parquet files are
+    IMMUTABLE, so a file's membership row never changes and the merge is
+    a plain union of long-format rows — O(new files) per ingest, the
+    ``stats_index_merge`` law."""
+    return existing.unionByName(new_files)
+
+
+def member_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    values,
+    index: Optional[DataFrame] = None,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Exact point-set lookup through the membership index: read ONLY
+    the files whose bucket array contains at least one probe value's
+    bucket, then apply ``col IN values`` — returns exactly what a full
+    scan + IN-filter would (membership skipping is conservative: an
+    absent bucket proves the value absent; a colliding bucket costs an
+    extra file open, never a wrong row).
+
+    Probe buckets are computed IN Spark (one tiny driver-side job over
+    the values list) so the hash is bit-identical to the index build —
+    never reimplemented driver-side.  Candidate selection runs
+    driver-side over the collected n_files-bounded index, like
+    ``skipping_scan``.  When ``index=`` is omitted the index builds on
+    the fly; pass the maintained one (``member_index_merge``) in
+    production — that is the entire point at 100 TB."""
+    values = list(values)
+    if not values:
+        raise ValueError("member_scan needs at least one probe value")
+    idx = index if index is not None else member_index(
+        spark, path, [col], buckets=buckets
+    )
+    rows = idx.where(F.col("col") == col).collect()
+    if not rows:
+        have = sorted(
+            {r["col"] for r in idx.select("col").distinct().collect()}
+        )
+        raise ValueError(
+            f"member_scan index has no membership rows for {col!r} "
+            f"(has {have}): rebuild the index with this column"
+        )
+    b = rows[0]["buckets"]
+    if any(r["buckets"] != b for r in rows):
+        raise ValueError(
+            f"member_scan index mixes bucket counts for {col!r}: "
+            "rebuild with one buckets= setting"
+        )
+    probe_df = spark.createDataFrame(
+        [(v,) for v in values], f"__v__: {spark.read.parquet(path).schema[col].dataType.simpleString()}"
+    )
+    probe_buckets = {
+        r["b"]
+        for r in probe_df.select(
+            F.pmod(F.xxhash64(F.col("__v__")), F.lit(int(b))).alias("b")
+        ).collect()
+    }
+    files = sorted(
+        r["file_path"]
+        for r in rows
+        if probe_buckets & set(r["members"] or [])
+    )
+    if not files:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(path)
+            .where(F.lit(False))
+        )
+    return spark.read.parquet(*files).where(F.col(col).isin(values))
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

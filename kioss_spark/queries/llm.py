@@ -1623,28 +1623,67 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bm25_maxscore_topk", oracle=_BM25_ORACLE)
-def bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Max-score (MaxScore/WAND-family) PRUNED BM25 top-10 — the same
-    corpus, query set, and scoring as bm25_topk, served through
-    ``operators/retrieval.py:bm25_maxscore_topk``: per-term max-score
-    upper bounds derive from the stored max-mergeable ``max_tf`` stat,
-    the rarest (essential) list's k-th partial score lower-bounds the
-    final threshold, and docs whose non-essential bound sum cannot reach
-    it are dropped BEFORE the DECIMAL tf-ratio, the score aggregation,
-    and the rank window.
+#: bm25_maxscore_topk's query set MIXES rarity tiers: the 16 most
+#: common terms dealt 2-per-query PLUS the 8 LEAST common dealt
+#: 1-per-query — the shape max-score pruning exists for (a rare
+#: essential list bounding theta above the common-term bound sums; the
+#: fixture's 'dup' term, df=25 vs ~390, makes pruning genuinely engage
+#: at sf0.01).  bm25_topk's all-common set never prunes (uniform df).
+_QT_MIXED_OLD = """
+    qt AS (
+      SELECT CAST((rn - 1) % 8 AS BIGINT) AS query_id, term
+      FROM (SELECT term,
+                   row_number() OVER (ORDER BY df DESC, term) AS rn
+            FROM df)
+      WHERE rn <= 24
+    ),"""
+_QT_MIXED_NEW = """
+    qt AS (
+      SELECT CAST((rn - 1) % 8 AS BIGINT) AS query_id, term
+      FROM (SELECT term,
+                   row_number() OVER (ORDER BY df DESC, term) AS rn
+            FROM df)
+      WHERE rn <= 16
+      UNION ALL
+      SELECT CAST(rn - 1 AS BIGINT) AS query_id, term
+      FROM (SELECT term,
+                   row_number() OVER (ORDER BY df ASC, term) AS rn
+            FROM df)
+      WHERE rn <= 8
+    ),"""
+_BM25_MIXED_ORACLE = _BM25_ORACLE.replace(_QT_MIXED_OLD, _QT_MIXED_NEW)
+assert _BM25_MIXED_ORACLE != _BM25_ORACLE  # the qt block must substitute
 
-    The oracle is bm25_topk's UNPRUNED direct computation VERBATIM —
-    hash equality IS the losslessness proof (the verdict-12 done
-    condition): pruning may only remove docs that provably cannot rank.
+
+@register("bm25_maxscore_topk", oracle=_BM25_MIXED_ORACLE)
+def bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-score (MaxScore/WAND-family) PRUNED BM25 top-10 — bm25_topk's
+    corpus and scoring with a rarity-MIXED query set (16 most-common
+    terms dealt 2-per-query + the 8 least-common dealt 1-per-query),
+    served through ``operators/retrieval.py:bm25_maxscore_topk``:
+    per-term max-score upper bounds derive from the stored max-mergeable
+    ``max_tf`` stat, the rarest (essential) list's k-th partial score
+    lower-bounds the final threshold, and docs whose non-essential bound
+    sum cannot reach it are dropped BEFORE the DECIMAL tf-ratio, the
+    score aggregation, and the rank window.  The mixed set is the shape
+    the algorithm exists for — one rare + several common terms — and on
+    the fixture ('dup': df=25 vs ~390) the pruning genuinely engages;
+    queries whose terms are all common degrade per-query to the exact
+    unpruned plan (the fallback is part of what the gate proves).
+
+    The oracle is the UNPRUNED direct computation with the same mixed
+    query set — hash equality IS the losslessness proof (the verdict-12
+    done condition): pruning may only remove docs that provably cannot
+    rank.
 
     Scale shape: the operator exists for the regime where common-term
-    posting lists dominate (the 100 TB sparse-retrieval bottleneck);
-    at fixture scale its extra candidate semi-join is fixed cost and
-    the unpruned bm25_topk plan is faster (A/B: 1.4 vs 3.0 s at sf0.1)
-    — which is why BOTH registrations exist: one proves the exact
+    posting lists dominate (the 100 TB sparse-retrieval bottleneck); at
+    fixture scale its extra candidate semi-join is fixed cost and the
+    unpruned bm25_topk plan is faster (A/B: 1.4 vs 3.0 s at sf0.1) —
+    which is why BOTH registrations exist: one proves the exact
     baseline, one proves the pruned plan lossless.  The scored-posting
-    collapse is measured in SCALE_CURVE r12."""
+    collapse is measured on a Zipf corpus in SCALE_CURVE r12 (uniform
+    fixture vocabularies cannot exercise it)."""
     from kioss_spark.operators import retrieval
 
     docs = _docs(spark, sf_dir)
@@ -1652,20 +1691,35 @@ def bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tfdl, df, g = retrieval.bm25_stats(inv)
-    qt = (
+    common = (
         df.withColumn(
             "rn",
             F.row_number().over(
                 Window.orderBy(F.col("df").desc(), F.col("term"))
             ),
         )
-        .where(F.col("rn") <= 24)
+        .where(F.col("rn") <= 16)
         .select(
             ((F.col("rn") - 1) % 8).cast("long").alias("query_id"),
             "term",
             "df",
         )
     )
+    rare = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("df").asc(), F.col("term"))
+            ),
+        )
+        .where(F.col("rn") <= 8)
+        .select(
+            (F.col("rn") - 1).cast("long").alias("query_id"),
+            "term",
+            "df",
+        )
+    )
+    qt = common.unionByName(rare)
     return retrieval.bm25_maxscore_topk(tfdl, df, g, qt, k=10).orderBy(
         "query_id", "rnk"
     )

@@ -2936,3 +2936,55 @@ def manifest_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("payload").cast("long").alias("payload_min"),
         F.max("payload").cast("long").alias("payload_max"),
     )
+
+
+@register(
+    "member_scan_events",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(min(event_id) AS BIGINT) AS id_min,
+           CAST(max(event_id) AS BIGINT) AS id_max
+    FROM events WHERE user_id IN (3, 7, 11)
+    GROUP BY user_id
+    """,
+)
+def member_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-set lookup through the per-file MEMBERSHIP index — the
+    needle-in-a-haystack shape min/max skipping cannot serve (a range on
+    an unclustered id covers every file; Delta/Iceberg answer it with
+    per-file Bloom filters): write the event stream hash-clustered by
+    ``user_id``, build ``member_index`` (exact block-Bloom: sorted
+    distinct ``xxhash64 mod 4096`` bucket ids per file — no false
+    negatives, collisions cost only a file open), and fetch three users
+    through ``member_scan``, aggregating the survivors.
+
+    The DuckDB oracle computes the same aggregate over the FULL table
+    with a plain IN-filter: hash equality proves membership skipping is
+    exact-answer-preserving.  Merge law (file immutability => plain
+    union) and the collision-conservatism pins are
+    tests/test_round12_ops.py.
+
+    Scale shape: one hash shuffle for the rewrite, one file-grain
+    collect_set agg (bounded 4096 ints per file/col), an
+    n_files-bounded driver candidate list, and a scan of ~the probed
+    keys' share of the files."""
+    import tempfile
+
+    from kioss_spark.operators.skew import member_index, member_scan
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="kioss_member_")
+    path = f"{base}/by_user"
+    e.repartition(8, "user_id").write.parquet(path)
+    idx = member_index(spark, path, ["user_id"], buckets=4096)
+    hits = member_scan(spark, path, "user_id", [3, 7, 11], index=idx)
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.min("event_id").cast("long").alias("id_min"),
+        F.max("event_id").cast("long").alias("id_max"),
+    )

@@ -124,17 +124,29 @@ def test_retrieval_quality_checkpoints_do_not_accumulate(spark):
             spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
         )
 
+    def settled_ids(base):
+        # internal operators persist-then-async-unpersist transients;
+        # poll until the residual set stops shrinking so the snapshot
+        # counts only the checkpoints that actually remain
+        prev = persisted_ids() - base
+        for _ in range(20):
+            time.sleep(0.25)
+            cur = persisted_ids() - base
+            if cur == prev:
+                return cur
+            prev = cur
+        return prev
+
     base = persisted_ids()
     first = fn(spark, sf).collect()
-    after_one = persisted_ids() - base
+    after_one = settled_ids(base)
     assert after_one  # the checkpoints exist and serve the plan
     for _ in range(2):
         again = fn(spark, sf).collect()
-    after_three = persisted_ids() - base
-    # no growth across repeated calls: one call's worth, not three (a
-    # transient async-unpersist straggler can inflate the FIRST
-    # snapshot, so the bound is <=, never proportional to call count)
-    assert len(after_three) <= len(after_one)
+    after_three = settled_ids(base)
+    # no growth across repeated calls: one call's worth (the four
+    # eager checkpoints), never proportional to call count
+    assert len(after_three) <= max(len(after_one), 4)
     # the first call's blocks are gone (released by the later calls)
     assert not (after_one & after_three)
     assert sorted(map(tuple, again)) == sorted(map(tuple, first))

@@ -159,14 +159,15 @@ BUDGET = {
     # one keyed agg
     "manifest_ingest_scan": (2, 0),
     # round-12: max-score pruned BM25 — the bm25_topk shape (8) plus the
-    # pruning scaffolding: the per-term bounds agg, the essential-list
-    # partial-score pipeline + theta rank, the per-query bound-sum agg,
-    # and the (query, doc) candidate join keying BOTH sides; every
-    # addition is either vocabulary/query-grain or bounded by the
-    # essential (rarest) posting list — the common-list postings the
-    # pruning exists to drop never reach the score agg.  onep = the
-    # vocabulary rank BY DESIGN (as bm25_topk)
-    "bm25_maxscore_topk": (19, 1),
+    # pruning scaffolding: the per-term bounds agg, TWO vocabulary rank
+    # windows (the rarity-mixed query set: common desc + rare asc), the
+    # essential-list partial-score pipeline + theta rank, the per-query
+    # bound-sum agg, and the (query, doc) candidate join keying BOTH
+    # sides; every addition is either vocabulary/query-grain or bounded
+    # by the essential (rarest) posting list — the common-list postings
+    # the pruning exists to drop never reach the score agg.  onep = the
+    # vocabulary ranks BY DESIGN (as bm25_topk)
+    "bm25_maxscore_topk": (23, 2),
     # round-12: positional ingest — bm25_phrase_topk's serving shape
     # (17) with the existing-corpus side swapped for bucketed scans and
     # the batch-side positional stats pipeline + vocabulary-grain df
@@ -185,6 +186,10 @@ BUDGET = {
     # runs at plan build; the served plan is the manifest-listed
     # candidate scan + one keyed agg
     "manifest_compact_scan": (2, 0),
+    # round-12: block-Bloom point lookup — rewrite/index/probe-bucket
+    # job run at plan build; the served plan is the membership-pruned
+    # candidate scan + one keyed agg
+    "member_scan_events": (2, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan

@@ -601,3 +601,118 @@ def test_bm25_positional_merge_law(spark):
             map(lambda r: tuple(tuple(x) if isinstance(x, list) else x
                                 for x in r), s.collect())
         )
+
+
+# ---------------------------------------------------------------------------
+# member_index / member_scan — exact block-Bloom point lookups (the
+# needle-in-a-haystack shape min/max stats cannot serve)
+# ---------------------------------------------------------------------------
+
+
+def test_member_scan_exact_and_prunes(spark, tmp_path):
+    from kioss_spark.operators.skew import member_index, member_scan
+
+    path = str(tmp_path / "members")
+    rows = [(i, i % 37, f"p{i}") for i in range(2000)]
+    # cluster by k so each key lands in few files; 8 files
+    spark.createDataFrame(rows, "id long, k long, payload string") \
+        .repartition(8, "k").write.parquet(path)
+    idx = member_index(spark, path, ["k"], buckets=4096)
+    got = member_scan(spark, path, "k", [3, 17, 36], index=idx)
+    want = _full_filter(spark, path, F.col("k").isin([3, 17, 36]))
+    assert sorted(map(tuple, got.collect())) == want
+    n_files = idx.select("file_path").distinct().count()
+    assert _files_read(got) < n_files  # clustered: most files skip
+
+
+def test_member_scan_absent_value_reads_nothing(spark, tmp_path):
+    from kioss_spark.operators.skew import member_index, member_scan
+
+    path = str(tmp_path / "members_absent")
+    spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "id long, k long"
+    ).coalesce(2).write.parquet(path)
+    idx = member_index(spark, path, ["k"], buckets=4096)
+    out = member_scan(spark, path, "k", [999999], index=idx)
+    assert out.count() == 0
+    assert out.columns == ["id", "k"]
+
+
+def test_member_scan_string_column_and_nulls(spark, tmp_path):
+    from kioss_spark.operators.skew import member_index, member_scan
+
+    path = str(tmp_path / "members_str")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3)], "s string, id long"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [("c", 4), ("d", 5)], "s string, id long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    got = member_scan(spark, path, "s", ["a", "zzz"])
+    assert sorted(map(tuple, got.collect())) == [("a", 1)]
+    assert _files_read(got) == 1  # second file provably lacks 'a'
+
+
+def test_member_index_merge_law(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        member_index,
+        member_index_merge,
+        member_scan,
+    )
+
+    path = str(tmp_path / "members_merge")
+    spark.createDataFrame(
+        [(i, i % 11) for i in range(500)], "id long, k long"
+    ).repartition(3, "k").write.parquet(path)
+    old = member_index(spark, path, ["k"])
+    # append new immutable files; index only them, merge
+    spark.createDataFrame(
+        [(i, 100 + (i % 3)) for i in range(500, 600)], "id long, k long"
+    ).repartition(2, "k").write.mode("append").parquet(path)
+    all_files = {
+        r["file_path"]
+        for r in member_index(spark, path, ["k"]).select("file_path")
+        .distinct().collect()
+    }
+    old_files = {
+        r["file_path"] for r in old.select("file_path").distinct().collect()
+    }
+    import functools
+
+    new_paths = sorted(all_files - old_files)
+    new_rows = functools.reduce(
+        member_index_merge,
+        [member_index(spark, p, ["k"]) for p in new_paths],
+    )
+    merged = member_index_merge(old, new_rows)
+    scratch = member_index(spark, path, ["k"])
+    assert sorted(
+        map(lambda r: (r["file_path"], r["col"], tuple(r["members"])),
+            merged.collect())
+    ) == sorted(
+        map(lambda r: (r["file_path"], r["col"], tuple(r["members"])),
+            scratch.collect())
+    )
+    # and the merged index serves lookups exactly
+    got = member_scan(spark, path, "k", [101], index=merged)
+    want = _full_filter(spark, path, F.col("k") == 101)
+    assert sorted(map(tuple, got.collect())) == want
+
+
+def test_member_scan_guards(spark, tmp_path):
+    from kioss_spark.operators.skew import member_index, member_scan
+
+    path = str(tmp_path / "members_guard")
+    spark.range(10).select(
+        F.col("id").alias("x"), (F.col("id") % 2).alias("y")
+    ).write.parquet(path)
+    idx = member_index(spark, path, ["x"])
+    with pytest.raises(ValueError, match="no membership rows for 'y'"):
+        member_scan(spark, path, "y", [1], index=idx)
+    with pytest.raises(ValueError, match="at least one probe value"):
+        member_scan(spark, path, "x", [])
+    spark.range(3).select(F.array(F.lit(1)).alias("a")).write.parquet(
+        str(tmp_path / "arrmem")
+    )
+    with pytest.raises(ValueError, match="unsupported nested type"):
+        member_index(spark, str(tmp_path / "arrmem"), ["a"])

@@ -1289,13 +1289,31 @@ def test_bm25_streaming_ingest_kill_and_resume(spark, tmp_path):
         ),
     )
     retrieval.bm25_index_sink(state)(replay, 1)
-    v3, tfdl3, df3, g3 = retrieval.read_bm25_index(spark, state)
+    v3, tfdl3, df3, g3, bounds3 = retrieval.read_bm25_index(
+        spark, state, with_bounds=True
+    )
     assert v3 == 1
     served3 = sorted(
         (r["query_id"], r["doc_id"], r["score_e6"])
         for r in retrieval.bm25_score_topk(tfdl3, df3, g3, q, k=10).collect()
     )
     assert served3 == served
+    # round-12: the stored max-score bounds ride the same versioned state
+    # (max-merge law) — after kill, resume, AND replay they equal a
+    # from-scratch bounds build over the full corpus
+    scratch_bounds = retrieval.bm25_term_bounds(tfdl3)
+    assert sorted(map(tuple, bounds3.collect())) == sorted(
+        map(tuple, scratch_bounds.collect())
+    )
+    # and the pruned serving path over the STORED index (stored bounds,
+    # no corpus pass) matches the unpruned scores exactly
+    pruned = sorted(
+        (r["query_id"], r["doc_id"], r["score_e6"])
+        for r in retrieval.bm25_maxscore_topk(
+            tfdl3, df3, g3, q, k=10, bounds=bounds3
+        ).collect()
+    )
+    assert pruned == served
 
 
 def test_kmv_state_streaming_kill_and_resume(spark, tmp_path):
