@@ -204,6 +204,8 @@ HEADLINE = [
     "manifest_compact_scan",
     # round-12: block-Bloom point-set lookup (exact membership skipping)
     "member_scan_events",
+    # round-12: manifest change-feed catch-up (file-grain incremental read)
+    "manifest_changes_scan",
 ]
 
 

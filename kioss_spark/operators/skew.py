@@ -46,6 +46,8 @@ __all__ = [
     "member_index",
     "member_index_merge",
     "member_scan",
+    "manifest_diff",
+    "read_manifest_changes",
 ]
 
 
@@ -1138,6 +1140,110 @@ def read_via_manifest(
     return spark.read.parquet(*files)
 
 
+def manifest_diff(
+    spark: SparkSession,
+    manifest_dir: str,
+    from_snapshot: int,
+    to_snapshot: Optional[int] = None,
+) -> DataFrame:
+    """File-grain change feed between two committed snapshots — what an
+    incremental consumer needs to catch up from ``from_snapshot`` to
+    ``to_snapshot`` (default: latest) without rereading the table:
+    one row per changed file, ``change`` in {'add', 'remove'}, with the
+    file's stats columns (so an added file's rows can be FETCHED by
+    reading exactly that file — Delta's CDF at file grain, which is the
+    right grain for append-mostly tables: a batch commit only ever adds
+    files, and compaction adds rewritten files while removing their
+    inputs, content-neutral by construction).
+
+    Both snapshots must still be retained (``vacuum`` prunes old ones);
+    reading a vacuumed version raises, never silently diffs against a
+    partial manifest.  Cost: two manifest reads (n_files-grain) + one
+    anti-join each way; never row-grain."""
+    old = read_manifest(spark, manifest_dir, from_snapshot)
+    new = read_manifest(spark, manifest_dir, to_snapshot)
+    old_files = old.select("file_path").distinct()
+    new_files = new.select("file_path").distinct()
+    added = new.join(old_files, "file_path", "left_anti").withColumn(
+        "change", F.lit("add")
+    )
+    removed = old.join(new_files, "file_path", "left_anti").withColumn(
+        "change", F.lit("remove")
+    )
+    return added.unionByName(removed)
+
+
+def read_manifest_changes(
+    spark: SparkSession,
+    manifest_dir: str,
+    from_snapshot: int,
+    to_snapshot: Optional[int] = None,
+) -> DataFrame:
+    """The ROWS added between two snapshots: read exactly the files
+    ``manifest_diff`` marks 'add' whose batch_id is set (compaction
+    rewrites carry batch_id NULL and are content-neutral — their rows
+    were already served by the inputs they replace, so an incremental
+    consumer must NOT re-ingest them).  The catch-up read for an
+    append-mostly manifest table: O(new batch files), never the table.
+
+    SOUNDNESS GUARD: if a compaction between the two snapshots folded a
+    post-``from_snapshot`` batch file away, that batch's rows exist
+    only inside mixed batch_id-NULL rewrites and file-grain catch-up
+    CANNOT separate them — silently returning the remaining files would
+    DROP rows, so this raises instead (found by this round's own test:
+    compact-all folded every batch and the naive feed returned empty).
+    The fix is operational, exactly as in Delta-without-CDF: consumers
+    catch up before compaction runs, or fall back to a row-grain diff
+    of ``read_via_manifest`` at the two snapshots.  Detection walks the
+    RETAINED intermediate snapshots' file lists (file-grain, bounded by
+    retention — another reason ``vacuum`` retention and consumer lag
+    must agree)."""
+    complete, _ = _snapshot_seqs(spark, manifest_dir)
+    to_seq = complete[-1] if to_snapshot is None else to_snapshot
+    diff = manifest_diff(spark, manifest_dir, from_snapshot, to_seq)
+
+    def files_of(seq, only_batches=False):
+        snap = spark.read.parquet(f"{manifest_dir}/v{seq}")
+        if only_batches:
+            snap = snap.where(F.col("batch_id").isNotNull())
+        return {
+            r["file_path"]
+            for r in snap.select("file_path").distinct().collect()
+        }
+
+    base = files_of(from_snapshot)
+    latest = files_of(to_seq)
+    folded = set()
+    for seq in complete:
+        if from_snapshot < seq <= to_seq:
+            folded |= files_of(seq, only_batches=True) - base - latest
+    if folded:
+        raise ValueError(
+            f"read_manifest_changes: {len(folded)} batch file(s) added "
+            f"after snapshot v{from_snapshot} were compacted away before "
+            f"v{to_seq} — their rows live only in mixed batch_id-NULL "
+            "rewrites, so file-grain catch-up would drop them. Catch up "
+            "before compaction, or diff read_via_manifest at the two "
+            "snapshots row-grain."
+        )
+    files = [
+        r["file_path"]
+        for r in diff.where(
+            (F.col("change") == "add") & F.col("batch_id").isNotNull()
+        )
+        .select("file_path")
+        .distinct()
+        .collect()
+    ]
+    if not files:
+        # schema-stable empty result: project the current table's schema
+        # without reading any data file
+        return read_via_manifest(spark, manifest_dir, to_snapshot).where(
+            F.lit(False)
+        )
+    return spark.read.parquet(*files)
+
+
 def vacuum(
     spark: SparkSession,
     data_dir: str,
@@ -1234,6 +1340,8 @@ def compact_manifest(
     manifest_dir: str,
     target_mb: float = 128.0,
     small_file_mb: Optional[float] = None,
+    cluster_by=None,
+    zbits: int = 16,
 ) -> DataFrame:
     """Manifest-aware bin-pack compaction: rewrite the CURRENT
     snapshot's small files (< ``small_file_mb``, default
@@ -1242,6 +1350,14 @@ def compact_manifest(
     data-first order — previous rows minus the compacted inputs, plus
     the new files' stats (``batch_id`` NULL: they span batches; the
     ``commits/`` markers, not stats rows, carry replay protection).
+
+    ``cluster_by`` makes it OPTIMIZE ZORDER for the manifest table:
+    the rewrite range-partitions + sorts on the column (or the 2-D
+    interleaved z-value, ``compact_parquet``'s layout menu), so the new
+    files' ``stats_index`` rows — committed in the SAME snapshot —
+    immediately prune range probes through ``skipping_scan``
+    (pinned: candidate count collapses after clustered compaction,
+    served through the live manifest).
 
     Unlike ``compact_incremental`` (the plain-directory form), nothing
     is moved or deleted: the inputs stay on disk until ``vacuum``
@@ -1288,7 +1404,23 @@ def compact_manifest(
         1, -(-int(small_bytes) // max(1, int(target_mb * 1024 * 1024)))
     )
     out = f"{data_dir}/compact_{seq}"
-    spark.read.parquet(*smalls).repartition(n_new).write.parquet(out)
+    src = spark.read.parquet(*smalls)
+    if cluster_by:
+        ccols = (
+            [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        )
+        if len(ccols) == 1:
+            key = F.col(ccols[0])
+        elif len(ccols) == 2:
+            key = zvalue(ccols[0], ccols[1], bits=zbits)
+        else:
+            raise ValueError(
+                f"cluster_by supports 1 or 2 columns (got {len(ccols)})"
+            )
+        src = src.repartitionByRange(n_new, key).sortWithinPartitions(key)
+    else:
+        src = src.repartition(n_new)
+    src.write.parquet(out)
     new_stats = stats_index(spark, out, cols).withColumn(
         "batch_id", F.lit(None).cast("long")
     )

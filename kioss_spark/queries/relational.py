@@ -2988,3 +2988,63 @@ def member_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("long").alias("id_min"),
         F.max("event_id").cast("long").alias("id_max"),
     )
+
+
+@register(
+    "manifest_changes_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 3 AS BIGINT) AS b
+               FROM events)
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e WHERE b IN (1, 2) GROUP BY u
+    """,
+)
+def manifest_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental catch-up through the manifest change feed: three
+    batches commit through ``manifest_sink``; a consumer that last saw
+    snapshot v0 (batch 0 only) catches up via
+    ``read_manifest_changes(from_snapshot=0)`` — reading EXACTLY the
+    batch files later snapshots added (``manifest_diff``'s 'add' rows
+    with batch_id set), never the table — and aggregates what it
+    ingested.
+
+    The DuckDB oracle aggregates the batches-1-and-2 slice of the FULL
+    logical table: hash equality proves the feed delivers exactly the
+    post-snapshot rows (none lost, none duplicated, batch 0 never
+    re-served).  The soundness guard — file-grain catch-up REFUSES to
+    run across a compaction that folded post-snapshot batches (silently
+    dropping their rows otherwise) — and the compaction-neutral diff
+    semantics are pinned in tests/test_round12_ops.py.
+
+    Scale shape: commits are batch-grain; the diff is two n_files-grain
+    manifest reads + anti-joins; the catch-up scan reads only the added
+    batch files — O(new data), the property an incremental consumer
+    exists for."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_sink,
+        read_manifest_changes,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_mf_changes_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id), batch_id)
+    new_rows = read_manifest_changes(spark, manifest, from_snapshot=0)
+    return new_rows.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
+    )

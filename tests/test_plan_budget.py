@@ -190,6 +190,11 @@ BUDGET = {
     # job run at plan build; the served plan is the membership-pruned
     # candidate scan + one keyed agg
     "member_scan_events": (2, 0),
+    # round-12: manifest change-feed catch-up — commits + the file-grain
+    # diff run at plan build; the served plan reads ONLY the added batch
+    # files + one keyed agg (no pushdown by design: the 'predicate' is
+    # the driver-side file selection itself)
+    "manifest_changes_scan": (1, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan

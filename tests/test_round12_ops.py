@@ -716,3 +716,145 @@ def test_member_scan_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="unsupported nested type"):
         member_index(spark, str(tmp_path / "arrmem"), ["a"])
+
+
+# ---------------------------------------------------------------------------
+# clustered (z-order) manifest compaction + the file-grain change feed
+# ---------------------------------------------------------------------------
+
+
+def test_compact_manifest_cluster_by_improves_pruning(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_sink,
+        read_manifest,
+        read_via_manifest,
+    )
+
+    data = str(tmp_path / "zc_data")
+    manifest = str(tmp_path / "zc_manifest")
+    sink = manifest_sink(data, manifest, ["x"])
+    all_rows = []
+    for b in range(4):
+        # each batch spans the WHOLE x-domain -> every file overlaps
+        # every range probe before compaction
+        rows = [(i * 4 + b, f"p{b}_{i}") for i in range(200)]
+        all_rows += rows
+        sink(
+            spark.createDataFrame(rows, "x long, payload string")
+            .repartition(3),
+            b,
+        )
+
+    def candidates(lo, hi):
+        idx = read_manifest(spark, manifest).where(F.col("col") == "x")
+        return (
+            idx.where((F.col("lo") <= hi) & (F.col("hi") >= lo))
+            .select("file_path").distinct().count()
+        )
+
+    before = sorted(map(tuple, read_via_manifest(spark, manifest).collect()))
+    n_before = candidates(100, 199)  # 1/8 of the domain
+    assert n_before == 12  # round-robin batches: EVERY file is a candidate
+    audit = compact_manifest(
+        spark, data, manifest, target_mb=0.01, cluster_by="x"
+    ).collect()[0]
+    assert audit["files_rewritten"] == 12
+    after = sorted(map(tuple, read_via_manifest(spark, manifest).collect()))
+    assert after == before  # content identical across clustered rewrite
+    n_new = audit["n_new_files"]
+    if n_new > 2:
+        # clustered: the 1/8 range hits a strict subset of files through
+        # the SAME live manifest
+        assert candidates(100, 199) < n_new
+
+
+def test_manifest_diff_and_changes(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_diff,
+        manifest_sink,
+        read_manifest_changes,
+    )
+
+    data = str(tmp_path / "cdf_data")
+    manifest = str(tmp_path / "cdf_manifest")
+    sink = manifest_sink(data, manifest, ["x"])
+    b0 = [(i, f"a{i}") for i in range(40)]
+    b1 = [(100 + i, f"b{i}") for i in range(40)]
+    b2 = [(200 + i, f"c{i}") for i in range(40)]
+    for bid, rows in enumerate((b0, b1, b2)):
+        sink(
+            spark.createDataFrame(rows, "x long, payload string")
+            .repartition(2),
+            bid,
+        )
+    # catch-up from snapshot 0 (just b0) to snapshot 2 (all three):
+    # exactly b1 + b2's rows, never b0's
+    got = sorted(
+        map(tuple, read_manifest_changes(spark, manifest, 0).collect())
+    )
+    assert got == sorted(b1 + b2)
+    d = manifest_diff(spark, manifest, 0)
+    assert d.where("change = 'remove'").count() == 0  # appends only
+    assert d.where("change = 'add'").select("file_path").distinct() \
+        .count() == 4  # 2 batches x 2 part-files
+
+    # compaction folds post-snapshot-0 batch files into mixed
+    # batch_id-NULL rewrites: file-grain catch-up from v0 is now
+    # UNSOUND and must fail loudly instead of silently dropping rows
+    # (the naive feed returned [] here — this guard is what the test
+    # originally caught)
+    compact_manifest(spark, data, manifest, target_mb=64.0)
+    with pytest.raises(ValueError, match="compacted away"):
+        read_manifest_changes(spark, manifest, 0)
+    d2 = manifest_diff(spark, manifest, 0)
+    # the descriptive diff stays available: vs v0 the compacted file is
+    # the one 'add' (batch_id NULL) and v0's own two part-files the
+    # 'remove's (b1/b2's files were never IN v0)
+    assert d2.where("change = 'add' AND batch_id IS NULL").select(
+        "file_path").distinct().count() == 1
+    assert d2.where("change = 'remove'").select("file_path").distinct() \
+        .count() == 2
+    # vs the PRE-compaction snapshot (v2: all six batch files) the
+    # rewrite reads as six removes + one add
+    d3 = manifest_diff(spark, manifest, 2)
+    assert d3.where("change = 'add'").count() == 1
+    assert d3.where("change = 'remove'").select("file_path").distinct() \
+        .count() == 6
+    # and catch-up from v2 is still SOUND (nothing added after v2 was
+    # folded): zero new rows
+    assert read_manifest_changes(spark, manifest, 2).count() == 0
+    # same-snapshot diff is empty; catching up from the post-compaction
+    # snapshot sees nothing new
+    _, all_seqs = __import__(
+        "kioss_spark.operators.skew", fromlist=["_snapshot_seqs"]
+    )._snapshot_seqs(spark, manifest)
+    latest = max(all_seqs)
+    assert manifest_diff(spark, manifest, latest, latest).count() == 0
+    empty = read_manifest_changes(spark, manifest, latest)
+    assert empty.count() == 0
+    assert empty.columns == ["x", "payload"]
+
+
+def test_manifest_diff_vacuumed_snapshot_raises(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        manifest_diff,
+        manifest_sink,
+        vacuum,
+    )
+
+    data = str(tmp_path / "gone_data")
+    manifest = str(tmp_path / "gone_manifest")
+    sink = manifest_sink(data, manifest, ["x"])
+    for b in range(3):
+        sink(
+            spark.createDataFrame(
+                [(b * 10 + i, "p") for i in range(10)],
+                "x long, payload string",
+            ),
+            b,
+        )
+    vacuum(spark, data, manifest, retain_last=1)
+    with pytest.raises(ValueError, match="not committed"):
+        manifest_diff(spark, manifest, 0)
