@@ -381,8 +381,12 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
 
     Output is LONG format, one row per (file, col):
 
-    (file_path, file_bytes, file_rows, col,
+    (file_path, file_bytes, file_rows, col, kind,
      lo, hi, n_nulls, lo_str, hi_str, hi_inexact)
+
+    ``kind`` records the column's bound typing ('int' / 'frac' / 'dec' /
+    'ts' / 'ts_ntz' / 'date' / 'str') so ``skipping_scan`` converts
+    probe bounds with the SAME semantics the stats were built with.
 
     ``lo``/``hi`` are the column's min/max over the file's NON-NULL
     values; an all-null file carries NULL bounds. The long format is what
@@ -407,6 +411,13 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
     - timestamp: epoch SECONDS, floor/ceil (the stored unit; pass
       ``datetime`` bounds to ``skipping_scan`` and it converts through
       the session, so hostile-timezone sessions stay exact).
+    - timestamp_ntz (the engine's canonical event-time type —
+      functions/timeutil.py): WALL-CLOCK epoch seconds via
+      ``timestamp_diff`` against the NTZ epoch — pure calendar
+      arithmetic, no session timezone consulted on either the stats or
+      the probe side (a cast-to-double here would coerce THROUGH the
+      session and silently mis-prune under a non-UTC session — found by
+      this round's self-audit, pinned under a hostile session tz).
     - date: days since 1970-01-01 (``unix_date`` — date has no BIGINT
       cast; pass ``datetime.date`` bounds).
     - string: ``lo_str``/``hi_str`` = min/max truncated to 32 chars
@@ -431,6 +442,8 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
             kinds[c] = "frac"
         elif t.startswith("decimal"):
             kinds[c] = "dec"
+        elif t == "timestamp_ntz":
+            kinds[c] = "ts_ntz"
         elif t.startswith("timestamp"):
             kinds[c] = "ts"
         elif t == "date":
@@ -485,6 +498,15 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
             )
         if k == "ts":
             return f"cast({rnd}(cast({src} as double)) as bigint)"
+        if k == "ts_ntz":
+            # wall-clock epoch seconds: timestamp_diff is pure NTZ
+            # arithmetic, identical in every session timezone (the
+            # cast-to-double path would coerce THROUGH the session tz)
+            return (
+                f"cast({rnd}(timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ'1970-01-01 00:00:00', {src}) / 1e6) "
+                "as bigint)"
+            )
         if k == "date":
             return f"cast(unix_date({src}) as bigint)"
         return "cast(null as bigint)"  # string: numeric bounds are NULL
@@ -509,7 +531,7 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
             lo_str, hi_str = "cast(null as string)", "cast(null as string)"
             hi_inexact = "false"
         entries.append(
-            f"struct('{c}' as col, "
+            f"struct('{c}' as col, '{kinds[c]}' as kind, "
             f"{num_bound(c, 'lo')} as lo, {num_bound(c, 'hi')} as hi, "
             f"`__nn_{c}` as n_nulls, "
             f"{lo_str} as lo_str, {hi_str} as hi_str, "
@@ -523,11 +545,17 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
     )
 
 
-def _comparable_bounds(spark: SparkSession, col: str, lo, hi):
+def _comparable_bounds(spark: SparkSession, col: str, lo, hi,
+                       col_kind: Optional[str] = None):
     """Convert predicate bounds to the stats table's stored domain, each
     rounded CONSERVATIVELY (lo floors, hi ceils — a widened probe keeps
     extra candidate files, never drops a qualifying one).  Returns
-    (lo_cmp, hi_cmp, kind) with kind in {"num", "str"}."""
+    (lo_cmp, hi_cmp, kind) with kind in {"num", "str"}.  ``col_kind``
+    is the indexed column's recorded kind (stats_index rows carry it):
+    datetime bounds against a TIMESTAMP_NTZ column convert by pure
+    wall-clock arithmetic (no session involved — NTZ has no zone),
+    while session-zoned TIMESTAMP columns convert THROUGH the session
+    so the pruning bound and the residual literal always agree."""
     import datetime as _dt
     import math
 
@@ -544,10 +572,39 @@ def _comparable_bounds(spark: SparkSession, col: str, lo, hi):
             f"types: ({lo!r}, {hi!r})"
         )
     if any(isinstance(v, _dt.datetime) for v in vals):
-        # stored unit is epoch seconds UNDER THE SESSION TIMEZONE
-        # interpretation of naive literals — evaluate the conversion in
-        # Spark itself (one driver-side 1-row job) so a hostile session
-        # timezone cannot skew the pruning bound vs the residual predicate
+        if col_kind == "ts_ntz":
+            # NTZ stats store WALL-CLOCK epoch seconds; a naive datetime
+            # IS a wall clock, so the conversion is calendar arithmetic
+            # — no session, no zone (an aware datetime has no sound NTZ
+            # meaning: fail loudly rather than guess a zone)
+            if any(
+                isinstance(v, _dt.datetime) and v.tzinfo is not None
+                for v in vals
+            ):
+                raise ValueError(
+                    f"skipping_scan: timezone-aware datetime bound for "
+                    f"TIMESTAMP_NTZ column {col!r} — pass the naive "
+                    "wall-clock datetime the column actually stores"
+                )
+            epoch = _dt.datetime(1970, 1, 1)
+            return (
+                (
+                    math.floor((lo - epoch).total_seconds())
+                    if lo is not None
+                    else None
+                ),
+                (
+                    math.ceil((hi - epoch).total_seconds())
+                    if hi is not None
+                    else None
+                ),
+                "num",
+            )
+        # session-zoned TIMESTAMP: stored unit is epoch seconds UNDER
+        # THE SESSION TIMEZONE interpretation of naive literals —
+        # evaluate the conversion in Spark itself (one driver-side
+        # 1-row job) so a hostile session timezone cannot skew the
+        # pruning bound vs the residual predicate
         exprs = []
         if lo is not None:
             exprs.append(F.floor(F.lit(lo).cast("double")).alias("lo"))
@@ -689,8 +746,12 @@ def skipping_scan(
                 f"skipping_scan index has no stats for {missing}: "
                 f"rebuild the index with these columns (has {sorted(idx_cols)})"
             )
+    kind_of = {}
+    for r in rows:
+        if "kind" in (r.__fields__ or []):
+            kind_of.setdefault(r["col"], r["kind"])
     cmp_bounds = {
-        c: _comparable_bounds(spark, c, c_lo, c_hi)
+        c: _comparable_bounds(spark, c, c_lo, c_hi, kind_of.get(c))
         for c, (c_lo, c_hi) in ranges.items()
     }
     files = sorted(
@@ -701,11 +762,27 @@ def skipping_scan(
             for c in ranges
         )
     )
+    def plit(c, v):
+        # NTZ columns need an NTZ literal built FROM A STRING
+        # (timeutil.ntz_lit rule): F.lit(naive datetime) converts to
+        # session-zoned TIMESTAMP micros using the DRIVER's OS timezone,
+        # and the cast back to NTZ uses the SESSION timezone — two
+        # different zones shift the wall clock (measured: a 5h skew
+        # under an America/New_York session on a UTC host)
+        if kind_of.get(c) == "ts_ntz":
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                return F.lit(
+                    v.strftime("%Y-%m-%d %H:%M:%S.%f")
+                ).cast("timestamp_ntz")
+        return F.lit(v)
+
     pred = None
     for c, (c_lo, c_hi) in ranges.items():
         for p2 in (
-            (F.col(c) >= F.lit(c_lo)) if c_lo is not None else None,
-            (F.col(c) <= F.lit(c_hi)) if c_hi is not None else None,
+            (F.col(c) >= plit(c, c_lo)) if c_lo is not None else None,
+            (F.col(c) <= plit(c, c_hi)) if c_hi is not None else None,
         ):
             if p2 is not None:
                 pred = p2 if pred is None else (pred & p2)

@@ -858,3 +858,50 @@ def test_manifest_diff_vacuumed_snapshot_raises(spark, tmp_path):
     vacuum(spark, data, manifest, retain_last=1)
     with pytest.raises(ValueError, match="not committed"):
         manifest_diff(spark, manifest, 0)
+
+
+def test_skipping_scan_ntz_bounds_exact_under_hostile_session_tz(
+    spark, tmp_path
+):
+    # TIMESTAMP_NTZ is the engine's canonical event-time type
+    # (functions/timeutil.py); its stats are WALL-CLOCK epoch seconds
+    # and must prune identically under ANY session timezone — the
+    # cast-through-session path would shift bounds and silently skip
+    # qualifying files (round-12 self-audit find)
+    from kioss_spark.operators.skew import skipping_scan, stats_index
+
+    path = str(tmp_path / "ntz")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    early = [(i, base + dt.timedelta(hours=i)) for i in range(48)]
+    late = [(i, base + dt.timedelta(days=30, hours=i)) for i in range(48)]
+    schema = "id long, ts timestamp_ntz"
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(path)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    assert (
+        spark.read.parquet(path).schema["ts"].dataType.typeName()
+        == "timestamp_ntz"
+    )
+    lo = dt.datetime(2024, 3, 1, 5, 30, 0)
+    hi = dt.datetime(2024, 3, 2, 1, 0, 0)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in (old_tz, "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            idx = stats_index(spark, path, ["ts"])
+            r = {x["col"]: x for x in idx.collect()}["ts"]
+            assert r["kind"] == "ts_ntz"
+            got = skipping_scan(spark, path, "ts", lo=lo, hi=hi, index=idx)
+            rows = sorted(map(tuple, got.collect()))
+            assert len(rows) == 20  # 05:30..23:00 day 1 + 00:00..01:00 d2
+            assert rows[0][0] == 6 and rows[-1][0] == 25
+            assert _files_read(got) == 1  # the late file pruned, every tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    # aware datetimes have no sound NTZ meaning: loud failure
+    with pytest.raises(ValueError, match="timezone-aware"):
+        skipping_scan(
+            spark, path, "ts",
+            lo=dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc),
+        )
