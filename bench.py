@@ -206,6 +206,8 @@ HEADLINE = [
     "member_scan_events",
     # round-12: manifest change-feed catch-up (file-grain incremental read)
     "manifest_changes_scan",
+    # round-12: session-timezone-proof NTZ event-time skipping
+    "skipping_scan_time",
 ]
 
 

@@ -3048,3 +3048,62 @@ def manifest_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("payload").cast("long").alias("payload_min"),
         F.max("payload").cast("long").alias("payload_max"),
     )
+
+
+@register(
+    "skipping_scan_time",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(event_id) AS BIGINT) AS id_min,
+           CAST(max(event_id) AS BIGINT) AS id_max
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-08 06:30:00'
+                 AND TIMESTAMP '2024-01-12 18:45:30'
+    GROUP BY event_type
+    """,
+)
+def skipping_scan_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time data skipping over the TIMESTAMP_NTZ column —
+    session-timezone-proof end to end (the round-12 self-audit find):
+    the event stream's (ts, event_id, event_type) projection is written
+    range-clustered by ``ts``, ``stats_index`` stores WALL-CLOCK epoch
+    seconds for the NTZ column (timestampdiff against the NTZ epoch —
+    no session timezone on the stats side), and the query answers a
+    naive-datetime range through ``skipping_scan``'s ts_ntz probe path
+    (calendar-arithmetic bound conversion; the residual literal built
+    from a string cast to timestamp_ntz, the timeutil.ntz_lit rule).
+
+    The DuckDB oracle filters the FULL table on the same naive
+    timestamps: a hash match on the DRIVER'S OWN session — whatever its
+    timezone — proves no pruning bound or literal leaked through a
+    session-zoned conversion (the driver-parity harness re-proves it
+    under America/New_York).  The time-range scan is THE canonical
+    data-skipping query on an event table: at 100 TB, "yesterday's
+    events" must open yesterday's files, not the table.
+
+    Scale shape: one range shuffle for the rewrite, one file-grain
+    stats agg, an n_files-bounded candidate list, and a scan of ~the
+    range's share of the files (4.5 days of a 30-day domain)."""
+    import datetime as dt
+    import tempfile
+
+    from kioss_spark.operators.skew import skipping_scan, stats_index
+
+    e = t(spark, sf_dir, "events").select("ts", "event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="kioss_timeskip_")
+    path = f"{base}/by_ts"
+    e.repartitionByRange(8, "ts").write.parquet(path)
+    idx = stats_index(spark, path, ["ts"])
+    hits = skipping_scan(
+        spark,
+        path,
+        "ts",
+        lo=dt.datetime(2024, 1, 8, 6, 30, 0),
+        hi=dt.datetime(2024, 1, 12, 18, 45, 30),
+        index=idx,
+    )
+    return hits.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("event_id").cast("long").alias("id_min"),
+        F.max("event_id").cast("long").alias("id_max"),
+    )

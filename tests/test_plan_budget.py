@@ -195,6 +195,9 @@ BUDGET = {
     # files + one keyed agg (no pushdown by design: the 'predicate' is
     # the driver-side file selection itself)
     "manifest_changes_scan": (1, 0),
+    # round-12: NTZ event-time skipping — rewrite/stats/candidates at
+    # plan build; the served plan is the time-pruned scan + one keyed agg
+    "skipping_scan_time": (1, 0),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan
