@@ -208,6 +208,8 @@ HEADLINE = [
     "manifest_changes_scan",
     # round-12: session-timezone-proof NTZ event-time skipping
     "skipping_scan_time",
+    # round-12: stats-only aggregation (count/min/max from the manifest)
+    "manifest_stats_only",
 ]
 
 

@@ -48,6 +48,7 @@ __all__ = [
     "member_scan",
     "manifest_diff",
     "read_manifest_changes",
+    "manifest_stats_agg",
 ]
 
 
@@ -1319,6 +1320,68 @@ def read_manifest_changes(
             F.lit(False)
         )
     return spark.read.parquet(*files)
+
+
+def manifest_stats_agg(
+    spark: SparkSession,
+    manifest_dir: str,
+    cols=None,
+    snapshot: Optional[int] = None,
+) -> DataFrame:
+    """COUNT(*) / MIN / MAX answered FROM THE MANIFEST ALONE — Delta's
+    stats-only query optimization: on a 100 TB table, ``SELECT
+    count(*), min(u), max(u)`` needs zero data-file reads when the
+    per-file stats already carry the answer.  Returns one row:
+    ``n_rows`` plus, per requested column, ``{c}_min`` / ``{c}_max`` /
+    ``{c}_nulls``.
+
+    Exactness gate: only INTEGRAL-kind stats ('int' — exact min/max by
+    construction) are served; fractional/decimal bounds are floor/ceil
+    WIDENED, timestamps are second-floored, and strings are truncated —
+    serving those as exact aggregates would be a silent wrong answer,
+    so the guard raises and points at the data scan.  All-null files
+    carry NULL bounds and fall out of min/max exactly like SQL's
+    null-skipping aggregates; per-file null counts sum exactly for any
+    kind.
+
+    Cost: one read of the (n_files x n_cols)-row snapshot — file grain,
+    table-size-independent."""
+    cols = (
+        []
+        if cols is None
+        else ([cols] if isinstance(cols, str) else list(cols))
+    )
+    snap = read_manifest(spark, manifest_dir, snapshot)
+    have = {
+        (r["col"], r["kind"])
+        for r in snap.select("col", "kind").distinct().collect()
+    }
+    kind_of = dict(have)
+    for c in cols:
+        if c not in kind_of:
+            raise ValueError(
+                f"manifest_stats_agg: no stats for {c!r} in the manifest "
+                f"(has {sorted(k for k, _ in have)})"
+            )
+        if kind_of[c] != "int":
+            raise ValueError(
+                f"manifest_stats_agg: column {c!r} has kind "
+                f"{kind_of[c]!r} — its stored bounds are "
+                "conservative (widened/truncated), not exact; only "
+                "integral-kind columns serve stats-only min/max — scan "
+                "the data for the others"
+            )
+    rows = snap.select("file_path", "file_rows").distinct()
+    aggs = [F.sum("file_rows").cast("long").alias("n_rows")]
+    out = rows.agg(*aggs)
+    for c in cols:
+        cstats = snap.where(F.col("col") == c).agg(
+            F.min("lo").cast("long").alias(f"{c}_min"),
+            F.max("hi").cast("long").alias(f"{c}_max"),
+            F.sum("n_nulls").cast("long").alias(f"{c}_nulls"),
+        )
+        out = out.crossJoin(cstats)
+    return out
 
 
 def vacuum(

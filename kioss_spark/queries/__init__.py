@@ -263,14 +263,15 @@ for _round in sorted(_GREEN_ROUNDS):
 #: commit model, operators/skew.py) and ``retrieval_quality``
 #: (checkpoints routed through tracked persist/release; bm25_topk's own
 #: serving path is UNCHANGED — the max-score pruned plan gated
-#: separately as bm25_maxscore_topk).  Then the EIGHT round-12
-#: registrations, then 39 of the 41 r8-stale names (post-r11-fold
+#: separately as bm25_maxscore_topk).  Then the NINE round-12
+#: registrations, then 38 of the 41 r8-stale names (post-r11-fold
 #: histogram {r8: 41, r9: 47, r10: 47, r11: 50}).  The window is
-#: exactly 3 + 8 + 39 = 50; the two r8 names the new registrations
-#: displaced (``vocab_drift_chi2``, ``vocab_top_terms`` —
-#: alphabetically last in their tier) lead round 13's stale tier — the
-#: explicit cost of registering eight new oracle-gated queries this
-#: round, recorded here so the debt is visible, not silent.
+#: exactly 3 + 9 + 38 = 50; the three r8 names the new registrations
+#: displaced (``token_counts``, ``vocab_drift_chi2``,
+#: ``vocab_top_terms`` — alphabetically last in their tier) lead round
+#: 13's stale tier — the explicit cost of registering nine new
+#: oracle-gated queries this round, recorded here so the debt is
+#: visible, not silent.
 _RECHECK_FIRST: tuple = (
     "skipping_scan_events",
     "manifest_ingest_scan",

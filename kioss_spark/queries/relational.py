@@ -3107,3 +3107,56 @@ def skipping_scan_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("long").alias("id_min"),
         F.max("event_id").cast("long").alias("id_max"),
     )
+
+
+@register(
+    "manifest_stats_only",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload
+               FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(u) AS BIGINT) AS u_min,
+           CAST(max(u) AS BIGINT) AS u_max,
+           CAST(0 AS BIGINT) AS u_nulls,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max,
+           CAST(0 AS BIGINT) AS payload_nulls
+    FROM e
+    """,
+)
+def manifest_stats_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-only aggregation — Delta's COUNT(*)/MIN/MAX-from-the-log
+    optimization: the event stream commits through ``manifest_sink`` in
+    three batches, and the query is answered ENTIRELY from the manifest
+    (``manifest_stats_agg``: n_rows = sum of per-file row counts,
+    min/max from the integral-kind per-file bounds, null counts summed)
+    — zero data-file reads in the served plan; at 100 TB this is the
+    difference between a metadata lookup and a table scan.
+
+    The DuckDB oracle computes the same aggregates over the FULL
+    logical table: hash equality proves the manifest's file-grain stats
+    reproduce the scan exactly.  The exactness GUARD — widened
+    (fractional/timestamp/string) kinds refuse stats-only serving
+    rather than silently answering from conservative bounds — is pinned
+    in tests/test_round12_ops.py.
+
+    Scale shape: three batch-grain commits at plan build; the served
+    plan reads the (n_files x n_cols)-row snapshot parquet and nothing
+    else."""
+    import tempfile
+
+    from kioss_spark.operators.skew import manifest_sink, manifest_stats_agg
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_statsonly_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u", "payload"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    return manifest_stats_agg(spark, manifest, ["u", "payload"])

@@ -198,6 +198,11 @@ BUDGET = {
     # round-12: NTZ event-time skipping — rewrite/stats/candidates at
     # plan build; the served plan is the time-pruned scan + one keyed agg
     "skipping_scan_time": (1, 0),
+    # round-12: stats-only aggregation — commits at plan build; the
+    # served plan reads ONLY the n_files x n_cols snapshot; the three
+    # 1-row aggregates (n_rows + two per-col stats, cross-joined) are
+    # the oneps BY DESIGN (manifest-grain, table-size-independent)
+    "manifest_stats_only": (1, 3),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan

@@ -905,3 +905,107 @@ def test_skipping_scan_ntz_bounds_exact_under_hostile_session_tz(
             spark, path, "ts",
             lo=dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc),
         )
+
+
+# ---------------------------------------------------------------------------
+# stats-only aggregation (count/min/max from the manifest, zero data
+# reads) + the consume-as-you-commit catch-up loop
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_stats_agg_exact_and_guarded(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink, manifest_stats_agg
+
+    data = str(tmp_path / "sa_data")
+    manifest = str(tmp_path / "sa_manifest")
+    sink = manifest_sink(data, manifest, ["x", "v"])
+    rows = []
+    for b in range(3):
+        part = [
+            (b * 100 + i, float(i) + 0.5 if i % 7 else None)
+            for i in range(60)
+        ]
+        rows += part
+        sink(
+            spark.createDataFrame(part, "x long, v double").repartition(2),
+            b,
+        )
+    got = manifest_stats_agg(spark, manifest, ["x"]).collect()[0]
+    xs = [x for x, _ in rows]
+    assert got["n_rows"] == len(rows)
+    assert got["x_min"] == min(xs) and got["x_max"] == max(xs)
+    assert got["x_nulls"] == 0
+    # fractional kind: widened bounds must NOT serve as exact aggregates
+    with pytest.raises(ValueError, match="conservative"):
+        manifest_stats_agg(spark, manifest, ["v"])
+    with pytest.raises(ValueError, match="no stats for 'zz'"):
+        manifest_stats_agg(spark, manifest, ["zz"])
+
+
+def test_manifest_stats_agg_all_null_and_null_counts(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink, manifest_stats_agg
+
+    data = str(tmp_path / "nl_data")
+    manifest = str(tmp_path / "nl_manifest")
+    sink = manifest_sink(data, manifest, ["x"])
+    sink(
+        spark.createDataFrame(
+            [(1,), (2,), (None,)], "x long"
+        ).coalesce(1),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(None,), (None,)], "x long"
+        ).coalesce(1),
+        1,
+    )
+    got = manifest_stats_agg(spark, manifest, ["x"]).collect()[0]
+    assert got["n_rows"] == 5
+    assert got["x_min"] == 1 and got["x_max"] == 2  # null files fall out
+    assert got["x_nulls"] == 3
+
+
+def test_manifest_catch_up_loop_equals_full_table(spark, tmp_path):
+    # consume-as-you-commit: after every batch the consumer catches up
+    # from its last-seen snapshot; the accumulated feed equals the full
+    # table (no row lost, none served twice) — the incremental-consumer
+    # contract the change feed exists for
+    from kioss_spark.operators.skew import (
+        _snapshot_seqs,
+        manifest_sink,
+        read_manifest_changes,
+        read_via_manifest,
+    )
+
+    data = str(tmp_path / "loop_data")
+    manifest = str(tmp_path / "loop_manifest")
+    sink = manifest_sink(data, manifest, ["x"])
+    consumed = []
+    last_seen = None
+    for b in range(4):
+        rows = [(b * 50 + i, f"p{b}_{i}") for i in range(50)]
+        sink(
+            spark.createDataFrame(rows, "x long, payload string")
+            .repartition(2),
+            b,
+        )
+        latest = _snapshot_seqs(spark, manifest)[0][-1]
+        if last_seen is None:
+            consumed += [
+                tuple(r)
+                for r in read_via_manifest(spark, manifest, latest).collect()
+            ]
+        else:
+            consumed += [
+                tuple(r)
+                for r in read_manifest_changes(
+                    spark, manifest, last_seen, latest
+                ).collect()
+            ]
+        last_seen = latest
+    full = sorted(
+        map(tuple, read_via_manifest(spark, manifest).collect())
+    )
+    assert sorted(consumed) == full
+    assert len(consumed) == len(set(consumed)) == 200
