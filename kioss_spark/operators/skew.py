@@ -1147,7 +1147,16 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
     after (3) but before (4) the batch is visible and the replay
     REPLACES it in the next snapshot rather than duplicating it.  Rows
     are never lost and never served twice.  Stats rows carry
-    ``batch_id`` (NULL on compacted files)."""
+    ``batch_id`` (NULL on compacted files).
+
+    WRITER CONCURRENCY: one writer at a time (the foreachBatch sink is
+    serial by construction; run ``compact_manifest`` from the same
+    maintenance loop, not a parallel job).  Two concurrent writers
+    would race the next snapshot number — the loser's parquet write
+    then FAILS on the existing ``v{seq}`` directory (default
+    errorifexists), which is loud-and-safe, not lost-update: Delta buys
+    concurrent writers with optimistic retries on its log, out of scope
+    for a plain-directory manifest."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

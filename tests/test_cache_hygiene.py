@@ -112,43 +112,47 @@ def test_retrieval_quality_checkpoints_do_not_accumulate(spark):
     # round-12 verdict ask: retrieval_quality's four eager checkpoints
     # outlive each call BY DESIGN (the returned plan reads them), but a
     # long-lived session calling it repeatedly must hold at most ONE
-    # call's worth of checkpoint state (latest-call-wins release)
-    from kioss_spark.queries import load_all
-    from kioss_spark.queries import llm
+    # call's worth of checkpoint state (latest-call-wins release).
+    # Asserted against the tracked-id registry itself — global
+    # persisted-RDD diffs are order-sensitive when other suite files
+    # leave async-draining blocks (observed: solo-green, in-suite-red).
+    from kioss_spark.queries import llm, load_all
 
     fn = load_all()["retrieval_quality"].fn
     sf = "/root/testdata/sf0.001"
 
-    def persisted_ids():
+    def live_ids():
         return set(
             spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
         )
 
-    def settled_ids(base):
-        # internal operators persist-then-async-unpersist transients;
-        # poll until the residual set stops shrinking so the snapshot
-        # counts only the checkpoints that actually remain
-        prev = persisted_ids() - base
-        for _ in range(20):
-            time.sleep(0.25)
-            cur = persisted_ids() - base
-            if cur == prev:
+    def live_tracked(ids, at_most):
+        # the registry may also catch an internal operator's transient
+        # persist whose async unpersist can linger arbitrarily; poll
+        # briefly toward the expected ceiling, then return whatever is
+        # left — assertions below use bounds, not exact counts, so a
+        # lingering transient cannot flake the contract
+        for _ in range(40):
+            cur = ids & live_ids()
+            if len(cur) <= at_most:
                 return cur
-            prev = cur
-        return prev
+            time.sleep(0.25)
+        return ids & live_ids()
 
-    base = persisted_ids()
     first = fn(spark, sf).collect()
-    after_one = settled_ids(base)
-    assert after_one  # the checkpoints exist and serve the plan
+    ids1 = set(llm._RQ_CKPT_IDS)
+    # the four eager checkpoints (plus at most one transient) are live
+    assert 4 <= len(ids1 & live_ids()) <= 5
     for _ in range(2):
         again = fn(spark, sf).collect()
-    after_three = settled_ids(base)
-    # no growth across repeated calls: one call's worth (the four
-    # eager checkpoints), never proportional to call count
-    assert len(after_three) <= max(len(after_one), 4)
-    # the first call's blocks are gone (released by the later calls)
-    assert not (after_one & after_three)
+    ids3 = set(llm._RQ_CKPT_IDS)
+    # one call's worth of state, never accumulating across calls
+    assert 4 <= len(ids3 & live_ids()) <= 5
+    assert len(ids3) <= len(ids1) + 1
+    assert not (ids1 & ids3)
+    # the first call's checkpoints were actually released (at most one
+    # lingering transient, never the four durable checkpoint blocks)
+    assert len(live_tracked(ids1, 1)) <= 1
     assert sorted(map(tuple, again)) == sorted(map(tuple, first))
     # release the final call's state so this test leaves the session
     # cache as it found it (suite-level hygiene)
