@@ -247,6 +247,34 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "sketch_state_ingest", "skipping_scan_events", "split_by_cluster",
         "zorder_event_layout",
     }),
+    # CORRECTNESS_r12.json — 50/50 hash-green, zero err (the first
+    # all-green driver window): the three post-verdict-changed recheck
+    # leaders, the nine round-12 registrations, and 38 of the 41
+    # r8-stale names.  token_counts / vocab_top_terms / vocab_drift_chi2
+    # were displaced past the 50-slot window (ROUND12.md's "nothing
+    # older than r9" claim was wrong — r13 verdict finding) and lead
+    # round 13's window via _RECHECK_FIRST below.
+    12: frozenset({
+        "bm25_maxscore_topk", "bm25_phrase_index_ingest",
+        "collocations_pmi", "contamination_reach", "corpus_apply_changeset",
+        "corpus_snapshot_diff", "dedup_cluster_keep", "dedup_incremental_lsh",
+        "dedup_incremental_pairs", "dedup_lsh_scurve", "dedup_minhash_lsh",
+        "dedup_provenance", "dedup_simhash", "dedup_substring_spans",
+        "dup_graph_clustering", "dup_graph_triangles", "embed_cluster_profile",
+        "embed_covariance_diag", "embed_outliers", "embed_quantize_int8",
+        "entity_resolution_parts", "event_rate_anomaly",
+        "event_value_histogram", "join_fanout_audit", "manifest_changes_scan",
+        "manifest_compact_scan", "manifest_ingest_scan", "manifest_stats_only",
+        "member_scan_events", "quality_repetition", "quality_score_drift",
+        "quality_unigram_icf", "retrieval_quality", "rolling_7d_user_value",
+        "salted_join_event_weights", "sample_deterministic",
+        "sample_stratified", "shuffle_shards", "sketch_distinct_tokens",
+        "sketch_hll_lang_rollup", "sketch_kll_doclen",
+        "sketch_theta_source_overlap", "skipping_scan_double",
+        "skipping_scan_events", "skipping_scan_strings", "skipping_scan_time",
+        "split_train_val_test", "text_quality", "tfidf_keywords",
+        "token_budget_by_source",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -257,25 +285,31 @@ for _round in sorted(_GREEN_ROUNDS):
 
 #: Re-check leaders: queries whose verified implementation changed AFTER
 #: their last green verdict, so their stale verdict no longer covers HEAD.
-#: Round 12: three r11-green names sit on code this round rewrote —
-#: ``skipping_scan_events`` + ``manifest_ingest_scan`` (stats_index grew
-#: typed/conservative bounds and the manifest moved to the snapshot
-#: commit model, operators/skew.py) and ``retrieval_quality``
-#: (checkpoints routed through tracked persist/release; bm25_topk's own
-#: serving path is UNCHANGED — the max-score pruned plan gated
-#: separately as bm25_maxscore_topk).  Then the NINE round-12
-#: registrations, then 38 of the 41 r8-stale names (post-r11-fold
-#: histogram {r8: 41, r9: 47, r10: 47, r11: 50}).  The window is
-#: exactly 3 + 9 + 38 = 50; the three r8 names the new registrations
-#: displaced (``token_counts``, ``vocab_drift_chi2``,
-#: ``vocab_top_terms`` — alphabetically last in their tier) lead round
-#: 13's stale tier — the explicit cost of registering nine new
-#: oracle-gated queries this round, recorded here so the debt is
-#: visible, not silent.
+#: Round 13 (window recomputed from ``load_all()`` ORDER this time — the
+#: r12 plan trusted its own arithmetic and three names silently fell past
+#: the 50-slot sample; tools/rotation_audit.py now prints the actual
+#: window + staleness histogram):
+#: 1. the three r8-stale names r12's registrations displaced
+#:    (``token_counts``, ``vocab_top_terms``, ``vocab_drift_chi2``) lead
+#:    outright, per the r12 verdict ask;
+#: 2. then the r12-green names whose implementation round 13 changed:
+#:    ``skipping_scan_double`` (NaN-safe fractional bounds, ADVICE),
+#:    ``manifest_compact_scan`` (committed-batches-only folding +
+#:    optimistic concurrent commit), ``manifest_changes_scan`` (row-grain
+#:    fallback path), ``retrieval_quality`` (checkpoint registry keyed by
+#:    applicationId), and ``bm25_topk`` (r11-green; adaptive max-score
+#:    gate in its serving path).
+#: New round-13 registrations follow (never-checked tier), then the
+#: r9-stale tier fills the remainder of the 50.
 _RECHECK_FIRST: tuple = (
-    "skipping_scan_events",
-    "manifest_ingest_scan",
+    "token_counts",
+    "vocab_top_terms",
+    "vocab_drift_chi2",
+    "skipping_scan_double",
+    "manifest_compact_scan",
+    "manifest_changes_scan",
     "retrieval_quality",
+    "bm25_topk",
 )
 
 

@@ -15,6 +15,9 @@ path except the deliberately-Arrow-batched multimodal decode.
 
 from __future__ import annotations
 
+import threading
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2287,8 +2290,16 @@ def _retrieval_quality_oracle() -> str:
 
 #: checkpoint RDD ids of the LAST retrieval_quality call, released at
 #: the start of the next one (latest-call-wins — see the tracked
-#: checkpoint discipline note inside the function)
+#: checkpoint discipline note inside the function).  Keyed by the
+#: session's applicationId (ADVICE r12): RDD ids restart from 0 after a
+#: SparkContext restart, so an id remembered from a dead context could
+#: name an UNRELATED cached RDD in the new one — a mismatched app id
+#: drops the stale ids instead of unpersisting strangers.  The lock
+#: serializes concurrent retrieval_quality calls racing the
+#: release-then-record sequence.
+_RQ_CKPT_APP: Optional[str] = None
 _RQ_CKPT_IDS: set = set()
+_RQ_CKPT_LOCK = threading.Lock()
 
 
 @register("retrieval_quality", oracle=_retrieval_quality_oracle())
@@ -2346,15 +2357,24 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EARLIER call is superseded once a new call runs (documented
     # latest-call-wins; the driver/bench harnesses collect before
     # re-invoking).  Pinned in tests/test_cache_hygiene.py.
+    global _RQ_CKPT_APP
     sc = spark.sparkContext
     try:  # capability probe: py4j private surface (see bpe.train_bpe)
-        live = sc._jsc.getPersistentRDDs()
-        for rid in list(_RQ_CKPT_IDS):
-            rdd = live.get(rid)
-            if rdd is not None:
-                rdd.unpersist(True)
-        _RQ_CKPT_IDS.clear()
-        before_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        with _RQ_CKPT_LOCK:
+            app = sc.applicationId
+            if _RQ_CKPT_APP != app:
+                # RDD ids restart per SparkContext: ids recorded under a
+                # different application name UNRELATED RDDs here — drop,
+                # never unpersist (ADVICE r12)
+                _RQ_CKPT_IDS.clear()
+                _RQ_CKPT_APP = app
+            live = sc._jsc.getPersistentRDDs()
+            for rid in list(_RQ_CKPT_IDS):
+                rdd = live.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(True)
+            _RQ_CKPT_IDS.clear()
+            before_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray())
         _scoped = True
     except Exception:  # pragma: no cover - future-Spark fallback
         _scoped = False
@@ -2493,9 +2513,12 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lane"),
     )
     if _scoped:  # record THIS call's checkpoint ids for the next call
-        _RQ_CKPT_IDS.update(
-            set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before_ids
-        )
+        with _RQ_CKPT_LOCK:
+            if _RQ_CKPT_APP == sc.applicationId:
+                _RQ_CKPT_IDS.update(
+                    set(sc._jsc.getPersistentRDDs().keySet().toArray())
+                    - before_ids
+                )
     return (
         grid.join(mets, ["lane", "query_id"], "left")
         .join(F.broadcast(nrel), "query_id", "left")
