@@ -48,7 +48,9 @@ __all__ = [
     "member_scan",
     "manifest_diff",
     "read_manifest_changes",
+    "manifest_row_diff",
     "manifest_stats_agg",
+    "ManifestCommitConflict",
 ]
 
 
@@ -489,8 +491,20 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
         k = kinds[c]
         if k == "int":
             return f"cast({src} as bigint)"
-        if k == "frac":  # floor/ceil on double already clamp to ±int64
-            return f"cast({rnd}(cast({src} as double)) as bigint)"
+        if k == "frac":
+            # NaN guard (ADVICE r12): Spark's max() sorts NaN greater
+            # than every double, so a file holding NaN has min/max NaN,
+            # and cast(floor(NaN) as bigint) is 0 — a file with {NaN,
+            # 1e9} would store hi=0 and silently skip its qualifying
+            # rows.  Map a NaN bound to the matching int64 extremum:
+            # widening only, so the conservative-bounds contract holds
+            # (a range probe never matches NaN rows, but the file's
+            # FINITE rows stay reachable).  floor/ceil on ±Infinity
+            # already clamp to ±int64 through the bigint cast.
+            return (
+                f"if(isnan(cast({src} as double)), {sentinel}L, "
+                f"cast({rnd}(cast({src} as double)) as bigint))"
+            )
         if k == "dec":
             return (
                 f"if({src} is null, null, "
@@ -750,7 +764,32 @@ def skipping_scan(
     kind_of = {}
     for r in rows:
         if "kind" in (r.__fields__ or []):
-            kind_of.setdefault(r["col"], r["kind"])
+            if r["kind"] != "absent":
+                kind_of.setdefault(r["col"], r["kind"])
+    # per-file coverage guard (ADVICE r12): a file with no stats row for
+    # one probed column — possible in a stats_index_merge union built
+    # over different column sets — would silently fail the all() match
+    # and drop its rows from the result; fail loudly like the global
+    # missing-column case.  Files that PREDATE a column carry an
+    # explicit kind='absent' row (schema evolution), which counts as
+    # covered: the column reads NULL for every row of such a file, a
+    # range predicate never matches NULL, so skipping them is exact.
+    hole_files = {
+        f: [c for c in ranges if c not in stats]
+        for f, stats in by_file.items()
+    }
+    holes = {f: cs for f, cs in hole_files.items() if cs}
+    if holes:
+        f0, cs0 = next(iter(sorted(holes.items())))
+        raise ValueError(
+            f"skipping_scan: {len(holes)} file(s) have no stats row for "
+            f"probed column(s) (first: {f0} missing {cs0}) — a merged "
+            "index built over different column sets; rebuild stats for "
+            "these files (stats_index over their paths + "
+            "stats_index_merge), or commit through manifest_sink, which "
+            "records kind='absent' presence rows for files that predate "
+            "a column"
+        )
     cmp_bounds = {
         c: _comparable_bounds(spark, c, c_lo, c_hi, kind_of.get(c))
         for c, (c_lo, c_hi) in ranges.items()
@@ -759,7 +798,7 @@ def skipping_scan(
         f
         for f, stats in by_file.items()
         if all(
-            c in stats and _stats_overlap(stats[c], *cmp_bounds[c])
+            _stats_overlap(stats[c], *cmp_bounds[c])
             for c in ranges
         )
     )
@@ -787,16 +826,24 @@ def skipping_scan(
         ):
             if p2 is not None:
                 pred = p2 if pred is None else (pred & p2)
+    # schema evolution: if any probed file predates a column (explicit
+    # kind='absent' presence rows), candidate files may carry different
+    # physical schemas — merge them so the projected schema is the
+    # union, with NULL for pre-evolution rows
+    evolved = any(r["kind"] == "absent" for r in rows)
+    reader = spark.read
+    if evolved:
+        reader = reader.option("mergeSchema", "true")
     if not files:
         # schema-stable empty result without touching any data file
         # (recursiveFileLookup: also works on manifest-backed nested
         # layouts like manifest_sink's batch_N subdirectories)
         return (
-            spark.read.option("recursiveFileLookup", "true")
+            reader.option("recursiveFileLookup", "true")
             .parquet(path)
             .where(F.lit(False))
         )
-    return spark.read.parquet(*files).where(pred)
+    return reader.parquet(*files).where(pred)
 
 
 def stats_index_merge(existing: DataFrame, new_files: DataFrame) -> DataFrame:
@@ -1118,6 +1165,108 @@ def _snapshot_seqs(spark: SparkSession, manifest_dir: str):
     return sorted(complete), sorted(all_seqs)
 
 
+#: Manifest format generation this engine writes and reads.  v2 = the
+#: snapshot model (each ``v{seq}`` dir is a COMPLETE file list whose
+#: stats rows carry ``batch_id``); the pre-round-12 layout (per-batch
+#: delta dirs named ``v{batch_id}``, no ``batch_id`` column) is v1 and
+#: is REFUSED with a migration hint — reinterpreting a v1 directory as
+#: snapshots would silently serve only the newest batch's files
+#: (ADVICE r12).
+_MANIFEST_FORMAT = 2
+
+
+def _check_manifest_format(spark: SparkSession, manifest_dir: str) -> None:
+    """Refuse manifests written by a newer engine generation (a
+    ``_format_v{N}`` marker with N > ours) — forward-compat guard; the
+    v1-layout detection itself is schema-based (``read_manifest`` checks
+    the ``batch_id`` column, present in every v2 snapshot)."""
+    P, fs = _hadoop_fs(spark, manifest_dir)
+    if not fs.exists(P(manifest_dir)):
+        return
+    for st in fs.listStatus(P(manifest_dir)):
+        name = st.getPath().getName()
+        if name.startswith("_format_v"):
+            try:
+                ver = int(name[len("_format_v"):])
+            except ValueError:
+                continue
+            if ver > _MANIFEST_FORMAT:
+                raise ValueError(
+                    f"manifest at {manifest_dir} declares format v{ver}; "
+                    f"this engine reads up to v{_MANIFEST_FORMAT} — "
+                    "upgrade the reader"
+                )
+
+
+class ManifestCommitConflict(RuntimeError):
+    """A concurrent commit invalidated this writer's derivation in a way
+    a retry cannot heal (e.g. a parallel compaction folded away files
+    this compaction also selected)."""
+
+
+def _commit_snapshot(
+    spark: SparkSession,
+    manifest_dir: str,
+    derive,
+    max_retries: int = 20,
+) -> int:
+    """Optimistically commit ONE new manifest snapshot — the multi-writer
+    half of the plain-directory manifest (Delta's optimistic-concurrency
+    commit, rebuilt on filesystem atomicity):
+
+    1. list the committed snapshots (one pass: complete + all seqs);
+    2. ``derive(complete_seqs)`` -> the new snapshot's stats rows,
+       re-derived from the CURRENT head on every attempt (so a retry
+       after losing the race includes the winner's rows);
+    3. write the snapshot to a hidden ``.tmp_v{seq}_{token}`` dir (its
+       ``_SUCCESS`` and a per-writer token file land inside), then
+       atomically rename it to ``v{seq}`` with seq = max(all seqs) + 1;
+    4. VERIFY the token sits at ``v{seq}/_writer_{token}``: Hadoop's
+       local/posix rename onto an EXISTING non-empty directory does not
+       fail — it nests the source inside the destination and returns
+       true (measured on this FS) — so a bare rename is not a CAS.  The
+       token check detects a lost race exactly; the loser removes its
+       nested leftovers and retries from the new head.
+
+    Snapshots therefore appear ATOMICALLY COMPLETE (the rename is the
+    commit point, `_SUCCESS` included), seqs are unique, and every
+    committed snapshot was derived from the latest snapshot visible at
+    its derive time — two interleaved writers both land, each exactly
+    once, in some serial order.  Any incomplete ``v`` dir is a legacy
+    (pre-round-13) torn write, never an in-flight commit, so targeting
+    max(all)+1 can never skip over a concurrent writer's pending work.
+
+    Bounded retries; past the bound it fails loudly with everything
+    intact (the orphan tmp dirs are ``vacuum`` food)."""
+    import uuid
+
+    P, fs = _hadoop_fs(spark, manifest_dir)
+    _check_manifest_format(spark, manifest_dir)
+    for _ in range(max_retries):
+        complete, all_seqs = _snapshot_seqs(spark, manifest_dir)
+        new_snap = derive(complete)
+        seq = (max(all_seqs) + 1) if all_seqs else 0
+        tok = uuid.uuid4().hex
+        tmp = f"{manifest_dir}/.tmp_v{seq}_{tok}"
+        new_snap.write.parquet(tmp)
+        fs.createNewFile(P(f"{tmp}/_writer_{tok}"))
+        fs.rename(P(tmp), P(f"{manifest_dir}/v{seq}"))
+        if fs.exists(P(f"{manifest_dir}/v{seq}/_writer_{tok}")):
+            marker = P(f"{manifest_dir}/_format_v{_MANIFEST_FORMAT}")
+            if not fs.exists(marker):
+                fs.mkdirs(marker)
+            return seq
+        # lost the race: remove our dir from wherever the rename left it
+        # (nested inside the winner's v{seq}, or still at tmp)
+        for leftover in (f"{manifest_dir}/v{seq}/.tmp_v{seq}_{tok}", tmp):
+            if fs.exists(P(leftover)):
+                fs.delete(P(leftover), True)
+    raise RuntimeError(
+        f"manifest commit at {manifest_dir} lost the snapshot race "
+        f"{max_retries} times — raise max_retries or serialize writers"
+    )
+
+
 def manifest_sink(data_dir: str, manifest_dir: str, cols):
     """``foreachBatch`` writer that keeps a ``stats_index`` SNAPSHOT
     manifest as the SOURCE OF TRUTH for a streaming parquet table — the
@@ -1149,14 +1298,30 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
     are never lost and never served twice.  Stats rows carry
     ``batch_id`` (NULL on compacted files).
 
-    WRITER CONCURRENCY: one writer at a time (the foreachBatch sink is
-    serial by construction; run ``compact_manifest`` from the same
-    maintenance loop, not a parallel job).  Two concurrent writers
-    would race the next snapshot number — the loser's parquet write
-    then FAILS on the existing ``v{seq}`` directory (default
-    errorifexists), which is loud-and-safe, not lost-update: Delta buys
-    concurrent writers with optimistic retries on its log, out of scope
-    for a plain-directory manifest."""
+    WRITER CONCURRENCY (round 13): commits are OPTIMISTIC — the snapshot
+    lands through ``_commit_snapshot``'s write-tmp / atomic-rename /
+    token-verify CAS, re-deriving from the new head on a lost race — so
+    ingest may run concurrently with maintenance (``compact_manifest``)
+    or a second ingest stream: both land exactly once, in some serial
+    order, every retained snapshot complete (pinned with two interleaved
+    threaded writers and a compact-during-ingest race in
+    tests/test_round13_ops.py).  Delta's optimistic concurrency, rebuilt
+    on filesystem atomicity.
+
+    SCHEMA EVOLUTION (round 13): ``cols`` may name columns a given batch
+    does not carry, and batches may introduce columns earlier batches
+    lacked.  Presence is explicit in the manifest: a (file, col) the
+    file's data does not contain gets a ``kind='absent'`` stats row
+    (lo/hi NULL, n_nulls = file_rows) — reading such a file yields NULL
+    for that column, a range predicate never matches NULL, so
+    ``skipping_scan`` skipping it is exact.  When a NEW column first
+    appears, prior files' presence rows are backfilled after a one-time
+    soundness probe (one column-pruned scan proving every old file
+    reads the column as NULL — a file with real values would make
+    'absent' a silent row-dropper, so that raises with a
+    stats_index-backfill hint instead).  Old snapshots read with their
+    own schema (time travel is pre-evolution); ``read_via_manifest``
+    merges schemas when any presence row exists."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1170,23 +1335,102 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
             n += 1
             out = f"{data_dir}/batch_{batch_id}_r{n}"
         batch_df.write.parquet(out)
-        new_stats = stats_index(spark, out, cols).withColumn(
+        present = [c for c in cols if c in batch_df.columns]
+        missing = [c for c in cols if c not in batch_df.columns]
+        if not present:
+            raise ValueError(
+                f"manifest_sink: batch {batch_id} carries none of the "
+                f"stats columns {list(cols)} (has {batch_df.columns})"
+            )
+        new_stats = stats_index(spark, out, present).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
-        complete, all_seqs = _snapshot_seqs(spark, manifest_dir)
-        if complete:
+        if missing:
+            # this batch predates (or dropped) these columns: explicit
+            # presence rows — its files read them as NULL, exactly
+            new_stats = new_stats.unionByName(
+                _absent_rows(new_stats, missing)
+            )
+
+        def derive(complete):
+            if not complete:
+                return new_stats
             prev = spark.read.parquet(
                 f"{manifest_dir}/v{complete[-1]}"
             ).where(
                 F.col("batch_id").isNull()
                 | (F.col("batch_id") != batch_id)
             )
-            new_stats = prev.unionByName(new_stats)
-        seq = (max(all_seqs) + 1) if all_seqs else 0
-        new_stats.write.parquet(f"{manifest_dir}/v{seq}")
+            prev_cols = {
+                r["col"] for r in prev.select("col").distinct().collect()
+            }
+            new_cols = [c for c in present if c not in prev_cols]
+            if new_cols:
+                _assert_cols_absent_in(spark, prev, new_cols)
+                prev = prev.unionByName(_absent_rows(prev, new_cols))
+            return prev.unionByName(new_stats)
+
+        _commit_snapshot(spark, manifest_dir, derive)
         fs.mkdirs(marker)
 
     return write
+
+
+def _absent_rows(snapshot_rows: DataFrame, new_cols) -> DataFrame:
+    """Presence rows for files that do not carry ``new_cols``: one
+    ``kind='absent'`` stats row per (file, new col), lo/hi NULL,
+    n_nulls = the file's row count.  File identity (path, bytes, rows,
+    batch_id) is taken from the file's EXISTING stats rows."""
+    entries = ", ".join(
+        f"struct('{c}' as col, 'absent' as kind, "
+        "cast(null as bigint) as lo, cast(null as bigint) as hi, "
+        "file_rows as n_nulls, cast(null as string) as lo_str, "
+        "cast(null as string) as hi_str, false as hi_inexact)"
+        for c in new_cols
+    )
+    return (
+        snapshot_rows.select(
+            "file_path", "file_bytes", "file_rows", "batch_id"
+        )
+        .distinct()
+        .select(
+            "file_path",
+            "file_bytes",
+            "file_rows",
+            F.expr(f"inline(array({entries}))"),
+            "batch_id",
+        )
+    )
+
+
+def _assert_cols_absent_in(
+    spark: SparkSession, snapshot_rows: DataFrame, new_cols
+) -> None:
+    """One-time evolution soundness probe: every file listed in
+    ``snapshot_rows`` must read each of ``new_cols`` as NULL (the column
+    physically absent, or all-NULL) before an 'absent' presence row may
+    stand for it — a file holding REAL values would be silently skipped
+    by every probe on the column, dropping rows.  One column-pruned
+    merged-schema scan of the listed files per evolution event; raises
+    with the stats_index backfill recipe when values exist."""
+    old_files = [
+        r["file_path"]
+        for r in snapshot_rows.select("file_path").distinct().collect()
+    ]
+    if not old_files:
+        return
+    probe = spark.read.option("mergeSchema", "true").parquet(*old_files)
+    physically = [c for c in new_cols if c in probe.columns]
+    for c in physically:
+        if probe.where(F.col(c).isNotNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"manifest schema evolution: column {c!r} is new to the "
+                "manifest but existing data files already hold non-NULL "
+                f"values for it — an 'absent' presence row would make "
+                "skipping_scan silently drop those rows. Backfill real "
+                "stats instead: stats_index(spark, <old file paths>, "
+                f"[{c!r}]) unioned into the next snapshot"
+            )
 
 
 def read_manifest(
@@ -1194,7 +1438,16 @@ def read_manifest(
 ) -> DataFrame:
     """The manifest's current (or time-travel ``snapshot=``) COMPLETE
     file list: long-format ``stats_index`` rows + ``batch_id``.  Torn
-    snapshot versions (no ``_SUCCESS``) are never served."""
+    snapshot versions (no ``_SUCCESS``) are never served.
+
+    FORMAT GUARD (ADVICE r12): a pre-round-12 manifest layout (per-batch
+    delta dirs named ``v{batch_id}``, each with parquet's own
+    ``_SUCCESS`` but no ``batch_id`` column) would be reinterpreted by
+    the snapshot model as a set of complete snapshots and silently serve
+    only the newest batch's files — detected here by the missing
+    ``batch_id`` column and refused with a migration hint; manifests
+    declaring a NEWER ``_format_v{N}`` marker are refused too."""
+    _check_manifest_format(spark, manifest_dir)
     complete, _ = _snapshot_seqs(spark, manifest_dir)
     if not complete:
         raise ValueError(f"no committed snapshot at {manifest_dir}")
@@ -1204,27 +1457,54 @@ def read_manifest(
             f"snapshot v{seq} not committed at {manifest_dir} "
             f"(have {complete})"
         )
-    return spark.read.parquet(f"{manifest_dir}/v{seq}")
+    snap = spark.read.parquet(f"{manifest_dir}/v{seq}")
+    if "batch_id" not in snap.columns:
+        raise ValueError(
+            f"manifest at {manifest_dir} predates the snapshot format "
+            "(v-dirs are per-batch stats deltas, not complete file "
+            "lists — serving one would silently drop every other "
+            "batch). Migrate: union all v-dirs' rows tagged with their "
+            "batch ids into one snapshot and commit it as v{max+1} "
+            "alongside commits/b{id} markers, or re-ingest through the "
+            "current manifest_sink"
+        )
+    return snap
 
 
 def read_via_manifest(
-    spark: SparkSession, manifest_dir: str, snapshot: Optional[int] = None
+    spark: SparkSession,
+    manifest_dir: str,
+    snapshot: Optional[int] = None,
+    merge_schema: Optional[bool] = None,
 ) -> DataFrame:
     """The table AS DEFINED BY its manifest: read exactly the files the
     chosen snapshot lists (n_files-bounded driver list, like Delta
     replaying ``add`` actions). Uncommitted data files are invisible by
     construction; ``snapshot=`` gives time-travel reads for as long as
-    ``vacuum`` retains the version."""
-    files = [
-        r["file_path"]
-        for r in read_manifest(spark, manifest_dir, snapshot)
-        .select("file_path")
-        .distinct()
-        .collect()
-    ]
+    ``vacuum`` retains the version.
+
+    Schema evolution: when the snapshot carries any ``kind='absent'``
+    presence row (files predating a column), the read merges the files'
+    schemas so the projected schema is the union — pre-evolution rows
+    carry NULL for the later columns.  A time-travel read of a fully
+    pre-evolution snapshot has no presence rows and serves the old
+    schema unchanged.  ``merge_schema=`` overrides the auto choice —
+    pass True when evolution touched a column the manifest carries no
+    stats for (presence is only tracked for stats columns)."""
+    snap = read_manifest(spark, manifest_dir, snapshot)
+    rows = snap.select("file_path", "kind").distinct().collect()
+    files = sorted({r["file_path"] for r in rows})
     if not files:
         raise ValueError(f"empty manifest at {manifest_dir}")
-    return spark.read.parquet(*files)
+    merged = (
+        any(r["kind"] == "absent" for r in rows)
+        if merge_schema is None
+        else merge_schema
+    )
+    reader = spark.read
+    if merged:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def manifest_diff(
@@ -1260,11 +1540,81 @@ def manifest_diff(
     return added.unionByName(removed)
 
 
+def manifest_row_diff(
+    spark: SparkSession,
+    manifest_dir: str,
+    from_snapshot: int,
+    to_snapshot: Optional[int] = None,
+) -> DataFrame:
+    """ROW-grain change feed between two committed snapshots — Delta
+    CDF's answer for a consumer that fell behind across a folding
+    compaction (exactly the case file-grain ``read_manifest_changes``
+    refuses): one row per changed row, ``change`` in {'insert',
+    'delete'}, computed as a CONTENT-ADDRESSED MULTISET diff of the two
+    snapshots' file sets.
+
+    Soundness across compaction: files common to both snapshots
+    contribute nothing (their rows are identical by immutability), so
+    only the symmetric difference of the file lists is read; a
+    compaction's rewrites then CANCEL against the inputs they replaced
+    (``exceptAll`` is exact multiset difference — duplicate rows keep
+    exact multiplicities), leaving precisely the rows batches added
+    (and, for a table format with deletes, removed).  Pure-append
+    windows skip the diff shuffle entirely (nothing removed → inserts
+    are the added files' rows as-is).
+
+    Cost: reads only the CHANGED files; the ``exceptAll`` shuffles
+    changed-file rows once — O(churn between the snapshots), never the
+    table.  Heavily-compacted windows approach a two-snapshot read;
+    catch up before compaction (``read_manifest_changes``) to stay
+    file-grain.  Both snapshots must still be retained (``vacuum``).
+
+    Schema evolution: changed files are read with merged schemas, so
+    pre-evolution rows diff with NULL in the later columns."""
+    diff = manifest_diff(spark, manifest_dir, from_snapshot, to_snapshot)
+    sides = {
+        ch: sorted(
+            r["file_path"]
+            for r in diff.where(F.col("change") == ch)
+            .select("file_path")
+            .distinct()
+            .collect()
+        )
+        for ch in ("add", "remove")
+    }
+    added, removed = sides["add"], sides["remove"]
+    if not added and not removed:
+        return (
+            read_via_manifest(spark, manifest_dir, to_snapshot)
+            .where(F.lit(False))
+            .withColumn("change", F.lit("insert"))
+        )
+    changed = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*(added + removed))
+        .withColumn("__f__", F.col("_metadata.file_path"))
+    )
+    new_rows = changed.where(F.col("__f__").isin(added)).drop("__f__")
+    old_rows = changed.where(F.col("__f__").isin(removed)).drop("__f__")
+    if not removed:
+        return new_rows.withColumn("change", F.lit("insert"))
+    if not added:
+        return old_rows.withColumn("change", F.lit("delete"))
+    inserts = new_rows.exceptAll(old_rows).withColumn(
+        "change", F.lit("insert")
+    )
+    deletes = old_rows.exceptAll(new_rows).withColumn(
+        "change", F.lit("delete")
+    )
+    return inserts.unionByName(deletes)
+
+
 def read_manifest_changes(
     spark: SparkSession,
     manifest_dir: str,
     from_snapshot: int,
     to_snapshot: Optional[int] = None,
+    on_compaction: str = "raise",
 ) -> DataFrame:
     """The ROWS added between two snapshots: read exactly the files
     ``manifest_diff`` marks 'add' whose batch_id is set (compaction
@@ -1277,14 +1627,20 @@ def read_manifest_changes(
     post-``from_snapshot`` batch file away, that batch's rows exist
     only inside mixed batch_id-NULL rewrites and file-grain catch-up
     CANNOT separate them — silently returning the remaining files would
-    DROP rows, so this raises instead (found by this round's own test:
-    compact-all folded every batch and the naive feed returned empty).
-    The fix is operational, exactly as in Delta-without-CDF: consumers
-    catch up before compaction runs, or fall back to a row-grain diff
-    of ``read_via_manifest`` at the two snapshots.  Detection walks the
-    RETAINED intermediate snapshots' file lists (file-grain, bounded by
-    retention — another reason ``vacuum`` retention and consumer lag
-    must agree)."""
+    DROP rows, so this raises instead (found by round 12's own test:
+    compact-all folded every batch and the naive feed returned empty),
+    unless ``on_compaction='row_diff'`` routes the catch-up through
+    ``manifest_row_diff`` — the in-engine row-grain fallback (round-13
+    verdict ask): exact across any folding, at the cost of reading and
+    diffing all files changed in the window instead of just the added
+    batch files.  Detection walks the RETAINED intermediate snapshots'
+    file lists (file-grain, bounded by retention — another reason
+    ``vacuum`` retention and consumer lag must agree)."""
+    if on_compaction not in ("raise", "row_diff"):
+        raise ValueError(
+            f"on_compaction must be 'raise' or 'row_diff' "
+            f"(got {on_compaction!r})"
+        )
     complete, _ = _snapshot_seqs(spark, manifest_dir)
     to_seq = complete[-1] if to_snapshot is None else to_snapshot
     diff = manifest_diff(spark, manifest_dir, from_snapshot, to_seq)
@@ -1305,13 +1661,21 @@ def read_manifest_changes(
         if from_snapshot < seq <= to_seq:
             folded |= files_of(seq, only_batches=True) - base - latest
     if folded:
+        if on_compaction == "row_diff":
+            return (
+                manifest_row_diff(
+                    spark, manifest_dir, from_snapshot, to_seq
+                )
+                .where(F.col("change") == "insert")
+                .drop("change")
+            )
         raise ValueError(
             f"read_manifest_changes: {len(folded)} batch file(s) added "
             f"after snapshot v{from_snapshot} were compacted away before "
             f"v{to_seq} — their rows live only in mixed batch_id-NULL "
             "rewrites, so file-grain catch-up would drop them. Catch up "
-            "before compaction, or diff read_via_manifest at the two "
-            "snapshots row-grain."
+            "before compaction, pass on_compaction='row_diff', or call "
+            "manifest_row_diff directly for the row-grain feed."
         )
     files = [
         r["file_path"]
@@ -1365,20 +1729,32 @@ def manifest_stats_agg(
         (r["col"], r["kind"])
         for r in snap.select("col", "kind").distinct().collect()
     }
-    kind_of = dict(have)
+    kinds_of: dict = {}
+    for c, k in have:
+        kinds_of.setdefault(c, set()).add(k)
     for c in cols:
-        if c not in kind_of:
+        if c not in kinds_of:
             raise ValueError(
                 f"manifest_stats_agg: no stats for {c!r} in the manifest "
                 f"(has {sorted(k for k, _ in have)})"
             )
-        if kind_of[c] != "int":
+        # 'absent' presence rows (files predating the column) stay
+        # exact: their NULL bounds fall out of min/max like SQL's
+        # null-skipping aggregates, and their n_nulls = file_rows is
+        # exactly what a merged-schema scan would count
+        if kinds_of[c] - {"int", "absent"}:
             raise ValueError(
-                f"manifest_stats_agg: column {c!r} has kind "
-                f"{kind_of[c]!r} — its stored bounds are "
-                "conservative (widened/truncated), not exact; only "
-                "integral-kind columns serve stats-only min/max — scan "
-                "the data for the others"
+                f"manifest_stats_agg: column {c!r} has kind(s) "
+                f"{sorted(kinds_of[c] - {'absent'})} — its stored "
+                "bounds are conservative (widened/truncated), not "
+                "exact; only integral-kind columns serve stats-only "
+                "min/max — scan the data for the others"
+            )
+        if kinds_of[c] == {"absent"}:
+            raise ValueError(
+                f"manifest_stats_agg: column {c!r} exists in no data "
+                "file of this snapshot (all presence rows are "
+                "'absent') — min/max would be NULL-only"
             )
     rows = snap.select("file_path", "file_rows").distinct()
     aggs = [F.sum("file_rows").cast("long").alias("n_rows")]
@@ -1476,6 +1852,32 @@ def vacuum(
         if dead_complete or dead_torn:
             if fs.delete(P(f"{manifest_dir}/v{seq}"), True):
                 snapshots_deleted += 1
+    # optimistic-commit leftovers: a writer that crashed mid-attempt
+    # leaves a hidden ``.tmp_v{seq}_{tok}`` dir; one that crashed after
+    # LOSING the rename race leaves its dir nested inside the winner's
+    # ``v{seq}`` (hidden to parquet readers either way).  A tmp dir
+    # targeting seq <= newest complete can never win (that seq is
+    # taken): dead, collectible — a live retrier whose tmp vanishes
+    # just fails its token check and re-derives.  Tmp dirs targeting
+    # FUTURE seqs may be in-flight commits and are left alone.
+    for st in fs.listStatus(P(manifest_dir)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(".tmp_v"):
+            try:
+                seq = int(name[len(".tmp_v"):].split("_", 1)[0])
+            except ValueError:
+                continue
+            if seq <= newest_complete:
+                fs.delete(st.getPath(), True)
+    for seq in complete[-retain_last:]:
+        vdir = P(f"{manifest_dir}/v{seq}")
+        if not fs.exists(vdir):
+            continue
+        for st in fs.listStatus(vdir):
+            if st.isDirectory() and st.getPath().getName().startswith(
+                ".tmp_v"
+            ):
+                fs.delete(st.getPath(), True)
     return spark.createDataFrame(
         [(files_deleted, bytes_deleted, snapshots_deleted, len(live))],
         "files_deleted long, bytes_deleted long, snapshots_deleted long, "
@@ -1516,28 +1918,57 @@ def compact_manifest(
     before the snapshot commits leaves an orphan ``compact_`` directory
     for ``vacuum``; the table is untouched.
 
+    Only COMMITTED batches' files are folded (ADVICE r12): a file whose
+    ``batch_id`` has no ``commits/b{id}`` marker belongs to a batch
+    whose writer crashed between snapshot and marker — its replay
+    re-commits by REPLACING rows with that batch_id, and folding such a
+    file into a batch_id-NULL rewrite first would make the replay's
+    replace-filter match nothing and re-add the rows (duplicates the
+    skip gate cannot stop).  Unmarked-batch files stay out of the
+    rewrite; the replay (or ``vacuum`` of a dead stream) resolves them.
+
+    The snapshot commits through ``_commit_snapshot`` (optimistic CAS):
+    a concurrent INGEST landing first is absorbed by re-deriving from
+    the new head (its files are untouched by the fold); a concurrent
+    COMPACTION that folded away any of this run's selected inputs makes
+    the derivation unhealable and raises ``ManifestCommitConflict``
+    (rerun — the other compaction already did the work).
+
     Returns one row: (files_rewritten, files_kept, bytes_rewritten,
     n_new_files, snapshot)."""
+    import uuid
+
     if target_mb <= 0:
         raise ValueError(f"target_mb must be > 0 (got {target_mb})")
     cap = int(
         (small_file_mb if small_file_mb is not None else target_mb / 2)
         * 1024 * 1024
     )
+    P, fs = _hadoop_fs(spark, manifest_dir)
     snap = read_manifest(spark, manifest_dir)
     per_file = (
-        snap.select("file_path", "file_bytes").distinct().collect()
+        snap.select("file_path", "file_bytes", "batch_id")
+        .distinct()
+        .collect()
     )
     cols = sorted(
         r["col"] for r in snap.select("col").distinct().collect()
     )
-    smalls = sorted(r["file_path"] for r in per_file if r["file_bytes"] < cap)
-    small_bytes = sum(
-        r["file_bytes"] for r in per_file if r["file_bytes"] < cap
-    )
+    committed_batches = {
+        b
+        for b in {r["batch_id"] for r in per_file if r["batch_id"] is not None}
+        if fs.exists(P(f"{manifest_dir}/commits/b{b}"))
+    }
+
+    def foldable(r) -> bool:
+        return r["file_bytes"] < cap and (
+            r["batch_id"] is None or r["batch_id"] in committed_batches
+        )
+
+    smalls = sorted(r["file_path"] for r in per_file if foldable(r))
+    small_bytes = sum(r["file_bytes"] for r in per_file if foldable(r))
     kept = len(per_file) - len(smalls)
-    complete, all_seqs = _snapshot_seqs(spark, manifest_dir)
-    seq = (max(all_seqs) + 1) if all_seqs else 0
+    complete, _ = _snapshot_seqs(spark, manifest_dir)
 
     def audit(n_new: int, written: int, rewritten_bytes: int, snap_seq):
         return spark.createDataFrame(
@@ -1552,8 +1983,14 @@ def compact_manifest(
     n_new = max(
         1, -(-int(small_bytes) // max(1, int(target_mb * 1024 * 1024)))
     )
-    out = f"{data_dir}/compact_{seq}"
-    src = spark.read.parquet(*smalls)
+    # data dir named by token, not snapshot seq: the seq is only decided
+    # inside the optimistic commit loop and may move on a lost race; the
+    # rewritten data is written ONCE either way
+    out = f"{data_dir}/compact_{uuid.uuid4().hex[:12]}"
+    reader = spark.read
+    if any(r["kind"] == "absent" for r in snap.select("kind").distinct().collect()):
+        reader = reader.option("mergeSchema", "true")
+    src = reader.parquet(*smalls)
     if cluster_by:
         ccols = (
             [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
@@ -1570,11 +2007,33 @@ def compact_manifest(
     else:
         src = src.repartition(n_new)
     src.write.parquet(out)
-    new_stats = stats_index(spark, out, cols).withColumn(
+    out_cols = set(spark.read.parquet(out).columns)
+    present = [c for c in cols if c in out_cols]
+    new_stats = stats_index(spark, out, present).withColumn(
         "batch_id", F.lit(None).cast("long")
     )
-    new_snap = snap.where(~F.col("file_path").isin(smalls)).unionByName(
-        new_stats
-    )
-    new_snap.write.parquet(f"{manifest_dir}/v{seq}")
+    absent = [c for c in cols if c not in out_cols]
+    if absent:
+        new_stats = new_stats.unionByName(_absent_rows(new_stats, absent))
+    small_set = set(smalls)
+
+    def derive(complete_seqs):
+        head = read_manifest(spark, manifest_dir)
+        head_files = {
+            r["file_path"]
+            for r in head.select("file_path").distinct().collect()
+        }
+        gone = small_set - head_files
+        if gone:
+            raise ManifestCommitConflict(
+                f"compact_manifest: {len(gone)} selected input file(s) "
+                "left the manifest during the commit race (a concurrent "
+                "compaction folded them) — rerun compaction against the "
+                "new head"
+            )
+        return head.where(~F.col("file_path").isin(smalls)).unionByName(
+            new_stats
+        )
+
+    seq = _commit_snapshot(spark, manifest_dir, derive)
     return audit(n_new, len(smalls), int(small_bytes), seq)

@@ -1,0 +1,495 @@
+"""Round-13 operator pins.
+
+- NaN-safe fractional stats bounds (ADVICE r12 medium): a file holding
+  {NaN, large finite} keeps its finite rows reachable.
+- Manifest format guard (ADVICE r12 medium): a pre-round-12 delta-dir
+  layout is refused with a migration hint, never silently served;
+  newer-format markers are refused too.
+- compact_manifest folds COMMITTED batches only (ADVICE r12 low): the
+  crash-after-snapshot-before-marker replay window cannot duplicate.
+- skipping_scan per-file coverage guard (ADVICE r12 low): a merged
+  index missing one file's stats row for a probed column raises.
+- Optimistic concurrent manifest commit: two interleaved threaded
+  writers both land exactly once; compact-during-ingest both land.
+- manifest_row_diff: row-grain catch-up exact across a folding
+  compaction; read_manifest_changes(on_compaction='row_diff') fallback.
+- Schema evolution: add-column ingest, pruned scan on the new column,
+  time travel to a pre-evolution snapshot, unsound-evolution refusal,
+  stats-only agg over the evolved column.
+"""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_events(spark, n=300, batches=3):
+    return spark.range(n).select(
+        (F.col("id") % 64).alias("u"),
+        F.col("id").alias("payload"),
+        (F.col("id") % batches).alias("b"),
+    )
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# NaN-safe fractional bounds
+# ---------------------------------------------------------------------------
+
+
+def test_nan_file_keeps_finite_rows_reachable(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan, stats_index
+
+    path = str(tmp_path / "nan")
+    spark.createDataFrame(
+        [(1, float("nan")), (2, 1e9), (3, 2.5)], "id long, x double"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(4, 0.5)], "id long, x double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    idx = stats_index(spark, path, ["x"])
+    nan_file = [r for r in idx.collect() if r["file_rows"] == 3][0]
+    # NaN max widens to the +int64 sentinel, never to 0 (the ADVICE bug)
+    assert nan_file["hi"] == 2**63 - 1
+    assert nan_file["lo"] == 2  # floor(2.5); min() skips past NaN
+    hits = skipping_scan(spark, path, "x", lo=5e8, hi=2e9, index=idx)
+    assert _rows(hits, "id", "x") == [(2, 1e9)]
+
+
+def test_all_nan_file_stays_candidate_everywhere(spark, tmp_path):
+    from kioss_spark.operators.skew import skipping_scan, stats_index
+
+    path = str(tmp_path / "allnan")
+    spark.createDataFrame(
+        [(1, float("nan")), (2, float("nan"))], "id long, x double"
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(3, 7.0)], "id long, x double"
+    ).coalesce(1).write.mode("append").parquet(path)
+    idx = stats_index(spark, path, ["x"])
+    all_nan = [r for r in idx.collect() if r["file_rows"] == 2][0]
+    # min()=max()=NaN: both sentinels — the file stays a candidate for
+    # any probe (widening only), and the residual predicate never
+    # matches NaN, so the answer stays exact
+    assert (all_nan["lo"], all_nan["hi"]) == (-(2**63), 2**63 - 1)
+    hits = skipping_scan(spark, path, "x", lo=6, hi=8, index=idx)
+    assert _rows(hits, "id") == [(3,)]
+
+
+# ---------------------------------------------------------------------------
+# manifest format guard
+# ---------------------------------------------------------------------------
+
+
+def test_pre_snapshot_manifest_layout_is_refused(spark, tmp_path):
+    from kioss_spark.operators.skew import read_manifest, stats_index
+
+    data = str(tmp_path / "data")
+    man = str(tmp_path / "man")
+    df = _mk_events(spark, 60)
+    # fake the pre-round-12 layout: per-batch stats DELTAS in v{batch}
+    # dirs, no batch_id column
+    for b in range(2):
+        out = f"{data}/batch_{b}"
+        df.where(F.col("b") == b).drop("b").write.parquet(out)
+        stats_index(spark, out, ["u"]).write.parquet(f"{man}/v{b}")
+    with pytest.raises(ValueError, match="predates the snapshot format"):
+        read_manifest(spark, man)
+
+
+def test_newer_format_marker_is_refused(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink, read_manifest
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    sink = manifest_sink(data, man, ["u"])
+    sink(_mk_events(spark, 30).drop("b"), 0)
+    jvm = spark.sparkContext._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(man).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.mkdirs(P(f"{man}/_format_v99"))
+    with pytest.raises(ValueError, match="declares format v99"):
+        read_manifest(spark, man)
+
+
+# ---------------------------------------------------------------------------
+# per-file coverage guard
+# ---------------------------------------------------------------------------
+
+
+def test_skipping_scan_per_file_coverage_hole_raises(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        skipping_scan,
+        stats_index,
+        stats_index_merge,
+    )
+
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    spark.createDataFrame([(1, 10), (2, 20)], "u long, v long").coalesce(
+        1
+    ).write.parquet(p1)
+    spark.createDataFrame([(3, 30), (4, 40)], "u long, v long").coalesce(
+        1
+    ).write.parquet(p2)
+    # merged index built over DIFFERENT column sets: p2 has no v row
+    idx = stats_index_merge(
+        stats_index(spark, p1, ["u", "v"]), stats_index(spark, p2, ["u"])
+    )
+    with pytest.raises(ValueError, match="no stats row for probed"):
+        skipping_scan(
+            spark, str(tmp_path), ranges={"u": (1, 4), "v": (10, 40)},
+            index=idx,
+        )
+
+
+# ---------------------------------------------------------------------------
+# committed-batches-only folding (the replay-duplicate window)
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_skips_uncommitted_batch_and_replay_stays_exact(
+    spark, tmp_path
+):
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_sink,
+        read_via_manifest,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 300)
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(3):
+        sink(df.where(F.col("b") == b).drop("b").coalesce(1), b)
+    # simulate the crash window: batch 2's snapshot committed but the
+    # commits/b2 marker never landed
+    jvm = spark.sparkContext._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(man).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    assert fs.delete(P(f"{man}/commits/b2"), True)
+
+    res = compact_manifest(spark, data, man, target_mb=64.0).collect()[0]
+    # batches 0/1 folded; batch 2's file left out of the rewrite
+    assert res["files_rewritten"] == 2
+    # the replay re-commits batch 2 by replacing its batch_id rows —
+    # with the fold guard, exactly once
+    sink(df.where(F.col("b") == 2).drop("b"), 2)
+    got = read_via_manifest(spark, man)
+    assert got.count() == 300
+    assert got.select("payload").distinct().count() == 300
+
+
+# ---------------------------------------------------------------------------
+# optimistic concurrent commit
+# ---------------------------------------------------------------------------
+
+
+def test_two_interleaved_writers_both_land_exactly_once(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        manifest_sink,
+        read_manifest,
+        read_via_manifest,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 400, batches=8)
+    sink = manifest_sink(data, man, ["u"])
+    errs = []
+
+    def writer(batch_ids):
+        try:
+            for b in batch_ids:
+                sink(df.where(F.col("b") == b).drop("b"), b)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    t1 = threading.Thread(target=writer, args=([0, 2, 4, 6],))
+    t2 = threading.Thread(target=writer, args=([1, 3, 5, 7],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = read_via_manifest(spark, man)
+    assert got.count() == 400
+    assert got.select("payload").distinct().count() == 400
+    # every batch visible in the head snapshot exactly once
+    snap = read_manifest(spark, man)
+    batches = sorted(
+        r["batch_id"]
+        for r in snap.select("batch_id").distinct().collect()
+    )
+    assert batches == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def test_compaction_racing_ingest_both_land(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_sink,
+        read_via_manifest,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 400, batches=8)
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(4):
+        sink(df.where(F.col("b") == b).drop("b"), b)
+    errs = []
+
+    def ingest():
+        try:
+            for b in range(4, 8):
+                sink(df.where(F.col("b") == b).drop("b"), b)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def compact():
+        try:
+            compact_manifest(spark, data, man, target_mb=64.0)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=ingest)
+    t2 = threading.Thread(target=compact)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    got = read_via_manifest(spark, man)
+    assert got.count() == 400
+    assert got.select("payload").distinct().count() == 400
+
+
+# ---------------------------------------------------------------------------
+# row-grain change feed
+# ---------------------------------------------------------------------------
+
+
+def _fold_fixture(spark, tmp_path):
+    """commit b0, b1 -> compaction folds them -> commit b2; a consumer
+    pinned at v0 (b0 only) catches up across the fold."""
+    from kioss_spark.operators.skew import compact_manifest, manifest_sink
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 300)
+    sink = manifest_sink(data, man, ["u"])
+    sink(df.where(F.col("b") == 0).drop("b"), 0)
+    sink(df.where(F.col("b") == 1).drop("b"), 1)
+    compact_manifest(spark, data, man, target_mb=64.0)
+    sink(df.where(F.col("b") == 2).drop("b"), 2)
+    return data, man, df
+
+
+def test_row_diff_exact_across_folding_compaction(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        manifest_row_diff,
+        read_manifest_changes,
+    )
+
+    _, man, df = _fold_fixture(spark, tmp_path)
+    # file-grain catch-up REFUSES (batch 1 folded away)...
+    with pytest.raises(ValueError, match="manifest_row_diff"):
+        read_manifest_changes(spark, man, from_snapshot=0)
+    # ...row grain is exact
+    rd = manifest_row_diff(spark, man, from_snapshot=0)
+    exp = _rows(df.where(F.col("b").isin(1, 2)).drop("b"), "u", "payload")
+    ins = rd.where(F.col("change") == "insert")
+    assert _rows(ins, "u", "payload") == exp
+    assert rd.where(F.col("change") == "delete").count() == 0
+    # and the fallback routes through it
+    fb = read_manifest_changes(
+        spark, man, from_snapshot=0, on_compaction="row_diff"
+    )
+    assert _rows(fb, "u", "payload") == exp
+
+
+def test_row_diff_pure_append_window_short_circuits(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_row_diff, manifest_sink
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 200, batches=2)
+    sink = manifest_sink(data, man, ["u"])
+    sink(df.where(F.col("b") == 0).drop("b"), 0)
+    sink(df.where(F.col("b") == 1).drop("b"), 1)
+    rd = manifest_row_diff(spark, man, from_snapshot=0)
+    # nothing removed -> no exceptAll in the plan (no diff shuffle)
+    assert "Except" not in rd._jdf.queryExecution().toString()
+    exp = _rows(df.where(F.col("b") == 1).drop("b"), "u", "payload")
+    assert _rows(rd.where(F.col("change") == "insert"), "u", "payload") == exp
+
+
+def test_row_diff_same_snapshot_is_empty(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_row_diff, manifest_sink
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    sink = manifest_sink(data, man, ["u"])
+    sink(_mk_events(spark, 50).drop("b"), 0)
+    rd = manifest_row_diff(spark, man, from_snapshot=0, to_snapshot=0)
+    assert rd.count() == 0
+    assert "change" in rd.columns
+
+
+# ---------------------------------------------------------------------------
+# schema evolution
+# ---------------------------------------------------------------------------
+
+
+def _evolved_fixture(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    old = _mk_events(spark, 300)
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(2):
+        sink(old.where(F.col("b") == b).drop("b"), b)
+    new = spark.range(300, 400).select(
+        (F.col("id") % 64).alias("u"),
+        F.col("id").alias("payload"),
+        (F.col("id") % 7).alias("v"),
+    )
+    sink2 = manifest_sink(data, man, ["u", "v"])
+    sink2(new, 2)
+    return data, man, old, new
+
+
+def test_evolution_add_column_ingest_and_merged_read(spark, tmp_path):
+    from kioss_spark.operators.skew import read_manifest, read_via_manifest
+
+    data, man, old, new = _evolved_fixture(spark, tmp_path)
+    head = read_via_manifest(spark, man)
+    assert set(head.columns) == {"u", "payload", "v"}
+    assert head.count() == 300  # old rows (new batch appended 100 more)
+    assert head.where(F.col("v").isNull()).count() == 200
+    # presence rows: one 'absent' v-row per pre-evolution file
+    snap = read_manifest(spark, man)
+    absent = snap.where(F.col("kind") == "absent")
+    assert absent.select("col").distinct().collect()[0]["col"] == "v"
+    assert (
+        absent.select("file_path").distinct().count()
+        == snap.where(F.col("batch_id").isin(0, 1))
+        .select("file_path")
+        .distinct()
+        .count()
+    )
+
+
+def test_evolution_pruned_scan_on_new_column(spark, tmp_path):
+    from kioss_spark.operators.skew import read_manifest, skipping_scan
+
+    data, man, old, new = _evolved_fixture(spark, tmp_path)
+    idx = read_manifest(spark, man)
+    hits = skipping_scan(spark, data, "v", lo=2, hi=3, index=idx)
+    exp = _rows(new.where(F.col("v").between(2, 3)), "u", "payload", "v")
+    assert _rows(hits, "u", "payload", "v") == exp
+    # physical pin: pre-evolution files are skipped outright
+    n_files = hits.select(F.col("_metadata.file_path")).distinct().count()
+    pre = (
+        idx.where(F.col("batch_id").isin(0, 1))
+        .select("file_path")
+        .distinct()
+        .count()
+    )
+    total = idx.select("file_path").distinct().count()
+    assert n_files <= total - pre
+
+
+def test_evolution_time_travel_serves_old_schema(spark, tmp_path):
+    from kioss_spark.operators.skew import read_via_manifest
+
+    _, man, old, _ = _evolved_fixture(spark, tmp_path)
+    tt = read_via_manifest(spark, man, snapshot=1)
+    assert set(tt.columns) == {"u", "payload"}
+    assert tt.count() == 200
+
+
+def test_evolution_refused_when_old_files_hold_values(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = spark.range(100).select(
+        (F.col("id") % 64).alias("u"),
+        F.col("id").alias("payload"),
+        (F.col("id") % 7).alias("v"),  # v EXISTS with real values
+    )
+    sink = manifest_sink(data, man, ["u"])  # ...but is not stat'd
+    sink(df, 0)
+    sink2 = manifest_sink(data, man, ["u", "v"])
+    with pytest.raises(ValueError, match="already hold non-NULL values"):
+        sink2(df.withColumn("payload", F.col("payload") + 1000), 1)
+
+
+def test_evolution_stats_only_agg_stays_exact(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        manifest_stats_agg,
+        read_via_manifest,
+    )
+
+    _, man, old, new = _evolved_fixture(spark, tmp_path)
+    got = manifest_stats_agg(spark, man, ["v"]).collect()[0]
+    full = read_via_manifest(spark, man)
+    exp = full.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum(F.col("v").isNull().cast("long")).alias("nulls"),
+    ).collect()[0]
+    assert (got["n_rows"], got["v_min"], got["v_max"], got["v_nulls"]) == (
+        exp["n"], exp["mn"], exp["mx"], exp["nulls"]
+    )
+
+
+def test_evolution_batch_missing_stat_column_gets_presence_row(
+    spark, tmp_path
+):
+    from kioss_spark.operators.skew import (
+        manifest_sink,
+        read_manifest,
+        skipping_scan,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    wide = spark.range(100).select(
+        (F.col("id") % 64).alias("u"), (F.col("id") % 7).alias("v")
+    )
+    narrow = spark.range(100, 150).select((F.col("id") % 64).alias("u"))
+    sink = manifest_sink(data, man, ["u", "v"])
+    sink(wide, 0)
+    sink(narrow, 1)  # batch predates/drops v: presence row, not a crash
+    idx = read_manifest(spark, man)
+    assert (
+        idx.where(
+            (F.col("kind") == "absent") & (F.col("batch_id") == 1)
+        ).count()
+        > 0
+    )
+    hits = skipping_scan(spark, data, "v", lo=2, hi=3, index=idx)
+    assert _rows(hits, "u", "v") == _rows(
+        wide.where(F.col("v").between(2, 3)), "u", "v"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vacuum: optimistic-commit leftovers
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_collects_commit_race_leftovers(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink, vacuum
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    sink = manifest_sink(data, man, ["u"])
+    sink(_mk_events(spark, 60).drop("b"), 0)
+    sink(_mk_events(spark, 60).drop("b"), 1)
+    jvm = spark.sparkContext._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(man).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    # a crashed attempt targeting an already-taken seq, and a loser's
+    # nested leftover inside the winning snapshot
+    fs.mkdirs(P(f"{man}/.tmp_v1_deadbeef"))
+    fs.mkdirs(P(f"{man}/v1/.tmp_v1_cafebabe"))
+    # an in-flight FUTURE attempt must be left alone
+    fs.mkdirs(P(f"{man}/.tmp_v9_inflight"))
+    vacuum(spark, data, man, retain_last=2)
+    assert not fs.exists(P(f"{man}/.tmp_v1_deadbeef"))
+    assert not fs.exists(P(f"{man}/v1/.tmp_v1_cafebabe"))
+    assert fs.exists(P(f"{man}/.tmp_v9_inflight"))
