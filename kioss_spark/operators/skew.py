@@ -37,6 +37,7 @@ __all__ = [
     "stats_index",
     "stats_index_merge",
     "skipping_scan",
+    "manifest_candidates",
     "compact_incremental",
     "manifest_sink",
     "read_manifest",
@@ -681,6 +682,68 @@ def _stats_overlap(stat, lo_cmp, hi_cmp, kind) -> bool:
     )
 
 
+def manifest_candidates(spark: SparkSession, rows, ranges):
+    """Driver-side candidate-file selection over COLLECTED stats rows —
+    the shared core of ``skipping_scan`` and the ``Stream.read_manifest``
+    facade's automatic filter pruning.  ``rows`` is the (n_files x
+    n_probed_cols)-bounded list of stats rows for the probed columns;
+    ``ranges`` maps col -> (lo, hi).  Returns ``(files, kind_of,
+    evolved)``: the sorted candidate file list, each probed column's
+    recorded bound kind, and whether any probed file predates a column
+    (kind='absent' presence rows — the reader must merge schemas).
+
+    Guards (all loud, never silent row loss): every file must carry a
+    stats row — real or 'absent' — for every probed column (ADVICE r12:
+    a merged-index hole would otherwise fail the all() match and drop
+    the file's rows)."""
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["file_path"], {})[r["col"]] = r
+    kind_of = {}
+    for r in rows:
+        if "kind" in (r.__fields__ or []):
+            if r["kind"] != "absent":
+                kind_of.setdefault(r["col"], r["kind"])
+    # per-file coverage guard (ADVICE r12): a file with no stats row for
+    # one probed column — possible in a stats_index_merge union built
+    # over different column sets — would silently fail the all() match
+    # and drop its rows from the result; fail loudly like the global
+    # missing-column case.  Files that PREDATE a column carry an
+    # explicit kind='absent' row (schema evolution), which counts as
+    # covered: the column reads NULL for every row of such a file, a
+    # range predicate never matches NULL, so skipping them is exact.
+    hole_files = {
+        f: [c for c in ranges if c not in stats]
+        for f, stats in by_file.items()
+    }
+    holes = {f: cs for f, cs in hole_files.items() if cs}
+    if holes:
+        f0, cs0 = next(iter(sorted(holes.items())))
+        raise ValueError(
+            f"skipping_scan: {len(holes)} file(s) have no stats row for "
+            f"probed column(s) (first: {f0} missing {cs0}) — a merged "
+            "index built over different column sets; rebuild stats for "
+            "these files (stats_index over their paths + "
+            "stats_index_merge), or commit through manifest_sink, which "
+            "records kind='absent' presence rows for files that predate "
+            "a column"
+        )
+    cmp_bounds = {
+        c: _comparable_bounds(spark, c, c_lo, c_hi, kind_of.get(c))
+        for c, (c_lo, c_hi) in ranges.items()
+    }
+    files = sorted(
+        f
+        for f, stats in by_file.items()
+        if all(
+            _stats_overlap(stats[c], *cmp_bounds[c])
+            for c in ranges
+        )
+    )
+    evolved = any(r["kind"] == "absent" for r in rows)
+    return files, kind_of, evolved
+
+
 def skipping_scan(
     spark: SparkSession,
     path: str,
@@ -761,47 +824,8 @@ def skipping_scan(
                 f"skipping_scan index has no stats for {missing}: "
                 f"rebuild the index with these columns (has {sorted(idx_cols)})"
             )
-    kind_of = {}
-    for r in rows:
-        if "kind" in (r.__fields__ or []):
-            if r["kind"] != "absent":
-                kind_of.setdefault(r["col"], r["kind"])
-    # per-file coverage guard (ADVICE r12): a file with no stats row for
-    # one probed column — possible in a stats_index_merge union built
-    # over different column sets — would silently fail the all() match
-    # and drop its rows from the result; fail loudly like the global
-    # missing-column case.  Files that PREDATE a column carry an
-    # explicit kind='absent' row (schema evolution), which counts as
-    # covered: the column reads NULL for every row of such a file, a
-    # range predicate never matches NULL, so skipping them is exact.
-    hole_files = {
-        f: [c for c in ranges if c not in stats]
-        for f, stats in by_file.items()
-    }
-    holes = {f: cs for f, cs in hole_files.items() if cs}
-    if holes:
-        f0, cs0 = next(iter(sorted(holes.items())))
-        raise ValueError(
-            f"skipping_scan: {len(holes)} file(s) have no stats row for "
-            f"probed column(s) (first: {f0} missing {cs0}) — a merged "
-            "index built over different column sets; rebuild stats for "
-            "these files (stats_index over their paths + "
-            "stats_index_merge), or commit through manifest_sink, which "
-            "records kind='absent' presence rows for files that predate "
-            "a column"
-        )
-    cmp_bounds = {
-        c: _comparable_bounds(spark, c, c_lo, c_hi, kind_of.get(c))
-        for c, (c_lo, c_hi) in ranges.items()
-    }
-    files = sorted(
-        f
-        for f, stats in by_file.items()
-        if all(
-            _stats_overlap(stats[c], *cmp_bounds[c])
-            for c in ranges
-        )
-    )
+    files, kind_of, evolved = manifest_candidates(spark, rows, ranges)
+
     def plit(c, v):
         # NTZ columns need an NTZ literal built FROM A STRING
         # (timeutil.ntz_lit rule): F.lit(naive datetime) converts to
@@ -830,7 +854,6 @@ def skipping_scan(
     # kind='absent' presence rows), candidate files may carry different
     # physical schemas — merge them so the projected schema is the
     # union, with NULL for pre-evolution rows
-    evolved = any(r["kind"] == "absent" for r in rows)
     reader = spark.read
     if evolved:
         reader = reader.option("mergeSchema", "true")

@@ -1,0 +1,183 @@
+"""Predicate -> probe-bounds extraction for manifest-pruned facade scans.
+
+``Stream.read_manifest`` prunes its candidate file list automatically
+when a ``.filter(Column)`` lands on it (round-13 verdict ask 4).  The
+pruning bound must be IMPLIED by the predicate — a candidate list built
+from a wider range keeps extra files (wasted IO, never wrong), one built
+from a narrower range drops rows — so extraction is strictly
+conservative: only conjuncts whose shape it fully understands contribute
+bounds; everything else contributes nothing (that conjunct prunes no
+files but still filters rows, exactness preserved).
+
+Spark 4's Column wraps a ``ColumnNode`` tree
+(``org.apache.spark.sql.internal``): ``UnresolvedFunction(name, args)``
+for every operator, ``UnresolvedAttribute`` for columns, ``Literal`` for
+constants — walked here over py4j.  Supported shapes:
+
+- ``a & b`` ("and"): both sides contribute; per column, los take max and
+  his take min (range intersection).
+- ``col >= lit`` / ``> / <= / < / =`` (either operand order): one-sided
+  bounds; strict inequalities widen to inclusive (the residual predicate
+  restores strictness).
+- ``col.between(lo, hi)``: arrives as the "and" of two comparisons.
+- ``col.isin(...)`` ("in"): lo=min(values), hi=max(values).
+- literals: Python ints / floats / strings arrive as primitives;
+  ``java.sql.Timestamp`` converts to absolute epoch seconds (the 'ts'
+  stats unit — both the literal and the stored bound are absolute, so
+  session timezone cannot skew the pair); ``java.sql.Date`` to epoch
+  days.
+- anything else — "or", "not", casts, function calls, non-literal
+  operands — contributes nothing (fall back to the full candidate list
+  for that conjunct).
+
+TIMESTAMP_NTZ columns are intentionally NOT prunable through this path:
+a session-zoned timestamp literal compared against an NTZ column coerces
+through the session timezone, so no session-independent bound exists —
+``skipping_scan``'s typed probe (naive-datetime bounds) is the supported
+NTZ route.  The caller enforces this by checking the extracted bound's
+expected kind against the stats row's recorded kind.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column
+
+#: extracted-bound type -> the stats kinds it may prune against
+#: (a mismatch skips pruning for that column, never raises: the filter
+#: still applies row-grain, exactness is untouched)
+KIND_COMPAT = {
+    "num": {"int", "frac", "dec"},
+    "str": {"str"},
+    "ts": {"ts"},
+    "date": {"date"},
+}
+
+
+def _literal_value(node):
+    """(value, bound_type) for a Literal node, or None when the literal
+    type is outside the supported pruning domain."""
+    try:
+        v = node.value()
+    except Exception:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return (v, "num")
+    if isinstance(v, str):
+        return (v, "str")
+    # java.time / java.sql objects arrive as py4j JavaObjects
+    try:
+        cls = v.getClass().getName()
+    except Exception:
+        return None
+    if cls == "java.sql.Timestamp":
+        # absolute epoch seconds — the 'ts' stats unit; getTime() is
+        # millis since epoch, zone-free, so the pruning bound and the
+        # residual literal agree under any session timezone
+        return (v.getTime() / 1000.0, "ts")
+    if cls == "java.sql.Date":
+        import datetime as _dt
+
+        d = _dt.date.fromisoformat(v.toString())
+        return ((d - _dt.date(1970, 1, 1)).days, "date")
+    return None
+
+
+def _attr_name(node) -> Optional[str]:
+    if node.getClass().getSimpleName() != "UnresolvedAttribute":
+        return None
+    try:
+        return node.sql()
+    except Exception:
+        return None
+
+
+def _merge(bounds: dict, col: str, lo, hi, btype: str) -> None:
+    old_lo, old_hi, old_t = bounds.get(col, (None, None, btype))
+    if old_t != btype:
+        # mixed bound types on one column: drop pruning for it
+        bounds[col] = (None, None, "conflict")
+        return
+    if lo is not None:
+        old_lo = lo if old_lo is None else max(old_lo, lo)
+    if hi is not None:
+        old_hi = hi if old_hi is None else min(old_hi, hi)
+    bounds[col] = (old_lo, old_hi, btype)
+
+
+def _walk(node, bounds: dict) -> None:
+    if node.getClass().getSimpleName() != "UnresolvedFunction":
+        return
+    fn = node.functionName()
+    args = list_args(node)
+    if fn == "and":
+        for a in args:
+            _walk(a, bounds)
+        return
+    if fn in (">=", ">", "<=", "<", "="):
+        if len(args) != 2:
+            return
+        left, right = args
+        name = _attr_name(left)
+        lit = _literal_value(right) if name else None
+        flipped = False
+        if lit is None:
+            name = _attr_name(right)
+            lit = _literal_value(left) if name else None
+            flipped = True
+        if not name or lit is None:
+            return
+        v, btype = lit
+        op = fn
+        if flipped:  # lit OP col  ==  col FLIP(OP) lit
+            op = {">=": "<=", ">": "<", "<=": ">=", "<": ">", "=": "="}[fn]
+        if op in (">=", ">"):
+            _merge(bounds, name, v, None, btype)
+        elif op in ("<=", "<"):
+            _merge(bounds, name, None, v, btype)
+        else:
+            _merge(bounds, name, v, v, btype)
+        return
+    if fn == "in":
+        if len(args) < 2:
+            return
+        name = _attr_name(args[0])
+        if not name:
+            return
+        lits = [_literal_value(a) for a in args[1:]]
+        if any(entry is None for entry in lits):
+            return
+        types = {t for _, t in lits}
+        if len(types) != 1:
+            return
+        vals = [v for v, _ in lits]
+        _merge(bounds, name, min(vals), max(vals), types.pop())
+        return
+    # or / not / cast / calls / ...: no contribution (conservative)
+
+
+def list_args(node) -> list:
+    out = []
+    it = node.arguments().iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def extract_prune_ranges(pred: Column) -> dict:
+    """col -> (lo, hi, bound_type) implied by ``pred``, conservative.
+    Empty dict = nothing extractable (prune nothing; filter normally).
+    Columns whose extracted bounds conflicted are dropped here."""
+    bounds: dict = {}
+    try:
+        _walk(pred._jc.node(), bounds)
+    except Exception:
+        return {}
+    return {
+        c: (lo, hi, t)
+        for c, (lo, hi, t) in bounds.items()
+        if t != "conflict" and not (lo is None and hi is None)
+    }

@@ -3160,3 +3160,210 @@ def manifest_stats_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     for batch_id in range(3):
         sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
     return manifest_stats_agg(spark, manifest, ["u", "payload"])
+
+
+@register(
+    "facade_pruned_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 256 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 3 AS BIGINT) AS b
+               FROM events)
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e WHERE u BETWEEN 4 AND 11 GROUP BY u
+    """,
+)
+def facade_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse layer reached from the FLUENT FACADE (round-13
+    verdict ask 4): events commit through ``manifest_sink`` in three
+    batches, ``compact_manifest(cluster_by="u")`` gives the layout a
+    reason to prune, and the query is ``Stream.read_manifest(...)
+    .filter((u >= 4) & (u <= 11))`` — the filter's probe bounds are
+    extracted from the Column expression automatically
+    (plans/prune.py) and shrink the candidate file list through
+    ``manifest_candidates`` before the scan; the ORIGINAL predicate
+    still applies row-grain, so the answer is exact whether or not
+    pruning engaged.
+
+    The DuckDB oracle aggregates the full logical table: hash equality
+    proves the facade's automatic pruning is answer-preserving.  The
+    PHYSICAL half — the facade's plan reads strictly fewer files than
+    the snapshot lists, and matches the explicit ``skipping_scan``
+    shape — is pinned in tests/test_round13_ops.py.
+
+    Scale shape: identical to manifest_ingest_scan (batch-grain commits,
+    n_files-bounded candidate selection) plus one clustered-compaction
+    rewrite; the served scan opens only candidate files."""
+    import tempfile
+
+    from kioss_spark.operators.skew import compact_manifest, manifest_sink
+    from kioss_spark.stream import Stream
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_facade_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    compact_manifest(
+        spark, data, manifest, target_mb=0.02, small_file_mb=10.0,
+        cluster_by="u",
+    )
+    st = Stream.read_manifest(spark, manifest).filter(
+        (F.col("u") >= 4) & (F.col("u") <= 11)
+    )
+    return st.to_df().groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
+    )
+
+
+@register(
+    "manifest_row_changes_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 3 AS BIGINT) AS b
+               FROM events)
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e WHERE b IN (1, 2) GROUP BY u
+    """,
+)
+def manifest_row_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-grain catch-up across a FOLDING compaction (round-13 verdict
+    ask 2 — the case the file-grain feed refuses): batches 0 and 1
+    commit, a compaction folds their files into batch_id-NULL rewrites,
+    batch 2 commits, and a consumer pinned at snapshot v0 (batch 0
+    only) catches up via ``manifest_row_diff`` — a content-addressed
+    multiset diff over ONLY the files changed between the snapshots,
+    where the compaction's rewrites cancel exactly against the inputs
+    they replaced.
+
+    The DuckDB oracle aggregates the batches-1-and-2 slice of the full
+    logical table: hash equality proves the row-grain feed delivers
+    exactly the post-snapshot rows across the fold — none lost (the
+    file-grain feed's failure mode), none duplicated (batch 0's rows
+    cancel), no deletes fabricated.  The refusal-and-fallback wiring
+    (``read_manifest_changes(on_compaction='row_diff')``) is pinned in
+    tests/test_round13_ops.py.
+
+    Scale shape: commits are batch-grain; the diff reads only changed
+    files and shuffles their rows once (O(churn), never the table);
+    pure-append windows skip the diff shuffle entirely (pinned)."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_row_diff,
+        manifest_sink,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_rowdiff_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    sink(e.where(F.col("b") == 0).drop("b"), 0)
+    sink(e.where(F.col("b") == 1).drop("b"), 1)
+    compact_manifest(spark, data, manifest, target_mb=64.0)
+    sink(e.where(F.col("b") == 2).drop("b"), 2)
+    new_rows = manifest_row_diff(spark, manifest, from_snapshot=0).where(
+        F.col("change") == "insert"
+    )
+    return new_rows.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
+    )
+
+
+@register(
+    "manifest_evolution_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 3 AS BIGINT) AS b,
+                      CAST(event_id % 7 AS BIGINT) AS v
+               FROM events),
+    evolved AS (SELECT u, payload,
+                       CASE WHEN b = 2 THEN v ELSE NULL END AS v
+                FROM e)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(v) AS BIGINT) AS n_v,
+           CAST(sum(CASE WHEN v BETWEEN 2 AND 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_v_hit,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM evolved
+    """,
+)
+def manifest_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the manifest (round-13 verdict ask 6):
+    batches 0 and 1 commit WITHOUT column ``v``; batch 2 introduces it
+    (the sink's stats set grows to ["u", "v"], and pre-evolution files
+    get explicit ``kind='absent'`` presence rows after the one-time
+    soundness probe).  The query reads the evolved table through
+    ``read_via_manifest`` (merged schemas: old rows carry NULL v) and
+    combines a full-table aggregate with a PRUNED count on the new
+    column (``skipping_scan`` on v opens only post-evolution files —
+    'absent' presence rows skip exactly).
+
+    The DuckDB oracle rebuilds the same logical table (v defined only
+    for batch-2 rows): hash equality proves the merged read, the
+    presence semantics, and the late-column pruning all preserve the
+    answer.  Time travel to the pre-evolution schema and the
+    unsound-evolution refusal are pinned in tests/test_round13_ops.py.
+
+    Scale shape: the evolution probe is a one-time column-pruned scan
+    of pre-evolution files; everything else is the standard manifest
+    cost model (batch-grain commits, n_files-bounded pruning)."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_sink,
+        read_manifest,
+        read_via_manifest,
+        skipping_scan,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+        F.pmod(F.col("event_id"), F.lit(7)).cast("long").alias("v"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_evolve_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    sink(e.where(F.col("b") == 0).drop("b", "v"), 0)
+    sink(e.where(F.col("b") == 1).drop("b", "v"), 1)
+    sink2 = manifest_sink(data, manifest, ["u", "v"])
+    sink2(e.where(F.col("b") == 2).drop("b"), 2)
+    head = read_via_manifest(spark, manifest)
+    full = head.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("v").cast("long").alias("n_v"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
+    )
+    pruned = skipping_scan(
+        spark, data, "v", lo=2, hi=3, index=read_manifest(spark, manifest)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_v_hit"))
+    return full.crossJoin(pruned).select(
+        "n_rows", "n_v", "n_v_hit", "payload_min", "payload_max"
+    )

@@ -493,3 +493,141 @@ def test_vacuum_collects_commit_race_leftovers(spark, tmp_path):
     assert not fs.exists(P(f"{man}/.tmp_v1_deadbeef"))
     assert not fs.exists(P(f"{man}/v1/.tmp_v1_cafebabe"))
     assert fs.exists(P(f"{man}/.tmp_v9_inflight"))
+
+
+# ---------------------------------------------------------------------------
+# fluent facade: automatic candidate pruning
+# ---------------------------------------------------------------------------
+
+
+def _facade_fixture(spark, tmp_path):
+    from kioss_spark.operators.skew import compact_manifest, manifest_sink
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = spark.range(3000).select(
+        (F.col("id") % 256).alias("u"), F.col("id").alias("payload")
+    )
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(3):
+        sink(df.where(F.col("id") % 3 == b), b)
+    compact_manifest(
+        spark, data, man, target_mb=0.01, small_file_mb=10.0, cluster_by="u"
+    )
+    return data, man, df
+
+
+def test_facade_filter_prunes_and_matches_skipping_scan(spark, tmp_path):
+    from kioss_spark.operators.skew import read_manifest, skipping_scan
+    from kioss_spark.stream import Stream
+
+    data, man, df = _facade_fixture(spark, tmp_path)
+    st = Stream.read_manifest(spark, man).filter(
+        (F.col("u") >= 4) & (F.col("u") <= 11)
+    )
+    # plan-budget pin: strictly fewer candidate files than the snapshot
+    total = st._manifest["total"]
+    chosen = len(st._manifest["files"])
+    assert chosen < total
+    # ...and exactly the files the explicit skipping_scan shape opens
+    explicit = skipping_scan(
+        spark, data, "u", lo=4, hi=11, index=read_manifest(spark, man)
+    )
+    explicit_files = {
+        r["f"]
+        for r in explicit.select(
+            F.col("_metadata.file_path").alias("f")
+        ).distinct().collect()
+    }
+    facade_files = {
+        r["f"]
+        for r in st.to_df().select(
+            F.col("_metadata.file_path").alias("f")
+        ).distinct().collect()
+    }
+    assert facade_files <= set(st._manifest["files"])
+    assert facade_files == explicit_files
+    got = _rows(st.to_df(), "u", "payload")
+    assert got == _rows(df.where(F.col("u").between(4, 11)), "u", "payload")
+
+
+def test_facade_chained_filters_intersect_candidates(spark, tmp_path):
+    from kioss_spark.stream import Stream
+
+    _, man, df = _facade_fixture(spark, tmp_path)
+    st = (
+        Stream.read_manifest(spark, man)
+        .filter(F.col("u") >= 4)
+        .filter(F.col("u") <= 11)
+    )
+    assert len(st._manifest["files"]) < st._manifest["total"]
+    got = _rows(st.to_df(), "u", "payload")
+    assert got == _rows(df.where(F.col("u").between(4, 11)), "u", "payload")
+
+
+def test_facade_unsupported_predicate_falls_back_exactly(spark, tmp_path):
+    from kioss_spark.stream import Stream
+
+    _, man, df = _facade_fixture(spark, tmp_path)
+    st = Stream.read_manifest(spark, man).filter(F.col("payload") % 2 == 0)
+    assert st._plan[-1] == "filter(expr)"  # no pruning claimed
+    assert st.count() == df.where(F.col("payload") % 2 == 0).count()
+
+
+def test_facade_disjoint_range_reads_zero_files_schema_stable(
+    spark, tmp_path
+):
+    from kioss_spark.stream import Stream
+
+    _, man, _ = _facade_fixture(spark, tmp_path)
+    st = Stream.read_manifest(spark, man).filter(F.col("u") > 10_000)
+    assert len(st._manifest["files"]) == 0
+    out = st.to_df()
+    assert out.count() == 0
+    assert {"u", "payload"} <= set(out.columns)
+
+
+def test_facade_in_predicate_prunes(spark, tmp_path):
+    from kioss_spark.stream import Stream
+
+    _, man, df = _facade_fixture(spark, tmp_path)
+    st = Stream.read_manifest(spark, man).filter(F.col("u").isin(5, 6, 7))
+    assert len(st._manifest["files"]) < st._manifest["total"]
+    assert _rows(st.to_df(), "u", "payload") == _rows(
+        df.where(F.col("u").isin(5, 6, 7)), "u", "payload"
+    )
+
+
+def test_prune_extraction_rules():
+    """Pure extraction-table checks (no data): conservative shapes."""
+    import datetime as dt
+
+    from kioss_spark.plans.prune import extract_prune_ranges
+
+    r = extract_prune_ranges(
+        (F.col("u") >= 4) & (F.col("u") < 11) & (F.lit(2) <= F.col("w"))
+    )
+    assert r["u"] == (4, 11, "num")  # strict < widened to inclusive
+    assert r["w"] == (2, None, "num")
+    r = extract_prune_ranges(F.col("s").between("a", "bz"))
+    assert r["s"] == ("a", "bz", "str")
+    r = extract_prune_ranges(F.col("u").isin(3, 9, 5))
+    assert r["u"] == (3, 9, "num")
+    r = extract_prune_ranges(F.col("u") == 7)
+    assert r["u"] == (7, 7, "num")
+    # OR contributes nothing; the AND'd conjunct still does
+    r = extract_prune_ranges(
+        ((F.col("x") > 2) | (F.col("y") < 3)) & (F.col("u") >= 4)
+    )
+    assert set(r) == {"u"}
+    # timestamp literal -> absolute epoch seconds
+    r = extract_prune_ranges(
+        F.col("ts") <= F.lit(dt.datetime(2024, 1, 2, 3, 4, 5))
+    )
+    (lo, hi, t) = r["ts"]
+    assert lo is None and t == "ts" and isinstance(hi, float)
+    # date literal -> epoch days
+    r = extract_prune_ranges(F.col("d") >= F.lit(dt.date(1970, 1, 11)))
+    assert r["d"] == (10, None, "date")
+    # column-vs-column and pure-OR: nothing extractable
+    assert extract_prune_ranges(F.col("a") > F.col("b")) == {}
+    assert extract_prune_ranges((F.col("a") > 1) | (F.col("a") < 0)) == {}
