@@ -1,0 +1,240 @@
+"""Streaming source over the manifest change feed (round-13 verdict ask
+5) — the Delta streaming-source analog for ``manifest_sink`` tables,
+built on Spark 4's Python Data Source API (``pyspark.sql.datasource``):
+offsets are manifest snapshot sequence numbers, each micro-batch reads
+exactly the data files the snapshots in the offset window added, and
+Structured Streaming's checkpoint makes catch-up, kill-and-resume, and
+exactly-once delivery the ENGINE's job instead of a manual
+``read_manifest_changes`` loop.
+
+Planning (driver-side, file-grain, pure-filesystem — the API gives the
+planner no SparkSession, and none is needed: snapshot parquet is read
+with pyarrow, bounded by n_files x window):
+
+- ``latestOffset`` advances only to COMPLETE snapshots whose every batch
+  holds its ``commits/b{id}`` marker.  An unmarked batch is a writer's
+  crash window: its files may yet be REPLACED by the replay, so emitting
+  them could duplicate; the marker gate means every emitted batch is
+  final (the replay skip-gate guarantees marked batches never change,
+  and compact_manifest's committed-only folding guarantees unmarked
+  batches are never folded — both round-13 invariants this source
+  leans on).
+- ``partitions(start, end)`` walks the window's snapshot transitions and
+  accumulates, per NEW batch (not in the start snapshot), the files to
+  emit: adds accumulate; a transition that both adds and removes files
+  of one batch is a replay REPLACEMENT (drop the replaced); one that
+  only removes is a compaction FOLD (keep — the rows live only in the
+  original files, which stay on disk until ``vacuum``).  Compaction
+  rewrites (batch_id NULL) are content-neutral and never emitted.
+- ``read(partition)`` opens one data file with pyarrow on the executor
+  and yields Arrow batches aligned to the declared schema (schema
+  evolution: files predating a column yield NULLs for it).
+
+Operational contract (same as Delta's source): ``vacuum`` retention
+must cover consumer lag — a consumer resuming from a snapshot the
+retention already pruned, or needing a folded file vacuum collected,
+fails LOUDLY at planning/read time, never silently skips rows.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+SOURCE_NAME = "manifest_feed"
+
+
+def _local(path: str) -> str:
+    """Strip the file: scheme Hadoop stamps on local paths."""
+    if path.startswith("file://"):
+        return path[len("file:"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+def _complete_snapshots(manifest_dir: str) -> list:
+    d = _local(manifest_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if not name.startswith("v"):
+            continue
+        try:
+            seq = int(name[1:])
+        except ValueError:
+            continue
+        if os.path.exists(os.path.join(d, name, "_SUCCESS")):
+            out.append(seq)
+    return sorted(out)
+
+
+def _snapshot_table(manifest_dir: str, seq: int, columns=None):
+    import pyarrow.dataset as ds
+
+    vdir = os.path.join(_local(manifest_dir), f"v{seq}")
+    if not os.path.isdir(vdir):
+        raise ValueError(
+            f"manifest snapshot v{seq} is gone from {manifest_dir} — "
+            "vacuum retention must cover consumer lag; restart the "
+            "stream from a retained snapshot"
+        )
+    # pyarrow.dataset ignores '.'/'_'-prefixed entries (job markers,
+    # writer tokens, checksums) by default
+    return ds.dataset(vdir, format="parquet").to_table(columns=columns)
+
+
+def _files_by_batch(manifest_dir: str, seq: int) -> dict:
+    """batch_id -> set(file_path) for one snapshot (NULL batch ids —
+    compaction rewrites — excluded: content-neutral)."""
+    t = _snapshot_table(manifest_dir, seq, columns=["file_path", "batch_id"])
+    out: dict = {}
+    for f, b in zip(
+        t.column("file_path").to_pylist(), t.column("batch_id").to_pylist()
+    ):
+        if b is not None:
+            out.setdefault(b, set()).add(f)
+    return out
+
+
+def _marked(manifest_dir: str, batch_id: int) -> bool:
+    return os.path.exists(
+        os.path.join(_local(manifest_dir), "commits", f"b{batch_id}")
+    )
+
+
+def plan_window_files(manifest_dir: str, start_seq: int, end_seq: int) -> list:
+    """The data files a consumer at snapshot ``start_seq`` must read to
+    reach ``end_seq`` — the module docstring's transition walk."""
+    seqs = [
+        s for s in _complete_snapshots(manifest_dir) if start_seq < s <= end_seq
+    ]
+    if not seqs:
+        return []
+    base = (
+        set(_files_by_batch(manifest_dir, start_seq))
+        if start_seq >= 0
+        else set()
+    )
+    prev = (
+        _files_by_batch(manifest_dir, start_seq) if start_seq >= 0 else {}
+    )
+    emit: dict = {}
+    for seq in seqs:
+        cur = _files_by_batch(manifest_dir, seq)
+        for b in set(prev) | set(cur):
+            if b in base:
+                continue  # served before this window
+            pf = prev.get(b, set())
+            cf = cur.get(b, set())
+            added, removed = cf - pf, pf - cf
+            if added:
+                emit.setdefault(b, set()).update(added)
+                if removed:  # replay replacement: drop superseded files
+                    emit[b] -= removed
+            # removed without added = fold: keep the originals
+        prev = cur
+    return sorted(set().union(*emit.values())) if emit else []
+
+
+@dataclass
+class ManifestFilePartition(InputPartition):
+    path: str
+
+
+class ManifestFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options) -> None:
+        self._schema = schema
+        self._dir = options["manifest_dir"]
+        self._start = int(options.get("starting_snapshot", -1))
+
+    # ------------------------------------------------------ offsets
+
+    def initialOffset(self) -> dict:
+        return {"snapshot": self._start}
+
+    def latestOffset(self) -> dict:
+        best = self._start
+        for seq in _complete_snapshots(self._dir):
+            if seq <= best:
+                continue
+            if all(
+                _marked(self._dir, b)
+                for b in _files_by_batch(self._dir, seq)
+            ):
+                best = seq
+        return {"snapshot": best}
+
+    # ---------------------------------------------------- planning
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        files = plan_window_files(
+            self._dir, int(start["snapshot"]), int(end["snapshot"])
+        )
+        return [ManifestFilePartition(path=f) for f in files]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+    # ----------------------------------------------------- reading
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        path = _local(partition.path)
+        table = pq.read_table(path)
+        arrays = []
+        for field in target:
+            if field.name in table.column_names:
+                arrays.append(table.column(field.name).cast(field.type))
+            else:
+                # schema evolution: the file predates this column
+                arrays.append(pa.nulls(len(table), type=field.type))
+        aligned = pa.Table.from_arrays(arrays, schema=target)
+        yield from aligned.to_batches()
+
+
+class ManifestFeedDataSource(DataSource):
+    """``spark.readStream.format("manifest_feed")
+    .option("manifest_dir", dir).load()`` — registered by
+    ``SStream.from_manifest``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self):
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        manifest_dir = self.options["manifest_dir"]
+        complete = _complete_snapshots(manifest_dir)
+        if not complete:
+            raise ValueError(f"no committed snapshot at {manifest_dir}")
+        t = _snapshot_table(manifest_dir, complete[-1], columns=["file_path"])
+        files = sorted(set(t.column("file_path").to_pylist()))
+        if not files:
+            raise ValueError(f"empty manifest at {manifest_dir}")
+        # footer-only schema union (schema evolution: later files may
+        # carry more columns); n_files-bounded, no data reads
+        schemas = [pq.read_schema(_local(f)) for f in files]
+        return from_arrow_schema(
+            pa.unify_schemas(schemas, promote_options="permissive")
+        )
+
+    def streamReader(self, schema) -> ManifestFeedStreamReader:
+        return ManifestFeedStreamReader(schema, self.options)

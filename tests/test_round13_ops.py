@@ -631,3 +631,113 @@ def test_prune_extraction_rules():
     # column-vs-column and pure-OR: nothing extractable
     assert extract_prune_ranges(F.col("a") > F.col("b")) == {}
     assert extract_prune_ranges((F.col("a") > 1) | (F.col("a") < 0)) == {}
+
+
+# ---------------------------------------------------------------------------
+# streaming manifest source
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_stream_kill_and_resume_exactly_once(spark, tmp_path):
+    from kioss_spark.operators.skew import compact_manifest, manifest_sink
+    from kioss_spark.streaming.dialect import SStream
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    df = _mk_events(spark, 300)
+    sink = manifest_sink(data, man, ["u"])
+    sink(df.where(F.col("b") == 0).drop("b"), 0)
+    sink(df.where(F.col("b") == 1).drop("b"), 1)
+
+    def drain():
+        q = (
+            SStream.from_manifest(spark, man)
+            ._df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # consume, then "die"
+    assert spark.read.parquet(out).count() == 200
+    # while down: a compaction FOLDS the consumed batches, a new batch
+    # lands
+    compact_manifest(spark, data, man, target_mb=64.0)
+    sink(df.where(F.col("b") == 2).drop("b"), 2)
+    drain()  # resume from the checkpoint
+    acc = spark.read.parquet(out)
+    assert acc.count() == 300
+    assert _rows(acc.select("u", "payload"), "u", "payload") == _rows(
+        df.drop("b"), "u", "payload"
+    )
+
+
+def test_manifest_stream_offset_gated_on_commit_markers(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink
+    from kioss_spark.streaming.manifest_source import (
+        ManifestFeedStreamReader,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 200, batches=2)
+    sink = manifest_sink(data, man, ["u"])
+    sink(df.where(F.col("b") == 0).drop("b"), 0)
+    sink(df.where(F.col("b") == 1).drop("b"), 1)
+    jvm = spark.sparkContext._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(man).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    reader = ManifestFeedStreamReader(None, {"manifest_dir": man})
+    assert reader.latestOffset() == {"snapshot": 1}
+    # simulate batch 1's crash window: snapshot committed, marker gone —
+    # its files may yet be replaced by the replay, so the offset must
+    # NOT advance past snapshot 0
+    assert fs.delete(P(f"{man}/commits/b1"), True)
+    assert reader.latestOffset() == {"snapshot": 0}
+    fs.mkdirs(P(f"{man}/commits/b1"))
+    assert reader.latestOffset() == {"snapshot": 1}
+
+
+def test_manifest_stream_replay_replacement_never_double_emits(
+    spark, tmp_path
+):
+    from kioss_spark.operators.skew import manifest_sink
+    from kioss_spark.streaming.manifest_source import plan_window_files
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 200, batches=2)
+    sink = manifest_sink(data, man, ["u"])
+    sink(df.where(F.col("b") == 0).drop("b"), 0)
+    sink(df.where(F.col("b") == 1).drop("b"), 1)
+    jvm = spark.sparkContext._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(man).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    # crash window + replay: batch 1 recommits, REPLACING its files
+    assert fs.delete(P(f"{man}/commits/b1"), True)
+    sink(df.where(F.col("b") == 1).drop("b"), 1)
+    files = plan_window_files(man, -1, 10**6)
+    # exactly batch 0's files + batch 1's REPLACEMENT files (under the
+    # replay suffix); the superseded originals are dropped
+    assert files
+    assert not any("batch_1/" in f for f in files)
+    assert any("batch_1_r1" in f for f in files)
+    got = spark.read.parquet(*files)
+    assert got.count() == 200
+    assert got.select("payload").distinct().count() == 200
+
+
+def test_manifest_stream_starting_snapshot_skips_consumed(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink
+    from kioss_spark.streaming.manifest_source import plan_window_files
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 300)
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(3):
+        sink(df.where(F.col("b") == b).drop("b"), b)
+    files = plan_window_files(man, 0, 2)
+    got = spark.read.parquet(*files)
+    assert _rows(got, "u", "payload") == _rows(
+        df.where(F.col("b").isin(1, 2)).drop("b"), "u", "payload"
+    )
