@@ -210,6 +210,12 @@ HEADLINE = [
     "skipping_scan_time",
     # round-12: stats-only aggregation (count/min/max from the manifest)
     "manifest_stats_only",
+    # round-13: fluent-facade automatic candidate pruning
+    "facade_pruned_scan",
+    # round-13: row-grain change feed across a folding compaction
+    "manifest_row_changes_scan",
+    # round-13: schema evolution (presence rows + merged read + pruning)
+    "manifest_evolution_scan",
 ]
 
 
@@ -285,9 +291,34 @@ def _structural_pass(spark, registry, sf_dir: str) -> dict[str, dict]:
     return out
 
 
+def _host_state() -> dict:
+    """Attributability stamp (round-13 verdict ask 8): load average +
+    uptime BEFORE the run, so round-over-round deltas can be classified
+    as engine vs neighbor-contention (this host has documented
+    multi-second contention windows).  ``idle`` is the headline bit:
+    1-minute load under 2 on this 32-way box means nothing substantial
+    was competing when the run started."""
+    try:
+        with open("/proc/loadavg") as f:
+            l1, l5, l15 = (float(x) for x in f.read().split()[:3])
+        with open("/proc/uptime") as f:
+            up = float(f.read().split()[0])
+        return {
+            "load1": l1,
+            "load5": l5,
+            "load15": l15,
+            "uptime_s": round(up),
+            "cpus": os.cpu_count(),
+            "idle": l1 < 2.0,
+        }
+    except OSError:  # pragma: no cover - non-linux fallback
+        return {"idle": None}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    host = _host_state()
     spark = get_spark("kioss_spark_bench")
     registry = load_all()
     _warm(spark)
@@ -370,6 +401,8 @@ def main() -> None:
         "jobs_total": jobs_total,
         "shuffles_total": shuffles_total,
         "sf": float(sf),
+        "host": host,
+        "idle": host.get("idle"),
     }
     if missing:
         out["missing"] = missing
@@ -436,6 +469,8 @@ def main() -> None:
         "jobs_total": jobs_total,
         "shuffles_total": shuffles_total,
         "slowest": slowest,
+        "idle": host.get("idle"),
+        "load1": host.get("load1"),
     }
     if missing:
         summary["missing"] = missing

@@ -78,6 +78,9 @@ __all__ = [
     "bm25_merge_stats",
     "bm25_score_topk",
     "bm25_maxscore_topk",
+    "bm25_serve_topk",
+    "bm25_plan_choice",
+    "BM25_PRUNE_MASS_THRESHOLD",
     "bm25_term_bounds",
     "bm25_merge_bounds",
     "bm25_phrase_topk",
@@ -421,6 +424,67 @@ def bm25_maxscore_topk(
         .where(F.col("rnk") <= k)
         .select("query_id", "rnk", "doc_id", "score_e6")
     )
+
+
+#: Measured serving crossover (SCALE_CURVE §r13 derivation): the
+#: max-score plan pays two fixed extra stages (essential-list scoring +
+#: the candidate semi-join) and saves work linear in the PRUNED-AWAY
+#: posting mass.  On the Zipf corpora the unpruned plan won at 69k
+#: matched postings (1.9 vs 2.8 s), reached parity at ~0.7M (8.5 vs
+#: 8.9 s), and loses beyond it as the avoided score arithmetic keeps
+#: growing while the pruned plan's scored count stays sub-linear
+#: (1.9-7% of postings).  The threshold sits past the measured parity
+#: point so `auto` only switches where pruning clearly wins.
+BM25_PRUNE_MASS_THRESHOLD = 2_000_000
+
+
+def bm25_plan_choice(
+    queries: DataFrame,
+    df: DataFrame,
+    threshold: int = BM25_PRUNE_MASS_THRESHOLD,
+) -> tuple:
+    """('pruned'|'unpruned', posting_mass) for a query set against an
+    index: posting mass = the number of postings the UNPRUNED scorer
+    would move and score = sum of df over the query terms (per
+    occurrence — a term shared by two queries scores twice).  One tiny
+    vocabulary-grain agg off the stored df table (the index sink
+    persists it), no corpus access."""
+    q = queries if "df" in queries.columns else queries.join(df, "term")
+    mass = q.agg(F.sum("df").cast("long")).collect()[0][0] or 0
+    return ("pruned" if mass >= threshold else "unpruned", int(mass))
+
+
+def bm25_serve_topk(
+    tfdl: DataFrame,
+    df: DataFrame,
+    g: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bounds: DataFrame = None,
+    prune: str = "auto",
+    posting_mass_threshold: int = BM25_PRUNE_MASS_THRESHOLD,
+) -> DataFrame:
+    """Adaptive BM25 serving (round-13 verdict ask 7): ``prune='auto'``
+    measures the query set's posting mass against the stored df stats
+    and serves ``bm25_score_topk`` below ``posting_mass_threshold``
+    (fixture scale: the pruning's fixed stages cost more than they
+    save) or the lossless ``bm25_maxscore_topk`` above it (the
+    large-posting-list regime the pruning exists for).  Both plans
+    return bit-identical results, so the switch can never change an
+    answer — only the work.  ``prune='never'``/``'always'`` force a
+    side (the A/B surface the threshold was measured with)."""
+    if prune not in ("auto", "never", "always"):
+        raise ValueError(
+            f"prune must be 'auto', 'never' or 'always' (got {prune!r})"
+        )
+    if prune == "never":
+        return bm25_score_topk(tfdl, df, g, queries, k=k)
+    if prune == "always":
+        return bm25_maxscore_topk(tfdl, df, g, queries, k=k, bounds=bounds)
+    mode, _ = bm25_plan_choice(queries, df, posting_mass_threshold)
+    if mode == "pruned":
+        return bm25_maxscore_topk(tfdl, df, g, queries, k=k, bounds=bounds)
+    return bm25_score_topk(tfdl, df, g, queries, k=k)
 
 
 def _maxscore_matched(

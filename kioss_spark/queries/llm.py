@@ -1595,11 +1595,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary rank window runs single-partition BY DESIGN on the
     vocabulary table (31 terms here; sublinear in corpus always).
     Parity-pinned vs a trivial Python scorer in
-    tests/test_round10_ops.py.  The max-score PRUNED serving path is the
-    separately-gated ``bm25_maxscore_topk`` (same oracle, measured
-    A/B'd: at fixture scale the pruning's extra stages are fixed cost —
-    1.4 -> 3.0 s — so the default path stays unpruned and the pruned
-    plan is the documented large-posting-list regime choice)."""
+    tests/test_round10_ops.py.
+
+    Serving is ADAPTIVE as of round 13 (``bm25_serve_topk``, verdict
+    ask 7): ``prune='auto'`` measures the query set's posting mass
+    against the stored df stats and picks the plan — at fixture scale
+    the mass sits far under the measured crossover, so auto serves the
+    unpruned ``bm25_score_topk`` plan and the hash is UNCHANGED (the
+    r10 A/B: the pruning's fixed stages cost 1.4 -> 3.0 s here); above
+    ``BM25_PRUNE_MASS_THRESHOLD`` — the large-posting-list regime,
+    derivation in SCALE_CURVE §r13 — the same call serves the lossless
+    ``bm25_maxscore_topk`` plan (separately gated, same oracle).  The
+    pruned-path selection on the Zipf corpus is pinned in
+    tests/test_round13_ops.py."""
     from kioss_spark.operators import retrieval
 
     docs = _docs(spark, sf_dir)
@@ -1621,9 +1629,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
         )
     )
-    return retrieval.bm25_score_topk(tfdl, df, g, qt, k=10).orderBy(
-        "query_id", "rnk"
-    )
+    return retrieval.bm25_serve_topk(
+        tfdl, df, g, qt, k=10, prune="auto"
+    ).orderBy("query_id", "rnk")
 
 
 #: bm25_maxscore_topk's query set MIXES rarity tiers: the 16 most

@@ -741,3 +741,69 @@ def test_manifest_stream_starting_snapshot_skips_consumed(spark, tmp_path):
     assert _rows(got, "u", "payload") == _rows(
         df.where(F.col("b").isin(1, 2)).drop("b"), "u", "payload"
     )
+
+
+# ---------------------------------------------------------------------------
+# adaptive max-score serving
+# ---------------------------------------------------------------------------
+
+
+def _tiny_corpus(spark):
+    rows = [
+        (1, "a b b c"), (2, "a c c d"), (3, "b d d e"),
+        (4, "a a e f"), (5, "c e f f"), (6, "a b f"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+
+
+def test_bm25_serve_auto_picks_unpruned_below_threshold(spark):
+    from kioss_spark.operators import retrieval
+
+    tfdl, df, g = retrieval.bm25_stats(_tiny_corpus(spark))
+    mode, mass = retrieval.bm25_plan_choice(
+        df.select(F.lit(0).alias("query_id"), "term", "df")
+    , df)
+    assert mode == "unpruned" and 0 < mass < 100
+
+
+def test_bm25_serve_auto_picks_pruned_above_threshold(spark):
+    from kioss_spark.operators import retrieval
+
+    # synthetic vocabulary-grain stats: one common term carrying the
+    # posting mass of the large-corpus regime (plan choice reads ONLY
+    # the df table — no corpus needed to pin the selection rule)
+    df = spark.createDataFrame(
+        [("the", retrieval.BM25_PRUNE_MASS_THRESHOLD), ("zephyr", 3)],
+        "term string, df long",
+    )
+    q = df.select(F.lit(0).alias("query_id"), "term", "df")
+    mode, mass = retrieval.bm25_plan_choice(q, df)
+    assert mode == "pruned"
+    assert mass == retrieval.BM25_PRUNE_MASS_THRESHOLD + 3
+
+
+def test_bm25_serve_modes_agree_bit_for_bit(spark):
+    from kioss_spark.operators import retrieval
+
+    tfdl, df, g = retrieval.bm25_stats(_tiny_corpus(spark))
+    q = df.select(
+        (F.xxhash64("term") % 2).cast("long").alias("query_id"),
+        "term",
+        "df",
+    )
+    never = retrieval.bm25_serve_topk(tfdl, df, g, q, k=3, prune="never")
+    always = retrieval.bm25_serve_topk(tfdl, df, g, q, k=3, prune="always")
+    auto = retrieval.bm25_serve_topk(tfdl, df, g, q, k=3, prune="auto")
+    cols = ["query_id", "rnk", "doc_id", "score_e6"]
+    assert _rows(never, *cols) == _rows(always, *cols) == _rows(auto, *cols)
+
+
+def test_bm25_serve_rejects_unknown_mode(spark):
+    from kioss_spark.operators import retrieval
+
+    tfdl, df, g = retrieval.bm25_stats(_tiny_corpus(spark))
+    with pytest.raises(ValueError, match="prune must be"):
+        retrieval.bm25_serve_topk(tfdl, df, g, df, prune="maybe")
