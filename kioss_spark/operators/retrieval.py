@@ -426,16 +426,24 @@ def bm25_maxscore_topk(
     )
 
 
-#: Measured serving crossover (SCALE_CURVE §r13 derivation): the
-#: max-score plan pays two fixed extra stages (essential-list scoring +
-#: the candidate semi-join) and saves work linear in the PRUNED-AWAY
-#: posting mass.  On the Zipf corpora the unpruned plan won at 69k
-#: matched postings (1.9 vs 2.8 s), reached parity at ~0.7M (8.5 vs
-#: 8.9 s), and loses beyond it as the avoided score arithmetic keeps
-#: growing while the pruned plan's scored count stays sub-linear
-#: (1.9-7% of postings).  The threshold sits past the measured parity
-#: point so `auto` only switches where pruning clearly wins.
-BM25_PRUNE_MASS_THRESHOLD = 2_000_000
+#: Measured serving threshold (full derivation: SCALE_CURVE §r13).  The
+#: max-score plan pays two extra stages (essential-list scoring + the
+#: candidate semi-join, each re-touching tfdl) and saves per-posting
+#: score arithmetic; on local[8] SERVE-ONLY A/B against materialized
+#: indexes (Zipf vocab-scaled corpora, best-of-3 interleaved) the
+#: unpruned plan won at every measurable mass — 0.84 vs 1.79 s at 646k
+#: postings, 1.58 vs 3.35 s at 1.92M — because whole-stage codegen makes
+#: the avoided arithmetic nearly free while the extra exchanges grow
+#: with the corpus.  The pruning's measured win is in SCORED POSTINGS
+#: (1.9% of unpruned, sub-linear across the decade — SCALE_CURVE §r12),
+#: which converts to wall only where postings dominate memory/shuffle/IO:
+#: executor-spilling lists and multi-node exchanges, i.e. masses far
+#: past this box's horizon.  The default sits an order of magnitude past
+#: every measured point so `auto` never pessimizes a measurable
+#: workload; deployments in the genuinely large regime tune
+#: ``posting_mass_threshold`` from their own A/B (the `never`/`always`
+#: modes are that surface).
+BM25_PRUNE_MASS_THRESHOLD = 50_000_000
 
 
 def bm25_plan_choice(
