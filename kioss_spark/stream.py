@@ -1470,7 +1470,24 @@ class Stream:
         Single pass: an ``Observation`` error counter rides the same job
         (no second lineage execution — VERDICT r1 "what's wrong" #3); only
         when it reports uncaught errors does a small failure-path job fetch
-        the first one to re-raise."""
+        the first one to re-raise.
+
+        Manifest fast path: counting a PRISTINE ``read_manifest`` stream
+        (no filters applied) is answered from the snapshot's per-file row
+        counts — zero Spark jobs, zero data reads (Delta's
+        count-from-the-log optimization, exact because the manifest IS
+        the table definition and stats_index counts every row including
+        all-null ones).  Any applied operator drops the fast path."""
+        mf = getattr(self, "_manifest", None)
+        if mf is not None and not mf["preds"]:
+            seen = set()
+            n = 0
+            for r in mf["rows"]:
+                if r["file_path"] not in seen:
+                    seen.add(r["file_path"])
+                    n += r["file_rows"]
+            self._post_action()
+            return n
         with self._heartbeat():
             if not self._has_err:
                 n = self._df.count()

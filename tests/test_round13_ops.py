@@ -807,3 +807,24 @@ def test_bm25_serve_rejects_unknown_mode(spark):
     tfdl, df, g = retrieval.bm25_stats(_tiny_corpus(spark))
     with pytest.raises(ValueError, match="prune must be"):
         retrieval.bm25_serve_topk(tfdl, df, g, df, prune="maybe")
+
+
+def test_facade_count_answers_from_manifest_with_zero_jobs(spark, tmp_path):
+    from kioss_spark.stream import Stream
+
+    _, man, df = _facade_fixture(spark, tmp_path)
+    st = Stream.read_manifest(spark, man)
+    n = st.count()
+    assert n == df.count()
+    # the count itself is pure driver arithmetic over the collected
+    # snapshot: read_manifest runs its (bounded, metadata-grain) collect
+    # at construction, after which counting adds ZERO Spark jobs
+    tracker = spark.sparkContext.statusTracker()
+    st2 = Stream.read_manifest(spark, man)
+    before = set(tracker.getJobIdsForGroup(None))
+    assert st2.count() == n
+    assert set(tracker.getJobIdsForGroup(None)) == before
+    # a filtered stream leaves the fast path (rows must actually flow)
+    assert st.filter(F.col("u") <= 3).count() == df.where(
+        F.col("u") <= 3
+    ).count()
