@@ -95,6 +95,16 @@ def _attr_name(node) -> Optional[str]:
         return None
 
 
+def _merge_vals(vals: dict, col: str, vs: frozenset, btype: str) -> None:
+    """Equality/IN value sets, intersected across conjuncts (a row must
+    satisfy every AND'd conjunct, so the implied value set shrinks)."""
+    old_vs, old_t = vals.get(col, (None, btype))
+    if old_t != btype:
+        vals[col] = (None, "conflict")
+        return
+    vals[col] = (vs if old_vs is None else (old_vs & vs), btype)
+
+
 def _merge(bounds: dict, col: str, lo, hi, btype: str) -> None:
     old_lo, old_hi, old_t = bounds.get(col, (None, None, btype))
     if old_t != btype:
@@ -108,14 +118,14 @@ def _merge(bounds: dict, col: str, lo, hi, btype: str) -> None:
     bounds[col] = (old_lo, old_hi, btype)
 
 
-def _walk(node, bounds: dict) -> None:
+def _walk(node, bounds: dict, vals: dict) -> None:
     if node.getClass().getSimpleName() != "UnresolvedFunction":
         return
     fn = node.functionName()
     args = list_args(node)
     if fn == "and":
         for a in args:
-            _walk(a, bounds)
+            _walk(a, bounds, vals)
         return
     if fn in (">=", ">", "<=", "<", "="):
         if len(args) != 2:
@@ -140,6 +150,7 @@ def _walk(node, bounds: dict) -> None:
             _merge(bounds, name, None, v, btype)
         else:
             _merge(bounds, name, v, v, btype)
+            _merge_vals(vals, name, frozenset([v]), btype)
         return
     if fn == "in":
         if len(args) < 2:
@@ -153,8 +164,10 @@ def _walk(node, bounds: dict) -> None:
         types = {t for _, t in lits}
         if len(types) != 1:
             return
-        vals = [v for v, _ in lits]
-        _merge(bounds, name, min(vals), max(vals), types.pop())
+        vs = [v for v, _ in lits]
+        btype = types.pop()
+        _merge(bounds, name, min(vs), max(vs), btype)
+        _merge_vals(vals, name, frozenset(vs), btype)
         return
     # or / not / cast / calls / ...: no contribution (conservative)
 
@@ -171,13 +184,28 @@ def extract_prune_ranges(pred: Column) -> dict:
     """col -> (lo, hi, bound_type) implied by ``pred``, conservative.
     Empty dict = nothing extractable (prune nothing; filter normally).
     Columns whose extracted bounds conflicted are dropped here."""
+    return extract_prune_spec(pred)[0]
+
+
+def extract_prune_spec(pred: Column) -> tuple:
+    """(ranges, values): ``ranges`` as ``extract_prune_ranges``;
+    ``values`` maps col -> (frozenset of values, bound_type) implied by
+    equality / IN conjuncts (intersected across conjuncts) — the probe
+    shape a block-Bloom member index answers."""
     bounds: dict = {}
+    vals: dict = {}
     try:
-        _walk(pred._jc.node(), bounds)
+        _walk(pred._jc.node(), bounds, vals)
     except Exception:
-        return {}
-    return {
+        return {}, {}
+    ranges = {
         c: (lo, hi, t)
         for c, (lo, hi, t) in bounds.items()
         if t != "conflict" and not (lo is None and hi is None)
     }
+    values = {
+        c: (vs, t)
+        for c, (vs, t) in vals.items()
+        if t != "conflict" and vs is not None
+    }
+    return ranges, values

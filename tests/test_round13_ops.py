@@ -828,3 +828,94 @@ def test_facade_count_answers_from_manifest_with_zero_jobs(spark, tmp_path):
     assert st.filter(F.col("u") <= 3).count() == df.where(
         F.col("u") <= 3
     ).count()
+
+
+def test_facade_member_index_routes_point_lookup(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        manifest_sink,
+        member_index,
+        member_scan,
+    )
+    from kioss_spark.stream import Stream
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    # payload is UNIQUE and the layout is NOT clustered by it: min/max
+    # ranges are useless, membership is the only pruning that can work
+    df = spark.range(2000).select(
+        (F.col("id") % 64).alias("u"), F.col("id").alias("payload")
+    )
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(4):
+        sink(df.where(F.col("id") % 4 == b).coalesce(1), b)
+    midx = member_index(spark, f"{data}/batch_*", ["payload"], buckets=4096)
+    st = Stream.read_manifest(spark, man, member_index=midx).filter(
+        F.col("payload").isin(7, 1500)
+    )
+    # plan budget: strictly fewer candidate files than the snapshot...
+    assert len(st._manifest["files"]) < st._manifest["total"]
+    # ...exactly the files the explicit member_scan opens...
+    explicit = {
+        r["f"]
+        for r in member_scan(
+            spark, f"{data}/batch_*", "payload", [7, 1500], index=midx
+        ).select(F.col("_metadata.file_path").alias("f")).distinct().collect()
+    }
+    got_files = {
+        r["f"]
+        for r in st.to_df()
+        .select(F.col("_metadata.file_path").alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert got_files <= explicit
+    # ...and the answer is exact
+    assert _rows(st.to_df(), "u", "payload") == _rows(
+        df.where(F.col("payload").isin(7, 1500)), "u", "payload"
+    )
+
+
+def test_facade_member_index_composes_with_range(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink, member_index
+    from kioss_spark.stream import Stream
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = spark.range(2000).select(
+        (F.col("id") % 64).alias("u"), F.col("id").alias("payload")
+    )
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(4):
+        sink(df.where(F.col("id") % 4 == b).coalesce(1), b)
+    midx = member_index(spark, f"{data}/batch_*", ["payload"], buckets=4096)
+    st = Stream.read_manifest(spark, man, member_index=midx).filter(
+        (F.col("u") >= 2) & (F.col("u") <= 40)
+        & F.col("payload").isin(130, 131)
+    )
+    assert len(st._manifest["files"]) < st._manifest["total"]
+    assert _rows(st.to_df(), "u", "payload") == _rows(
+        df.where(
+            F.col("u").between(2, 40) & F.col("payload").isin(130, 131)
+        ),
+        "u",
+        "payload",
+    )
+
+
+def test_facade_member_uncovered_files_stay_candidates(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink, member_index
+    from kioss_spark.stream import Stream
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = spark.range(400).select(
+        (F.col("id") % 64).alias("u"), F.col("id").alias("payload")
+    )
+    sink = manifest_sink(data, man, ["u"])
+    sink(df.where(F.col("id") < 200).coalesce(1), 0)
+    sink(df.where(F.col("id") >= 200).coalesce(1), 1)
+    # member index built over batch 0's files ONLY: batch 1 uncovered
+    midx = member_index(spark, f"{data}/batch_0", ["payload"])
+    st = Stream.read_manifest(spark, man, member_index=midx).filter(
+        F.col("payload") == 300  # lives in the UNCOVERED file
+    )
+    assert _rows(st.to_df(), "u", "payload") == _rows(
+        df.where(F.col("payload") == 300), "u", "payload"
+    )
