@@ -118,14 +118,24 @@ def _merge(bounds: dict, col: str, lo, hi, btype: str) -> None:
     bounds[col] = (old_lo, old_hi, btype)
 
 
-def _walk(node, bounds: dict, vals: dict) -> None:
+def _walk(node, bounds: dict, vals: dict, nulls: dict) -> None:
     if node.getClass().getSimpleName() != "UnresolvedFunction":
         return
     fn = node.functionName()
     args = list_args(node)
     if fn == "and":
         for a in args:
-            _walk(a, bounds, vals)
+            _walk(a, bounds, vals, nulls)
+        return
+    if fn in ("isNull", "isNotNull", "isnull", "isnotnull"):
+        if len(args) != 1:
+            return
+        name = _attr_name(args[0])
+        if not name:
+            return
+        want = "null" if fn.lower() == "isnull" else "notnull"
+        old = nulls.get(name)
+        nulls[name] = want if old in (None, want) else "conflict"
         return
     if fn in (">=", ">", "<=", "<", "="):
         if len(args) != 2:
@@ -188,16 +198,20 @@ def extract_prune_ranges(pred: Column) -> dict:
 
 
 def extract_prune_spec(pred: Column) -> tuple:
-    """(ranges, values): ``ranges`` as ``extract_prune_ranges``;
+    """(ranges, values, nulls): ``ranges`` as ``extract_prune_ranges``;
     ``values`` maps col -> (frozenset of values, bound_type) implied by
     equality / IN conjuncts (intersected across conjuncts) — the probe
-    shape a block-Bloom member index answers."""
+    shape a block-Bloom member index answers; ``nulls`` maps col ->
+    'null' | 'notnull' for isNull / isNotNull conjuncts — the shape the
+    exact per-file null COUNTS answer (a conflicting pair is dropped:
+    the residual predicate yields empty anyway)."""
     bounds: dict = {}
     vals: dict = {}
+    nulls: dict = {}
     try:
-        _walk(pred._jc.node(), bounds, vals)
+        _walk(pred._jc.node(), bounds, vals, nulls)
     except Exception:
-        return {}, {}
+        return {}, {}, {}
     ranges = {
         c: (lo, hi, t)
         for c, (lo, hi, t) in bounds.items()
@@ -208,4 +222,5 @@ def extract_prune_spec(pred: Column) -> tuple:
         for c, (vs, t) in vals.items()
         if t != "conflict" and vs is not None
     }
-    return ranges, values
+    null_probes = {c: w for c, w in nulls.items() if w != "conflict"}
+    return ranges, values, null_probes

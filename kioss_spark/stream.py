@@ -196,6 +196,37 @@ class Stream:
         }
         return st
 
+    def _null_candidates(self, mf: dict, null_probes: dict) -> Optional[set]:
+        """Files that CAN satisfy isNull / isNotNull conjuncts, from the
+        exact per-file null counts: an ``IS NULL`` probe keeps files
+        with n_nulls > 0 (a file predating the column — kind='absent',
+        n_nulls = file_rows — reads every row as NULL and stays); an
+        ``IS NOT NULL`` probe keeps files with n_nulls < file_rows.
+        Files with no stats row for the column stay (conservative)."""
+        probed_cols = set(null_probes)
+        rows = [r for r in mf["rows"] if r["col"] in probed_cols]
+        if not rows:
+            return None
+        keep = set(mf["files"])
+        by_col: dict = {}
+        for r in rows:
+            by_col.setdefault(r["col"], []).append(r)
+        for c, crows in by_col.items():
+            want = null_probes[c]
+            covered = {r["file_path"] for r in crows}
+            if want == "null":
+                hit = {
+                    r["file_path"] for r in crows if (r["n_nulls"] or 0) > 0
+                }
+            else:
+                hit = {
+                    r["file_path"]
+                    for r in crows
+                    if (r["n_nulls"] or 0) < r["file_rows"]
+                }
+            keep &= (set(mf["files"]) - covered) | hit
+        return keep
+
     def _member_candidates(self, mf: dict, values: dict) -> Optional[set]:
         """Files whose block-Bloom bucket arrays can hold at least one
         probe value, per EVERY value-constrained column the member
@@ -259,7 +290,7 @@ class Stream:
         from kioss_spark.plans.prune import KIND_COMPAT, extract_prune_spec
 
         mf = self._manifest
-        ranges3, values = extract_prune_spec(when)
+        ranges3, values, null_probes = extract_prune_spec(when)
         kind_by_col: dict = {}
         for r in mf["rows"]:
             if r["kind"] != "absent":
@@ -272,7 +303,10 @@ class Stream:
         member_files = (
             self._member_candidates(mf, values) if values else None
         )
-        if not usable and member_files is None:
+        null_files = (
+            self._null_candidates(mf, null_probes) if null_probes else None
+        )
+        if not usable and member_files is None and null_files is None:
             return None
         if usable:
             rows = [r for r in mf["rows"] if r["col"] in usable]
@@ -283,6 +317,8 @@ class Stream:
             files = list(mf["files"])
         if member_files is not None:
             files = sorted(set(files) & member_files)
+        if null_files is not None:
+            files = sorted(set(files) & null_files)
         preds = mf["preds"] + (when,)
         reader = mf["spark"].read
         if mf["evolved"]:
@@ -1763,6 +1799,24 @@ class Stream:
         string yourself (e.g. ``F.to_json(F.struct(...))`` for JSONL)."""
         df = self.to_df(ordered=False)
         df.select(F.col(column).cast("string").alias("value")).write.mode(mode).text(path)
+
+    def write_manifest(
+        self, data_dir: str, manifest_dir: str, cols, batch_id: int = 0
+    ) -> None:
+        """Fluent commit into a manifest table (the write half of
+        ``Stream.read_manifest``): rows land data-first in a fresh batch
+        directory, then the stats snapshot commits through the
+        optimistic CAS, then the batch marker — so the write is atomic
+        to every reader, replayable exactly-once by ``batch_id``, and
+        immediately prunable through the committed stats
+        (operators/skew.py manifest_sink is the engine; this is its
+        batch-side spelling — streaming ingest passes the same sink to
+        ``foreachBatch``)."""
+        from kioss_spark.operators.skew import manifest_sink
+
+        manifest_sink(data_dir, manifest_dir, cols)(
+            self.to_df(ordered=False), batch_id
+        )
 
     def _write(self, path: str, fmt: str, mode: str, partition_by) -> None:
         df = self.to_df(ordered=False)  # never sort before a write

@@ -919,3 +919,68 @@ def test_facade_member_uncovered_files_stay_candidates(spark, tmp_path):
     assert _rows(st.to_df(), "u", "payload") == _rows(
         df.where(F.col("payload") == 300), "u", "payload"
     )
+
+
+def test_stream_write_manifest_roundtrip(spark, tmp_path):
+    from kioss_spark.stream import Stream
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 200, batches=2)
+    Stream.from_df(df.where(F.col("b") == 0).drop("b")).write_manifest(
+        data, man, ["u"], batch_id=0
+    )
+    Stream.from_df(df.where(F.col("b") == 1).drop("b")).write_manifest(
+        data, man, ["u"], batch_id=1
+    )
+    # replay of a committed batch is a no-op (exactly-once)
+    Stream.from_df(df.where(F.col("b") == 1).drop("b")).write_manifest(
+        data, man, ["u"], batch_id=1
+    )
+    got = Stream.read_manifest(spark, man)
+    assert got.count() == 200
+    assert _rows(got.to_df(), "u", "payload") == _rows(
+        df.drop("b"), "u", "payload"
+    )
+
+
+def test_facade_null_probes_prune_exactly(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink
+    from kioss_spark.stream import Stream
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    with_nulls = spark.range(100).select(
+        F.col("id").alias("payload"),
+        F.when(F.col("id") % 3 == 0, F.col("id") % 64).alias("u"),
+    )
+    no_nulls = spark.range(100, 200).select(
+        F.col("id").alias("payload"), (F.col("id") % 64).alias("u")
+    )
+    all_nulls = spark.range(200, 250).select(
+        F.col("id").alias("payload"), F.lit(None).cast("long").alias("u")
+    )
+    sink = manifest_sink(data, man, ["u"])
+    sink(with_nulls.coalesce(1), 0)
+    sink(no_nulls.coalesce(1), 1)
+    sink(all_nulls.coalesce(1), 2)
+    full = with_nulls.unionByName(no_nulls).unionByName(all_nulls)
+
+    st_null = Stream.read_manifest(spark, man).filter(F.col("u").isNull())
+    assert "pruned" in st_null._plan[-1]
+    assert len(st_null._manifest["files"]) == 2  # no-nulls file skipped
+    assert _rows(st_null.to_df(), "payload") == _rows(
+        full.where(F.col("u").isNull()), "payload"
+    )
+
+    st_nn = Stream.read_manifest(spark, man).filter(F.col("u").isNotNull())
+    assert len(st_nn._manifest["files"]) == 2  # all-nulls file skipped
+    assert _rows(st_nn.to_df(), "payload") == _rows(
+        full.where(F.col("u").isNotNull()), "payload"
+    )
+
+    # composes with a range: IS NOT NULL AND u <= 10
+    st_mix = Stream.read_manifest(spark, man).filter(
+        F.col("u").isNotNull() & (F.col("u") <= 10)
+    )
+    assert _rows(st_mix.to_df(), "payload") == _rows(
+        full.where(F.col("u").isNotNull() & (F.col("u") <= 10)), "payload"
+    )
