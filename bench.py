@@ -216,6 +216,8 @@ HEADLINE = [
     "manifest_row_changes_scan",
     # round-13: schema evolution (presence rows + merged read + pruning)
     "manifest_evolution_scan",
+    # round-13: facade point-set lookup via block-Bloom membership
+    "facade_member_scan",
 ]
 
 

@@ -3367,3 +3367,59 @@ def manifest_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.crossJoin(pruned).select(
         "n_rows", "n_v", "n_v_hit", "payload_min", "payload_max"
     )
+
+
+@register(
+    "facade_member_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 4 AS BIGINT) AS b
+               FROM events)
+    SELECT u, payload FROM e
+    WHERE payload IN (7, 11, 500, 501, 1203)
+    ORDER BY payload
+    """,
+)
+def facade_member_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-set lookup through the FLUENT FACADE's member-index route
+    (round-13): events commit through ``manifest_sink`` in four batches
+    (payload is unique and the layout is NOT clustered by it — min/max
+    ranges are useless for this shape), a block-Bloom ``member_index``
+    is built over the data files, and the query is
+    ``Stream.read_manifest(..., member_index=idx).filter(
+    payload.isin(...))`` — the IN conjunct's value set is extracted
+    from the Column automatically and pruned by exact bucket
+    membership (an absent bucket proves the value absent from a file;
+    collisions only cost an extra file open).
+
+    The DuckDB oracle filters the full logical table: hash equality
+    proves membership routing is answer-preserving.  The physical pin
+    (facade file set bounded by the explicit member_scan set) is in
+    tests/test_round13_ops.py.
+
+    Scale shape: the member index is file-grain (bounded bucket arrays,
+    union-mergeable); probe hashing is one |values|-row Spark job; the
+    served scan opens only bucket-hit files — the needle-in-a-haystack
+    read a 100 TB table needs."""
+    import tempfile
+
+    from kioss_spark.operators.skew import manifest_sink, member_index
+    from kioss_spark.stream import Stream
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_fmember_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(4):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    idx = member_index(spark, f"{data}/batch_*", ["payload"])
+    st = Stream.read_manifest(spark, manifest, member_index=idx).filter(
+        F.col("payload").isin(7, 11, 500, 501, 1203)
+    )
+    return st.to_df().select("u", "payload").orderBy("payload")
