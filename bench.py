@@ -218,6 +218,10 @@ HEADLINE = [
     "manifest_evolution_scan",
     # round-13: facade point-set lookup via block-Bloom membership
     "facade_member_scan",
+    # round-13: merge-on-read row deletes (deletion vectors, RTBF)
+    "manifest_delete_scan",
+    # round-13: deletes riding the row-grain change feed
+    "manifest_delete_feed",
 ]
 
 

@@ -51,6 +51,8 @@ __all__ = [
     "read_manifest_changes",
     "manifest_row_diff",
     "manifest_stats_agg",
+    "manifest_delete",
+    "apply_delete_vectors",
     "ManifestCommitConflict",
 ]
 
@@ -866,7 +868,18 @@ def skipping_scan(
             .parquet(path)
             .where(F.lit(False))
         )
-    return reader.parquet(*files).where(pred)
+    out = reader.parquet(*files).where(pred)
+    # merge-on-read: a manifest-backed index carries per-file deletion
+    # vectors — anti-apply them so deleted rows never serve (no-op for
+    # plain stats_index tables, whose rows have no dv field)
+    cand = set(files)
+    dv_pairs = [
+        (f, dv)
+        for f, dv, _ in _file_dv_pairs(
+            [r for r in rows if r["file_path"] in cand]
+        )
+    ]
+    return apply_delete_vectors(spark, out, dv_pairs)
 
 
 def stats_index_merge(existing: DataFrame, new_files: DataFrame) -> DataFrame:
@@ -1290,6 +1303,245 @@ def _commit_snapshot(
     )
 
 
+def _normalize_snapshot(snap: DataFrame) -> DataFrame:
+    """Upgrade a snapshot read to the current column set: pre-round-13
+    snapshots carry no deletion-vector columns — normalize with
+    ``dv_path`` NULL (no deletes) and ``n_deleted`` 0 so every consumer
+    reads one schema.  Additive-only evolution of the manifest's OWN
+    schema; the format marker stays v2 (old readers would ignore the
+    extra columns, old snapshots stay readable)."""
+    if "dv_path" not in snap.columns:
+        snap = snap.withColumn("dv_path", F.lit(None).cast("string"))
+    if "n_deleted" not in snap.columns:
+        snap = snap.withColumn("n_deleted", F.lit(0).cast("long"))
+    return snap
+
+
+def _file_dv_pairs(rows) -> list:
+    """Distinct (file_path, dv_path, n_deleted) triples from collected
+    snapshot rows (dv is per-FILE, duplicated across its per-column
+    stats rows)."""
+    seen = {}
+    for r in rows:
+        f = r["file_path"]
+        if f not in seen:
+            fields = r.__fields__ or []
+            seen[f] = (
+                r["dv_path"] if "dv_path" in fields else None,
+                (r["n_deleted"] if "n_deleted" in fields else 0) or 0,
+            )
+    return [(f, dv, nd) for f, (dv, nd) in sorted(seen.items())]
+
+
+def apply_delete_vectors(
+    spark: SparkSession, df: DataFrame, pairs
+) -> DataFrame:
+    """Merge-on-read: anti-join a parquet scan against its files'
+    deletion vectors.  ``pairs`` is [(file_path, dv_path or None), ...];
+    ``df`` must be (derived from) a parquet scan so the hidden
+    ``_metadata`` column resolves.  A dv dir holds (src_file string,
+    row_index long) rows — positions within the ORIGINAL immutable
+    file, Spark's ``_metadata.row_index`` — and may be shared by many
+    files (one dir per delete operation); entries are applied only for
+    files whose CURRENT dv_path names that dir, so superseded dv dirs
+    never double-apply.  Cost: the dv side is O(deleted rows); the
+    anti-join keys on (file, position) — no data-column comparison."""
+    by_dir: dict = {}
+    for f, dv in pairs:
+        if dv is not None:
+            by_dir.setdefault(dv, []).append(f)
+    if not by_dir:
+        return df
+    dv_union = None
+    for d, fs_ in sorted(by_dir.items()):
+        part = spark.read.parquet(d).where(F.col("src_file").isin(fs_))
+        dv_union = part if dv_union is None else dv_union.unionByName(part)
+    tagged = df.withColumn(
+        "__f__", F.col("_metadata.file_path")
+    ).withColumn("__ri__", F.col("_metadata.row_index"))
+    out = tagged.join(
+        F.broadcast(dv_union),
+        (tagged["__f__"] == dv_union["src_file"])
+        & (tagged["__ri__"] == dv_union["row_index"]),
+        "left_anti",
+    )
+    return out.drop("__f__", "__ri__")
+
+
+def manifest_delete(
+    spark: SparkSession,
+    data_dir: str,
+    manifest_dir: str,
+    col: str = None,
+    lo=None,
+    hi=None,
+    ranges: Optional[dict] = None,
+    values=None,
+) -> DataFrame:
+    """ROW-LEVEL DELETE without rewriting data files — the
+    merge-on-read deletion-vector pattern (Delta deletion vectors /
+    Iceberg position deletes), the right-to-be-forgotten primitive for
+    a 100 TB lake: cost is O(affected files + deleted rows), never the
+    table, and every retained snapshot still time-travels to the
+    pre-delete rows (reader isolation; a physical purge is
+    ``compact_manifest``, which applies and drops the vectors).
+
+    Predicate forms: range (``col``/``lo``/``hi`` or ``ranges=`` — the
+    ``skipping_scan`` shapes) or point set (``col`` + ``values=``, the
+    RTBF shape).  Mechanics:
+
+    1. candidate files from the live manifest's stats (pruned — a
+       delete probe skips files that provably hold no matching row;
+       files predating the column — 'absent' rows — never match);
+    2. matching positions = one scan of ONLY the candidate files
+       (``_metadata.row_index``), unioned with the affected files'
+       EXISTING dv entries (vectors compose; re-deleting is
+       idempotent) into a fresh immutable ``dv_{token}`` directory;
+    3. snapshot commit through the optimistic CAS: affected files'
+       rows point at the new vector with exact per-file ``n_deleted``;
+       a concurrent compaction that folded an affected file away makes
+       the positions invalid and raises ``ManifestCommitConflict``
+       (rerun — the positions recompute against the new files).
+
+    Readers (``read_via_manifest``, ``skipping_scan`` over the
+    manifest, the Stream facade, ``manifest_row_diff``) apply vectors
+    automatically; ``manifest_stats_agg`` keeps COUNT exact
+    (file_rows − n_deleted) and REFUSES min/max over deleted-from files
+    (a deleted row may have carried the extreme).  Crash safety: an
+    orphan dv dir before the commit is ``vacuum`` food; rerunning the
+    delete recomputes the same vector (idempotent by content).
+
+    Returns one row: (files_affected, rows_deleted, snapshot)."""
+    import uuid
+
+    if ranges is None:
+        if col is None:
+            raise ValueError("manifest_delete needs col= or ranges=")
+        if values is not None:
+            values = list(values)
+            if not values:
+                raise ValueError("manifest_delete: empty values=")
+            ranges = {col: (min(values), max(values))}
+        else:
+            ranges = {col: (lo, hi)}
+    elif values is not None:
+        raise ValueError("manifest_delete: pass ranges= OR values=, not both")
+    if all(b_lo is None and b_hi is None for b_lo, b_hi in ranges.values()):
+        raise ValueError("manifest_delete needs at least one bound")
+    snap_rows = read_manifest(spark, manifest_dir).collect()
+    all_files = sorted({r["file_path"] for r in snap_rows})
+    probed = [r for r in snap_rows if r["col"] in ranges]
+    covered = {r["col"] for r in probed}
+    if covered >= set(ranges):
+        candidates, _, _ = manifest_candidates(spark, probed, ranges)
+    else:
+        # the predicate column carries no stats rows: candidate pruning
+        # is impossible, but a delete must NEVER silently retain rows —
+        # scan every file (the conservative superset), exactly what a
+        # table without stats on that column costs
+        candidates = all_files
+    head_seq = _snapshot_seqs(spark, manifest_dir)[0][-1]
+
+    def audit(n_files: int, n_rows: int, seq: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(n_files, n_rows, seq)],
+            "files_affected long, rows_deleted long, snapshot long",
+        )
+
+    if not candidates:
+        return audit(0, 0, head_seq)
+    if values is not None:
+        pred = F.col(col).isin(values)
+    else:
+        pred = None
+        for c, (c_lo, c_hi) in ranges.items():
+            for p2 in (
+                (F.col(c) >= F.lit(c_lo)) if c_lo is not None else None,
+                (F.col(c) <= F.lit(c_hi)) if c_hi is not None else None,
+            ):
+                if p2 is not None:
+                    pred = p2 if pred is None else (pred & p2)
+    reader = spark.read
+    if covered < set(ranges) or any(
+        r["kind"] == "absent" for r in snap_rows
+    ):
+        # files may not all carry the predicate column (no stats / the
+        # evolution case): merge schemas so it reads as NULL there —
+        # a range predicate never matches NULL, exact
+        reader = reader.option("mergeSchema", "true")
+    matches = (
+        reader.parquet(*candidates)
+        .where(pred)
+        .select(
+            F.col("_metadata.file_path").alias("src_file"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+    )
+    affected = sorted(
+        r["src_file"]
+        for r in matches.select("src_file").distinct().collect()
+    )
+    if not affected:
+        return audit(0, 0, head_seq)
+    # compose with the affected files' EXISTING vectors so the new dir
+    # is complete for every file it covers
+    pairs = [
+        (f, dv)
+        for f, dv, _ in _file_dv_pairs(snap_rows)
+        if f in set(affected) and dv is not None
+    ]
+    by_dir: dict = {}
+    for f, dv in pairs:
+        by_dir.setdefault(dv, []).append(f)
+    for d, fs_ in sorted(by_dir.items()):
+        matches = matches.unionByName(
+            spark.read.parquet(d).where(F.col("src_file").isin(fs_))
+        )
+    dv_dir = f"{data_dir}/dv_{uuid.uuid4().hex[:12]}"
+    matches.distinct().repartition(1).write.parquet(dv_dir)
+    counts = {
+        r["src_file"]: r["n"]
+        for r in spark.read.parquet(dv_dir)
+        .groupBy("src_file")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    n_deleted_new = sum(counts.values())
+    n_deleted_old = sum(
+        nd for f, dv, nd in _file_dv_pairs(snap_rows) if f in set(affected)
+    )
+    cmap = F.create_map(
+        *[x for f, n in sorted(counts.items()) for x in (F.lit(f), F.lit(n))]
+    )
+
+    def derive(complete_seqs):
+        head = read_manifest(spark, manifest_dir)
+        head_files = {
+            r["file_path"]
+            for r in head.select("file_path").distinct().collect()
+        }
+        gone = set(affected) - head_files
+        if gone:
+            raise ManifestCommitConflict(
+                f"manifest_delete: {len(gone)} affected file(s) left the "
+                "manifest during the commit race (a concurrent compaction "
+                "folded them; their row positions are no longer valid) — "
+                "rerun the delete against the new head"
+            )
+        hit = F.col("file_path").isin(affected)
+        return head.withColumn(
+            "dv_path", F.when(hit, F.lit(dv_dir)).otherwise(F.col("dv_path"))
+        ).withColumn(
+            "n_deleted",
+            F.when(hit, cmap[F.col("file_path")].cast("long")).otherwise(
+                F.col("n_deleted")
+            ),
+        )
+
+    seq = _commit_snapshot(spark, manifest_dir, derive)
+    return audit(len(affected), n_deleted_new - n_deleted_old, seq)
+
+
 def manifest_sink(data_dir: str, manifest_dir: str, cols):
     """``foreachBatch`` writer that keeps a ``stats_index`` SNAPSHOT
     manifest as the SOURCE OF TRUTH for a streaming parquet table — the
@@ -1365,8 +1617,11 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
                 f"manifest_sink: batch {batch_id} carries none of the "
                 f"stats columns {list(cols)} (has {batch_df.columns})"
             )
-        new_stats = stats_index(spark, out, present).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
+        new_stats = (
+            stats_index(spark, out, present)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("dv_path", F.lit(None).cast("string"))
+            .withColumn("n_deleted", F.lit(0).cast("long"))
         )
         if missing:
             # this batch predates (or dropped) these columns: explicit
@@ -1413,7 +1668,8 @@ def _absent_rows(snapshot_rows: DataFrame, new_cols) -> DataFrame:
     )
     return (
         snapshot_rows.select(
-            "file_path", "file_bytes", "file_rows", "batch_id"
+            "file_path", "file_bytes", "file_rows", "batch_id",
+            "dv_path", "n_deleted",
         )
         .distinct()
         .select(
@@ -1422,6 +1678,8 @@ def _absent_rows(snapshot_rows: DataFrame, new_cols) -> DataFrame:
             "file_rows",
             F.expr(f"inline(array({entries}))"),
             "batch_id",
+            "dv_path",
+            "n_deleted",
         )
     )
 
@@ -1491,7 +1749,7 @@ def read_manifest(
             "alongside commits/b{id} markers, or re-ingest through the "
             "current manifest_sink"
         )
-    return snap
+    return _normalize_snapshot(snap)
 
 
 def read_via_manifest(
@@ -1515,7 +1773,9 @@ def read_via_manifest(
     pass True when evolution touched a column the manifest carries no
     stats for (presence is only tracked for stats columns)."""
     snap = read_manifest(spark, manifest_dir, snapshot)
-    rows = snap.select("file_path", "kind").distinct().collect()
+    rows = snap.select(
+        "file_path", "kind", "dv_path", "n_deleted"
+    ).distinct().collect()
     files = sorted({r["file_path"] for r in rows})
     if not files:
         raise ValueError(f"empty manifest at {manifest_dir}")
@@ -1527,7 +1787,11 @@ def read_via_manifest(
     reader = spark.read
     if merged:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    out = reader.parquet(*files)
+    # merge-on-read: anti-apply the snapshot's deletion vectors
+    return apply_delete_vectors(
+        spark, out, [(f, dv) for f, dv, _ in _file_dv_pairs(rows)]
+    )
 
 
 def manifest_diff(
@@ -1593,35 +1857,53 @@ def manifest_row_diff(
     file-grain.  Both snapshots must still be retained (``vacuum``).
 
     Schema evolution: changed files are read with merged schemas, so
-    pre-evolution rows diff with NULL in the later columns."""
-    diff = manifest_diff(spark, manifest_dir, from_snapshot, to_snapshot)
-    sides = {
-        ch: sorted(
-            r["file_path"]
-            for r in diff.where(F.col("change") == ch)
-            .select("file_path")
-            .distinct()
-            .collect()
-        )
-        for ch in ("add", "remove")
-    }
-    added, removed = sides["add"], sides["remove"]
+    pre-evolution rows diff with NULL in the later columns.
+
+    Deletion vectors: the diff unit is the (file, deletion-vector)
+    PAIR — a ``manifest_delete`` changes a file's vector without
+    changing the file list, which puts the file on BOTH sides of the
+    diff: the old side contributes its pre-delete live rows, the new
+    side its post-delete live rows, and the multiset difference yields
+    exactly the newly-deleted rows as ``change='delete'``.  Row-level
+    deletes therefore ride the same feed as inserts, no special
+    casing."""
+
+    def side_pairs(seq):
+        snap = read_manifest(spark, manifest_dir, seq)
+        return {
+            (r["file_path"], r["dv_path"])
+            for r in snap.select("file_path", "dv_path").distinct().collect()
+        }
+
+    complete, _ = _snapshot_seqs(spark, manifest_dir)
+    to_seq = complete[-1] if to_snapshot is None else to_snapshot
+    old_pairs = side_pairs(from_snapshot)
+    new_pairs = side_pairs(to_seq)
+    added = sorted(new_pairs - old_pairs)
+    removed = sorted(old_pairs - new_pairs)
     if not added and not removed:
         return (
             read_via_manifest(spark, manifest_dir, to_snapshot)
             .where(F.lit(False))
             .withColumn("change", F.lit("insert"))
         )
+    all_files = sorted({f for f, _ in added} | {f for f, _ in removed})
     changed = (
         spark.read.option("mergeSchema", "true")
-        .parquet(*(added + removed))
+        .parquet(*all_files)
         .withColumn("__f__", F.col("_metadata.file_path"))
     )
-    new_rows = changed.where(F.col("__f__").isin(added)).drop("__f__")
-    old_rows = changed.where(F.col("__f__").isin(removed)).drop("__f__")
-    if not removed:
+
+    def side(pairs):
+        files = sorted({f for f, _ in pairs})
+        rows = changed.where(F.col("__f__").isin(files)).drop("__f__")
+        return apply_delete_vectors(spark, rows, pairs)
+
+    new_rows = side(added) if added else None
+    old_rows = side(removed) if removed else None
+    if old_rows is None:
         return new_rows.withColumn("change", F.lit("insert"))
-    if not added:
+    if new_rows is None:
         return old_rows.withColumn("change", F.lit("delete"))
     inserts = new_rows.exceptAll(old_rows).withColumn(
         "change", F.lit("insert")
@@ -1667,6 +1949,43 @@ def read_manifest_changes(
     complete, _ = _snapshot_seqs(spark, manifest_dir)
     to_seq = complete[-1] if to_snapshot is None else to_snapshot
     diff = manifest_diff(spark, manifest_dir, from_snapshot, to_seq)
+    # deletion-vector guard: a manifest_delete between the snapshots
+    # changes rows WITHOUT changing the file list — file-grain catch-up
+    # cannot express a row delete on an already-consumed file, so that
+    # case refuses (or routes through the row-grain feed); vectors on
+    # NEWLY-ADDED files are simply applied to the catch-up read
+    base_dv = {
+        f: dv
+        for f, dv, _ in _file_dv_pairs(
+            read_manifest(spark, manifest_dir, from_snapshot).collect()
+        )
+    }
+    head_dv = {
+        f: dv
+        for f, dv, _ in _file_dv_pairs(
+            read_manifest(spark, manifest_dir, to_seq).collect()
+        )
+    }
+    dv_changed = [
+        f for f, dv in base_dv.items() if f in head_dv and head_dv[f] != dv
+    ]
+    if dv_changed:
+        if on_compaction == "row_diff":
+            return (
+                manifest_row_diff(
+                    spark, manifest_dir, from_snapshot, to_seq
+                )
+                .where(F.col("change") == "insert")
+                .drop("change")
+            )
+        raise ValueError(
+            f"read_manifest_changes: {len(dv_changed)} already-consumed "
+            f"file(s) gained deletion-vector changes between "
+            f"v{from_snapshot} and v{to_seq} — a file-grain feed cannot "
+            "express row deletes. Use manifest_row_diff (change='delete' "
+            "rows), or pass on_compaction='row_diff' for the insert "
+            "slice only."
+        )
 
     def files_of(seq, only_batches=False):
         snap = spark.read.parquet(f"{manifest_dir}/v{seq}")
@@ -1715,7 +2034,13 @@ def read_manifest_changes(
         return read_via_manifest(spark, manifest_dir, to_snapshot).where(
             F.lit(False)
         )
-    return spark.read.parquet(*files)
+    # vectors on the newly-added files apply to the catch-up read: a row
+    # inserted then deleted within the window never reaches the consumer
+    return apply_delete_vectors(
+        spark,
+        spark.read.parquet(*files),
+        [(f, head_dv.get(f)) for f in files],
+    )
 
 
 def manifest_stats_agg(
@@ -1779,9 +2104,33 @@ def manifest_stats_agg(
                 "file of this snapshot (all presence rows are "
                 "'absent') — min/max would be NULL-only"
             )
-    rows = snap.select("file_path", "file_rows").distinct()
-    aggs = [F.sum("file_rows").cast("long").alias("n_rows")]
-    out = rows.agg(*aggs)
+    # deletion vectors: COUNT stays exact (file_rows - n_deleted per
+    # file), but a per-column min/max/null-count may have lived on a
+    # deleted row — the stored bounds no longer describe the LIVE rows
+    # exactly, so column stats REFUSE when any file was deleted from
+    # (scan through read_via_manifest instead; compaction purges the
+    # vectors and restores stats-only serving)
+    if cols:
+        deleted_from = (
+            snap.where(F.col("n_deleted") > 0)
+            .select("file_path")
+            .distinct()
+            .count()
+        )
+        if deleted_from:
+            raise ValueError(
+                f"manifest_stats_agg: {deleted_from} file(s) carry "
+                "deletion vectors — per-column min/max/null stats may "
+                "have lived on deleted rows and are no longer exact; "
+                "COUNT(*) alone stays servable (call with cols=None), "
+                "or compact_manifest to purge the vectors"
+            )
+    rows = snap.select("file_path", "file_rows", "n_deleted").distinct()
+    out = rows.agg(
+        F.sum(F.col("file_rows") - F.col("n_deleted"))
+        .cast("long")
+        .alias("n_rows")
+    )
     for c in cols:
         cstats = snap.where(F.col("col") == c).agg(
             F.min("lo").cast("long").alias(f"{c}_min"),
@@ -1830,14 +2179,24 @@ def vacuum(
         )
 
     live = set()
+    live_dv_dirs = set()
     for seq in retained:
-        for r in (
+        snap = _normalize_snapshot(
             spark.read.parquet(f"{manifest_dir}/v{seq}")
-            .select("file_path")
-            .distinct()
-            .collect()
-        ):
+        )
+        for r in snap.select("file_path", "dv_path").distinct().collect():
             live.add(norm(r["file_path"]))
+            if r["dv_path"] is not None:
+                live_dv_dirs.add(r["dv_path"])
+    # deletion-vector dirs referenced by any retained snapshot keep
+    # every part-file inside them (dv dirs are immutable; superseded
+    # ones fall out of the live set and are collected like data files)
+    for d in live_dv_dirs:
+        dvp = P(d)
+        if fs.exists(dvp):
+            dv_it = fs.listFiles(dvp, True)
+            while dv_it.hasNext():
+                live.add(norm(dv_it.next().getPath()))
     files_deleted = 0
     bytes_deleted = 0
     it = fs.listFiles(P(data_dir), True)
@@ -1970,7 +2329,7 @@ def compact_manifest(
     P, fs = _hadoop_fs(spark, manifest_dir)
     snap = read_manifest(spark, manifest_dir)
     per_file = (
-        snap.select("file_path", "file_bytes", "batch_id")
+        snap.select("file_path", "file_bytes", "batch_id", "dv_path")
         .distinct()
         .collect()
     )
@@ -2013,7 +2372,20 @@ def compact_manifest(
     reader = spark.read
     if any(r["kind"] == "absent" for r in snap.select("kind").distinct().collect()):
         reader = reader.option("mergeSchema", "true")
-    src = reader.parquet(*smalls)
+    # PHYSICAL PURGE: the rewrite reads through the inputs' deletion
+    # vectors, so compacted files carry only live rows and drop their
+    # vectors (Delta's purge-on-OPTIMIZE) — the old files + dv dirs
+    # stay for retained snapshots until vacuum
+    small_set0 = set(smalls)
+    src = apply_delete_vectors(
+        spark,
+        reader.parquet(*smalls),
+        [
+            (r["file_path"], r["dv_path"])
+            for r in per_file
+            if r["file_path"] in small_set0
+        ],
+    )
     if cluster_by:
         ccols = (
             [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
@@ -2032,8 +2404,11 @@ def compact_manifest(
     src.write.parquet(out)
     out_cols = set(spark.read.parquet(out).columns)
     present = [c for c in cols if c in out_cols]
-    new_stats = stats_index(spark, out, present).withColumn(
-        "batch_id", F.lit(None).cast("long")
+    new_stats = (
+        stats_index(spark, out, present)
+        .withColumn("batch_id", F.lit(None).cast("long"))
+        .withColumn("dv_path", F.lit(None).cast("string"))
+        .withColumn("n_deleted", F.lit(0).cast("long"))
     )
     absent = [c for c in cols if c not in out_cols]
     if absent:

@@ -3423,3 +3423,121 @@ def facade_member_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload").isin(7, 11, 500, 501, 1203)
     )
     return st.to_df().select("u", "payload").orderBy("payload")
+
+
+@register(
+    "manifest_delete_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 3 AS BIGINT) AS b
+               FROM events)
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e WHERE u NOT IN (5, 17) AND payload NOT BETWEEN 100 AND 110
+    GROUP BY u
+    """,
+)
+def manifest_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL DELETE without rewriting data (round-13: merge-on-read
+    deletion vectors — Delta DVs / Iceberg position deletes, the
+    right-to-be-forgotten primitive): three batches commit through
+    ``manifest_sink``; ``manifest_delete`` removes users {5, 17} (the
+    RTBF point-set shape, candidate files pruned through the stats)
+    and then a payload range on a column with NO stats (pruning
+    impossible — the delete scans every file rather than silently
+    retaining a row); the query aggregates the LIVE table through
+    ``read_via_manifest``, whose scan anti-joins each file's deletion
+    vector on (file, row position).
+
+    The DuckDB oracle aggregates the full logical table minus both
+    deleted slices: hash equality proves the vectors delete exactly the
+    requested rows — none missed, none extra, across composed deletes.
+    Idempotent re-delete, pre-delete time travel, the count fast path,
+    the stats-agg exactness guard, compaction purge, and vacuum
+    retention are pinned in tests/test_round13_ops.py.
+
+    Scale shape: delete cost is O(candidate files + deleted rows) —
+    never a table rewrite; the read-side anti-join moves only the
+    vectors (broadcast, position-keyed)."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_delete,
+        manifest_sink,
+        read_via_manifest,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_dv_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    manifest_delete(spark, data, manifest, "u", values=[5, 17])
+    manifest_delete(spark, data, manifest, "payload", lo=100, hi=110)
+    live = read_via_manifest(spark, manifest)
+    return live.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
+    )
+
+
+@register(
+    "manifest_delete_feed",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload
+               FROM events)
+    SELECT u, payload FROM e WHERE u IN (5, 17)
+    ORDER BY payload
+    """,
+)
+def manifest_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes RIDE THE ROW-GRAIN CHANGE FEED (round-13): after a
+    ``manifest_delete``, a consumer pinned at the pre-delete snapshot
+    catches up via ``manifest_row_diff`` — the diff unit is the (file,
+    deletion-vector) pair, so a delete puts the file on both sides and
+    the multiset difference yields exactly the newly-deleted rows as
+    ``change='delete'`` (Delta CDF's delete rows), with zero fabricated
+    inserts (pinned).
+
+    The DuckDB oracle selects the deleted slice of the full logical
+    table: hash equality proves the feed's delete rows are exactly the
+    deleted rows.
+
+    Scale shape: only files whose (file, vector) pair changed are read;
+    the exceptAll shuffles churn, never the table."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_delete,
+        manifest_row_diff,
+        manifest_sink,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_dvfeed_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    manifest_delete(spark, data, manifest, "u", values=[5, 17])
+    rd = manifest_row_diff(spark, manifest, from_snapshot=2)
+    return (
+        rd.where(F.col("change") == "delete")
+        .select("u", "payload")
+        .orderBy("payload")
+    )

@@ -176,11 +176,15 @@ class Stream:
         if not files:
             raise ValueError(f"empty manifest at {manifest_dir}")
         evolved = any(r["kind"] == "absent" for r in stats_rows)
+        dv = {f: d for f, d, _ in skew._file_dv_pairs(stats_rows)}
         reader = spark.read
         if evolved:
             reader = reader.option("mergeSchema", "true")
+        df = skew.apply_delete_vectors(
+            spark, reader.parquet(*files), sorted(dv.items())
+        )
         st = cls(
-            cls._attach_seq(reader.parquet(*files)),
+            cls._attach_seq(df),
             plan=(f"read_manifest({manifest_dir})",),
         )
         st._manifest = {
@@ -188,6 +192,7 @@ class Stream:
             "rows": stats_rows,
             "files": files,
             "evolved": evolved,
+            "dv": dv,
             "preds": (),
             "total": len(files),
             "member": member_index.collect()
@@ -325,6 +330,11 @@ class Stream:
             reader = reader.option("mergeSchema", "true")
         if files:
             df = reader.parquet(*files)
+            df = skew.apply_delete_vectors(
+                mf["spark"],
+                df,
+                [(f, mf["dv"].get(f)) for f in files],
+            )
         else:
             # schema-stable empty scan: keep the full file list in the
             # relation but read no rows
@@ -1596,7 +1606,11 @@ class Stream:
             for r in mf["rows"]:
                 if r["file_path"] not in seen:
                     seen.add(r["file_path"])
-                    n += r["file_rows"]
+                    # live rows = file_rows minus the file's deletion
+                    # vector entries (n_deleted is exact by
+                    # construction), so the metadata count stays exact
+                    # under merge-on-read deletes
+                    n += r["file_rows"] - (r["n_deleted"] or 0)
             self._post_action()
             return n
         with self._heartbeat():

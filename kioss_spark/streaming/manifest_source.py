@@ -111,6 +111,35 @@ def _marked(manifest_dir: str, batch_id: int) -> bool:
     )
 
 
+def _dv_map(manifest_dir: str, seq: int) -> dict:
+    """file_path -> deletion-vector dir (or None) for one snapshot;
+    pre-deletion-vector snapshots have no dv_path column -> all None."""
+    t = _snapshot_table(manifest_dir, seq)
+    if "dv_path" not in t.column_names:
+        return {
+            f: None for f in set(t.column("file_path").to_pylist())
+        }
+    out: dict = {}
+    for f, dv in zip(
+        t.column("file_path").to_pylist(), t.column("dv_path").to_pylist()
+    ):
+        out[f] = dv
+    return out
+
+
+def _dv_positions(dv_dir: str, src_file: str) -> set:
+    """The deleted row positions a vector dir holds for one file."""
+    import pyarrow.dataset as ds
+    import pyarrow.compute as pc
+
+    d = ds.dataset(_local(dv_dir), format="parquet")
+    t = d.to_table(
+        columns=["row_index"],
+        filter=pc.field("src_file") == src_file,
+    )
+    return set(t.column("row_index").to_pylist())
+
+
 def plan_window_files(manifest_dir: str, start_seq: int, end_seq: int) -> list:
     """The data files a consumer at snapshot ``start_seq`` must read to
     reach ``end_seq`` — the module docstring's transition walk."""
@@ -148,6 +177,7 @@ def plan_window_files(manifest_dir: str, start_seq: int, end_seq: int) -> list:
 @dataclass
 class ManifestFilePartition(InputPartition):
     path: str
+    dv_path: str = None
 
 
 class ManifestFeedStreamReader(DataSourceStreamReader):
@@ -155,6 +185,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._dir = options["manifest_dir"]
         self._start = int(options.get("starting_snapshot", -1))
+        self._ignore_deletes = (
+            str(options.get("ignore_deletes", "false")).lower() == "true"
+        )
 
     # ------------------------------------------------------ offsets
 
@@ -176,10 +209,34 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
     # ---------------------------------------------------- planning
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        files = plan_window_files(
-            self._dir, int(start["snapshot"]), int(end["snapshot"])
-        )
-        return [ManifestFilePartition(path=f) for f in files]
+        start_seq, end_seq = int(start["snapshot"]), int(end["snapshot"])
+        files = plan_window_files(self._dir, start_seq, end_seq)
+        dv_end = _dv_map(self._dir, end_seq) if end_seq >= 0 else {}
+        # deletion guard (Delta's ignoreDeletes semantics): a vector
+        # change on an ALREADY-CONSUMED file means rows this consumer
+        # holds were deleted upstream — an append feed cannot retract
+        # them, so refuse unless the consumer opted in; vectors on the
+        # files emitted THIS window are simply applied in read()
+        if not self._ignore_deletes and start_seq >= 0:
+            dv_start = _dv_map(self._dir, start_seq)
+            changed = [
+                f
+                for f, dv in dv_start.items()
+                if f in dv_end and dv_end[f] != dv
+            ]
+            if changed:
+                raise ValueError(
+                    f"manifest_feed: {len(changed)} already-consumed "
+                    "file(s) gained deletion-vector changes between "
+                    f"v{start_seq} and v{end_seq} — an append stream "
+                    "cannot retract delivered rows. Reprocess via "
+                    "manifest_row_diff, or opt in with "
+                    "option('ignore_deletes', 'true')."
+                )
+        return [
+            ManifestFilePartition(path=f, dv_path=dv_end.get(f))
+            for f in files
+        ]
 
     def commit(self, end: dict) -> None:
         pass
@@ -195,6 +252,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         target = to_arrow_schema(self._schema)
         path = _local(partition.path)
         table = pq.read_table(path)
+        if partition.dv_path:
+            # merge-on-read: drop the file's deleted positions (pyarrow
+            # reads rows in file order, so position == row_index)
+            dead = _dv_positions(partition.dv_path, partition.path)
+            if dead:
+                keep = [i for i in range(len(table)) if i not in dead]
+                table = table.take(keep)
         arrays = []
         for field in target:
             if field.name in table.column_names:

@@ -984,3 +984,186 @@ def test_facade_null_probes_prune_exactly(spark, tmp_path):
     assert _rows(st_mix.to_df(), "payload") == _rows(
         full.where(F.col("u").isNotNull() & (F.col("u") <= 10)), "payload"
     )
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (merge-on-read row deletes)
+# ---------------------------------------------------------------------------
+
+
+def _dv_fixture(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_delete, manifest_sink
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 300)
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(3):
+        sink(df.where(F.col("b") == b).drop("b"), b)
+    manifest_delete(spark, data, man, "u", values=[5, 17])
+    live = df.where(~F.col("u").isin(5, 17)).drop("b")
+    return data, man, df, live
+
+
+def test_delete_vectors_read_exact_and_time_travel(spark, tmp_path):
+    from kioss_spark.operators.skew import read_via_manifest
+
+    _, man, df, live = _dv_fixture(spark, tmp_path)
+    got = read_via_manifest(spark, man)
+    assert _rows(got, "u", "payload") == _rows(live, "u", "payload")
+    # reader isolation: the pre-delete snapshot still serves every row
+    assert read_via_manifest(spark, man, snapshot=2).count() == 300
+
+
+def test_delete_without_stats_column_scans_all_never_retains(
+    spark, tmp_path
+):
+    from kioss_spark.operators.skew import manifest_delete, read_via_manifest
+
+    data, man, df, live = _dv_fixture(spark, tmp_path)
+    # payload has NO stats rows: pruning impossible -> full scan, exact
+    res = manifest_delete(
+        spark, data, man, "payload", lo=100, hi=110
+    ).collect()[0]
+    assert res["rows_deleted"] == 11
+    exp = live.where(~F.col("payload").between(100, 110))
+    assert _rows(read_via_manifest(spark, man), "u", "payload") == _rows(
+        exp, "u", "payload"
+    )
+
+
+def test_delete_is_idempotent_and_composes(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_delete, read_via_manifest
+
+    data, man, df, live = _dv_fixture(spark, tmp_path)
+    res = manifest_delete(spark, data, man, "u", values=[5, 17]).collect()[0]
+    assert res["rows_deleted"] == 0  # already gone
+    res2 = manifest_delete(spark, data, man, "u", values=[17, 33]).collect()[0]
+    exp2 = live.where(F.col("u") != 33)
+    assert res2["rows_deleted"] == df.where(F.col("u") == 33).count()
+    assert read_via_manifest(spark, man).count() == exp2.count()
+
+
+def test_delete_count_fast_path_and_stats_guard(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_stats_agg
+    from kioss_spark.stream import Stream
+
+    _, man, df, live = _dv_fixture(spark, tmp_path)
+    assert Stream.read_manifest(spark, man).count() == live.count()
+    assert (
+        manifest_stats_agg(spark, man).collect()[0]["n_rows"] == live.count()
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        manifest_stats_agg(spark, man, ["u"])
+
+
+def test_facade_pruned_filter_applies_vectors(spark, tmp_path):
+    from kioss_spark.stream import Stream
+
+    _, man, df, live = _dv_fixture(spark, tmp_path)
+    st = Stream.read_manifest(spark, man).filter(
+        (F.col("u") >= 2) & (F.col("u") <= 9)
+    )
+    assert _rows(st.to_df(), "u", "payload") == _rows(
+        live.where(F.col("u").between(2, 9)), "u", "payload"
+    )
+
+
+def test_row_diff_carries_deletes(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_row_diff
+
+    _, man, df, live = _dv_fixture(spark, tmp_path)
+    rd = manifest_row_diff(spark, man, from_snapshot=2)
+    deleted = df.where(F.col("u").isin(5, 17)).drop("b")
+    assert _rows(
+        rd.where(F.col("change") == "delete"), "u", "payload"
+    ) == _rows(deleted, "u", "payload")
+    assert rd.where(F.col("change") == "insert").count() == 0
+
+
+def test_compaction_purges_vectors_and_restores_stats(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_stats_agg,
+        read_manifest,
+        read_via_manifest,
+    )
+
+    data, man, df, live = _dv_fixture(spark, tmp_path)
+    compact_manifest(spark, data, man, target_mb=64.0)
+    head = read_manifest(spark, man)
+    assert head.where(F.col("dv_path").isNotNull()).count() == 0
+    assert _rows(read_via_manifest(spark, man), "u", "payload") == _rows(
+        live, "u", "payload"
+    )
+    # column stats servable again after the physical purge
+    got = manifest_stats_agg(spark, man, ["u"]).collect()[0]
+    assert got["n_rows"] == live.count()
+
+
+def test_vacuum_retains_referenced_vectors(spark, tmp_path):
+    from kioss_spark.operators.skew import read_via_manifest, vacuum
+
+    data, man, df, live = _dv_fixture(spark, tmp_path)
+    # all snapshots retained: the dv dir is live, nothing of it deleted
+    vacuum(spark, data, man, retain_last=10)
+    assert read_via_manifest(spark, man).count() == live.count()
+    assert read_via_manifest(spark, man, snapshot=2).count() == 300
+
+
+def test_file_feed_refuses_delete_on_consumed_file(spark, tmp_path):
+    from kioss_spark.operators.skew import read_manifest_changes
+
+    _, man, df, live = _dv_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="deletion-vector changes"):
+        read_manifest_changes(spark, man, from_snapshot=1)
+    # the row-grain fallback serves the insert slice exactly
+    fb = read_manifest_changes(
+        spark, man, from_snapshot=1, on_compaction="row_diff"
+    )
+    exp = live.where(F.col("payload") % 3 == 2)  # batch 2, minus deletes
+    assert _rows(fb, "u", "payload") == _rows(exp, "u", "payload")
+
+
+def test_streaming_source_delete_guard_and_dv_application(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_delete, manifest_sink
+    from kioss_spark.streaming.dialect import SStream
+    from kioss_spark.streaming.manifest_source import (
+        ManifestFeedStreamReader,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    df = _mk_events(spark, 300)
+    sink = manifest_sink(data, man, ["u"])
+    sink(df.where(F.col("b") == 0).drop("b"), 0)
+    # delete BEFORE first consumption: the emitted files carry vectors,
+    # read() applies them — the consumer never sees deleted rows
+    manifest_delete(spark, data, man, "u", values=[5])
+    q = (
+        SStream.from_manifest(spark, man)
+        ._df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    exp0 = df.where((F.col("b") == 0) & (F.col("u") != 5)).drop("b")
+    assert _rows(spark.read.parquet(out), "u", "payload") == _rows(
+        exp0, "u", "payload"
+    )
+    # delete hitting the CONSUMED file: the planner refuses...
+    manifest_delete(spark, data, man, "u", values=[7])
+    sink(df.where(F.col("b") == 1).drop("b"), 1)
+    reader = ManifestFeedStreamReader(None, {"manifest_dir": man})
+    start = {"snapshot": 1}  # the snapshot the consumer finished at
+    end = reader.latestOffset()
+    with pytest.raises(ValueError, match="cannot retract"):
+        reader.partitions(start, end)
+    # ...and ignore_deletes opts in (append semantics, stale consumed
+    # rows accepted; the new batch still arrives dv-applied)
+    reader2 = ManifestFeedStreamReader(
+        None, {"manifest_dir": man, "ignore_deletes": "true"}
+    )
+    parts = reader2.partitions(start, end)
+    assert parts  # batch 1's files flow
