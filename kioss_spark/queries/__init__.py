@@ -300,7 +300,14 @@ for _round in sorted(_GREEN_ROUNDS):
 #:    applicationId), and ``bm25_topk`` (r11-green; adaptive max-score
 #:    gate in its serving path).
 #: New round-13 registrations follow (never-checked tier), then the
-#: r9-stale tier fills the remainder of the 50.
+#: r9-stale tier fills the remainder of the 50.  Final r13 window
+#: (printed by tools/rotation_audit.py at HEAD, not hand-computed):
+#: 3 r8-stale + 5 recheck leaders + 6 new registrations
+#: (facade_member_scan, facade_pruned_scan, manifest_delete_feed,
+#: manifest_delete_scan, manifest_evolution_scan,
+#: manifest_row_changes_scan) + 36 r9-stale = 50; the 11 r9 names the
+#: new registrations displaced lead round 14's stale tier — the
+#: explicit, recorded cost of six new oracle-gated queries.
 _RECHECK_FIRST: tuple = (
     "token_counts",
     "vocab_top_terms",
