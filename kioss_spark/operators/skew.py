@@ -1513,20 +1513,37 @@ def manifest_delete(
     cmap = F.create_map(
         *[x for f, n in sorted(counts.items()) for x in (F.lit(f), F.lit(n))]
     )
+    planned_dv = {
+        f: dv for f, dv, _ in _file_dv_pairs(snap_rows) if f in set(affected)
+    }
 
     def derive(complete_seqs):
         head = read_manifest(spark, manifest_dir)
-        head_files = {
-            r["file_path"]
-            for r in head.select("file_path").distinct().collect()
+        head_dv = {
+            r["file_path"]: r["dv_path"]
+            for r in head.select("file_path", "dv_path").distinct().collect()
         }
-        gone = set(affected) - head_files
+        gone = set(affected) - set(head_dv)
         if gone:
             raise ManifestCommitConflict(
                 f"manifest_delete: {len(gone)} affected file(s) left the "
                 "manifest during the commit race (a concurrent compaction "
                 "folded them; their row positions are no longer valid) — "
                 "rerun the delete against the new head"
+            )
+        # delete-vs-delete race: our vector composed the dv observed at
+        # PLANNING time; if a concurrent delete committed a new vector
+        # for any affected file since, pointing it at ours would LOSE
+        # that delete's entries — unhealable by a snapshot retry
+        moved = [
+            f for f in affected if head_dv.get(f) != planned_dv.get(f)
+        ]
+        if moved:
+            raise ManifestCommitConflict(
+                f"manifest_delete: {len(moved)} affected file(s) gained a "
+                "concurrent deletion vector during the commit race — "
+                "rerun the delete against the new head (reruns are "
+                "idempotent)"
             )
         hit = F.col("file_path").isin(affected)
         return head.withColumn(

@@ -1167,3 +1167,41 @@ def test_streaming_source_delete_guard_and_dv_application(spark, tmp_path):
     )
     parts = reader2.partitions(start, end)
     assert parts  # batch 1's files flow
+
+
+def test_concurrent_deletes_same_files_conflict_then_rerun_exact(
+    spark, tmp_path
+):
+    from kioss_spark.operators.skew import (
+        ManifestCommitConflict,
+        manifest_delete,
+        manifest_sink,
+        read_via_manifest,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk_events(spark, 300)
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(3):
+        sink(df.where(F.col("b") == b).drop("b"), b)
+    results = {"conflicts": 0, "errs": []}
+    import threading as _t
+
+    def run(vals):
+        try:
+            manifest_delete(spark, data, man, "u", values=vals)
+        except ManifestCommitConflict:
+            results["conflicts"] += 1
+            # reruns are idempotent: recompute against the new head
+            manifest_delete(spark, data, man, "u", values=vals)
+        except Exception as e:  # pragma: no cover
+            results["errs"].append(e)
+
+    t1 = _t.Thread(target=run, args=([5],))
+    t2 = _t.Thread(target=run, args=([7],))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not results["errs"]
+    # whichever interleaving happened, BOTH deletes landed exactly
+    exp = df.where(~F.col("u").isin(5, 7)).drop("b")
+    got = read_via_manifest(spark, man)
+    assert _rows(got, "u", "payload") == _rows(exp, "u", "payload")
