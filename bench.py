@@ -222,6 +222,8 @@ HEADLINE = [
     "manifest_delete_scan",
     # round-13: deletes riding the row-grain change feed
     "manifest_delete_feed",
+    # round-13: MERGE INTO (CDC upsert = deletion vectors + append)
+    "manifest_merge_scan",
 ]
 
 

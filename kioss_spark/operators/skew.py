@@ -52,6 +52,7 @@ __all__ = [
     "manifest_row_diff",
     "manifest_stats_agg",
     "manifest_delete",
+    "manifest_merge",
     "apply_delete_vectors",
     "ManifestCommitConflict",
 ]
@@ -1377,6 +1378,8 @@ def manifest_delete(
     hi=None,
     ranges: Optional[dict] = None,
     values=None,
+    values_df: Optional[DataFrame] = None,
+    exclude_batch_id: Optional[int] = None,
 ) -> DataFrame:
     """ROW-LEVEL DELETE without rewriting data files — the
     merge-on-read deletion-vector pattern (Delta deletion vectors /
@@ -1414,7 +1417,25 @@ def manifest_delete(
     Returns one row: (files_affected, rows_deleted, snapshot)."""
     import uuid
 
-    if ranges is None:
+    empty_keyset = False
+    if values_df is not None:
+        # changeset-grain key set (the MERGE shape): pruning bounds come
+        # from ONE agg over the key frame, matching rows from a
+        # broadcast semi-join — the key set never collects to the driver
+        if col is None or ranges is not None or values is not None:
+            raise ValueError(
+                "manifest_delete: values_df= needs col= and excludes "
+                "ranges=/values="
+            )
+        b = values_df.agg(
+            F.min(col).alias("lo"), F.max(col).alias("hi")
+        ).collect()[0]
+        if b["lo"] is None:
+            empty_keyset = True  # empty changeset: nothing to delete
+            ranges = {col: (None, None)}
+        else:
+            ranges = {col: (b["lo"], b["hi"])}
+    elif ranges is None:
         if col is None:
             raise ValueError("manifest_delete needs col= or ranges=")
         if values is not None:
@@ -1426,9 +1447,28 @@ def manifest_delete(
             ranges = {col: (lo, hi)}
     elif values is not None:
         raise ValueError("manifest_delete: pass ranges= OR values=, not both")
+    snap_rows = read_manifest(spark, manifest_dir).collect()
+    head_seq = _snapshot_seqs(spark, manifest_dir)[0][-1]
+
+    def audit(n_files: int, n_rows: int, seq: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(n_files, n_rows, seq)],
+            "files_affected long, rows_deleted long, snapshot long",
+        )
+
+    if empty_keyset:
+        return audit(0, 0, head_seq)
     if all(b_lo is None and b_hi is None for b_lo, b_hi in ranges.values()):
         raise ValueError("manifest_delete needs at least one bound")
-    snap_rows = read_manifest(spark, manifest_dir).collect()
+    if exclude_batch_id is not None:
+        # MERGE replay protection: never target the merge's OWN batch
+        # (sound in the replay window because unmarked batches are
+        # never folded — compact_manifest's committed-only invariant)
+        snap_rows = [
+            r for r in snap_rows if r["batch_id"] != exclude_batch_id
+        ]
+        if not snap_rows:
+            return audit(0, 0, head_seq)
     all_files = sorted({r["file_path"] for r in snap_rows})
     probed = [r for r in snap_rows if r["col"] in ranges]
     covered = {r["col"] for r in probed}
@@ -1440,7 +1480,6 @@ def manifest_delete(
         # scan every file (the conservative superset), exactly what a
         # table without stats on that column costs
         candidates = all_files
-    head_seq = _snapshot_seqs(spark, manifest_dir)[0][-1]
 
     def audit(n_files: int, n_rows: int, seq: int) -> DataFrame:
         return spark.createDataFrame(
@@ -1450,17 +1489,6 @@ def manifest_delete(
 
     if not candidates:
         return audit(0, 0, head_seq)
-    if values is not None:
-        pred = F.col(col).isin(values)
-    else:
-        pred = None
-        for c, (c_lo, c_hi) in ranges.items():
-            for p2 in (
-                (F.col(c) >= F.lit(c_lo)) if c_lo is not None else None,
-                (F.col(c) <= F.lit(c_hi)) if c_hi is not None else None,
-            ):
-                if p2 is not None:
-                    pred = p2 if pred is None else (pred & p2)
     reader = spark.read
     if covered < set(ranges) or any(
         r["kind"] == "absent" for r in snap_rows
@@ -1469,14 +1497,37 @@ def manifest_delete(
         # evolution case): merge schemas so it reads as NULL there —
         # a range predicate never matches NULL, exact
         reader = reader.option("mergeSchema", "true")
-    matches = (
-        reader.parquet(*candidates)
-        .where(pred)
-        .select(
+    base = reader.parquet(*candidates)
+    if values_df is not None:
+        # project positions BEFORE the join: the join output no longer
+        # resolves the scan's hidden _metadata column
+        tagged = base.select(
+            F.col("_metadata.file_path").alias("src_file"),
+            F.col("_metadata.row_index").alias("row_index"),
+            F.col(col),
+        )
+        matches = tagged.join(
+            F.broadcast(values_df.select(col).distinct()),
+            on=col,
+            how="semi",
+        ).select("src_file", "row_index")
+    else:
+        if values is not None:
+            base = base.where(F.col(col).isin(values))
+        else:
+            pred = None
+            for c, (c_lo, c_hi) in ranges.items():
+                for p2 in (
+                    (F.col(c) >= F.lit(c_lo)) if c_lo is not None else None,
+                    (F.col(c) <= F.lit(c_hi)) if c_hi is not None else None,
+                ):
+                    if p2 is not None:
+                        pred = p2 if pred is None else (pred & p2)
+            base = base.where(pred)
+        matches = base.select(
             F.col("_metadata.file_path").alias("src_file"),
             F.col("_metadata.row_index").alias("row_index"),
         )
-    )
     affected = sorted(
         r["src_file"]
         for r in matches.select("src_file").distinct().collect()
@@ -1557,6 +1608,74 @@ def manifest_delete(
 
     seq = _commit_snapshot(spark, manifest_dir, derive)
     return audit(len(affected), n_deleted_new - n_deleted_old, seq)
+
+
+def manifest_merge(
+    spark: SparkSession,
+    data_dir: str,
+    manifest_dir: str,
+    changes: DataFrame,
+    key: str,
+    batch_id: int,
+    cols,
+    tombstone: Optional[str] = None,
+) -> DataFrame:
+    """MERGE INTO the manifest table — the Delta ``MERGE``/CDC-apply
+    analog, composed from the two primitives the format already has:
+    upsert-by-key = deletion-vector delete of the changeset's keys +
+    exactly-once append of the changeset rows.  ``changes`` carries one
+    row per key (updates and inserts look identical); rows whose
+    ``tombstone`` column is true are pure deletes and are not appended.
+
+    Exactly-once under replay (the foreachBatch/at-least-once
+    contract): the whole merge is skip-gated on the append's
+    ``commits/b{batch_id}`` marker, and the delete step targets only
+    files whose ``batch_id != batch_id`` — so a replay after the crash
+    window (delete applied, append snapshot committed, marker missing)
+    re-deletes against the OLD batches only (idempotent), never the
+    merge's own freshly-appended rows; the committed-only-folding
+    invariant guarantees the unmarked batch cannot have been compacted
+    into unexcludable NULL-batch files in that window.
+
+    Cost: O(candidate files + changed rows + changeset) — candidate
+    files are stats-pruned on the key's min/max (one agg over the
+    changeset; the key frame broadcast-semi-joins, never collected);
+    no data rewrite.
+
+    Returns one row: (rows_deleted, rows_upserted, rows_tombstoned,
+    snapshot)."""
+    P, fs = _hadoop_fs(spark, manifest_dir)
+    if fs.exists(P(f"{manifest_dir}/commits/b{batch_id}")):
+        # full replay of a committed merge: exactly-once no-op
+        complete, _ = _snapshot_seqs(spark, manifest_dir)
+        return spark.createDataFrame(
+            [(0, 0, 0, complete[-1])],
+            "rows_deleted long, rows_upserted long, rows_tombstoned long, "
+            "snapshot long",
+        )
+    if tombstone is not None:
+        dead = changes.where(F.col(tombstone))
+        live = changes.where(~F.col(tombstone)).drop(tombstone)
+        n_tomb = dead.count()
+    else:
+        live = changes
+        n_tomb = 0
+    deleted = manifest_delete(
+        spark,
+        data_dir,
+        manifest_dir,
+        key,
+        values_df=changes.select(key),
+        exclude_batch_id=batch_id,
+    ).collect()[0]
+    manifest_sink(data_dir, manifest_dir, cols)(live, batch_id)
+    complete, _ = _snapshot_seqs(spark, manifest_dir)
+    n_up = live.count()
+    return spark.createDataFrame(
+        [(int(deleted["rows_deleted"]), n_up, n_tomb, complete[-1])],
+        "rows_deleted long, rows_upserted long, rows_tombstoned long, "
+        "snapshot long",
+    )
 
 
 def manifest_sink(data_dir: str, manifest_dir: str, cols):

@@ -3541,3 +3541,94 @@ def manifest_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "payload")
         .orderBy("payload")
     )
+
+
+@register(
+    "manifest_merge_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 2 AS BIGINT) AS b
+               FROM events),
+    base AS (SELECT u, payload FROM e
+             WHERE payload NOT BETWEEN 10 AND 19
+               AND payload NOT BETWEEN 50 AND 54),
+    ups AS (SELECT CAST(payload % 64 + 1000 AS BIGINT) AS u, payload
+            FROM e WHERE payload BETWEEN 10 AND 19),
+    ins AS (SELECT CAST(i % 64 AS BIGINT) AS u, CAST(i AS BIGINT) AS payload
+            FROM range(1000000, 1000005) t(i)),
+    merged AS (SELECT * FROM base UNION ALL SELECT * FROM ups
+               UNION ALL SELECT * FROM ins)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT payload) AS BIGINT) AS n_keys,
+           CAST(sum(u) AS BIGINT) AS u_sum,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM merged
+    """,
+)
+def manifest_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO the manifest table (round-13 — the Delta
+    MERGE/CDC-apply analog, composed from deletion vectors + the
+    exactly-once append): two batches commit; one ``manifest_merge``
+    applies a changeset of UPDATES (payloads 10-19 get u+1000),
+    TOMBSTONES (payloads 50-54 removed), and INSERTS (five brand-new
+    keys); the query aggregates the LIVE table.
+
+    The DuckDB oracle rebuilds the merged table relationally: hash
+    equality proves upsert-by-key replaces exactly (no duplicate keys,
+    no lost updates), tombstones remove exactly, inserts land exactly.
+    The exactly-once replay windows (full replay no-op; crash-window
+    replay with the marker lost never deletes the merge's own appended
+    rows) are pinned in tests/test_round13_ops.py.
+
+    Scale shape: the delete half is stats-pruned on the key's min/max
+    with the key frame broadcast-semi-joined (never collected); the
+    append is one batch-grain commit; no data rewrite anywhere."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_merge,
+        manifest_sink,
+        read_via_manifest,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(2)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_merge_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["payload"])
+    for batch_id in range(2):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    updates = e.where(F.col("payload").between(10, 19)).select(
+        (F.pmod(F.col("payload"), F.lit(64)) + 1000).cast("long").alias("u"),
+        "payload",
+        F.lit(False).alias("dead"),
+    )
+    tombs = e.where(F.col("payload").between(50, 54)).select(
+        F.lit(None).cast("long").alias("u"),
+        "payload",
+        F.lit(True).alias("dead"),
+    )
+    inserts = spark.range(1_000_000, 1_000_005).select(
+        F.pmod(F.col("id"), F.lit(64)).cast("long").alias("u"),
+        F.col("id").cast("long").alias("payload"),
+        F.lit(False).alias("dead"),
+    )
+    changes = updates.unionByName(tombs).unionByName(inserts)
+    manifest_merge(
+        spark, data, manifest, changes, key="payload", batch_id=2,
+        cols=["payload"], tombstone="dead",
+    )
+    live = read_via_manifest(spark, manifest)
+    return live.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("payload").cast("long").alias("n_keys"),
+        F.sum("u").cast("long").alias("u_sum"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
+    )

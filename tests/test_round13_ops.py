@@ -1205,3 +1205,106 @@ def test_concurrent_deletes_same_files_conflict_then_rerun_exact(
     exp = df.where(~F.col("u").isin(5, 7)).drop("b")
     got = read_via_manifest(spark, man)
     assert _rows(got, "u", "payload") == _rows(exp, "u", "payload")
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (CDC upsert on the manifest table)
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_sink
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = spark.range(300).select(
+        (F.col("id") % 64).alias("u"),
+        F.col("id").alias("payload"),
+        (F.col("id") % 2).alias("b"),
+    )
+    sink = manifest_sink(data, man, ["payload"])
+    for b in range(2):
+        sink(df.where(F.col("b") == b).drop("b"), b)
+    updates = spark.range(10, 20).select(
+        (F.col("id") % 64 + 1000).alias("u"),
+        F.col("id").alias("payload"),
+        F.lit(False).alias("dead"),
+    )
+    tombs = spark.range(50, 55).select(
+        F.lit(None).cast("long").alias("u"),
+        F.col("id").alias("payload"),
+        F.lit(True).alias("dead"),
+    )
+    inserts = spark.range(1000, 1005).select(
+        (F.col("id") % 64).alias("u"),
+        F.col("id").alias("payload"),
+        F.lit(False).alias("dead"),
+    )
+    changes = updates.unionByName(tombs).unionByName(inserts)
+    exp = (
+        df.drop("b")
+        .where(
+            ~F.col("payload").between(10, 19)
+            & ~F.col("payload").between(50, 54)
+        )
+        .unionByName(updates.drop("dead"))
+        .unionByName(inserts.drop("dead"))
+    )
+    return data, man, changes, exp
+
+
+def test_manifest_merge_upsert_tombstone_insert_exact(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_merge, read_via_manifest
+
+    data, man, changes, exp = _merge_fixture(spark, tmp_path)
+    res = manifest_merge(
+        spark, data, man, changes, key="payload", batch_id=2,
+        cols=["payload"], tombstone="dead",
+    ).collect()[0]
+    assert (res["rows_deleted"], res["rows_upserted"],
+            res["rows_tombstoned"]) == (15, 15, 5)
+    got = read_via_manifest(spark, man)
+    assert _rows(got, "u", "payload") == _rows(exp, "u", "payload")
+
+
+def test_manifest_merge_replay_windows_are_exactly_once(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_merge, read_via_manifest
+
+    data, man, changes, exp = _merge_fixture(spark, tmp_path)
+
+    def merge():
+        return manifest_merge(
+            spark, data, man, changes, key="payload", batch_id=2,
+            cols=["payload"], tombstone="dead",
+        ).collect()[0]
+
+    merge()
+    # full replay (marker present): no-op
+    res2 = merge()
+    assert (res2["rows_deleted"], res2["rows_upserted"]) == (0, 0)
+    assert _rows(read_via_manifest(spark, man), "u", "payload") == _rows(
+        exp, "u", "payload"
+    )
+    # crash window: delete applied + batch appended, marker LOST — the
+    # replay must not delete the merge's own appended rows (batch-id
+    # exclusion) and must re-land the batch by replacement
+    jvm = spark.sparkContext._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(man).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    assert fs.delete(P(f"{man}/commits/b2"), True)
+    merge()
+    assert _rows(read_via_manifest(spark, man), "u", "payload") == _rows(
+        exp, "u", "payload"
+    )
+
+
+def test_manifest_merge_empty_changeset_noop(spark, tmp_path):
+    from kioss_spark.operators.skew import manifest_merge, read_via_manifest
+
+    data, man, changes, _ = _merge_fixture(spark, tmp_path)
+    empty = changes.where(F.lit(False))
+    res = manifest_merge(
+        spark, data, man, empty, key="payload", batch_id=2,
+        cols=["payload"], tombstone="dead",
+    ).collect()[0]
+    assert res["rows_deleted"] == 0 and res["rows_upserted"] == 0
+    assert read_via_manifest(spark, man).count() == 300
