@@ -302,12 +302,13 @@ for _round in sorted(_GREEN_ROUNDS):
 #: New round-13 registrations follow (never-checked tier), then the
 #: r9-stale tier fills the remainder of the 50.  Final r13 window
 #: (printed by tools/rotation_audit.py at HEAD, not hand-computed):
-#: 3 r8-stale + 5 recheck leaders + 6 new registrations
+#: 3 r8-stale + 5 recheck leaders + 7 new registrations
 #: (facade_member_scan, facade_pruned_scan, manifest_delete_feed,
 #: manifest_delete_scan, manifest_evolution_scan,
-#: manifest_row_changes_scan) + 36 r9-stale = 50; the 11 r9 names the
-#: new registrations displaced lead round 14's stale tier — the
-#: explicit, recorded cost of six new oracle-gated queries.
+#: manifest_merge_scan, manifest_row_changes_scan) + 35 r9-stale = 50;
+#: the 12 r9 names the new registrations displaced lead round 14's
+#: stale tier — the explicit, recorded cost of seven new oracle-gated
+#: queries.
 _RECHECK_FIRST: tuple = (
     "token_counts",
     "vocab_top_terms",
