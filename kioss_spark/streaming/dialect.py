@@ -880,6 +880,29 @@ class SStream:
             writer = writer.trigger(**self._trigger_kwargs())
         return writer.start()
 
+    def to_manifest(
+        self,
+        data_dir: str,
+        manifest_dir: str,
+        cols,
+        checkpoint: Optional[str] = None,
+    ):
+        """Stream INTO a manifest table — ``foreach_batch`` over
+        ``manifest_sink``: each micro-batch lands data-first, commits a
+        snapshot through the optimistic CAS, and marks its batch id, so
+        readers (``read_via_manifest`` / ``Stream.read_manifest`` /
+        another ``SStream.from_manifest``) see exactly-once visibility
+        with data-skipping stats maintained per commit.  Pass
+        ``checkpoint`` for restartable offsets (replays are no-ops via
+        the commit markers — the kill-and-resume pins in
+        tests/test_streaming.py exercise exactly this sink)."""
+        from kioss_spark.operators.skew import manifest_sink
+
+        return self.foreach_batch(
+            manifest_sink(data_dir, manifest_dir, cols),
+            checkpoint=checkpoint,
+        )
+
     def __str__(self) -> str:
         return "SStream(\n    " + "\n    .".join(self._plan) + "\n)"
 

@@ -1308,3 +1308,30 @@ def test_manifest_merge_empty_changeset_noop(spark, tmp_path):
     ).collect()[0]
     assert res["rows_deleted"] == 0 and res["rows_upserted"] == 0
     assert read_via_manifest(spark, man).count() == 300
+
+
+def test_sstream_to_manifest_roundtrip(spark, tmp_path):
+    """files source -> SStream.to_manifest -> Stream.read_manifest:
+    the full streaming-lakehouse loop through the fluent surfaces."""
+    from kioss_spark.stream import Stream
+    from kioss_spark.streaming.dialect import SStream
+
+    src = str(tmp_path / "src")
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    ckpt = str(tmp_path / "ck")
+    df = _mk_events(spark, 200, batches=2)
+    df.where(F.col("b") == 0).drop("b").write.parquet(src)
+    q = SStream.files(
+        spark, src, schema="u long, payload long"
+    ).to_manifest(data, man, ["u"], checkpoint=ckpt)
+    q.processAllAvailable(); q.stop()
+    df.where(F.col("b") == 1).drop("b").write.mode("append").parquet(src)
+    q2 = SStream.files(
+        spark, src, schema="u long, payload long"
+    ).to_manifest(data, man, ["u"], checkpoint=ckpt)
+    q2.processAllAvailable(); q2.stop()
+    got = Stream.read_manifest(spark, man)
+    assert got.count() == 200  # zero-job metadata count
+    assert _rows(got.to_df(), "u", "payload") == _rows(
+        df.drop("b"), "u", "payload"
+    )
