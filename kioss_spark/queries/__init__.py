@@ -275,6 +275,32 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "split_train_val_test", "text_quality", "tfidf_keywords",
         "token_budget_by_source",
     }),
+    # CORRECTNESS_r13.json — 50/50 hash-green, zero err (the second
+    # consecutive all-green driver window): the 3 r8-stale leaders, the
+    # 5 changed-code recheck leaders, the 7 round-13 registrations, and
+    # 35 r9-stale names.  The 12 r9 names the late registrations
+    # displaced (r13 verdict recount — ROUND13.md's "8" was computed
+    # before 4 late registrations) lead round 14's stale tier.
+    13: frozenset({
+        "ann_int8_rescore", "ann_ivf_multiprobe", "ann_ivf_topk",
+        "ann_ivf_trained", "ann_pq_opq", "ann_pq_opq_res",
+        "anti_customers_no_pending", "asof_last_purchase", "asof_last_signup",
+        "bm25_topk", "corpus_scd2_history", "dedup_containment_pairs",
+        "dedup_exact", "dedup_jaccard_pairs", "facade_member_scan",
+        "facade_pruned_scan", "funnel_click_purchase", "funnel_delay_quantiles",
+        "heavy_hitter_tokens", "kanon_risk_docs", "label_balance_weights",
+        "length_strata_sample", "manifest_changes_scan",
+        "manifest_compact_scan", "manifest_delete_feed", "manifest_delete_scan",
+        "manifest_evolution_scan", "manifest_merge_scan",
+        "manifest_row_changes_scan", "minhash_signatures", "mm_frame_dedup",
+        "mm_image_resize", "op_amap_enrich", "op_catch_pyfn",
+        "op_catch_replacement", "op_concat_streams", "op_distinct_first",
+        "op_filter_highvalue", "op_flatten_tokens", "op_foreach_passthrough",
+        "op_group_batches", "op_groupby_key", "op_map_revenue",
+        "op_observe_metrics", "op_skip_truncate", "retrieval_quality",
+        "skipping_scan_double", "token_counts", "vocab_drift_chi2",
+        "vocab_top_terms",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -309,16 +335,19 @@ for _round in sorted(_GREEN_ROUNDS):
 #: the 12 r9 names the new registrations displaced lead round 14's
 #: stale tier — the explicit, recorded cost of seven new oracle-gated
 #: queries.
-_RECHECK_FIRST: tuple = (
-    "token_counts",
-    "vocab_top_terms",
-    "vocab_drift_chi2",
-    "skipping_scan_double",
-    "manifest_compact_scan",
-    "manifest_changes_scan",
-    "retrieval_quality",
-    "bm25_topk",
-)
+#: Round 14: the previous leaders all went green in the r13 window, so the
+#: list restarts empty at round start and is refilled AFTER the last
+#: code change of the round with the queries whose implementation round 14
+#: touched (manifest planning / facade pruning / streaming source work —
+#: see ROUND14.md).  With the list empty, the stale tier leads: the 12
+#: r9-stale names (q1_pricing_summary, q3_shipping_priority,
+#: q5_nation_revenue, q10_returned_items, pagerank_dup_graph,
+#: pivot_status_revenue, retention_cohorts, rollup_order_counts,
+#: sequence_view_click_purchase, split_leakage_pairs,
+#: pipeline_incremental_refresh, winsorize_event_values) — exactly the
+#: r13 verdict ask.  Run tools/rotation_audit.py after the LAST
+#: registration, never before (r12 and r13 both got bitten).
+_RECHECK_FIRST: tuple = ()
 
 
 def load_all() -> dict[str, QueryDef]:
