@@ -932,10 +932,13 @@ def test_stream_write_manifest_roundtrip(spark, tmp_path):
     Stream.from_df(df.where(F.col("b") == 1).drop("b")).write_manifest(
         data, man, ["u"], batch_id=1
     )
-    # replay of a committed batch is a no-op (exactly-once)
-    Stream.from_df(df.where(F.col("b") == 1).drop("b")).write_manifest(
-        data, man, ["u"], batch_id=1
-    )
+    # a second batch-side write with a committed batch_id RAISES
+    # (ADVICE r14: the silent exactly-once skip is for streaming
+    # foreachBatch replays; an interactive double-write would lose data)
+    with pytest.raises(ValueError, match="already committed"):
+        Stream.from_df(df.where(F.col("b") == 1).drop("b")).write_manifest(
+            data, man, ["u"], batch_id=1
+        )
     got = Stream.read_manifest(spark, man)
     assert got.count() == 200
     assert _rows(got.to_df(), "u", "payload") == _rows(
