@@ -30,12 +30,20 @@ constants — walked here over py4j.  Supported shapes:
   operands — contributes nothing (fall back to the full candidate list
   for that conjunct).
 
-TIMESTAMP_NTZ columns are intentionally NOT prunable through this path:
-a session-zoned timestamp literal compared against an NTZ column coerces
-through the session timezone, so no session-independent bound exists —
-``skipping_scan``'s typed probe (naive-datetime bounds) is the supported
-NTZ route.  The caller enforces this by checking the extracted bound's
-expected kind against the stats row's recorded kind.
+TIMESTAMP_NTZ columns prune through exactly ONE literal shape (round-14
+verdict ask 4): ``lit('YYYY-MM-DD[ HH:MM:SS[.ffffff]]')
+.cast('timestamp_ntz')`` — a ``Cast(Literal(str) -> TimestampNTZType)``
+node.  A STRING-sourced NTZ cast is pure calendar parsing, identical in
+every session timezone (the engine's own NTZ-literal rule,
+functions/timeutil.py), so the wall-clock bound it implies is
+session-independent and converts to the ``ts_ntz`` stats unit
+(wall-clock epoch seconds) by plain arithmetic.  A session-zoned
+timestamp literal (``F.lit(naive_datetime)`` -> java.sql.Timestamp)
+compared against an NTZ column, or a datetime-sourced NTZ cast (its
+wall clock round-trips through driver-OS and session zones), stays
+non-extractable — no session-independent bound exists.  The caller
+enforces kind pairing by checking the extracted bound's expected kind
+against the stats row's recorded kind.
 """
 
 from __future__ import annotations
@@ -52,12 +60,46 @@ KIND_COMPAT = {
     "str": {"str"},
     "ts": {"ts"},
     "date": {"date"},
+    "ts_ntz": {"ts_ntz"},
 }
+
+
+def _ntz_cast_literal(node):
+    """(naive datetime, 'ts_ntz') for a
+    ``Cast(Literal(str) -> TimestampNTZType)`` node — the one NTZ
+    literal shape with a session-independent wall clock.  Strings the
+    strict ISO parser rejects (or that carry a zone offset — Spark
+    would shift them) contribute nothing."""
+    import datetime as _dt
+
+    try:
+        if str(node.dataType()) != "TimestampNTZType":
+            return None
+        child = node.child()
+        if child.getClass().getSimpleName() != "Literal":
+            return None
+        v = child.value()
+    except Exception:
+        return None
+    if not isinstance(v, str):
+        return None
+    try:
+        d = _dt.datetime.fromisoformat(v.strip())
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        return None
+    return (d, "ts_ntz")
 
 
 def _literal_value(node):
     """(value, bound_type) for a Literal node, or None when the literal
     type is outside the supported pruning domain."""
+    try:
+        if node.getClass().getSimpleName() == "Cast":
+            return _ntz_cast_literal(node)
+    except Exception:
+        return None
     try:
         v = node.value()
     except Exception:

@@ -3227,6 +3227,72 @@ def facade_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "facade_pruned_scan_time",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(event_id) AS BIGINT) AS id_min,
+           CAST(max(event_id) AS BIGINT) AS id_max
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-08 06:30:00'
+                 AND TIMESTAMP '2024-01-12 18:45:30'
+    GROUP BY event_type
+    """,
+)
+def facade_pruned_scan_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME pruning from the FLUENT FACADE (round-14 verdict ask
+    4 — the gap where a fluent user filtering on the NTZ ``ts`` column
+    previously got zero pruning): events commit through
+    ``manifest_sink`` with per-batch range clustering on ``ts``, and
+    the query is ``Stream.read_manifest(...).filter(ts BETWEEN two
+    string-cast NTZ literals)``.  plans/prune.py extracts the
+    ``Cast(Literal(str) -> TimestampNTZType)`` shape — a STRING-sourced
+    NTZ cast is pure calendar parsing, identical in every session
+    timezone — to naive-datetime bounds that convert against the
+    ``kind='ts_ntz'`` stats rows (wall-clock epoch seconds) by plain
+    arithmetic; no session timezone touches either side.
+
+    The DuckDB oracle filters the full table on the same naive
+    timestamps: hash equality on plain AND hostile-timezone sessions
+    proves neither the pruning bound nor the residual literal leaked
+    through a session-zoned conversion.  The physical half (the facade
+    opens exactly the explicit ``skipping_scan`` candidate set) is
+    pinned in tests/test_round14_ops.py.
+
+    Scale shape: per-batch range shuffles for the layout, file-grain
+    stats aggs at commit, ONE Spark-side candidate aggregation per
+    filter, and a served scan of ~the range's share of the files —
+    "yesterday's events" opens yesterday's files at any table size."""
+    import tempfile
+
+    from kioss_spark.operators.skew import manifest_sink
+    from kioss_spark.stream import Stream
+
+    e = t(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type",
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_facade_time_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["ts"])
+    for batch_id in range(3):
+        sink(
+            e.where(F.col("b") == batch_id)
+            .drop("b")
+            .repartitionByRange(4, "ts"),
+            batch_id,
+        )
+    st = Stream.read_manifest(spark, manifest).filter(
+        (F.col("ts") >= F.lit("2024-01-08 06:30:00").cast("timestamp_ntz"))
+        & (F.col("ts") <= F.lit("2024-01-12 18:45:30").cast("timestamp_ntz"))
+    )
+    return st.to_df().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("event_id").cast("long").alias("id_min"),
+        F.max("event_id").cast("long").alias("id_max"),
+    )
+
+
+@register(
     "manifest_row_changes_scan",
     oracle="""
     WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
@@ -3366,6 +3432,77 @@ def manifest_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n_v_hit"))
     return full.crossJoin(pruned).select(
         "n_rows", "n_v", "n_v_hit", "payload_min", "payload_max"
+    )
+
+
+@register(
+    "manifest_rename_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 256 AS BIGINT) AS uid,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 3 AS BIGINT) AS b
+               FROM events)
+    SELECT uid, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e WHERE uid BETWEEN 4 AND 11 GROUP BY uid
+    """,
+)
+def manifest_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING end to end (round-14 verdict ask 6 — Delta's
+    column-mapping rename): two batches commit under the original
+    column name ``u``, ``manifest_rename_column`` re-keys the stats
+    rows to ``uid`` METADATA-ONLY (``phys`` keeps each file's stored
+    spelling; zero data files touched), a third batch lands writing
+    ``uid`` physically, and the query filters + aggregates on the NEW
+    name through the fluent facade — candidate pruning uses the
+    renamed stats rows (bounds ride the rename), and the read projects
+    physical -> logical with a per-row coalesce across the spellings
+    (each file stores exactly one).
+
+    The DuckDB oracle aggregates the full logical table under the new
+    name: hash equality proves the rename is invisible to answers —
+    old-spelling files, new-spelling files, and the pruned scan all
+    serve one logical schema.  Refusals (unknown source, occupied
+    target, re-adding a dropped name), drop tombstones, and
+    compaction's mapping retirement are pinned in
+    tests/test_round14_ops.py.
+
+    Scale shape: the rename commit rewrites the column's stats rows
+    (file-grain, O(files x 1 col) — Delta's metadata-action cost);
+    reads add one column-grain mapping collect and a per-row coalesce
+    only while old spellings remain (compaction physicalizes them
+    away)."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_rename_column,
+        manifest_sink,
+    )
+    from kioss_spark.stream import Stream
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_rename_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(2):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    manifest_rename_column(spark, manifest, "u", "uid")
+    manifest_sink(data, manifest, ["uid"])(
+        e.where(F.col("b") == 2).drop("b").withColumnRenamed("u", "uid"), 2
+    )
+    st = Stream.read_manifest(spark, manifest).filter(
+        (F.col("uid") >= 4) & (F.col("uid") <= 11)
+    )
+    return st.to_df().groupBy("uid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("payload").cast("long").alias("payload_min"),
+        F.max("payload").cast("long").alias("payload_max"),
     )
 
 
@@ -3538,6 +3675,78 @@ def manifest_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rd = manifest_row_diff(spark, manifest, from_snapshot=2)
     return (
         rd.where(F.col("change") == "delete")
+        .select("u", "payload")
+        .orderBy("payload")
+    )
+
+
+@register(
+    "manifest_stream_delete_feed",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload
+               FROM events)
+    SELECT u, payload FROM e WHERE u IN (5, 17)
+    ORDER BY payload
+    """,
+)
+def manifest_stream_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes STREAM through the manifest source (round-14 verdict ask
+    3 — the Delta CDF ``readChangeFeed`` analog, closing the
+    RTBF-propagation loop): a consumer drains the table in CDC mode
+    (``emit_deletes``: every row carries a ``change`` column), the
+    table forgets ``u IN (5, 17)`` via ``manifest_delete`` while the
+    consumer is down, and on resume the checkpointed source streams the
+    deleted ROWS THEMSELVES as ``change='delete'`` — positions = the
+    window's vector growth, read from the original immutable files by
+    the per-transition dv walk (streaming/manifest_source.py; exact
+    even when a compaction folds the vector away inside the same
+    window).
+
+    The DuckDB oracle selects the deleted slice of the full logical
+    table: hash equality proves the streamed delete rows are exactly
+    the forgotten rows — a downstream index can retract precisely
+    these.  Kill-and-resume and batch parity vs ``manifest_row_diff``
+    are pinned in tests/test_round14_ops.py.
+
+    Scale shape: delete partitions read only the affected files'
+    deleted positions (O(affected files + deleted rows)); inserts are
+    file-grain exactly-once as before."""
+    import tempfile
+
+    from kioss_spark.operators.skew import manifest_delete, manifest_sink
+    from kioss_spark.streaming.dialect import SStream
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_streamdel_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+
+    def drain():
+        q = (
+            SStream.from_manifest(spark, manifest, emit_deletes=True)
+            ._df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # consume the three batches (all 'insert'), then "die"
+    manifest_delete(spark, data, manifest, "u", values=[5, 17])
+    drain()  # resume: the retraction streams
+    return (
+        spark.read.parquet(out)
+        .where(F.col("change") == "delete")
         .select("u", "payload")
         .orderBy("payload")
     )

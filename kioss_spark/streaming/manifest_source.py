@@ -34,6 +34,21 @@ Operational contract (same as Delta's source): ``vacuum`` retention
 must cover consumer lag — a consumer resuming from a snapshot the
 retention already pruned, or needing a folded file vacuum collected,
 fails LOUDLY at planning/read time, never silently skips rows.
+
+CDC mode (``emit_deletes``, round-14 verdict ask 3 — Delta CDF's
+``readChangeFeed`` analog): the schema gains a ``change`` column;
+new-batch rows stream as ``'insert'`` and deletion-vector growth on
+already-consumed files streams the deleted ROWS THEMSELVES as
+``'delete'`` (positions = new vector minus old, read from the original
+immutable file).  Vector changes are detected per snapshot TRANSITION,
+so a delete-then-compact inside one offset window still emits its
+retraction before the fold purges the vector (the endpoint diff would
+miss it — the plain feed's refusal guard walks the same transitions).
+
+v3 checkpointed manifest log: ``_snapshot_table`` folds
+nearest-checkpoint + delta commits in pyarrow (the planner has no
+SparkSession; the fold is file-grain and bounded by the checkpoint
+interval).
 """
 
 from __future__ import annotations
@@ -77,7 +92,7 @@ def _complete_snapshots(manifest_dir: str) -> list:
     return sorted(out)
 
 
-def _snapshot_table(manifest_dir: str, seq: int, columns=None):
+def _version_table(manifest_dir: str, seq: int):
     import pyarrow.dataset as ds
 
     vdir = os.path.join(_local(manifest_dir), f"v{seq}")
@@ -89,7 +104,65 @@ def _snapshot_table(manifest_dir: str, seq: int, columns=None):
         )
     # pyarrow.dataset ignores '.'/'_'-prefixed entries (job markers,
     # writer tokens, checksums) by default
-    return ds.dataset(vdir, format="parquet").to_table(columns=columns)
+    return ds.dataset(vdir, format="parquet").to_table()
+
+
+def _is_delta(manifest_dir: str, seq: int) -> bool:
+    return os.path.exists(
+        os.path.join(_local(manifest_dir), f"v{seq}", "_delta")
+    )
+
+
+def _snapshot_table(manifest_dir: str, seq: int, columns=None):
+    """The COMPLETE stats-row list at ``seq`` under the v3 checkpointed
+    log: nearest checkpoint at or below, folded through the intervening
+    delta commits — the pyarrow mirror of operators/skew.py
+    ``_resolve_snapshot`` (the Data Source API planner has no
+    SparkSession; the fold is file-grain and bounded by the checkpoint
+    interval, so driver-side pyarrow is the right tool here)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    complete = _complete_snapshots(manifest_dir)
+    if seq not in complete:
+        raise ValueError(
+            f"manifest snapshot v{seq} is gone from {manifest_dir} — "
+            "vacuum retention must cover consumer lag; restart the "
+            "stream from a retained snapshot"
+        )
+    i = complete.index(seq)
+    chain = []
+    while _is_delta(manifest_dir, complete[i]):
+        chain.append(complete[i])
+        i -= 1
+        if i < 0:
+            raise ValueError(
+                f"manifest at {manifest_dir}: delta chain under "
+                f"v{seq} has no base checkpoint — vacuumed past "
+                "retention or corrupt"
+            )
+    t = _version_table(manifest_dir, complete[i])
+    for s in reversed(chain):
+        d = _version_table(manifest_dir, s)
+        act = d.column("__action__").to_pylist()
+        fp = d.column("file_path").to_pylist()
+        removes = {f for f, a in zip(fp, act) if a == "remove"}
+        adds = d.filter(
+            pc.equal(d.column("__action__"), "add")
+        ).drop_columns(["__action__"])
+        if removes:
+            t = t.filter(
+                pc.invert(
+                    pc.is_in(
+                        t.column("file_path"),
+                        value_set=pa.array(sorted(removes)),
+                    )
+                )
+            )
+        t = pa.concat_tables([t, adds], promote_options="permissive")
+    if columns is not None:
+        t = t.select(columns)
+    return t
 
 
 def _files_by_batch(manifest_dir: str, seq: int) -> dict:
@@ -140,6 +213,42 @@ def _dv_positions(dv_dir: str, src_file: str) -> set:
     return set(t.column("row_index").to_pylist())
 
 
+def plan_window_dv_changes(
+    manifest_dir: str, start_seq: int, end_seq: int
+) -> dict:
+    """file -> (dv_at_start, last_dv_while_present) for files the
+    consumer already holds (present in the START snapshot) whose
+    deletion vector changed inside the window — walked per TRANSITION,
+    not endpoint-to-endpoint, so a delete-then-compact inside one
+    window is still seen (the fold purges the vector and removes the
+    file; the endpoint diff would miss the retraction entirely)."""
+    if start_seq < 0:
+        return {}
+    seqs = [
+        s
+        for s in _complete_snapshots(manifest_dir)
+        if start_seq < s <= end_seq
+    ]
+    if not seqs:
+        return {}
+    dv_start = _dv_map(manifest_dir, start_seq)
+    consumed = set(dv_start)
+    prev = dict(dv_start)
+    out: dict = {}
+    for s in seqs:
+        cur = _dv_map(manifest_dir, s)
+        for f in consumed & set(cur):
+            if cur[f] != prev.get(f):
+                out[f] = (dv_start[f], cur[f])
+        prev = cur
+    # a vector can only compose (grow) while the file lives; drop
+    # no-op entries (e.g. changed then reverted is impossible, but a
+    # file re-listed with its start vector contributes nothing)
+    return {
+        f: (old, new) for f, (old, new) in out.items() if old != new
+    }
+
+
 def plan_window_files(manifest_dir: str, start_seq: int, end_seq: int) -> list:
     """The data files a consumer at snapshot ``start_seq`` must read to
     reach ``end_seq`` — the module docstring's transition walk."""
@@ -178,6 +287,19 @@ def plan_window_files(manifest_dir: str, start_seq: int, end_seq: int) -> list:
 class ManifestFilePartition(InputPartition):
     path: str
     dv_path: str = None
+    change_tag: str = None  # 'insert' in CDC mode; None = plain feed
+
+
+@dataclass
+class ManifestDeletePartition(InputPartition):
+    """CDC mode: emit the rows a window's deletion-vector growth
+    removed from an ALREADY-CONSUMED file — positions in (new vector
+    minus old vector), read from the original immutable file, tagged
+    ``change='delete'`` (Delta CDF's delete rows)."""
+
+    path: str
+    dv_new: str
+    dv_old: str = None
 
 
 class ManifestFeedStreamReader(DataSourceStreamReader):
@@ -187,6 +309,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self._start = int(options.get("starting_snapshot", -1))
         self._ignore_deletes = (
             str(options.get("ignore_deletes", "false")).lower() == "true"
+        )
+        self._emit_deletes = (
+            str(options.get("emit_deletes", "false")).lower() == "true"
         )
 
     # ------------------------------------------------------ offsets
@@ -212,31 +337,48 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         start_seq, end_seq = int(start["snapshot"]), int(end["snapshot"])
         files = plan_window_files(self._dir, start_seq, end_seq)
         dv_end = _dv_map(self._dir, end_seq) if end_seq >= 0 else {}
+        tag = "insert" if self._emit_deletes else None
+        parts = [
+            ManifestFilePartition(
+                path=f, dv_path=dv_end.get(f), change_tag=tag
+            )
+            for f in files
+        ]
+        if self._emit_deletes:
+            # CDC mode (round-14 verdict ask 3 — the Delta CDF
+            # readChangeFeed analog): vector growth on already-consumed
+            # files becomes change='delete' partitions instead of a
+            # refusal; files first emitted THIS window read through the
+            # end-of-window vector, so their deleted rows were never
+            # delivered and need no retraction
+            for f, (old, new) in sorted(
+                plan_window_dv_changes(
+                    self._dir, start_seq, end_seq
+                ).items()
+            ):
+                parts.append(
+                    ManifestDeletePartition(path=f, dv_new=new, dv_old=old)
+                )
+            return parts
         # deletion guard (Delta's ignoreDeletes semantics): a vector
         # change on an ALREADY-CONSUMED file means rows this consumer
         # holds were deleted upstream — an append feed cannot retract
-        # them, so refuse unless the consumer opted in; vectors on the
-        # files emitted THIS window are simply applied in read()
+        # them, so refuse unless the consumer opted in.  The check
+        # walks TRANSITIONS (not endpoints), so a delete-then-compact
+        # inside one window cannot slip through the fold.
         if not self._ignore_deletes and start_seq >= 0:
-            dv_start = _dv_map(self._dir, start_seq)
-            changed = [
-                f
-                for f, dv in dv_start.items()
-                if f in dv_end and dv_end[f] != dv
-            ]
+            changed = plan_window_dv_changes(self._dir, start_seq, end_seq)
             if changed:
                 raise ValueError(
                     f"manifest_feed: {len(changed)} already-consumed "
                     "file(s) gained deletion-vector changes between "
                     f"v{start_seq} and v{end_seq} — an append stream "
-                    "cannot retract delivered rows. Reprocess via "
-                    "manifest_row_diff, or opt in with "
-                    "option('ignore_deletes', 'true')."
+                    "cannot retract delivered rows. Consume the delete "
+                    "rows with option('emit_deletes', 'true') (adds a "
+                    "'change' column), reprocess via manifest_row_diff, "
+                    "or opt in with option('ignore_deletes', 'true')."
                 )
-        return [
-            ManifestFilePartition(path=f, dv_path=dv_end.get(f))
-            for f in files
-        ]
+        return parts
 
     def commit(self, end: dict) -> None:
         pass
@@ -252,16 +394,35 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         target = to_arrow_schema(self._schema)
         path = _local(partition.path)
         table = pq.read_table(path)
-        if partition.dv_path:
-            # merge-on-read: drop the file's deleted positions (pyarrow
-            # reads rows in file order, so position == row_index)
-            dead = _dv_positions(partition.dv_path, partition.path)
-            if dead:
-                keep = [i for i in range(len(table)) if i not in dead]
-                table = table.take(keep)
+        tag = None
+        if isinstance(partition, ManifestDeletePartition):
+            # CDC delete slice: exactly the positions the window's
+            # vector growth added, read from the original file
+            dead_new = _dv_positions(partition.dv_new, partition.path)
+            dead_old = (
+                _dv_positions(partition.dv_old, partition.path)
+                if partition.dv_old
+                else set()
+            )
+            table = table.take(sorted(dead_new - dead_old))
+            tag = "delete"
+        else:
+            if partition.dv_path:
+                # merge-on-read: drop the file's deleted positions
+                # (pyarrow reads rows in file order, so position ==
+                # row_index)
+                dead = _dv_positions(partition.dv_path, partition.path)
+                if dead:
+                    keep = [i for i in range(len(table)) if i not in dead]
+                    table = table.take(keep)
+            tag = partition.change_tag
         arrays = []
         for field in target:
-            if field.name in table.column_names:
+            if field.name == "change" and tag is not None:
+                arrays.append(
+                    pa.array([tag] * len(table), type=field.type)
+                )
+            elif field.name in table.column_names:
                 arrays.append(table.column(field.name).cast(field.type))
             else:
                 # schema evolution: the file predates this column
@@ -289,16 +450,48 @@ class ManifestFeedDataSource(DataSource):
         complete = _complete_snapshots(manifest_dir)
         if not complete:
             raise ValueError(f"no committed snapshot at {manifest_dir}")
-        t = _snapshot_table(manifest_dir, complete[-1], columns=["file_path"])
+        t = _snapshot_table(manifest_dir, complete[-1])
+        # column-mapping guard: this source serves PHYSICAL file
+        # schemas; an active rename (phys != col) or drop (tombstone)
+        # would stream old spellings / forgotten columns — refuse
+        # loudly until compact_manifest physicalizes the mapping
+        names = set(t.column_names)
+        if "phys" in names and "col" in names:
+            import pyarrow.compute as pc
+
+            mismatch = pc.any(
+                pc.not_equal(t.column("col"), t.column("phys"))
+            ).as_py()
+            tomb = (
+                pc.any(pc.equal(t.column("kind"), "tombstone")).as_py()
+                if "kind" in names
+                else False
+            )
+            if mismatch or tomb:
+                raise ValueError(
+                    "manifest_feed: the manifest has an active column "
+                    "mapping (rename/drop) — the streaming source "
+                    "serves physical file schemas and would leak old "
+                    "spellings or dropped columns. Run compact_manifest "
+                    "to physicalize the mapping first."
+                )
         files = sorted(set(t.column("file_path").to_pylist()))
         if not files:
             raise ValueError(f"empty manifest at {manifest_dir}")
         # footer-only schema union (schema evolution: later files may
         # carry more columns); n_files-bounded, no data reads
         schemas = [pq.read_schema(_local(f)) for f in files]
-        return from_arrow_schema(
-            pa.unify_schemas(schemas, promote_options="permissive")
-        )
+        unified = pa.unify_schemas(schemas, promote_options="permissive")
+        if str(self.options.get("emit_deletes", "false")).lower() == "true":
+            # CDC mode appends the Delta-CDF change column
+            if "change" in unified.names:
+                raise ValueError(
+                    "manifest_feed: emit_deletes adds a 'change' column "
+                    "but the table already has one — rename it or "
+                    "consume without emit_deletes"
+                )
+            unified = unified.append(pa.field("change", pa.string()))
+        return from_arrow_schema(unified)
 
     def streamReader(self, schema) -> ManifestFeedStreamReader:
         return ManifestFeedStreamReader(schema, self.options)

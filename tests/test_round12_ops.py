@@ -365,18 +365,25 @@ def test_compact_manifest_reader_isolation_and_time_travel(spark, tmp_path):
     # time travel to the FIRST snapshot still works pre-vacuum
     assert read_via_manifest(spark, manifest, snapshot=0).count() == 50
 
-    # vacuum with retain_last=1 collects the compacted inputs and the
-    # old snapshots; the current table is unchanged
+    # vacuum with retain_last=1 collects the compacted inputs; the
+    # current table is unchanged.  v3 checkpointed log (round 14): the
+    # retained head is a DELTA whose fold needs the chain down to the
+    # v0 checkpoint, so no version dir is deletable yet — but the DATA
+    # files only the dead versions referenced are collected, and
+    # time-traveling into those versions now fails loudly at SCAN time
+    # (Delta's log-outlives-files behavior).
     before = sorted(map(tuple, read_via_manifest(spark, manifest).collect()))
     audit = vacuum(spark, data, manifest, retain_last=1).collect()[0]
     assert audit["files_deleted"] == 9  # 3 batches x 3 parts all rewritten
-    assert audit["snapshots_deleted"] == 3  # v0, v1, v2 superseded
+    assert audit["snapshots_deleted"] == 0  # chain retained for the fold
     assert sorted(
         map(tuple, read_via_manifest(spark, manifest).collect())
     ) == before
-    # time travel to a vacuumed snapshot now fails loudly
-    with pytest.raises(ValueError, match="not committed"):
-        read_via_manifest(spark, manifest, snapshot=0)
+    # time travel below the retention line: the manifest still resolves
+    # (the log survives for the fold) but the data files are gone — the
+    # scan fails loudly, rows are never silently partial
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        read_via_manifest(spark, manifest, snapshot=0).collect()
 
 
 def test_vacuum_retains_requested_snapshots(spark, tmp_path):
@@ -392,10 +399,11 @@ def test_vacuum_retains_requested_snapshots(spark, tmp_path):
     compact_manifest(spark, data, manifest, target_mb=64.0)
 
     # retain_last=2 keeps snapshot v2 (pre-compaction) alive, so the
-    # batch files it lists must survive the vacuum
+    # batch files it lists must survive the vacuum; v3 log: v0/v1 are
+    # the retained chain's fold base and survive too (zero dirs die)
     audit = vacuum(spark, data, manifest, retain_last=2).collect()[0]
     assert audit["files_deleted"] == 0
-    assert audit["snapshots_deleted"] == 2  # v0, v1
+    assert audit["snapshots_deleted"] == 0
     assert sorted(
         map(tuple, read_via_manifest(spark, manifest, snapshot=2).collect())
     ) == sorted(all_rows)
@@ -837,13 +845,18 @@ def test_manifest_diff_and_changes(spark, tmp_path):
     assert empty.columns == ["x", "payload"]
 
 
-def test_manifest_diff_vacuumed_snapshot_raises(spark, tmp_path):
+def test_manifest_diff_vacuumed_snapshot_raises(spark, tmp_path, monkeypatch):
+    from kioss_spark.operators import skew
     from kioss_spark.operators.skew import (
         manifest_diff,
         manifest_sink,
         vacuum,
     )
 
+    # v3 log: version dirs below the oldest retained snapshot's BASE
+    # CHECKPOINT are the deletable ones — shrink the checkpoint
+    # interval so the head (v2) is itself a checkpoint and v0/v1 die
+    monkeypatch.setattr(skew, "_CHECKPOINT_INTERVAL", 2)
     data = str(tmp_path / "gone_data")
     manifest = str(tmp_path / "gone_manifest")
     sink = manifest_sink(data, manifest, ["x"])
