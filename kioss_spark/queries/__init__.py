@@ -335,19 +335,41 @@ for _round in sorted(_GREEN_ROUNDS):
 #: the 12 r9 names the new registrations displaced lead round 14's
 #: stale tier — the explicit, recorded cost of seven new oracle-gated
 #: queries.
-#: Round 14: the previous leaders all went green in the r13 window, so the
-#: list restarts empty at round start and is refilled AFTER the last
-#: code change of the round with the queries whose implementation round 14
-#: touched (manifest planning / facade pruning / streaming source work —
-#: see ROUND14.md).  With the list empty, the stale tier leads: the 12
-#: r9-stale names (q1_pricing_summary, q3_shipping_priority,
-#: q5_nation_revenue, q10_returned_items, pagerank_dup_graph,
-#: pivot_status_revenue, retention_cohorts, rollup_order_counts,
-#: sequence_view_click_purchase, split_leakage_pairs,
-#: pipeline_incremental_refresh, winsorize_event_values) — exactly the
-#: r13 verdict ask.  Run tools/rotation_audit.py after the LAST
-#: registration, never before (r12 and r13 both got bitten).
-_RECHECK_FIRST: tuple = ()
+#: Round 14 (set AFTER the round's last registration; window recomputed
+#: by tools/rotation_audit.py, never hand arithmetic): the previous
+#: leaders all went green in the r13 window.  This round rewrote the
+#: manifest engine — distributed planning (manifest_candidates_df), the
+#: v3 checkpointed delta log, deletion-vector/compaction race guards,
+#: column mapping, facade Spark-side pruning — so every r12/r13-green
+#: manifest-family query runs on changed code and leads the window for
+#: a fresh verdict at HEAD.  The 4 round-14 registrations
+#: (facade_pruned_scan_time, manifest_as_of_scan, manifest_rename_scan,
+#: manifest_stream_delete_feed) follow in the never-checked tier, then
+#: the stale tier: the 12 r9-stale names (q1_pricing_summary,
+#: q3_shipping_priority, q5_nation_revenue, q10_returned_items,
+#: pagerank_dup_graph, pivot_status_revenue, retention_cohorts,
+#: rollup_order_counts, sequence_view_click_purchase,
+#: split_leakage_pairs, pipeline_incremental_refresh,
+#: winsorize_event_values — the r13 verdict ask) and the 18 stalest r10
+#: names fill the remaining 30 slots: 16 + 4 + 12 + 18 = 50.
+_RECHECK_FIRST: tuple = (
+    "skipping_scan_events",
+    "skipping_scan_double",
+    "skipping_scan_strings",
+    "skipping_scan_time",
+    "manifest_ingest_scan",
+    "manifest_compact_scan",
+    "manifest_changes_scan",
+    "manifest_row_changes_scan",
+    "manifest_stats_only",
+    "member_scan_events",
+    "facade_pruned_scan",
+    "facade_member_scan",
+    "manifest_delete_scan",
+    "manifest_delete_feed",
+    "manifest_merge_scan",
+    "manifest_evolution_scan",
+)
 
 
 def load_all() -> dict[str, QueryDef]:

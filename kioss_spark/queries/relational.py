@@ -3436,6 +3436,67 @@ def manifest_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_as_of_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload,
+                      CAST(event_id % 3 AS BIGINT) AS b
+               FROM events)
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e WHERE b < 2 GROUP BY u
+    """,
+)
+def manifest_as_of_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP time travel (round-14 verdict ask 5 — Delta's
+    ``AS OF``): three batches commit; a wall clock captured BETWEEN the
+    second and third commits resolves — by ``resolve_as_of``'s
+    latest-at-or-before rule over the atomic ``_ts_`` commit stamps —
+    to the second snapshot, and the as-of read serves exactly batches
+    0-1, with batch 2 invisible.
+
+    The DuckDB oracle aggregates the first two batches of the full
+    logical table: hash equality proves as-of resolution picks the
+    right snapshot boundary (an off-by-one in either direction includes
+    batch 2 or drops batch 1).  Resolution edges (exact instant,
+    before-first-commit refusal, snapshot=+as_of= exclusion) are pinned
+    in tests/test_round14_ops.py.
+
+    Scale shape: resolution is a version-dir listing (no file-content
+    IO — the stamp rides the marker NAME); the read is the ordinary
+    manifest-resolved scan of the chosen snapshot."""
+    import tempfile
+    import time
+
+    from kioss_spark.operators.skew import manifest_sink, read_via_manifest
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_asof_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    sink(e.where(F.col("b") == 0).drop("b"), 0)
+    sink(e.where(F.col("b") == 1).drop("b"), 1)
+    pivot = time.time()
+    time.sleep(0.01)  # the third commit stamps strictly later
+    sink(e.where(F.col("b") == 2).drop("b"), 2)
+    return (
+        read_via_manifest(spark, manifest, as_of=pivot)
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("payload").cast("long").alias("payload_min"),
+            F.max("payload").cast("long").alias("payload_max"),
+        )
+    )
+
+
+@register(
     "manifest_rename_scan",
     oracle="""
     WITH e AS (SELECT CAST(user_id % 256 AS BIGINT) AS uid,
