@@ -692,6 +692,7 @@ def manifest_candidates_df(
     null_probes: Optional[dict] = None,
     member: Optional[DataFrame] = None,
     member_buckets: Optional[dict] = None,
+    kinds=None,
 ):
     """DISTRIBUTED candidate-file selection — the Spark-side form of
     ``manifest_candidates`` (round-14 verdict ask 1a): candidate
@@ -734,7 +735,10 @@ def manifest_candidates_df(
     until the candidates are final."""
     null_probes = null_probes or {}
     stats = _normalize_snapshot(stats)
-    kinds = stats.select("col", "kind").distinct().collect()
+    if kinds is None:
+        # callers that already hold the column-grain (col, kind[, phys])
+        # distinct rows pass them via kinds= to skip this job
+        kinds = stats.select("col", "kind").distinct().collect()
     all_cols = {r["col"] for r in kinds}
     kind_of = {}
     for r in kinds:
@@ -1012,8 +1016,10 @@ def skipping_scan(
         # index's FULL file set inside the same job, so a file whose
         # stats rows cover only OTHER columns is a loud hole, never a
         # silent drop (ADVICE r13).
+        nidx = _normalize_snapshot(index)
+        ck = nidx.select("col", "phys", "kind").distinct().collect()
         cand, kind_of, evolved = manifest_candidates_df(
-            spark, index, ranges
+            spark, nidx, ranges, kinds=ck
         )
         files = [r["file_path"] for r in cand]
         dv_pairs = [
@@ -1021,7 +1027,7 @@ def skipping_scan(
             for r in cand
             if r["dv_path"] is not None
         ]
-        renames, drops = _column_mapping(_normalize_snapshot(index))
+        renames, drops = _column_mapping(ck)
     else:
         # on-the-fly stats over a plain parquet path: building the index
         # IS a scan of the probed columns, so ONE n_files-bounded collect
@@ -1464,6 +1470,25 @@ class ManifestCommitConflict(RuntimeError):
     this compaction also selected)."""
 
 
+#: The v3 snapshot row schema — FIXED by the format, so version dirs are
+#: read with it EXPLICITLY: schema inference on a parquet dir costs a
+#: footer-reading Spark job, and the delta fold reads K+1 dirs per
+#: resolution — inference jobs were the round-14 bench regression's
+#: biggest term.  Columns a pre-round-13/14 checkpoint lacks (dv_path,
+#: n_deleted, phys) read as NULL and ``_normalize_snapshot`` coalesces
+#: them to their identity values.
+_SNAPSHOT_SCHEMA = (
+    "file_path string, file_bytes long, file_rows long, col string, "
+    "kind string, lo long, hi long, n_nulls long, lo_str string, "
+    "hi_str string, hi_inexact boolean, batch_id long, dv_path string, "
+    "n_deleted long, phys string"
+)
+_DELTA_SCHEMA = _SNAPSHOT_SCHEMA + ", __action__ string"
+
+#: Deletion-vector dir schema — fixed, so dv reads skip inference too.
+_DV_SCHEMA = "src_file string, row_index long"
+
+
 def _is_delta(fs, P, manifest_dir: str, seq: int) -> bool:
     return fs.exists(P(f"{manifest_dir}/v{seq}/_delta"))
 
@@ -1502,32 +1527,79 @@ def _resolve_snapshot(
     over file-grain frames — Delta replaying its log from
     ``_last_checkpoint``, as DataFrame ops so planning stays
     distributed."""
+    import pyarrow.parquet as _pq
+
     P, fs = _hadoop_fs(spark, manifest_dir)
     base, chain = _delta_chain(fs, P, manifest_dir, seq, complete)
-    snap = spark.read.parquet(f"{manifest_dir}/v{base}")
-    if "batch_id" not in snap.columns:
-        raise ValueError(
-            f"manifest at {manifest_dir} predates the snapshot format "
-            "(v-dirs are per-batch stats deltas, not complete file "
-            "lists — serving one would silently drop every other "
-            "batch). Migrate: union all v-dirs' rows tagged with their "
-            "batch ids into one snapshot and commit it as v{max+1} "
-            "alongside commits/b{id} markers, or re-ingest through the "
-            "current manifest_sink"
+    # v1-layout guard without a Spark inference job: ONE footer read of
+    # one part-file (driver-side pyarrow; the base dir is local-or-HDFS
+    # listable through the same fs handle)
+    base_dir = f"{manifest_dir}/v{base}"
+    part = next(
+        (
+            st.getPath()
+            for st in fs.listStatus(P(base_dir))
+            if st.getPath().getName().startswith("part-")
+        ),
+        None,
+    )
+    if part is not None:
+        try:
+            names = set(
+                _pq.read_schema(part.toUri().getPath()).names
+            )
+        except OSError:
+            names = None
+        if names is not None and "batch_id" not in names:
+            raise ValueError(
+                f"manifest at {manifest_dir} predates the snapshot "
+                "format (v-dirs are per-batch stats deltas, not "
+                "complete file lists — serving one would silently drop "
+                "every other batch). Migrate: union all v-dirs' rows "
+                "tagged with their batch ids into one snapshot and "
+                "commit it as v{max+1} alongside commits/b{id} "
+                "markers, or re-ingest through the current "
+                "manifest_sink"
+            )
+    base = (
+        spark.read.schema(_SNAPSHOT_SCHEMA)
+        .parquet(base_dir)
+        .withColumn("__action__", F.lit("add"))
+        .withColumn("__seq__", F.lit(0))
+    )
+    if not chain:
+        return _normalize_snapshot(base.drop("__action__", "__seq__"))
+    # LAST-WRITER-WINS fold: within the delta model every 'add' is a
+    # whole-file row set (new file, dv update, or rewrite) and every
+    # 'remove' retires a whole file — evolution backfills, which touch
+    # existing files additively, always commit as checkpoints.  So the
+    # fold is ONE union + ONE file-partitioned window (keep each
+    # file's max-seq rows when that action is 'add'), not K chained
+    # broadcast anti-joins — K fewer broadcast-build jobs per
+    # resolution, and the hash partitioning on file_path is exactly
+    # what the downstream candidate aggregation reuses.
+    frames = [base]
+    for i, s in enumerate(chain, 1):
+        frames.append(
+            spark.read.schema(_DELTA_SCHEMA)
+            .parquet(f"{manifest_dir}/v{s}")
+            .withColumn("__seq__", F.lit(i))
         )
-    snap = _normalize_snapshot(snap)
-    for s in chain:
-        d = spark.read.parquet(f"{manifest_dir}/v{s}")
-        removes = d.where(F.col("__action__") == "remove").select(
-            "file_path"
+    all_rows = frames[0]
+    for fdf in frames[1:]:
+        all_rows = all_rows.unionByName(fdf)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("file_path")
+    snap = (
+        all_rows.withColumn("__mx__", F.max("__seq__").over(w))
+        .where(
+            (F.col("__seq__") == F.col("__mx__"))
+            & (F.col("__action__") == "add")
         )
-        adds = _normalize_snapshot(
-            d.where(F.col("__action__") == "add").drop("__action__")
-        )
-        snap = snap.join(
-            F.broadcast(removes), "file_path", "left_anti"
-        ).unionByName(adds)
-    return snap
+        .drop("__action__", "__seq__", "__mx__")
+    )
+    return _normalize_snapshot(snap)
 
 
 def _delta_frame(spark: SparkSession, adds: DataFrame, removes) -> DataFrame:
@@ -1686,8 +1758,18 @@ def _normalize_snapshot(snap: DataFrame) -> DataFrame:
         snap = snap.withColumn("dv_path", F.lit(None).cast("string"))
     if "n_deleted" not in snap.columns:
         snap = snap.withColumn("n_deleted", F.lit(0).cast("long"))
+    else:
+        # explicit-schema reads surface a pre-round-13 checkpoint's
+        # missing column as NULLs — coalesce to the identity value
+        snap = snap.withColumn(
+            "n_deleted", F.coalesce(F.col("n_deleted"), F.lit(0))
+        )
     if "phys" not in snap.columns:
         snap = snap.withColumn("phys", F.col("col"))
+    else:
+        snap = snap.withColumn(
+            "phys", F.coalesce(F.col("phys"), F.col("col"))
+        )
     return snap
 
 
@@ -1728,7 +1810,9 @@ def apply_delete_vectors(
         return df
     dv_union = None
     for d, fs_ in sorted(by_dir.items()):
-        part = spark.read.parquet(d).where(F.col("src_file").isin(fs_))
+        part = spark.read.schema(_DV_SCHEMA).parquet(d).where(
+            F.col("src_file").isin(fs_)
+        )
         dv_union = part if dv_union is None else dv_union.unionByName(part)
     tagged = df.withColumn(
         "__f__", F.col("_metadata.file_path")
@@ -1848,8 +1932,9 @@ def manifest_delete(
     covered = {r["col"] for r in ck}
     any_absent = any(r["kind"] in ("absent", "tombstone") for r in ck)
     renames, drops = _column_mapping(ck)
+    cand = None
     if covered >= set(ranges):
-        cand, _, _ = manifest_candidates_df(spark, snap, ranges)
+        cand, _, _ = manifest_candidates_df(spark, snap, ranges, kinds=ck)
         candidates = [r["file_path"] for r in cand]
     else:
         # the predicate column carries no stats rows: candidate pruning
@@ -1909,16 +1994,25 @@ def manifest_delete(
     )
     if not affected:
         return audit(0, 0, head_seq)
-    # the affected files' dv metadata: ONE O(affected)-bounded collect
-    # (file-grain rows restricted to the affected set — never the
-    # table-wide stats rows)
-    aff_meta = {
-        r["file_path"]: (r["dv_path"], r["n_deleted"] or 0)
-        for r in snap.where(F.col("file_path").isin(affected))
-        .select("file_path", "dv_path", "n_deleted")
-        .distinct()
-        .collect()
-    }
+    # the affected files' dv metadata: affected ⊆ candidates, and the
+    # candidate rows already carry (dv_path, n_deleted) — zero extra
+    # jobs on the pruned path; the no-stats fallback pays ONE
+    # O(affected)-bounded collect
+    if cand is not None:
+        aset = set(affected)
+        aff_meta = {
+            r["file_path"]: (r["dv_path"], r["n_deleted"] or 0)
+            for r in cand
+            if r["file_path"] in aset
+        }
+    else:
+        aff_meta = {
+            r["file_path"]: (r["dv_path"], r["n_deleted"] or 0)
+            for r in snap.where(F.col("file_path").isin(affected))
+            .select("file_path", "dv_path", "n_deleted")
+            .distinct()
+            .collect()
+        }
     # compose with the affected files' EXISTING vectors so the new dir
     # is complete for every file it covers
     by_dir: dict = {}
@@ -1927,13 +2021,15 @@ def manifest_delete(
             by_dir.setdefault(dv, []).append(f)
     for d, fs_ in sorted(by_dir.items()):
         matches = matches.unionByName(
-            spark.read.parquet(d).where(F.col("src_file").isin(fs_))
+            spark.read.schema(_DV_SCHEMA).parquet(d).where(
+                F.col("src_file").isin(fs_)
+            )
         )
     dv_dir = f"{data_dir}/dv_{uuid.uuid4().hex[:12]}"
     matches.distinct().repartition(1).write.parquet(dv_dir)
     counts = {
         r["src_file"]: r["n"]
-        for r in spark.read.parquet(dv_dir)
+        for r in spark.read.schema(_DV_SCHEMA).parquet(dv_dir)
         .groupBy("src_file")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .collect()
@@ -2181,6 +2277,13 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
             # steady state: the delta form — remove any prior rows of
             # this batch_id (crash-window replay REPLACES), add the
             # fresh directory's stats.  O(batch), never O(files).
+            # Prior rows can exist ONLY in the crash-window replay, and
+            # data lands BEFORE any snapshot row (the write-order
+            # invariant), so a replay always found a prior batch dir
+            # and bumped to a _r{n} suffix — a first-suffix write skips
+            # the replaced-files probe entirely (one job per commit).
+            if out == f"{data_dir}/batch_{batch_id}":
+                return ([], new_stats)
             replayed = [
                 r["file_path"]
                 for r in head.where(F.col("batch_id") == batch_id)

@@ -224,6 +224,7 @@ class Stream:
             "evolved": evolved,
             "dv": dv,
             "kind_by_col": kind_by_col,
+            "ck": ck,
             "mapping": (renames, drops),
             "stat_cols": {r["col"] for r in ck},
             "bounds": {},
@@ -372,6 +373,7 @@ class Stream:
                 null_probes=usable_nulls,
                 member=mf["member"] if member_buckets else None,
                 member_buckets=member_buckets or None,
+                kinds=mf["ck"],
             )
         files = [r["file_path"] for r in cand]
         evolved = any(r["has_absent"] for r in cand)
