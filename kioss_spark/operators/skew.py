@@ -2625,6 +2625,93 @@ def read_manifest(
     return _resolve_snapshot(spark, manifest_dir, seq, complete)
 
 
+def manifest_history(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the manifest table: one row per COMMITTED
+    version — (snapshot, is_delta, commit_ts_us).  Version-dir grain,
+    driver-bounded, no file-content IO (the delta flag and the commit
+    wall clock both ride marker NAMES inside the version dir)."""
+    P, fs = _hadoop_fs(spark, manifest_dir)
+    complete, _ = _snapshot_seqs(spark, manifest_dir)
+    if not complete:
+        raise ValueError(f"no committed snapshot at {manifest_dir}")
+    rows = [
+        (
+            seq,
+            _is_delta(fs, P, manifest_dir, seq),
+            _snapshot_commit_ts(fs, P, manifest_dir, seq),
+        )
+        for seq in complete
+    ]
+    return spark.createDataFrame(
+        rows, "snapshot long, is_delta boolean, commit_ts_us long"
+    )
+
+
+def manifest_restore(
+    spark: SparkSession,
+    manifest_dir: str,
+    snapshot: Optional[int] = None,
+    as_of=None,
+) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION / TIMESTAMP (Delta RESTORE): commit
+    a NEW version whose content is the chosen snapshot's COMPLETE file
+    list — history stays linear (the bad commits remain inspectable
+    and time-travelable until vacuum), concurrent writers serialize
+    through the optimistic CAS, and every reader flips atomically to
+    the restored state.  The restore undoes deletes, merges, renames,
+    drops, and compactions in one commit — the operational
+    complement of the RTBF machinery (oops-recovery).
+
+    Every data file and deletion-vector dir the target lists must
+    still exist (``vacuum`` may have collected a stale target) — a
+    missing one REFUSES the restore up front, never a half-restored
+    table.  The commit is a full checkpoint (a restore's change is
+    unbounded by construction).
+
+    Returns one row: (restored_from, files, snapshot)."""
+    complete, _ = _snapshot_seqs(spark, manifest_dir)
+    if not complete:
+        raise ValueError(f"no committed snapshot at {manifest_dir}")
+    if snapshot is not None and as_of is not None:
+        raise ValueError(
+            "manifest_restore: pass snapshot= OR as_of=, not both"
+        )
+    if as_of is not None:
+        snapshot = resolve_as_of(spark, manifest_dir, as_of)
+    if snapshot is None:
+        raise ValueError(
+            "manifest_restore needs snapshot= or as_of= (restoring to "
+            "the current head is a no-op)"
+        )
+    target = read_manifest(spark, manifest_dir, snapshot)
+    pairs = target.select("file_path", "dv_path").distinct().collect()
+    P, fs = _hadoop_fs(spark, manifest_dir)
+    missing = sorted(
+        {p["file_path"] for p in pairs if not fs.exists(P(p["file_path"]))}
+        | {
+            p["dv_path"]
+            for p in pairs
+            if p["dv_path"] is not None and not fs.exists(P(p["dv_path"]))
+        }
+    )
+    if missing:
+        raise ValueError(
+            f"manifest_restore: {len(missing)} file(s)/vector dir(s) "
+            f"the target snapshot lists no longer exist (first: "
+            f"{missing[0]}) — vacuum collected them; restore to a "
+            "retained snapshot"
+        )
+
+    def derive(complete_seqs):
+        return target
+
+    seq = _commit_snapshot(spark, manifest_dir, derive)
+    return spark.createDataFrame(
+        [(snapshot, len({p["file_path"] for p in pairs}), seq)],
+        "restored_from long, files long, snapshot long",
+    )
+
+
 def read_via_manifest(
     spark: SparkSession,
     manifest_dir: str,

@@ -3436,6 +3436,115 @@ def manifest_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_restore_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload
+               FROM events)
+    SELECT u, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(payload) AS BIGINT) AS payload_min,
+           CAST(max(payload) AS BIGINT) AS payload_max
+    FROM e GROUP BY u
+    """,
+)
+def manifest_restore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION (round-14 — Delta RESTORE, the oops-recovery
+    complement of RTBF): three batches commit, a ``manifest_delete``
+    forgets ``u IN (5, 17)``, and ``manifest_restore`` commits a NEW
+    version whose content is the pre-delete snapshot — history stays
+    linear (the delete remains time-travelable until vacuum), readers
+    flip atomically, and the restore refuses up front if vacuum
+    already collected anything the target lists.
+
+    The DuckDB oracle aggregates the FULL logical table: hash equality
+    proves the restore resurrected exactly the deleted rows — the
+    delete's vector no longer applies, and nothing else changed.
+    History-shape and refusal pins live in tests/test_round14_ops.py.
+
+    Scale shape: the restore writes one checkpoint (a restore's change
+    is unbounded by construction); the existence probe is
+    version-file-grain driver work."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_delete,
+        manifest_restore,
+        manifest_sink,
+        read_via_manifest,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_restore_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    manifest_delete(spark, data, manifest, "u", values=[5, 17])
+    manifest_restore(spark, manifest, snapshot=2)
+    return (
+        read_via_manifest(spark, manifest)
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("payload").cast("long").alias("payload_min"),
+            F.max("payload").cast("long").alias("payload_max"),
+        )
+    )
+
+
+@register(
+    "manifest_history_scan",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), false),
+        (CAST(1 AS BIGINT), true),
+        (CAST(2 AS BIGINT), true),
+        (CAST(3 AS BIGINT), true),
+        (CAST(4 AS BIGINT), false)
+    ) AS t(snapshot, is_delta)
+    """,
+)
+def manifest_history_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (round-14): a known five-commit lifecycle —
+    ingest checkpoint, two ingest deltas, a delete delta, a restore
+    checkpoint — read back from the version dirs' markers alone
+    (no file-content IO).  The literal-VALUES oracle pins the v3 log's
+    COMMIT-KIND sequence exactly: the first commit and the restore are
+    checkpoints, steady-state commits are deltas — the economics the
+    checkpointed log exists for (commit wall clocks are
+    session-dependent and projected out; their resolution rule is
+    gated by manifest_as_of_scan)."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_delete,
+        manifest_history,
+        manifest_restore,
+        manifest_sink,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_history_")
+    data, manifest = f"{base}/data", f"{base}/manifest"
+    sink = manifest_sink(data, manifest, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    manifest_delete(spark, data, manifest, "u", values=[5, 17])
+    manifest_restore(spark, manifest, snapshot=2)
+    return manifest_history(spark, manifest).select("snapshot", "is_delta")
+
+
+@register(
     "manifest_as_of_scan",
     oracle="""
     WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,

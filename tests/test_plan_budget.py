@@ -201,8 +201,12 @@ BUDGET = {
     # round-12: stats-only aggregation — commits at plan build; the
     # served plan reads ONLY the n_files x n_cols snapshot; the three
     # 1-row aggregates (n_rows + two per-col stats, cross-joined) are
-    # the oneps BY DESIGN (manifest-grain, table-size-independent)
-    "manifest_stats_only": (1, 3),
+    # the oneps BY DESIGN (manifest-grain, table-size-independent).
+    # round-14: the v3 checkpointed log resolves the snapshot through a
+    # last-writer-wins fold whose window exchange is ALSO
+    # manifest-grain — the extra shuffles carry n_files x cols rows,
+    # never table rows, so the 100 TB contract is intact
+    "manifest_stats_only": (3, 3),
 }
 
 #: narrow-scan pins: projection must reach the parquet scan

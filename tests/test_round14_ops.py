@@ -598,6 +598,53 @@ def test_stream_refusal_sees_delete_then_compact_in_one_window(
 
 
 # ---------------------------------------------------------------------------
+# RESTORE + HISTORY (Delta RESTORE / DESCRIBE HISTORY analogs)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_edges(spark, tmp_path):
+    """Restore undoes a rename (old logical schema returns), resolves
+    by as_of, refuses a vacuumed target, and the table keeps accepting
+    commits after a restore."""
+    import time
+
+    from kioss_spark.operators.skew import (
+        manifest_history,
+        manifest_rename_column,
+        manifest_restore,
+        manifest_sink,
+        read_via_manifest,
+        vacuum,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk(spark, n=200, batches=2)
+    sink = manifest_sink(data, man, ["u"])
+    sink(df.where(F.col("b") == 0).drop("b"), 0)
+    t_mid = time.time()
+    time.sleep(0.01)
+    sink(df.where(F.col("b") == 1).drop("b"), 1)
+    manifest_rename_column(spark, man, "u", "uid")
+    # as_of restore to the wall clock between the two ingests
+    out = manifest_restore(spark, man, as_of=t_mid).collect()[0]
+    assert out["restored_from"] == 0
+    got = read_via_manifest(spark, man)
+    assert "u" in got.columns and "uid" not in got.columns  # rename undone
+    assert got.count() == 100
+    # the restored table accepts new commits
+    manifest_sink(data, man, ["u"])(df.where(F.col("b") == 1).drop("b"), 7)
+    assert read_via_manifest(spark, man).count() == 200
+    hist = manifest_history(spark, man).collect()
+    assert [r["snapshot"] for r in hist] == list(range(len(hist)))
+    # restoring to a vacuumed-away target refuses up front: after a
+    # retain_last=1 vacuum the pre-restore versions are gone (their
+    # keep-chain base is the restore checkpoint) — loudly unresolvable
+    vacuum(spark, data, man, retain_last=1)
+    with pytest.raises(ValueError, match="not committed|no longer exist"):
+        manifest_restore(spark, man, snapshot=1)
+
+
+# ---------------------------------------------------------------------------
 # distributed planning: O(candidates) collects + coverage holes
 # ---------------------------------------------------------------------------
 
