@@ -645,6 +645,126 @@ def test_restore_edges(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# model-based lifecycle fuzz: the v3 log vs a driver-side reference model
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_manifest_lifecycle_matches_model(spark, tmp_path, seed):
+    """Seeded randomized op sequences (ingest / range + point delete /
+    compact / restore / vacuum) against a pure-Python reference model:
+    after EVERY op the served table equals the model EXACTLY, the
+    zero-job count agrees, and at the end every still-resolvable
+    snapshot time-travels to the model state recorded at its commit.
+    This is the delta-log's integration pin: any fold, replay, dv,
+    checkpoint-cadence, or restore bug that survives the targeted pins
+    must also survive three random walks to ship."""
+    import random
+
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_delete,
+        manifest_restore,
+        manifest_sink,
+        read_via_manifest,
+        vacuum,
+    )
+    from kioss_spark.stream import Stream
+
+    rng = random.Random(seed)
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    sink = manifest_sink(data, man, ["u"])
+    model: dict = {}  # payload -> u (payload unique by construction)
+    history: dict = {}  # snapshot seq -> frozen model items
+    next_payload = [0]
+
+    def latest_seq():
+        from kioss_spark.operators.skew import _snapshot_seqs
+
+        return _snapshot_seqs(spark, man)[0][-1]
+
+    def do_ingest(bid):
+        n = rng.randrange(30, 80)
+        rows = [
+            (rng.randrange(64), next_payload[0] + i) for i in range(n)
+        ]
+        next_payload[0] += n
+        sink(
+            spark.createDataFrame(rows, "u long, payload long"), bid
+        )
+        model.update({p: u for u, p in rows})
+
+    def do_delete():
+        if rng.random() < 0.5:
+            lo = rng.randrange(48)
+            hi = lo + rng.randrange(1, 8)
+            manifest_delete(spark, data, man, "u", lo=lo, hi=hi)
+            gone = [p for p, u in model.items() if lo <= u <= hi]
+        else:
+            vals = rng.sample(range(64), rng.randrange(1, 4))
+            manifest_delete(spark, data, man, "u", values=vals)
+            gone = [p for p, u in model.items() if u in vals]
+        for p in gone:
+            del model[p]
+
+    def do_restore():
+        live = [s for s in history if s <= latest_seq()]
+        if not live:
+            return
+        target = rng.choice(sorted(live))
+        try:
+            manifest_restore(spark, man, snapshot=target)
+        except ValueError:
+            return  # vacuumed target: refusal is the contract
+        model.clear()
+        model.update(dict(history[target]))
+
+    bid = [0]
+    do_ingest(bid[0]); bid[0] += 1
+    history[latest_seq()] = tuple(sorted(model.items()))
+    ops = ["ingest", "delete", "compact", "restore", "vacuum"]
+    weights = [4, 3, 1, 1, 1]
+    for _ in range(12):
+        op = rng.choices(ops, weights)[0]
+        if op == "ingest":
+            do_ingest(bid[0]); bid[0] += 1
+        elif op == "delete":
+            do_delete()
+        elif op == "compact":
+            compact_manifest(spark, data, man, target_mb=64.0)
+        elif op == "restore":
+            do_restore()
+        else:
+            vacuum(spark, data, man, retain_last=rng.randrange(1, 4))
+            history.clear()  # version dirs may be gone; re-anchor below
+        seq = latest_seq()
+        history[seq] = tuple(sorted(model.items()))
+        got = sorted(
+            (r["payload"], r["u"])
+            for r in read_via_manifest(spark, man).collect()
+        )
+        want = sorted(model.items())
+        assert got == want, f"seed={seed}: head diverged at op {op}"
+        assert Stream.read_manifest(spark, man).count() == len(model)
+    # time travel: every recorded snapshot still resolvable must serve
+    # the model state frozen at its commit
+    from kioss_spark.operators.skew import _snapshot_seqs
+
+    complete = set(_snapshot_seqs(spark, man)[0])
+    for s, frozen in history.items():
+        if s not in complete:
+            continue
+        try:
+            got = sorted(
+                (r["payload"], r["u"])
+                for r in read_via_manifest(spark, man, snapshot=s).collect()
+            )
+        except Exception:
+            continue  # vacuumed data under a retained log: loud is fine
+        assert got == sorted(frozen), f"seed={seed}: time travel to v{s}"
+
+
+# ---------------------------------------------------------------------------
 # distributed planning: O(candidates) collects + coverage holes
 # ---------------------------------------------------------------------------
 
