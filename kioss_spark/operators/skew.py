@@ -2712,6 +2712,68 @@ def manifest_restore(
     )
 
 
+def manifest_clone(
+    spark: SparkSession,
+    src_manifest: str,
+    dst_manifest: str,
+    snapshot: Optional[int] = None,
+    as_of=None,
+) -> DataFrame:
+    """SHALLOW CLONE (Delta CLONE): a new manifest whose first
+    checkpoint lists the SOURCE's data files — zero data copied, the
+    dev/test-sandbox primitive.  The clone is WRITE-ISOLATED from the
+    source by the architecture itself: ingest lands in the clone's own
+    batch dirs, row deletes are merge-on-read vectors written to the
+    CLONE's data_dir (source files are immutable and never rewritten),
+    compaction writes new files and only retires them from the CLONE's
+    manifest, and MERGE composes the two.  ``commits/b{id}`` markers
+    are copied for every batch the target lists, so the
+    committed-batches-only folding invariant holds on the clone.
+
+    The one shared-fate hazard is GC: the clone's files live in the
+    SOURCE's data directory, so ``vacuum`` through the clone would
+    delete files the source still references — a ``_shallow_clone``
+    marker makes vacuum REFUSE on clones (collect garbage through the
+    source, whose retention the clone's files follow; Delta restricts
+    shallow-clone VACUUM the same way).
+
+    Returns one row: (cloned_from, files, snapshot)."""
+    P, fs = _hadoop_fs(spark, src_manifest)
+    if snapshot is not None and as_of is not None:
+        raise ValueError(
+            "manifest_clone: pass snapshot= OR as_of=, not both"
+        )
+    if as_of is not None:
+        snapshot = resolve_as_of(spark, src_manifest, as_of)
+    complete, _ = _snapshot_seqs(spark, dst_manifest)
+    if complete:
+        raise ValueError(
+            f"manifest_clone: {dst_manifest} already has committed "
+            "snapshots — clone into a fresh directory"
+        )
+    target = read_manifest(spark, src_manifest, snapshot)
+    src_seq = (
+        snapshot
+        if snapshot is not None
+        else _snapshot_seqs(spark, src_manifest)[0][-1]
+    )
+    meta = target.select("file_path", "batch_id").distinct().collect()
+
+    def derive(complete_seqs):
+        return target
+
+    seq = _commit_snapshot(spark, dst_manifest, derive)
+    for b in sorted(
+        {r["batch_id"] for r in meta if r["batch_id"] is not None}
+    ):
+        fs.mkdirs(P(f"{dst_manifest}/commits/b{b}"))
+    fs.mkdirs(P(f"{dst_manifest}/_shallow_clone"))
+    return spark.createDataFrame(
+        [(src_seq, len({r["file_path"] for r in meta}), seq)],
+        "cloned_from long, files long, snapshot long",
+    )
+
+
 def read_via_manifest(
     spark: SparkSession,
     manifest_dir: str,
@@ -3160,6 +3222,17 @@ def vacuum(
     row-grain."""
     if retain_last < 1:
         raise ValueError(f"retain_last must be >= 1 (got {retain_last})")
+    _P0, _fs0 = _hadoop_fs(spark, manifest_dir)
+    if _fs0.exists(_P0(f"{manifest_dir}/_shallow_clone")):
+        # a shallow clone lists files inside the SOURCE's data
+        # directory — collecting "unreferenced" files through the
+        # clone's manifest would delete data the source still needs
+        raise ValueError(
+            f"vacuum: {manifest_dir} is a SHALLOW CLONE — its files "
+            "belong to the source table; run vacuum through the "
+            "source manifest instead (the clone's files follow the "
+            "source's retention)"
+        )
     complete, all_seqs = _snapshot_seqs(spark, manifest_dir)
     if not complete:
         raise ValueError(f"no committed snapshot at {manifest_dir}")

@@ -342,20 +342,20 @@ for _round in sorted(_GREEN_ROUNDS):
 #: v3 checkpointed delta log, deletion-vector/compaction race guards,
 #: column mapping, facade Spark-side pruning — so every r12/r13-green
 #: manifest-family query runs on changed code and leads the window for
-#: a fresh verdict at HEAD.  The 6 round-14 registrations
-#: (facade_pruned_scan_time, manifest_as_of_scan, manifest_history_scan,
-#: manifest_rename_scan, manifest_restore_scan,
+#: a fresh verdict at HEAD.  The 7 round-14 registrations
+#: (facade_pruned_scan_time, manifest_as_of_scan, manifest_clone_scan,
+#: manifest_history_scan, manifest_rename_scan, manifest_restore_scan,
 #: manifest_stream_delete_feed) follow in the never-checked tier, then
 #: the stale tier: the 12 r9-stale names (q1_pricing_summary,
 #: q3_shipping_priority, q5_nation_revenue, q10_returned_items,
 #: pagerank_dup_graph, pivot_status_revenue, retention_cohorts,
 #: rollup_order_counts, sequence_view_click_purchase,
 #: split_leakage_pairs, pipeline_incremental_refresh,
-#: winsorize_event_values — the r13 verdict ask) and the 16 stalest r10
-#: names fill the remaining 28 slots: 16 + 6 + 12 + 16 = 50
-#: (recomputed by tools/rotation_audit.py AFTER the restore/history
-#: registrations — the late-registration displacement is recorded, not
-#: silently suffered: 2 more r10 names wait for round 15).
+#: winsorize_event_values — the r13 verdict ask) and the 15 stalest r10
+#: names fill the remaining 27 slots: 16 + 7 + 12 + 15 = 50
+#: (recomputed by tools/rotation_audit.py AFTER the last registration —
+#: the late-registration displacement is recorded, not silently
+#: suffered: 3 more r10 names wait for round 15).
 _RECHECK_FIRST: tuple = (
     "skipping_scan_events",
     "skipping_scan_double",

@@ -3498,6 +3498,72 @@ def manifest_restore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_clone_scan",
+    oracle="""
+    WITH e AS (SELECT CAST(user_id % 64 AS BIGINT) AS u,
+                      CAST(event_id AS BIGINT) AS payload
+               FROM events)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_src,
+           CAST((SELECT count(*) FROM e WHERE u NOT IN (5, 17))
+                AS BIGINT) AS n_clone,
+           CAST((SELECT min(payload) FROM e WHERE u NOT IN (5, 17))
+                AS BIGINT) AS clone_payload_min,
+           CAST((SELECT max(payload) FROM e WHERE u NOT IN (5, 17))
+                AS BIGINT) AS clone_payload_max
+    """,
+)
+def manifest_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE isolation (round-14 — Delta CLONE): the source
+    table commits three batches, ``manifest_clone`` creates a
+    zero-copy clone, and a ``manifest_delete`` forgets ``u IN (5,17)``
+    ON THE CLONE — the deletion vector lands in the clone's own data
+    dir, so the clone serves the post-delete table while the SOURCE
+    still serves every row from the very same immutable files.
+
+    The DuckDB oracle computes both sides from the logical table: hash
+    equality proves zero-copy isolation end to end — the clone's
+    delete never leaked into the source, and the clone still resolves
+    every source file.  Refusals (vacuum-through-clone, clone into a
+    non-fresh dir) are pinned in tests/test_round14_ops.py.
+
+    Scale shape: the clone commit writes one manifest checkpoint
+    (file-grain) and copies batch markers — zero data IO at any table
+    size; the delete stays O(affected files + deleted rows)."""
+    import tempfile
+
+    from kioss_spark.operators.skew import (
+        manifest_clone,
+        manifest_delete,
+        manifest_sink,
+        read_via_manifest,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    e = ev.select(
+        F.pmod(F.col("user_id"), F.lit(64)).cast("long").alias("u"),
+        F.col("event_id").cast("long").alias("payload"),
+        F.pmod(F.col("event_id"), F.lit(3)).cast("long").alias("b"),
+    )
+    base = tempfile.mkdtemp(prefix="kioss_clone_")
+    data, src = f"{base}/data", f"{base}/src_manifest"
+    clone_data, dst = f"{base}/clone_data", f"{base}/clone_manifest"
+    sink = manifest_sink(data, src, ["u"])
+    for batch_id in range(3):
+        sink(e.where(F.col("b") == batch_id).drop("b"), batch_id)
+    manifest_clone(spark, src, dst)
+    manifest_delete(spark, clone_data, dst, "u", values=[5, 17])
+    src_n = read_via_manifest(spark, src).agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    clone_agg = read_via_manifest(spark, dst).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clone"),
+        F.min("payload").cast("long").alias("clone_payload_min"),
+        F.max("payload").cast("long").alias("clone_payload_max"),
+    )
+    return src_n.crossJoin(clone_agg)
+
+
+@register(
     "manifest_history_scan",
     oracle="""
     SELECT * FROM (VALUES

@@ -645,6 +645,56 @@ def test_restore_edges(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# shallow clone (Delta CLONE analog)
+# ---------------------------------------------------------------------------
+
+
+def test_shallow_clone_isolation_and_guards(spark, tmp_path):
+    """Zero-copy clone: writes/deletes/compaction on the clone never
+    touch source files; vacuum through the clone refuses; cloning into
+    a non-fresh dir refuses; clone time-travels independently."""
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_clone,
+        manifest_delete,
+        manifest_sink,
+        read_via_manifest,
+        vacuum,
+    )
+
+    data, src = str(tmp_path / "d"), str(tmp_path / "src")
+    cdata, dst = str(tmp_path / "cd"), str(tmp_path / "dst")
+    df = _mk(spark, n=300, batches=3)
+    sink = manifest_sink(data, src, ["u"])
+    for b in range(3):
+        sink(df.where(F.col("b") == b).drop("b"), b)
+    out = manifest_clone(spark, src, dst).collect()[0]
+    assert out["files"] > 0
+    # mutate the CLONE: delete + new batch + compact (into clone_data)
+    manifest_delete(spark, cdata, dst, "u", lo=10, hi=19)
+    manifest_sink(cdata, dst, ["u"])(
+        df.where(F.col("b") == 0).drop("b"), 99
+    )
+    compact_manifest(spark, cdata, dst, target_mb=64.0)
+    # the source is bit-for-bit untouched
+    assert _rows(read_via_manifest(spark, src), "u", "payload") == _rows(
+        df.drop("b"), "u", "payload"
+    )
+    # the clone serves its own lineage
+    expect = df.drop("b").where(~F.col("u").between(10, 19)).unionAll(
+        df.where(F.col("b") == 0).drop("b")
+    )
+    assert _rows(read_via_manifest(spark, dst), "u", "payload") == _rows(
+        expect, "u", "payload"
+    )
+    # guards
+    with pytest.raises(ValueError, match="SHALLOW CLONE"):
+        vacuum(spark, cdata, dst, retain_last=1)
+    with pytest.raises(ValueError, match="already has committed"):
+        manifest_clone(spark, src, dst)
+
+
+# ---------------------------------------------------------------------------
 # model-based lifecycle fuzz: the v3 log vs a driver-side reference model
 # ---------------------------------------------------------------------------
 
