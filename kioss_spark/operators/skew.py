@@ -166,12 +166,44 @@ def zvalue(a, b, bits: int = 16):
     """
     from kioss_spark.operators.similarity import _sql_col
 
-    a_sql = f"CAST({_sql_col(a)} AS BIGINT)"
-    b_sql = f"CAST({_sql_col(b)} AS BIGINT)"
+    return zvalue_n([a, b], bits=bits)
+
+
+def zvalue_n(cols, bits: Optional[int] = None):
+    """Morton/Z-order value of K non-negative integer columns (round 14
+    — the Delta ``OPTIMIZE ZORDER BY (c1, .., cK)`` shape for K > 2):
+    the low ``bits`` bits of each column interleaved round-robin
+    (column j in positions j, j+K, j+2K, ...), so every dimension's
+    locality survives the 1-D sort and min/max file stats prune
+    predicates on ANY clustered column.  Default ``bits`` =
+    floor(62 / K) — the widest per-column precision whose interleave
+    stays inside a positive BIGINT (62 usable bits), matching the
+    2-column default of 16 only when the caller asks for it
+    explicitly; locality degrades gracefully as K grows, which is the
+    mathematics of z-curves, not an implementation limit.
+
+    Same contract as ``zvalue``: one SQL-string expression (K x bits
+    shift-mask-or terms), pure integer codegen, zero shuffle;
+    clamp/bucket inputs to ``bits`` beforehand (wider values wrap via
+    masking — correctness intact, locality destroyed)."""
+    from kioss_spark.operators.similarity import _sql_col
+
+    cols = list(cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError(f"zvalue_n needs >= 2 columns (got {k})")
+    if bits is None:
+        bits = 62 // k
+    if bits < 1 or bits * k > 62:
+        raise ValueError(
+            f"zvalue_n: {k} columns x {bits} bits = {k * bits} "
+            "interleaved bits — must fit 62 (positive BIGINT)"
+        )
+    sqls = [f"CAST({_sql_col(c)} AS BIGINT)" for c in cols]
     terms = []
     for i in range(bits):
-        terms.append(f"((({a_sql} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({b_sql} >> {i}) & 1) << {2 * i + 1})")
+        for j, c_sql in enumerate(sqls):
+            terms.append(f"((({c_sql} >> {i}) & 1) << {i * k + j})")
     return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
@@ -278,11 +310,9 @@ def compact_parquet(
         elif len(cols) == 2:
             key = zvalue(cols[0], cols[1], bits=zbits)
         else:
-            raise ValueError(
-                f"cluster_by supports 1 or 2 columns (got {len(cols)}); "
-                "z-interleaving beyond 2 dims dilutes per-dim locality "
-                "below usefulness at this file count"
-            )
+            # K-dim interleave (round 14): per-dim locality dilutes as
+            # K grows — the z-curve's mathematics, caller's tradeoff
+            key = zvalue_n(cols, bits=min(zbits, 62 // len(cols)))
         out = df.repartitionByRange(n_files, key).sortWithinPartitions(key)
     else:
         out = df.repartition(n_files)
@@ -3482,9 +3512,7 @@ def compact_manifest(
         elif len(ccols) == 2:
             key = zvalue(ccols[0], ccols[1], bits=zbits)
         else:
-            raise ValueError(
-                f"cluster_by supports 1 or 2 columns (got {len(ccols)})"
-            )
+            key = zvalue_n(ccols, bits=min(zbits, 62 // len(ccols)))
         src = src.repartitionByRange(n_new, key).sortWithinPartitions(key)
     else:
         src = src.repartition(n_new)

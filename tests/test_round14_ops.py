@@ -645,6 +645,124 @@ def test_restore_edges(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# K-column z-order (OPTIMIZE ZORDER BY beyond 2 dims)
+# ---------------------------------------------------------------------------
+
+
+def test_zvalue_n_matches_zvalue_and_prunes_three_dims(spark, tmp_path):
+    from kioss_spark.operators.skew import (
+        compact_manifest,
+        manifest_candidates_df,
+        manifest_sink,
+        read_manifest,
+        zvalue,
+        zvalue_n,
+    )
+
+    # k=2 interleave is bit-identical to the classic zvalue
+    probe = spark.createDataFrame(
+        [(5, 9), (0, 0), (63, 1)], "a long, b long"
+    )
+    rows = probe.select(
+        zvalue("a", "b", bits=16).alias("z2"),
+        zvalue_n(["a", "b"], bits=16).alias("zn"),
+    ).collect()
+    assert all(r["z2"] == r["zn"] for r in rows)
+    with pytest.raises(ValueError, match="fit 62"):
+        zvalue_n(["a", "b", "c"], bits=21)
+    # a 3-dim clustered compaction prunes range probes on EVERY dim
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    import random
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [
+            (rng.randrange(64), rng.randrange(64), rng.randrange(64), i)
+            for i in range(24000)
+        ],
+        "x long, y long, z long, payload long",
+    )
+    sink = manifest_sink(data, man, ["x", "y", "z"])
+    sink(df, 0)
+    compact_manifest(
+        spark, data, man, target_mb=0.01, small_file_mb=10.0,
+        cluster_by=["x", "y", "z"],
+    )
+    snap = read_manifest(spark, man)
+    total = snap.select("file_path").distinct().count()
+    assert total >= 8
+    for c in ("x", "y", "z"):
+        cand, _, _ = manifest_candidates_df(spark, snap, {c: (4, 11)})
+        assert len(cand) < total, f"no pruning on {c}"
+        # answers stay exact through the pruned scan
+        got = sorted(
+            r["payload"]
+            for r in spark.read.parquet(
+                *[r2["file_path"] for r2 in cand]
+            )
+            .where(F.col(c).between(4, 11))
+            .collect()
+        )
+        want = sorted(
+            r["payload"]
+            for r in df.where(F.col(c).between(4, 11)).collect()
+        )
+        assert got == want
+
+
+# ---------------------------------------------------------------------------
+# compaction-vs-delete race (ADVICE r13 high) — deterministic pin
+# ---------------------------------------------------------------------------
+
+
+def test_compact_conflicts_when_delete_lands_mid_flight(
+    spark, tmp_path, monkeypatch
+):
+    """A manifest_delete committing BETWEEN compaction's planning and
+    its commit must raise ManifestCommitConflict: the rewrite read the
+    inputs through pre-delete vectors, so silently dropping the inputs
+    would resurrect the deleted (RTBF) rows in the compacted files.
+    The race is made deterministic by hooking the commit entry point:
+    the delete lands exactly inside compaction's window."""
+    from kioss_spark.operators import skew
+    from kioss_spark.operators.skew import (
+        ManifestCommitConflict,
+        compact_manifest,
+        manifest_delete,
+        manifest_sink,
+        read_via_manifest,
+    )
+
+    data, man = str(tmp_path / "d"), str(tmp_path / "m")
+    df = _mk(spark, n=300, batches=3)
+    sink = manifest_sink(data, man, ["u"])
+    for b in range(3):
+        sink(df.where(F.col("b") == b).drop("b"), b)
+    real = skew._commit_snapshot
+
+    def hooked(sp, mdir, derive, **kw):
+        monkeypatch.setattr(skew, "_commit_snapshot", real)
+        manifest_delete(sp, data, man, "u", values=[7])  # the racer
+        return real(sp, mdir, derive, **kw)
+
+    monkeypatch.setattr(skew, "_commit_snapshot", hooked)
+    with pytest.raises(ManifestCommitConflict, match="deletion vector"):
+        compact_manifest(spark, data, man, target_mb=64.0)
+    # nothing was lost: the table still serves the post-delete rows,
+    # and the RERUN compaction (fresh planning sees the new vector)
+    # succeeds and STILL serves them — no resurrection
+    expect = df.drop("b").where(F.col("u") != 7)
+    assert _rows(read_via_manifest(spark, man), "u", "payload") == _rows(
+        expect, "u", "payload"
+    )
+    out = compact_manifest(spark, data, man, target_mb=64.0).collect()[0]
+    assert out["files_rewritten"] > 0
+    assert _rows(read_via_manifest(spark, man), "u", "payload") == _rows(
+        expect, "u", "payload"
+    )
+
+
+# ---------------------------------------------------------------------------
 # shallow clone (Delta CLONE analog)
 # ---------------------------------------------------------------------------
 
