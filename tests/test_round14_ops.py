@@ -841,9 +841,10 @@ def test_manifest_lifecycle_matches_model(spark, tmp_path, seed):
 
     rng = random.Random(seed)
     data, man = str(tmp_path / "d"), str(tmp_path / "m")
-    sink = manifest_sink(data, man, ["u"])
     model: dict = {}  # payload -> u (payload unique by construction)
     history: dict = {}  # snapshot seq -> frozen model items
+    colhist: dict = {}  # snapshot seq -> logical column name then
+    colname = ["u"]  # current logical name (rename op flips it)
     next_payload = [0]
 
     def latest_seq():
@@ -857,8 +858,11 @@ def test_manifest_lifecycle_matches_model(spark, tmp_path, seed):
             (rng.randrange(64), next_payload[0] + i) for i in range(n)
         ]
         next_payload[0] += n
-        sink(
-            spark.createDataFrame(rows, "u long, payload long"), bid
+        manifest_sink(data, man, [colname[0]])(
+            spark.createDataFrame(
+                rows, f"{colname[0]} long, payload long"
+            ),
+            bid,
         )
         model.update({p: u for u, p in rows})
 
@@ -866,11 +870,11 @@ def test_manifest_lifecycle_matches_model(spark, tmp_path, seed):
         if rng.random() < 0.5:
             lo = rng.randrange(48)
             hi = lo + rng.randrange(1, 8)
-            manifest_delete(spark, data, man, "u", lo=lo, hi=hi)
+            manifest_delete(spark, data, man, colname[0], lo=lo, hi=hi)
             gone = [p for p, u in model.items() if lo <= u <= hi]
         else:
             vals = rng.sample(range(64), rng.randrange(1, 4))
-            manifest_delete(spark, data, man, "u", values=vals)
+            manifest_delete(spark, data, man, colname[0], values=vals)
             gone = [p for p, u in model.items() if u in vals]
         for p in gone:
             del model[p]
@@ -886,12 +890,21 @@ def test_manifest_lifecycle_matches_model(spark, tmp_path, seed):
             return  # vacuumed target: refusal is the contract
         model.clear()
         model.update(dict(history[target]))
+        colname[0] = colhist[target]
+
+    def do_rename():
+        from kioss_spark.operators.skew import manifest_rename_column
+
+        new = "uid" if colname[0] == "u" else "u"
+        manifest_rename_column(spark, man, colname[0], new)
+        colname[0] = new
 
     bid = [0]
     do_ingest(bid[0]); bid[0] += 1
     history[latest_seq()] = tuple(sorted(model.items()))
-    ops = ["ingest", "delete", "compact", "restore", "vacuum"]
-    weights = [4, 3, 1, 1, 1]
+    colhist[latest_seq()] = colname[0]
+    ops = ["ingest", "delete", "compact", "restore", "vacuum", "rename"]
+    weights = [4, 3, 1, 1, 1, 1]
     for _ in range(12):
         op = rng.choices(ops, weights)[0]
         if op == "ingest":
@@ -902,13 +915,17 @@ def test_manifest_lifecycle_matches_model(spark, tmp_path, seed):
             compact_manifest(spark, data, man, target_mb=64.0)
         elif op == "restore":
             do_restore()
+        elif op == "rename":
+            do_rename()
         else:
             vacuum(spark, data, man, retain_last=rng.randrange(1, 4))
             history.clear()  # version dirs may be gone; re-anchor below
+            colhist.clear()
         seq = latest_seq()
         history[seq] = tuple(sorted(model.items()))
+        colhist[seq] = colname[0]
         got = sorted(
-            (r["payload"], r["u"])
+            (r["payload"], r[colname[0]])
             for r in read_via_manifest(spark, man).collect()
         )
         want = sorted(model.items())
@@ -924,7 +941,7 @@ def test_manifest_lifecycle_matches_model(spark, tmp_path, seed):
             continue
         try:
             got = sorted(
-                (r["payload"], r["u"])
+                (r["payload"], r[colhist[s]])
                 for r in read_via_manifest(spark, man, snapshot=s).collect()
             )
         except Exception:
