@@ -314,12 +314,21 @@ def test_compact_single_column_range_clusters_that_column(spark, tmp_path):
 
 
 def test_compact_cluster_by_validates_arity(spark, tmp_path):
+    # round 14: cluster_by accepts ANY width via zvalue_n (K-dim Morton
+    # interleave, default bits = 62//K) — the old 2-column ceiling is
+    # gone; what still validates is the interleave-width bound itself
+    from kioss_spark.operators.skew import zvalue_n
+
     src = str(tmp_path / "frag2")
     _grid_df(spark, 64).write.parquet(src)
-    with pytest.raises(ValueError, match="1 or 2 columns"):
-        compact_parquet(
-            spark, src, str(tmp_path / "no"), cluster_by=["x", "y", "payload"]
-        )
+    audit = compact_parquet(
+        spark, src, str(tmp_path / "k3"), cluster_by=["x", "y", "payload"]
+    )
+    assert audit.count() >= 1  # 3-dim clustered rewrite lands
+    with pytest.raises(ValueError, match="fit 62"):
+        zvalue_n(["a", "b", "c"], bits=21)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        zvalue_n(["a"])
 
 
 def test_pruning_audit_fully_clustered_single_file(spark, tmp_path):
