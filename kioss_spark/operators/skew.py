@@ -409,6 +409,35 @@ def pruning_effectiveness_audit(
     return out
 
 
+def _stat_kind(col: str, typename: str) -> str:
+    """The stats-table bound typing for a column's Spark type name —
+    shared by ``stats_index`` (building stats) and ``manifest_sink``
+    (composing the column state it is about to commit)."""
+    t = typename
+    if t in ("byte", "short", "integer", "long", "boolean"):
+        return "int"
+    if t in ("float", "double"):
+        return "frac"
+    if t.startswith("decimal"):
+        return "dec"
+    if t == "timestamp_ntz":
+        return "ts_ntz"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "date":
+        return "date"
+    if t == "string":
+        return "str"
+    # nested/binary columns have no total order the footer stats could
+    # capture; NULL stats would make every file look all-null and
+    # silently drop rows — fail loudly instead
+    raise ValueError(
+        f"stats_index column {col!r} has unsupported type {t}: "
+        "min/max skipping stats need an ordered scalar column "
+        "(numeric, timestamp, date, or string)"
+    )
+
+
 def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
     """Per-file min/max/null-count statistics table — the data-skipping
     manifest of Delta/Iceberg (their per-file ``stats`` / manifest
@@ -470,32 +499,7 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
     (sublinear in rows: n_files x n_cols output), no joins."""
     cols = [cols] if isinstance(cols, str) else list(cols)
     df = spark.read.parquet(path)
-    kinds = {}
-    for c in cols:
-        t = df.schema[c].dataType.typeName()
-        if t in ("byte", "short", "integer", "long", "boolean"):
-            kinds[c] = "int"
-        elif t in ("float", "double"):
-            kinds[c] = "frac"
-        elif t.startswith("decimal"):
-            kinds[c] = "dec"
-        elif t == "timestamp_ntz":
-            kinds[c] = "ts_ntz"
-        elif t.startswith("timestamp"):
-            kinds[c] = "ts"
-        elif t == "date":
-            kinds[c] = "date"
-        elif t == "string":
-            kinds[c] = "str"
-        else:
-            # nested/binary columns have no total order the footer stats
-            # could capture; NULL stats would make every file look
-            # all-null and silently drop rows — fail loudly instead
-            raise ValueError(
-                f"stats_index column {c!r} has unsupported type {t}: "
-                "min/max skipping stats need an ordered scalar column "
-                "(numeric, timestamp, date, or string)"
-            )
+    kinds = {c: _stat_kind(c, df.schema[c].dataType.typeName()) for c in cols}
     i64_min, i64_max = -(2 ** 63), 2 ** 63 - 1
     aggs = []
     for c in cols:
@@ -1476,9 +1480,16 @@ def _check_manifest_format(spark: SparkSession, manifest_dir: str) -> None:
     ``_format_v{N}`` marker with N > ours) — forward-compat guard; the
     v1-layout detection itself is schema-based (``read_manifest`` checks
     the ``batch_id`` column, present in every v2 snapshot)."""
+    key = (spark.sparkContext.applicationId, manifest_dir)
+    if key in _FORMAT_OK:
+        # a dir that passed with OUR format marker present stays ours
+        # for the session (markers are never downgraded) — skips one
+        # py4j directory listing per manifest operation
+        return
     P, fs = _hadoop_fs(spark, manifest_dir)
     if not fs.exists(P(manifest_dir)):
         return
+    ours = False
     for st in fs.listStatus(P(manifest_dir)):
         name = st.getPath().getName()
         if name.startswith("_format_v"):
@@ -1492,6 +1503,10 @@ def _check_manifest_format(spark: SparkSession, manifest_dir: str) -> None:
                     f"this engine reads up to v{_MANIFEST_FORMAT} — "
                     "upgrade the reader"
                 )
+            if ver == _MANIFEST_FORMAT:
+                ours = True
+    if ours:
+        _FORMAT_OK.add(key)
 
 
 class ManifestCommitConflict(RuntimeError):
@@ -1517,6 +1532,219 @@ _DELTA_SCHEMA = _SNAPSHOT_SCHEMA + ", __action__ string"
 
 #: Deletion-vector dir schema — fixed, so dv reads skip inference too.
 _DV_SCHEMA = "src_file string, row_index long"
+
+# ---------------------------------------------------------------------------
+# Per-(application, manifest_dir, seq) memoization of COMMITTED snapshot
+# state (round-14 optimization pass, guide §1/§5: the bench showed the
+# manifest lifecycle queries spending most of their wall in repeated tiny
+# metadata jobs + driver/py4j plan rebuilds).  A committed version dir is
+# IMMUTABLE (the rename is the commit point; only ``vacuum`` ever deletes
+# one), so memoizing what a given (dir, seq) resolves to is sound — this is
+# Delta's in-memory ``Snapshot`` state, which it likewise composes
+# incrementally from the log instead of re-reading per action.  Three tiers:
+#
+# - ``_RESOLVED``: the resolved-snapshot DataFrame *object* per seq — plan
+#   construction + analysis + the v1-guard footer probe happen once, not
+#   per consumer (no persist(): the block-cache stays empty, the suite's
+#   zero-cached-blocks hygiene invariant holds).
+# - ``_COLSTATE``: the column-grain (col, phys, kind) distinct rows —
+#   O(cols) driver memory.  Commits that know their own change COMPOSE the
+#   next seq's state (prev ∪ additions) so steady-state lifecycles pay this
+#   collect once, not per commit.
+# - ``_FILELIST``: the file-grain rows (path, bytes, rows, batch_id,
+#   dv_path, n_deleted, has_absent) — O(files) driver memory, exactly the
+#   list functions like ``read_via_manifest``/the facade already collect
+#   per call (the scan needs the paths).  Misses resolve by composing the
+#   parent seq's memoized list through the delta dir's O(change) rows
+#   (pyarrow, zero Spark jobs — the streaming source's ``_snapshot_table``
+#   precedent) and fall back to one Spark file-grain collect at
+#   checkpoints.  Candidate SELECTION stays Spark-side
+#   (``manifest_candidates_df``) — the memo only serves the full-list
+#   consumers that always needed the full list.
+#
+# ``vacuum`` invalidates a dir's entries (it deletes version dirs); all
+# maps are LRU-bounded.  Keys carry the applicationId so a new session
+# never sees a stale context's plans.
+from collections import OrderedDict as _OrderedDict
+
+_RESOLVED: "_OrderedDict[tuple, DataFrame]" = _OrderedDict()
+_RESOLVED_MAX = 64
+_COLSTATE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_COLSTATE_MAX = 1024
+_FILELIST: "_OrderedDict[tuple, tuple]" = _OrderedDict()
+_FILELIST_MAX = 128
+_FORMAT_OK: set = set()
+
+
+def _memo_put(cache: "_OrderedDict", maxlen: int, key, value):
+    cache[key] = value
+    cache.move_to_end(key)
+    while len(cache) > maxlen:
+        cache.popitem(last=False)
+
+
+def _memo_get(cache: "_OrderedDict", key):
+    hit = cache.get(key)
+    if hit is not None:
+        cache.move_to_end(key)
+    return hit
+
+
+def _invalidate_manifest_memos(spark: SparkSession, manifest_dir: str):
+    """Drop every memo entry for ``manifest_dir`` — called by ``vacuum``
+    (the only operation that deletes committed version dirs, breaking
+    the immutability the memos rely on for old seqs)."""
+    app = spark.sparkContext.applicationId
+    for cache in (_RESOLVED, _COLSTATE, _FILELIST):
+        for k in [k for k in cache if k[0] == app and k[1] == manifest_dir]:
+            del cache[k]
+
+
+def _colstate(spark: SparkSession, manifest_dir: str, seq: int, complete):
+    """The committed snapshot's distinct (col, phys, kind) rows as plain
+    dicts, memoized per (app, dir, seq) — one column-grain Spark job the
+    first time a seq is inspected, zero afterwards (commit paths compose
+    and pre-record the state they just wrote)."""
+    key = (spark.sparkContext.applicationId, manifest_dir, seq)
+    hit = _memo_get(_COLSTATE, key)
+    if hit is not None:
+        return hit
+    snap = _resolve_snapshot(spark, manifest_dir, seq, complete)
+    rows = tuple(
+        {"col": r["col"], "phys": r["phys"], "kind": r["kind"]}
+        for r in snap.select("col", "phys", "kind").distinct().collect()
+    )
+    _memo_put(_COLSTATE, _COLSTATE_MAX, key, rows)
+    return rows
+
+
+def _colstate_record(spark: SparkSession, manifest_dir: str, seq: int, rows):
+    """Record a freshly-committed seq's column state (the writer KNOWS it:
+    base state ∪ its own additions) so readers skip the collect."""
+    dedup = {(r["col"], r["phys"], r["kind"]): r for r in rows}
+    _memo_put(
+        _COLSTATE,
+        _COLSTATE_MAX,
+        (spark.sparkContext.applicationId, manifest_dir, seq),
+        tuple(dedup.values()),
+    )
+
+
+def _filelist_collect(spark, manifest_dir, seq, complete):
+    snap = _resolve_snapshot(spark, manifest_dir, seq, complete)
+    rows = (
+        snap.groupBy("file_path")
+        .agg(
+            F.max("file_bytes").alias("file_bytes"),
+            F.max("file_rows").alias("file_rows"),
+            F.max("batch_id").alias("batch_id"),
+            F.max("dv_path").alias("dv_path"),
+            F.max("n_deleted").alias("n_deleted"),
+            F.max(
+                F.col("kind").isin("absent", "tombstone").cast("int")
+            ).alias("has_absent"),
+        )
+        .collect()
+    )
+    return {
+        r["file_path"]: {
+            "file_path": r["file_path"],
+            "file_bytes": r["file_bytes"],
+            "file_rows": r["file_rows"],
+            "batch_id": r["batch_id"],
+            "dv_path": r["dv_path"],
+            "n_deleted": r["n_deleted"] or 0,
+            "has_absent": r["has_absent"] or 0,
+        }
+        for r in rows
+    }
+
+
+def _filelist(spark: SparkSession, manifest_dir: str, seq: int, complete):
+    """The committed snapshot's FILE-GRAIN state — one dict per file:
+    (file_path, file_bytes, file_rows, batch_id, dv_path, n_deleted,
+    has_absent) sorted by path — memoized per (app, dir, seq).  A delta
+    seq composes from its parent's memoized list through the delta dir's
+    O(change) rows read driver-side with pyarrow (no Spark job — the
+    streaming source's fold); a checkpoint (or an unreadable/remote delta)
+    pays ONE Spark file-grain collect.  This is the list every full-scan
+    consumer (``read_via_manifest``, the facade, the change feeds) always
+    collected per call — the memo just stops re-collecting it per seq."""
+    app = spark.sparkContext.applicationId
+    key = (app, manifest_dir, seq)
+    hit = _memo_get(_FILELIST, key)
+    if hit is not None:
+        return hit
+    P, fs = _hadoop_fs(spark, manifest_dir)
+    by_file = None
+    if seq in complete and _is_delta(fs, P, manifest_dir, seq):
+        i = complete.index(seq)
+        if i > 0:
+            changed = _read_delta_rows_pyarrow(
+                spark, fs, P, manifest_dir, seq
+            )
+            if changed is not None:
+                # recurse toward the base checkpoint (≤ interval-1 deep);
+                # each level is either a memo hit or an O(change) pyarrow
+                # read — the Spark collect happens once, at the checkpoint
+                parent = _filelist(spark, manifest_dir, complete[i - 1],
+                                   complete)
+                by_file = {r["file_path"]: dict(r) for r in parent}
+                removes, adds = changed
+                for f in removes:
+                    by_file.pop(f, None)
+                by_file.update(adds)
+    if by_file is None:
+        by_file = _filelist_collect(spark, manifest_dir, seq, complete)
+    out = tuple(by_file[f] for f in sorted(by_file))
+    _memo_put(_FILELIST, _FILELIST_MAX, key, out)
+    return out
+
+
+def _read_delta_rows_pyarrow(spark, fs, P, manifest_dir: str, seq: int):
+    """(removed file_paths, {file_path: file-grain dict}) from a delta
+    version dir, read driver-side (O(change) rows).  None when the dir
+    is not locally readable — caller falls back to a Spark collect."""
+    try:
+        import pyarrow.parquet as _pq
+
+        parts = [
+            st.getPath()
+            for st in fs.listStatus(P(f"{manifest_dir}/v{seq}"))
+            if st.getPath().getName().startswith("part-")
+        ]
+        cols = [
+            "file_path", "file_bytes", "file_rows", "col", "kind",
+            "batch_id", "dv_path", "n_deleted", "__action__",
+        ]
+        removes: set = set()
+        adds: dict = {}
+        for p in parts:
+            tbl = _pq.read_table(p.toUri().getPath())
+            names = set(tbl.schema.names)
+            use = [c for c in cols if c in names]
+            for r in tbl.select(use).to_pylist():
+                if r.get("__action__") == "remove":
+                    removes.add(r["file_path"])
+                    continue
+                f = r["file_path"]
+                e = adds.get(f)
+                absent = int(r.get("kind") in ("absent", "tombstone"))
+                if e is None:
+                    adds[f] = {
+                        "file_path": f,
+                        "file_bytes": r.get("file_bytes"),
+                        "file_rows": r.get("file_rows"),
+                        "batch_id": r.get("batch_id"),
+                        "dv_path": r.get("dv_path"),
+                        "n_deleted": r.get("n_deleted") or 0,
+                        "has_absent": absent,
+                    }
+                elif absent and not e["has_absent"]:
+                    e["has_absent"] = 1
+        return sorted(removes), adds
+    except Exception:  # pragma: no cover - non-local FS / torn read
+        return None
 
 
 def _is_delta(fs, P, manifest_dir: str, seq: int) -> bool:
@@ -1559,6 +1787,16 @@ def _resolve_snapshot(
     distributed."""
     import pyarrow.parquet as _pq
 
+    # committed versions are immutable: the resolved DataFrame (its plan
+    # and the one-time v1-guard footer probe) is memoized per (app, dir,
+    # seq) so repeated consumers inside one lifecycle stop rebuilding and
+    # re-analyzing the fold — measured as the biggest py4j/driver term of
+    # the manifest bench family (guide §1 "measure first", §7.3 planning)
+    memo_key = (spark.sparkContext.applicationId, manifest_dir, seq)
+    memo_hit = _memo_get(_RESOLVED, memo_key)
+    if memo_hit is not None:
+        return memo_hit
+
     P, fs = _hadoop_fs(spark, manifest_dir)
     base, chain = _delta_chain(fs, P, manifest_dir, seq, complete)
     # v1-layout guard without a Spark inference job: ONE footer read of
@@ -1598,7 +1836,9 @@ def _resolve_snapshot(
         .withColumn("__seq__", F.lit(0))
     )
     if not chain:
-        return _normalize_snapshot(base.drop("__action__", "__seq__"))
+        out = _normalize_snapshot(base.drop("__action__", "__seq__"))
+        _memo_put(_RESOLVED, _RESOLVED_MAX, memo_key, out)
+        return out
     # LAST-WRITER-WINS fold: within the delta model every 'add' is a
     # whole-file row set (new file, dv update, or rewrite) and every
     # 'remove' retires a whole file — evolution backfills, which touch
@@ -1629,7 +1869,9 @@ def _resolve_snapshot(
         )
         .drop("__action__", "__seq__", "__mx__")
     )
-    return _normalize_snapshot(snap)
+    out = _normalize_snapshot(snap)
+    _memo_put(_RESOLVED, _RESOLVED_MAX, memo_key, out)
+    return out
 
 
 def _delta_frame(spark: SparkSession, adds: DataFrame, removes) -> DataFrame:
@@ -1937,8 +2179,8 @@ def manifest_delete(
     # planning is Spark-side (round-14 verdict ask 1a): the snapshot
     # stays a DataFrame; only the O(candidates) file list and the
     # O(affected) dv metadata ever reach the driver
-    snap = read_manifest(spark, manifest_dir)
-    head_seq = _snapshot_seqs(spark, manifest_dir)[0][-1]
+    head_seq, complete0 = _resolve_seq(spark, manifest_dir)
+    snap = _resolve_snapshot(spark, manifest_dir, head_seq, complete0)
 
     def audit(n_files: int, n_rows: int, seq: int) -> DataFrame:
         return spark.createDataFrame(
@@ -1958,10 +2200,29 @@ def manifest_delete(
             F.col("batch_id").isNull()
             | (F.col("batch_id") != exclude_batch_id)
         )
-    ck = snap.select("col", "phys", "kind").distinct().collect()
+    meta_all = _filelist(spark, manifest_dir, head_seq, complete0)
+    if exclude_batch_id is not None and any(
+        m["batch_id"] == exclude_batch_id for m in meta_all
+    ):
+        # crash-window merge replay: the excluded batch's rows sit in
+        # the head — the column state must be computed over the
+        # FILTERED snapshot (a column carried only by that batch must
+        # not count as covered)
+        ck = snap.select("col", "phys", "kind").distinct().collect()
+        ck_is_head_state = False
+    else:
+        # steady state: the exclude filter is a no-op (the batch has no
+        # committed rows yet) — the memoized column state is exact and
+        # costs zero Spark jobs (round-14 optimization pass)
+        ck = _colstate(spark, manifest_dir, head_seq, complete0)
+        ck_is_head_state = True
     covered = {r["col"] for r in ck}
     any_absent = any(r["kind"] in ("absent", "tombstone") for r in ck)
     renames, drops = _column_mapping(ck)
+
+    def _meta_live(m) -> bool:
+        return exclude_batch_id is None or m["batch_id"] != exclude_batch_id
+
     cand = None
     if covered >= set(ranges):
         cand, _, _ = manifest_candidates_df(spark, snap, ranges, kinds=ck)
@@ -1970,11 +2231,11 @@ def manifest_delete(
         # the predicate column carries no stats rows: candidate pruning
         # is impossible, but a delete must NEVER silently retain rows —
         # scan every file (the conservative superset), exactly what a
-        # table without stats on that column costs
-        candidates = sorted(
-            r["file_path"]
-            for r in snap.select("file_path").distinct().collect()
-        )
+        # table without stats on that column costs; the file list comes
+        # from the memoized file-grain state (zero Spark jobs)
+        candidates = [
+            m["file_path"] for m in meta_all if _meta_live(m)
+        ]
 
     if not candidates:
         return audit(0, 0, head_seq)
@@ -2018,18 +2279,34 @@ def manifest_delete(
             F.col("_metadata.file_path").alias("src_file"),
             F.col("_metadata.row_index").alias("row_index"),
         )
-    affected = sorted(
-        r["src_file"]
-        for r in matches.select("src_file").distinct().collect()
-    )
+    # ONE scan of the candidate files: the matched positions land
+    # directly in a fresh dv dir, and the affected-file set falls out of
+    # the (tiny) dv read-back — the previous shape paid the candidate
+    # scan twice, once for an affected-files collect and once for the
+    # vector write (guide §1.2 "remove unnecessary passes")
+    def _dv_counts(d):
+        return {
+            r["src_file"]: r["n"]
+            for r in spark.read.schema(_DV_SCHEMA).parquet(d)
+            .groupBy("src_file")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+
+    dv_dir = f"{data_dir}/dv_{uuid.uuid4().hex[:12]}"
+    matches.distinct().repartition(1).write.parquet(dv_dir)
+    counts = _dv_counts(dv_dir)
+    affected = sorted(counts)
+    P_d, fs_d = _hadoop_fs(spark, data_dir)
     if not affected:
+        fs_d.delete(P_d(dv_dir), True)  # nothing matched: no commit
         return audit(0, 0, head_seq)
     # the affected files' dv metadata: affected ⊆ candidates, and the
     # candidate rows already carry (dv_path, n_deleted) — zero extra
-    # jobs on the pruned path; the no-stats fallback pays ONE
-    # O(affected)-bounded collect
+    # jobs on the pruned path; the no-stats fallback reads the memoized
+    # file-grain state (zero Spark jobs)
+    aset = set(affected)
     if cand is not None:
-        aset = set(affected)
         aff_meta = {
             r["file_path"]: (r["dv_path"], r["n_deleted"] or 0)
             for r in cand
@@ -2037,33 +2314,31 @@ def manifest_delete(
         }
     else:
         aff_meta = {
-            r["file_path"]: (r["dv_path"], r["n_deleted"] or 0)
-            for r in snap.where(F.col("file_path").isin(affected))
-            .select("file_path", "dv_path", "n_deleted")
-            .distinct()
-            .collect()
+            m["file_path"]: (m["dv_path"], m["n_deleted"] or 0)
+            for m in meta_all
+            if m["file_path"] in aset
         }
     # compose with the affected files' EXISTING vectors so the new dir
-    # is complete for every file it covers
+    # is complete for every file it covers — a second (dv-grain, tiny)
+    # write, paid only when an affected file already carries a vector
     by_dir: dict = {}
     for f, (dv, _) in sorted(aff_meta.items()):
         if dv is not None:
             by_dir.setdefault(dv, []).append(f)
-    for d, fs_ in sorted(by_dir.items()):
-        matches = matches.unionByName(
-            spark.read.schema(_DV_SCHEMA).parquet(d).where(
-                F.col("src_file").isin(fs_)
+    if by_dir:
+        comp = spark.read.schema(_DV_SCHEMA).parquet(dv_dir)
+        for d, fs_ in sorted(by_dir.items()):
+            comp = comp.unionByName(
+                spark.read.schema(_DV_SCHEMA).parquet(d).where(
+                    F.col("src_file").isin(fs_)
+                )
             )
-        )
-    dv_dir = f"{data_dir}/dv_{uuid.uuid4().hex[:12]}"
-    matches.distinct().repartition(1).write.parquet(dv_dir)
-    counts = {
-        r["src_file"]: r["n"]
-        for r in spark.read.schema(_DV_SCHEMA).parquet(dv_dir)
-        .groupBy("src_file")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .collect()
-    }
+        stage_dir, dv_dir = dv_dir, f"{data_dir}/dv_{uuid.uuid4().hex[:12]}"
+        comp.distinct().repartition(1).write.parquet(dv_dir)
+        counts = _dv_counts(dv_dir)
+        # the staging dir (new positions only) is superseded and was
+        # never referenced by any snapshot — drop it now, not at vacuum
+        fs_d.delete(P_d(stage_dir), True)
     n_deleted_new = sum(counts.values())
     n_deleted_old = sum(nd for _, nd in aff_meta.values())
     cmap = F.create_map(
@@ -2071,16 +2346,19 @@ def manifest_delete(
     )
     planned_dv = {f: dv for f, (dv, _) in aff_meta.items()}
 
+    derived_head = [None]
+
     def derive(complete_seqs):
+        derived_head[0] = complete_seqs[-1]
         head = read_manifest(spark, manifest_dir)
         # conflict checks need only the AFFECTED files' head state —
-        # O(affected) driver rows, not the table's file list
+        # served from the memoized file-grain state (zero Spark jobs)
         head_dv = {
-            r["file_path"]: r["dv_path"]
-            for r in head.where(F.col("file_path").isin(affected))
-            .select("file_path", "dv_path")
-            .distinct()
-            .collect()
+            m["file_path"]: m["dv_path"]
+            for m in _filelist(
+                spark, manifest_dir, complete_seqs[-1], complete_seqs
+            )
+            if m["file_path"] in aset
         }
         gone = set(affected) - set(head_dv)
         if gone:
@@ -2115,6 +2393,11 @@ def manifest_delete(
         return (list(affected), upd)
 
     seq = _commit_snapshot(spark, manifest_dir, derive)
+    if ck_is_head_state and derived_head[0] == head_seq:
+        # a dv update never changes column state, and no concurrent
+        # commit slipped in (the derive ran against the planning head):
+        # transfer the memoized state to the new seq — zero jobs
+        _colstate_record(spark, manifest_dir, seq, list(ck))
     return audit(len(affected), n_deleted_new - n_deleted_old, seq)
 
 
@@ -2274,15 +2557,40 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
                 _absent_rows(new_stats, missing)
             )
 
+        # the column state this commit will leave behind, composable
+        # without any Spark job when the derive stayed on the steady
+        # append path (base colstate ∪ this batch's additions) — None
+        # when an evolution/replay derive made composition unsafe
+        state_after = [
+            {"col": c, "phys": c,
+             "kind": _stat_kind(c, batch_df.schema[c].dataType.typeName())}
+            for c in present
+        ] + [{"col": c, "phys": c, "kind": "absent"} for c in missing]
+        record: dict = {"base": None, "ok": False}
+
         def derive(complete):
+            record["ok"] = False
             if not complete:
+                record["base"] = ()
+                record["ok"] = True
                 return new_stats
-            head = read_manifest(spark, manifest_dir)
-            prev = head.where(
-                F.col("batch_id").isNull()
-                | (F.col("batch_id") != batch_id)
-            )
-            ck = prev.select("col", "kind").distinct().collect()
+            replay = out != f"{data_dir}/batch_{batch_id}"
+            if replay:
+                # crash-window replay: prior rows of this batch_id may
+                # sit in the head — the column state must exclude them
+                head = read_manifest(spark, manifest_dir)
+                prev = head.where(
+                    F.col("batch_id").isNull()
+                    | (F.col("batch_id") != batch_id)
+                )
+                ck = prev.select("col", "kind").distinct().collect()
+            else:
+                # steady state: the head's memoized column state (the
+                # batch has no prior rows by the write-order invariant)
+                # — zero Spark jobs (round-14 optimization pass)
+                ck = _colstate(
+                    spark, manifest_dir, complete[-1], complete
+                )
             prev_cols = {r["col"] for r in ck}
             dead = {r["col"] for r in ck if r["kind"] == "tombstone"}
             bad = sorted(c for c in present if c in dead)
@@ -2301,6 +2609,12 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
                 # prior file — inherently O(files), so it commits as a
                 # full checkpoint (rare event; Delta does the same for
                 # metadata actions)
+                if not replay:
+                    head = read_manifest(spark, manifest_dir)
+                    prev = head.where(
+                        F.col("batch_id").isNull()
+                        | (F.col("batch_id") != batch_id)
+                    )
                 _assert_cols_absent_in(spark, prev, new_cols)
                 prev = prev.unionByName(_absent_rows(prev, new_cols))
                 return prev.unionByName(new_stats)
@@ -2312,7 +2626,9 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
             # invariant), so a replay always found a prior batch dir
             # and bumped to a _r{n} suffix — a first-suffix write skips
             # the replaced-files probe entirely (one job per commit).
-            if out == f"{data_dir}/batch_{batch_id}":
+            if not replay:
+                record["base"] = ck
+                record["ok"] = True
                 return ([], new_stats)
             replayed = [
                 r["file_path"]
@@ -2323,7 +2639,12 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
             ]
             return (replayed, new_stats)
 
-        _commit_snapshot(spark, manifest_dir, derive)
+        seq = _commit_snapshot(spark, manifest_dir, derive)
+        if record["ok"]:
+            _colstate_record(
+                spark, manifest_dir, seq,
+                list(record["base"] or ()) + state_after,
+            )
         fs.mkdirs(marker)
 
     return write
@@ -2517,7 +2838,10 @@ def manifest_rename_column(
 
     def derive(complete):
         head = read_manifest(spark, manifest_dir)
-        cols = {r["col"] for r in head.select("col").distinct().collect()}
+        cols = {
+            r["col"]
+            for r in _colstate(spark, manifest_dir, complete[-1], complete)
+        }
         if old not in cols:
             raise ValueError(
                 f"manifest_rename_column: no column {old!r} in the "
@@ -2562,10 +2886,8 @@ def manifest_drop_column(
         head = read_manifest(spark, manifest_dir)
         kinds = {
             r["kind"]
-            for r in head.where(F.col("col") == name)
-            .select("kind")
-            .distinct()
-            .collect()
+            for r in _colstate(spark, manifest_dir, complete[-1], complete)
+            if r["col"] == name
         }
         if not kinds:
             raise ValueError(
@@ -2617,6 +2939,28 @@ def manifest_drop_column(
     )
 
 
+def _resolve_seq(
+    spark: SparkSession,
+    manifest_dir: str,
+    snapshot: Optional[int] = None,
+    as_of=None,
+):
+    """(seq, complete) that ``read_manifest`` would serve for the same
+    arguments — shared by the consumers that key the per-version memos
+    (``_filelist`` / ``_colstate``) on the resolved seq."""
+    _check_manifest_format(spark, manifest_dir)
+    if snapshot is not None and as_of is not None:
+        raise ValueError(
+            "read_manifest: pass snapshot= OR as_of=, not both"
+        )
+    if as_of is not None:
+        snapshot = resolve_as_of(spark, manifest_dir, as_of)
+    complete, _ = _snapshot_seqs(spark, manifest_dir)
+    if not complete:
+        raise ValueError(f"no committed snapshot at {manifest_dir}")
+    return (complete[-1] if snapshot is None else snapshot), complete
+
+
 def read_manifest(
     spark: SparkSession,
     manifest_dir: str,
@@ -2638,17 +2982,7 @@ def read_manifest(
     only the newest batch's files — detected here by the missing
     ``batch_id`` column and refused with a migration hint; manifests
     declaring a NEWER ``_format_v{N}`` marker are refused too."""
-    _check_manifest_format(spark, manifest_dir)
-    if snapshot is not None and as_of is not None:
-        raise ValueError(
-            "read_manifest: pass snapshot= OR as_of=, not both"
-        )
-    if as_of is not None:
-        snapshot = resolve_as_of(spark, manifest_dir, as_of)
-    complete, _ = _snapshot_seqs(spark, manifest_dir)
-    if not complete:
-        raise ValueError(f"no committed snapshot at {manifest_dir}")
-    seq = complete[-1] if snapshot is None else snapshot
+    seq, complete = _resolve_seq(spark, manifest_dir, snapshot, as_of)
     # v3 checkpointed log: resolve through the nearest checkpoint at or
     # below seq, folding the intervening delta commits lazily (the v1
     # refusal and the not-committed guard live inside the resolver)
@@ -2714,7 +3048,7 @@ def manifest_restore(
             "the current head is a no-op)"
         )
     target = read_manifest(spark, manifest_dir, snapshot)
-    pairs = target.select("file_path", "dv_path").distinct().collect()
+    pairs = _filelist(spark, manifest_dir, snapshot, complete)
     P, fs = _hadoop_fs(spark, manifest_dir)
     missing = sorted(
         {p["file_path"] for p in pairs if not fs.exists(P(p["file_path"]))}
@@ -2781,13 +3115,9 @@ def manifest_clone(
             f"manifest_clone: {dst_manifest} already has committed "
             "snapshots — clone into a fresh directory"
         )
-    target = read_manifest(spark, src_manifest, snapshot)
-    src_seq = (
-        snapshot
-        if snapshot is not None
-        else _snapshot_seqs(spark, src_manifest)[0][-1]
-    )
-    meta = target.select("file_path", "batch_id").distinct().collect()
+    src_seq, src_complete = _resolve_seq(spark, src_manifest, snapshot)
+    target = read_manifest(spark, src_manifest, src_seq)
+    meta = _filelist(spark, src_manifest, src_seq, src_complete)
 
     def derive(complete_seqs):
         return target
@@ -2829,19 +3159,22 @@ def read_via_manifest(
     ``as_of=`` (epoch seconds or datetime) time-travels by commit wall
     clock — Delta's latest-snapshot-at-or-before rule
     (``resolve_as_of``)."""
-    snap = read_manifest(spark, manifest_dir, snapshot, as_of=as_of)
-    rows = snap.select(
-        "file_path", "kind", "dv_path", "n_deleted"
-    ).distinct().collect()
-    files = sorted({r["file_path"] for r in rows})
+    seq, complete = _resolve_seq(spark, manifest_dir, snapshot, as_of)
+    # file-grain + column-grain state from the per-version memos: zero
+    # Spark jobs on a hit (round-14 optimization pass — source creation
+    # was paying 2-3 metadata jobs per read, guide §1/§5)
+    meta = _filelist(spark, manifest_dir, seq, complete)
+    files = [m["file_path"] for m in meta]
     if not files:
         raise ValueError(f"empty manifest at {manifest_dir}")
     merged = (
-        any(r["kind"] in ("absent", "tombstone") for r in rows)
+        any(m["has_absent"] for m in meta)
         if merge_schema is None
         else merge_schema
     )
-    renames, drops = _column_mapping(snap)
+    renames, drops = _column_mapping(
+        _colstate(spark, manifest_dir, seq, complete)
+    )
     reader = spark.read
     if merged or renames or drops:
         reader = reader.option("mergeSchema", "true")
@@ -2849,7 +3182,7 @@ def read_via_manifest(
     # merge-on-read: anti-apply the snapshot's deletion vectors, then
     # project physical -> logical column names (column mapping)
     out = apply_delete_vectors(
-        spark, out, [(f, dv) for f, dv, _ in _file_dv_pairs(rows)]
+        spark, out, [(m["file_path"], m["dv_path"]) for m in meta]
     )
     return apply_column_mapping(out, renames, drops)
 
@@ -2929,12 +3262,16 @@ def manifest_row_diff(
     casing."""
 
     def side_pairs(seq):
-        snap = read_manifest(spark, manifest_dir, seq)
+        # both sides' (file, dv) pairs and column state come from the
+        # per-version memos — zero Spark jobs on a hit
+        sq, comp = _resolve_seq(spark, manifest_dir, seq)
         pairs = {
-            (r["file_path"], r["dv_path"])
-            for r in snap.select("file_path", "dv_path").distinct().collect()
+            (m["file_path"], m["dv_path"])
+            for m in _filelist(spark, manifest_dir, sq, comp)
         }
-        return pairs, _column_mapping(snap)
+        return pairs, _column_mapping(
+            _colstate(spark, manifest_dir, sq, comp)
+        )
 
     complete, _ = _snapshot_seqs(spark, manifest_dir)
     to_seq = complete[-1] if to_snapshot is None else to_snapshot
@@ -3020,26 +3357,29 @@ def read_manifest_changes(
             f"on_compaction must be 'raise' or 'row_diff' "
             f"(got {on_compaction!r})"
         )
+    _check_manifest_format(spark, manifest_dir)
     complete, _ = _snapshot_seqs(spark, manifest_dir)
+    if not complete:
+        raise ValueError(f"no committed snapshot at {manifest_dir}")
     to_seq = complete[-1] if to_snapshot is None else to_snapshot
-    diff = manifest_diff(spark, manifest_dir, from_snapshot, to_seq)
+
+    def fl(seq):
+        # per-seq file-grain state from the memo — zero Spark jobs on a
+        # hit; raises exactly like read_manifest on a vacuumed/unknown
+        # seq (round-14 optimization pass: this function previously
+        # collected FULL stats rows of both snapshots plus one
+        # file-grain collect per intermediate seq, O(window) jobs)
+        return _filelist(spark, manifest_dir, seq, complete)
+
+    base_meta = fl(from_snapshot)
+    latest_meta = fl(to_seq)
     # deletion-vector guard: a manifest_delete between the snapshots
     # changes rows WITHOUT changing the file list — file-grain catch-up
     # cannot express a row delete on an already-consumed file, so that
     # case refuses (or routes through the row-grain feed); vectors on
     # NEWLY-ADDED files are simply applied to the catch-up read
-    base_dv = {
-        f: dv
-        for f, dv, _ in _file_dv_pairs(
-            read_manifest(spark, manifest_dir, from_snapshot).collect()
-        )
-    }
-    head_dv = {
-        f: dv
-        for f, dv, _ in _file_dv_pairs(
-            read_manifest(spark, manifest_dir, to_seq).collect()
-        )
-    }
+    base_dv = {m["file_path"]: m["dv_path"] for m in base_meta}
+    head_dv = {m["file_path"]: m["dv_path"] for m in latest_meta}
     dv_changed = [
         f for f, dv in base_dv.items() if f in head_dv and head_dv[f] != dv
     ]
@@ -3062,16 +3402,14 @@ def read_manifest_changes(
         )
 
     def files_of(seq, only_batches=False):
-        snap = read_manifest(spark, manifest_dir, seq)
-        if only_batches:
-            snap = snap.where(F.col("batch_id").isNotNull())
         return {
-            r["file_path"]
-            for r in snap.select("file_path").distinct().collect()
+            m["file_path"]
+            for m in fl(seq)
+            if not only_batches or m["batch_id"] is not None
         }
 
-    base = files_of(from_snapshot)
-    latest = files_of(to_seq)
+    base = {m["file_path"] for m in base_meta}
+    latest = {m["file_path"] for m in latest_meta}
     folded = set()
     for seq in complete:
         if from_snapshot < seq <= to_seq:
@@ -3093,15 +3431,14 @@ def read_manifest_changes(
             "before compaction, pass on_compaction='row_diff', or call "
             "manifest_row_diff directly for the row-grain feed."
         )
-    files = [
-        r["file_path"]
-        for r in diff.where(
-            (F.col("change") == "add") & F.col("batch_id").isNotNull()
-        )
-        .select("file_path")
-        .distinct()
-        .collect()
-    ]
+    # added batch files = latest-side files absent from the base — a
+    # driver-side set difference over the memoized lists (the previous
+    # shape ran manifest_diff's two anti-joins just to collect this)
+    files = sorted(
+        m["file_path"]
+        for m in latest_meta
+        if m["file_path"] not in base and m["batch_id"] is not None
+    )
     if not files:
         # schema-stable empty result: project the current table's schema
         # without reading any data file
@@ -3146,10 +3483,13 @@ def manifest_stats_agg(
         if cols is None
         else ([cols] if isinstance(cols, str) else list(cols))
     )
-    snap = read_manifest(spark, manifest_dir, snapshot)
+    seq, complete = _resolve_seq(spark, manifest_dir, snapshot)
+    snap = _resolve_snapshot(spark, manifest_dir, seq, complete)
+    # column-grain guard state from the per-version memo — zero Spark
+    # jobs on a hit (the serving aggregation below stays Spark-side)
     have = {
         (r["col"], r["kind"])
-        for r in snap.select("col", "kind").distinct().collect()
+        for r in _colstate(spark, manifest_dir, seq, complete)
     }
     kinds_of: dict = {}
     for c, k in have:
@@ -3190,11 +3530,10 @@ def manifest_stats_agg(
     # (scan through read_via_manifest instead; compaction purges the
     # vectors and restores stats-only serving)
     if cols:
-        deleted_from = (
-            snap.where(F.col("n_deleted") > 0)
-            .select("file_path")
-            .distinct()
-            .count()
+        deleted_from = sum(
+            1
+            for m in _filelist(spark, manifest_dir, seq, complete)
+            if (m["n_deleted"] or 0) > 0
         )
         if deleted_from:
             raise ValueError(
@@ -3263,6 +3602,10 @@ def vacuum(
             "source manifest instead (the clone's files follow the "
             "source's retention)"
         )
+    # the format guard previously rode the per-seq read_manifest calls
+    # below; keep it explicit (a v1 layout misread as snapshots would
+    # make vacuum delete live data)
+    _check_manifest_format(spark, manifest_dir)
     complete, all_seqs = _snapshot_seqs(spark, manifest_dir)
     if not complete:
         raise ValueError(f"no committed snapshot at {manifest_dir}")
@@ -3282,11 +3625,12 @@ def vacuum(
     live = set()
     live_dv_dirs = set()
     for seq in retained:
-        snap = read_manifest(spark, manifest_dir, seq)
-        for r in snap.select("file_path", "dv_path").distinct().collect():
-            live.add(norm(r["file_path"]))
-            if r["dv_path"] is not None:
-                live_dv_dirs.add(r["dv_path"])
+        # retained snapshots' file lists from the per-version memos —
+        # zero Spark jobs on a hit (round-14 optimization pass)
+        for m in _filelist(spark, manifest_dir, seq, complete):
+            live.add(norm(m["file_path"]))
+            if m["dv_path"] is not None:
+                live_dv_dirs.add(m["dv_path"])
     # deletion-vector dirs referenced by any retained snapshot keep
     # every part-file inside them (dv dirs are immutable; superseded
     # ones fall out of the live set and are collected like data files)
@@ -3359,6 +3703,10 @@ def vacuum(
                 ".tmp_v"
             ):
                 fs.delete(st.getPath(), True)
+    # version dirs were just deleted — drop every memoized snapshot for
+    # this dir (the memos rely on committed-version immutability, which
+    # vacuum is the single operation allowed to break)
+    _invalidate_manifest_memos(spark, manifest_dir)
     return spark.createDataFrame(
         [(files_deleted, bytes_deleted, snapshots_deleted, len(live))],
         "files_deleted long, bytes_deleted long, snapshots_deleted long, "
@@ -3426,23 +3774,19 @@ def compact_manifest(
         * 1024 * 1024
     )
     P, fs = _hadoop_fs(spark, manifest_dir)
-    snap = read_manifest(spark, manifest_dir)
-    # planning collects are SELECTION-bounded (round-14 verdict ask 1a):
-    # the candidate (small-file) rows and a 1-row total — never the full
-    # file list
-    n_files = snap.select(
-        F.count_distinct("file_path").alias("n")
-    ).collect()[0]["n"]
-    small_rows = (
-        snap.where(F.col("file_bytes") < cap)
-        .select("file_path", "file_bytes", "batch_id", "dv_path")
-        .distinct()
-        .collect()
-    )
+    head_seq0, complete0 = _resolve_seq(spark, manifest_dir)
+    # planning state from the per-version memos (round-14 optimization
+    # pass): the file-grain list carries exactly the columns selection
+    # needs — zero Spark jobs on a hit, one collect cold
+    meta_all = _filelist(spark, manifest_dir, head_seq0, complete0)
+    n_files = len(meta_all)
+    small_rows = [
+        m for m in meta_all if m["file_bytes"] < cap
+    ]
     # LIVE stats columns only: a tombstone-only (dropped) column must
     # not resurrect as an 'absent' row on the rewrites — the rewrite
     # PHYSICALIZES the drop (and any renames) instead
-    ck = snap.select("col", "phys", "kind").distinct().collect()
+    ck = _colstate(spark, manifest_dir, head_seq0, complete0)
     cols = sorted(
         {r["col"] for r in ck if r["kind"] != "tombstone"}
     )
@@ -3463,7 +3807,7 @@ def compact_manifest(
     smalls = sorted(r["file_path"] for r in small_rows if foldable(r))
     small_bytes = sum(r["file_bytes"] for r in small_rows if foldable(r))
     kept = n_files - len(smalls)
-    complete, _ = _snapshot_seqs(spark, manifest_dir)
+    complete = complete0
 
     def audit(n_new: int, written: int, rewritten_bytes: int, snap_seq):
         return spark.createDataFrame(
@@ -3536,15 +3880,14 @@ def compact_manifest(
     }
 
     def derive(complete_seqs):
-        head = read_manifest(spark, manifest_dir)
         # conflict checks need only the SELECTED inputs' head state —
-        # O(selected) driver rows, not the table's file list
+        # served from the memoized file-grain state (zero Spark jobs)
         head_dv = {
-            r["file_path"]: r["dv_path"]
-            for r in head.where(F.col("file_path").isin(smalls))
-            .select("file_path", "dv_path")
-            .distinct()
-            .collect()
+            m["file_path"]: m["dv_path"]
+            for m in _filelist(
+                spark, manifest_dir, complete_seqs[-1], complete_seqs
+            )
+            if m["file_path"] in small_set0
         }
         gone = small_set - set(head_dv)
         if gone:

@@ -177,24 +177,19 @@ class Stream:
         O(files x cols).  The served scan opens only candidate files."""
         from kioss_spark.operators import skew
 
-        stats = skew.read_manifest(spark, manifest_dir, snapshot, as_of=as_of)
-        filemeta = sorted(
-            stats.groupBy("file_path")
-            .agg(
-                F.max("file_rows").alias("file_rows"),
-                F.max("dv_path").alias("dv_path"),
-                F.max("n_deleted").alias("n_deleted"),
-                F.max(
-                    F.col("kind").isin("absent", "tombstone").cast("int")
-                ).alias("has_absent"),
-            )
-            .collect(),
-            key=lambda r: r["file_path"],
+        seq, complete = skew._resolve_seq(
+            spark, manifest_dir, snapshot, as_of
         )
+        stats = skew._resolve_snapshot(spark, manifest_dir, seq, complete)
+        # file-grain + column-grain state from the per-version memos:
+        # source creation stops paying 2-3 metadata jobs per call
+        # (round-14 optimization pass; candidate SELECTION below stays
+        # a Spark-side aggregation over ``stats``)
+        filemeta = skew._filelist(spark, manifest_dir, seq, complete)
         files = [r["file_path"] for r in filemeta]
         if not files:
             raise ValueError(f"empty manifest at {manifest_dir}")
-        ck = stats.select("col", "phys", "kind").distinct().collect()
+        ck = skew._colstate(spark, manifest_dir, seq, complete)
         kind_by_col: dict = {}
         for r in ck:
             if r["kind"] not in ("absent", "tombstone"):
