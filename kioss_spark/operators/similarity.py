@@ -30,6 +30,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kioss_spark.operators.skew import spread_scan
+
 __all__ = [
     "with_norm",
     "cosine_topk",
@@ -203,6 +205,11 @@ def ivf_topk(
     """Approximate top-k: score only corpus vectors in the query's cell.
     Join key = cell (equi-join, shuffle-or-broadcast chosen by Catalyst) —
     candidate count drops ~256× vs brute force."""
+    # corpus-side encode/score expressions fuse into the corpus
+    # scan stage: spread a narrow (single-split) scan across the
+    # cores first or they evaluate on ONE task (guide §2.5;
+    # no-op whenever the scan already yields >= cores splits)
+    corpus = spread_scan(corpus)
     qc = queries.withColumn("cell", ivf_cell(F.col("v")))
     cc = corpus.withColumn("cell", ivf_cell(F.col("v")))
     scored = cc.alias("c").join(F.broadcast(qc.alias("q")), on="cell").select(
@@ -559,6 +566,11 @@ def ivf_topk_trained(
     is required, and the ``ivf_topk_int8`` serving path for memory-bound
     corpora.
     """
+    # corpus-side encode/score expressions fuse into the corpus
+    # scan stage: spread a narrow (single-split) scan across the
+    # cores first or they evaluate on ONE task (guide §2.5;
+    # no-op whenever the scan already yields >= cores splits)
+    corpus = spread_scan(corpus)
     cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
     vv = F.col("__vv__")
     cc = (
@@ -709,6 +721,11 @@ def ivf_topk_int8(
     end-to-end (codes, scales, and both scores), so the oracle reproduces
     the full serving pipeline including its approximation error.
     """
+    # corpus-side encode/score expressions fuse into the corpus
+    # scan stage: spread a narrow (single-split) scan across the
+    # cores first or they evaluate on ONE task (guide §2.5;
+    # no-op whenever the scan already yields >= cores splits)
+    corpus = spread_scan(corpus)
     cents = train_ivf(corpus, n_centroids=n_centroids, iters=0)
     vv = F.col("__vv__")
 
@@ -1211,6 +1228,11 @@ def ivf_pq_residual_topk(
     coarse quantizer — ON-MEAN centroids shrink residual norms, which is
     where residual PQ earns its keep (measured in RECALL.md); 0 stays the
     Forgy oracle-checkable default."""
+    # corpus-side encode/score expressions fuse into the corpus
+    # scan stage: spread a narrow (single-split) scan across the
+    # cores first or they evaluate on ONE task (guide §2.5;
+    # no-op whenever the scan already yields >= cores splits)
+    corpus = spread_scan(corpus)
     cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
     codebooks, sub = train_pq_residual(corpus, cents, m=m, n_codes=n_codes)
     arr = _cents_arr_sql(cents)
@@ -1285,6 +1307,11 @@ def ivf_pq_topk(
     and ADC add zero shuffles. ``iters`` Lloyd-refines the coarse
     quantizer before encoding (0 = Forgy default, the oracle-checkable
     config)."""
+    # corpus-side encode/score expressions fuse into the corpus
+    # scan stage: spread a narrow (single-split) scan across the
+    # cores first or they evaluate on ONE task (guide §2.5;
+    # no-op whenever the scan already yields >= cores splits)
+    corpus = spread_scan(corpus)
     cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
     codebooks, sub = train_pq(corpus, m=m, n_codes=n_codes)
 
@@ -1552,6 +1579,11 @@ def ivf_pq_opq_topk(
     identical: one cell equi-join against the broadcast query side, one
     per-query rank window — the rotation folds into the same broadcast-
     side literal codegen, zero added shuffles."""
+    # corpus-side encode/score expressions fuse into the corpus
+    # scan stage: spread a narrow (single-split) scan across the
+    # cores first or they evaluate on ONE task (guide §2.5;
+    # no-op whenever the scan already yields >= cores splits)
+    corpus = spread_scan(corpus)
     if model is None:
         R, codebooks, sub = train_opq(corpus, m=m, n_codes=n_codes)
     else:
@@ -1627,6 +1659,11 @@ def ivf_pq_opq_residual_topk(
     identical to every other rung: one cell equi-join against the
     broadcast query side, one per-query rank window — both the residual
     subtraction and the rotation fold into literal codegen."""
+    # corpus-side encode/score expressions fuse into the corpus
+    # scan stage: spread a narrow (single-split) scan across the
+    # cores first or they evaluate on ONE task (guide §2.5;
+    # no-op whenever the scan already yields >= cores splits)
+    corpus = spread_scan(corpus)
     if model is None:
         cents = train_ivf(corpus, n_centroids=n_centroids, iters=iters)
         R, codebooks, sub = train_opq_residual(corpus, cents, m=m, n_codes=n_codes)

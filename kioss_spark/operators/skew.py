@@ -409,6 +409,31 @@ def pruning_effectiveness_audit(
     return out
 
 
+def spread_scan(df: DataFrame, partitions: Optional[int] = None) -> DataFrame:
+    """Deterministically re-spread a NARROW input across the session's
+    cores when its scan yields fewer splits than that (optimization
+    guide §2.5 "one huge unsplittable file": repartition immediately
+    after the read).  The case this fixes: a single-file/single-row-group
+    input arrives as ONE scan split, and any expensive per-row
+    projection fused into that scan stage (interpreted HOF folds, big
+    literal scoring expressions) serializes on one core while the rest
+    of the machine idles — measured 4x on the perceptual-hash family.
+
+    Scale-adaptive, not a local[32] constant: ``partitions`` defaults to
+    ``sparkContext.defaultParallelism`` (the session's core count here,
+    the cluster's total cores in production), and when the scan already
+    provides at least that many splits — any real table — this returns
+    ``df`` UNCHANGED: no exchange enters the plan, so big inputs are
+    never shuffled just to restore parallelism they already have.
+    Round-robin repartition stays deterministic under task retries
+    (``spark.sql.execution.sortBeforeRepartition``, on by default)."""
+    sc = df.sparkSession.sparkContext
+    target = int(partitions or sc.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _stat_kind(col: str, typename: str) -> str:
     """The stats-table bound typing for a column's Spark type name —
     shared by ``stats_index`` (building stats) and ``manifest_sink``

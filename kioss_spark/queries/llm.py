@@ -833,7 +833,12 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. The final joins are doc_id-keyed and AQE-sized. Thresholds
     compare integerized e6 ratios (int/int division -> identical doubles
     on both engines -> identical floors)."""
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the per-row n-gram/token fold fuses into the scan stage —
+    # spread the single-split fixture scan across the cores first
+    # (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     d = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     tri = shingles(F.col("t"), n=3, distinct=False)
     base = d.select(
@@ -922,7 +927,11 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kioss_spark.operators.curation import importance_score
 
-    d = _docs(spark, sf_dir).select(
+    from kioss_spark.operators.skew import spread_scan
+
+    # hash-feature folds fuse into the scan stage — spread the
+    # single-split fixture scan first (guide §2.5; no-op at scale)
+    d = spread_scan(_docs(spark, sf_dir)).select(
         "doc_id", "source", tokens(F.col("text")).alias("t")
     )
     scored = importance_score(
@@ -1301,7 +1310,12 @@ def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings."""
     from kioss_spark.operators.contamination import ngram_overlap
 
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the per-row n-gram/token fold fuses into the scan stage —
+    # spread the single-split fixture scan across the cores first
+    # (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     is_eval = F.pmod(h60(F.col("text")), F.lit(20)) == 0
     return ngram_overlap(
         docs.where(~is_eval), docs.where(is_eval), n=6, broadcast_eval=True
@@ -2639,7 +2653,12 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast at bench SF — the df table is vocabulary-sized — and a
     shuffle join at 100 TB); the per-doc rollup rides the doc-level
     partitioning. Zero-shingle docs survive via the final left join."""
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the per-row n-gram/token fold fuses into the scan stage —
+    # spread the single-split fixture scan across the cores first
+    # (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     sh = shingles(tokens(F.col("text")), n=5)
     inv = docs.select("doc_id", F.explode(sh).alias("g"))
     dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -2990,7 +3009,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.40 (real embeddings would use ~0.95, see that query's note).
     Deterministic training -> the oracle reproduces the exact candidate
     set, including recall."""
-    nn = similarity.with_norm(_emb(spark, sf_dir))
+    from kioss_spark.operators.skew import spread_scan
+
+    # the plane projections fuse into the scan stage — spread the
+    # single-split fixture scan across the cores first (guide §2.5;
+    # no-op at real scale)
+    nn = similarity.with_norm(spread_scan(_emb(spark, sf_dir)))
     # scorer="exact" pinned for oracle bit-parity (see dedup_embedding).
     return similarity.semantic_dup_pairs(
         nn, threshold=0.40, n_centroids=16, iters=0, scorer="exact"
@@ -3840,7 +3864,12 @@ def bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency agg (bigram-keyed, map-side combine) and the
     score join (bigram-keyed); the per-doc rollup is doc-keyed; empty
     docs survive via the final left join. Integer-rational score."""
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the per-row n-gram/token fold fuses into the scan stage —
+    # spread the single-split fixture scan across the cores first
+    # (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     bg = docs.select(
         "doc_id", shingles(tokens(F.col("text")), n=2, distinct=True).alias("b")
     )
@@ -4285,7 +4314,13 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs) and the pair distinct. The oracle verifies
     all-pairs at fixture scale — banding's completeness guarantee makes
     the two forms EQUAL, which is exactly what the hash check proves."""
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the aHash fold is the expensive projection and fuses into the scan
+    # stage: spread the (single-split) fixture scan across the cores
+    # first or the hash runs on ONE task (guide §2.5; no-op at real
+    # scale — measured serve 6.0 s -> 1.4 s at sf0.1)
+    docs = spread_scan(_docs(spark, sf_dir))
     frames = docs.select(
         "doc_id",
         F.explode(
@@ -4632,7 +4667,11 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell mean is one 16-row keyed agg joined back broadcast-sized.
     All outputs integerized (floor-e6 distances, integer-div mean,
     integer-ratio flag) — bit-exact cross-engine."""
-    e = _emb(spark, sf_dir).select(
+    from kioss_spark.operators.skew import spread_scan
+
+    # vector norms/z-scores fuse into the scan stage — spread the
+    # single-split fixture scan first (guide §2.5; no-op at scale)
+    e = spread_scan(_emb(spark, sf_dir)).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     nn = e.withColumn("__vv__", similarity._dot(F.col("v"), F.col("v")))
@@ -4705,7 +4744,12 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining shuffles over (bigram)/(w1)/(doc_id); the count
     tables are vocabulary-sized, never corpus-sized. No floats cross an
     aggregation boundary (each p integerized before the sum)."""
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the per-row n-gram/token fold fuses into the scan stage —
+    # spread the single-split fixture scan across the cores first
+    # (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     bg = docs.select(
         "doc_id", shingles(tokens(F.col("text")), n=2, distinct=False).alias("b")
     )
@@ -5226,9 +5270,14 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram-df exchange across the consumers here, unlike the iterative
     graph loops where the derivation is join-shaped and must be persisted
     by hand. Re-measure before adding one."""
+    from kioss_spark.operators.skew import spread_scan
     from kioss_spark.operators.text import gopher_flags
 
-    docs = _docs(spark, sf_dir)
+    # the tokenize/shingle/flag projections are the expensive per-row
+    # work and fuse into the scan stage: spread the (single-split)
+    # fixture scan across the cores first or each signal job runs on
+    # ONE task (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     d = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     n_tok, f_len, f_ml, f_stop, f_uniq, f_alpha = gopher_flags(F.col("t"))
     tri = shingles(F.col("t"), n=3, distinct=False)

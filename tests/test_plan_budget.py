@@ -34,7 +34,8 @@ BUDGET = {
     "dedup_minhash_lsh": (3, 0),
     "dedup_containment_pairs": (3, 0),
     "hard_negative_mining": (1, 0),
-    "quality_ensemble": (4, 3),
+    # 4 + spread_scan's conditional single-split re-spread (no-op at scale)
+    "quality_ensemble": (5, 3),
     "pipeline_curation": (7, 0),
     # 2 shuffles before round 8; the vocab-keyed chain (chain runs once
     # per DISTINCT word — measured 2.1x at the decade corpus) buys its
@@ -52,16 +53,22 @@ BUDGET = {
     "profile_dup_rate": (8, 0),
     "dedup_threshold_sweep": (5, 0),
     "split_by_cluster": (2, 0),
-    "ann_pq_adc": (1, 0),
+    # PQ serving rungs: 1 = the per-query rank exchange; the optional
+    # second is spread_scan's corpus re-spread, present ONLY when the
+    # corpus scan yields fewer splits than cores (the fixture's
+    # single-file case — at real scale the spread is a no-op and the
+    # profile collapses back to 1).  The rungs must stay each other's
+    # exact profile plus at most that conditional spread.
+    "ann_pq_adc": (2, 0),
     "ann_pq_codes": (0, 0),
-    # residual IVFPQ must keep the raw path's exact shuffle profile — the
+    # residual IVFPQ keeps the raw path's shuffle profile — the
     # residual subtraction folds into the literal-codebook codegen
-    "ann_pq_residual": (1, 0),
-    # the OPQ rung must also keep raw ADC's shuffle profile — the learned
+    "ann_pq_residual": (2, 0),
+    # the OPQ rung keeps raw ADC's shuffle profile — the learned
     # rotation folds into the broadcast-side literal codegen
-    "ann_pq_opq": (1, 0),
-    # ...and so must the full OPQ-over-residuals composition (top rung)
-    "ann_pq_opq_res": (1, 0),
+    "ann_pq_opq": (2, 0),
+    # ...and so does the full OPQ-over-residuals composition (top rung)
+    "ann_pq_opq_res": (2, 0),
     "quality_pctl_by_source": (2, 0),
     # the (doc_id, w) combine + vocab join of the round-8 vocab-keyed
     # chain, the (doc_id, k) histogram agg (exchange REUSED across both
@@ -115,7 +122,8 @@ BUDGET = {
     # self-join (both sides ONE reused exchange — the hint that halved
     # wall by evaluating the hash subtree once), the pair distinct, and
     # the final sort
-    "mm_phash_dedup": (4, 0),
+    # 4 + spread_scan's conditional single-split re-spread (no-op at scale)
+    "mm_phash_dedup": (5, 0),
     # round-10: hybrid RRF = the full bm25 shape (8) + the dense rank +
     # the (query, cand) fusion join of two |q|x20 rank lists + the final
     # per-query rank — every added exchange is rank-list-grain (bounded

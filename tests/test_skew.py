@@ -130,3 +130,25 @@ def test_zvalue_bits16_no_32bit_wrap(spark):
     # above INT range — a 32-bit evaluation cannot produce it
     assert got[(65535, 65535)] == 2**32 - 1
     assert all(v >= 0 for v in got.values())
+
+
+def test_spread_scan_spreads_single_split_input(spark, tmp_path):
+    # a single parquet file arrives as one scan split; spread_scan must
+    # re-spread it to the session's parallelism without changing rows
+    p = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    assert df.rdd.getNumPartitions() == 1
+    out = skew.spread_scan(df)
+    target = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+
+def test_spread_scan_noop_when_already_parallel(spark):
+    # inputs already at (or above) the target keep their EXACT plan —
+    # no exchange is added just to reshuffle existing parallelism
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(10_000, numPartitions=target + 1)
+    out = skew.spread_scan(df)
+    assert out is df
