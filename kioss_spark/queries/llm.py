@@ -2401,7 +2401,12 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # pragma: no cover - future-Spark fallback
         _scoped = False
 
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # spread the single-split fixture scan so the shingle pass (and the
+    # eager checkpoint materializing it) runs on all cores, not one
+    # task (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     # the shingle index feeds THREE corpus-grain consumers (the PPJoin
     # pair truth, the held-out corpus split, the query terms) on
     # DIFFERENT keys — join-shaped sharing ReuseExchange does not
@@ -3352,7 +3357,12 @@ def contamination_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels over frontier-sized state with per-level checkpoints."""
     from kioss_spark.operators.contamination import ngram_overlap, transitive_reach
 
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the shingle/signature pair-generation pass fuses into the
+    # scan stage — spread the single-split fixture scan across
+    # the cores first (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     is_eval = F.pmod(h60(F.col("text")), F.lit(20)) == 0
     train = docs.where(~is_eval)
     seeds = (
@@ -5481,7 +5491,12 @@ def dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the near-dup branch rides connected_components' persisted pair-set
     loop; precedence is one anti-join on the (small) exact-drop set.
     Output is bounded by the duplicate count, not the corpus."""
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the shingle/signature pair-generation pass fuses into the
+    # scan stage — spread the single-split fixture scan across
+    # the cores first (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     h = docs.select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("ch")
     )
@@ -7062,7 +7077,12 @@ def split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash_split's assignment, so the operator is a drop-in upgrade."""
     from kioss_spark.operators.curation import hash_split
 
-    docs = _docs(spark, sf_dir)
+    from kioss_spark.operators.skew import spread_scan
+
+    # the shingle/signature pair-generation pass fuses into the
+    # scan stage — spread the single-split fixture scan across
+    # the cores first (guide §2.5; no-op at real scale)
+    docs = spread_scan(_docs(spark, sf_dir))
     pairs = dedup.jaccard_pairs(docs, threshold=0.5)
     labels = dedup.connected_components(pairs, docs)
     rep = docs.select(
