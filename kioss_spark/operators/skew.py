@@ -20,6 +20,7 @@ provided column) so results are reproducible and oracle-checkable.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -409,6 +410,93 @@ def pruning_effectiveness_audit(
     return out
 
 
+#: logical-plan nodes a "plain file scan" may contain — spread_scan
+#: only probes split counts under these (a narrowing projection/filter
+#: over one relation); anything else (joins, aggregates, exchanges,
+#:  checkpointed LogicalRDDs) already carries its own parallelism and
+#: is returned unchanged without ANY probe
+_SCAN_SHAPE_NODES = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "Relation", "View"}
+)
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf string ('128m', '4194304b', '1g') -> bytes."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("k", 1024),
+        ("kb", 1024),
+        ("m", 1024**2),
+        ("mb", 1024**2),
+        ("g", 1024**3),
+        ("gb", 1024**3),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s)) * mult
+
+
+def _scan_split_estimate(df: DataFrame) -> Optional[int]:
+    """Estimated scan-partition count of a PLAIN file-scan DataFrame,
+    computed entirely in the DataFrame API + filesystem metadata —
+    no ``df.rdd`` conversion (which forces plan-to-RDD translation and,
+    under AQE, can eagerly materialize upstream query stages).  Returns
+    ``None`` when ``df`` is not a bare (project/filter over one
+    relation) file scan — callers must then leave the input alone.
+
+    Mirrors FilePartition.maxSplitBytes: splits ~=
+    ceil(sum(size_i + openCost) / min(maxPartitionBytes,
+    max(openCost, totalBytes / minPartitionNum))).  The estimate only
+    feeds a >= threshold test, and it rounds UP (per-file open cost is
+    charged even for files Spark would pack together), so at real scale
+    it can only over-estimate parallelism — which keeps the no-op
+    branch, never adds a spurious exchange."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover — non-classic sessions
+        return None
+    for line in plan.splitlines():
+        node = line.replace(":", " ").replace("+-", " ").strip()
+        node = node.split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _SCAN_SHAPE_NODES:
+            return None
+    files = df.inputFiles()
+    if not files:
+        return None
+    import urllib.parse
+
+    spark = df.sparkSession
+    total = 0
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    for f in files:
+        u = urllib.parse.urlparse(f)
+        if u.scheme in ("file", ""):
+            total += os.path.getsize(urllib.parse.unquote(u.path))
+        else:  # non-local FS: one metadata call per file, no data read
+            P, fs = _hadoop_fs(spark, f)
+            total += fs.getFileStatus(P(f)).getLen()
+        total += open_cost
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    min_pn = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    if not min_pn:
+        min_pn = spark.conf.get(
+            "spark.sql.leafNodeDefaultParallelism", None
+        )
+    parallelism = (
+        int(min_pn) if min_pn else spark.sparkContext.defaultParallelism
+    )
+    max_split = min(max_pb, max(open_cost, total // max(parallelism, 1)))
+    return -(-total // max(max_split, 1))
+
+
 def spread_scan(df: DataFrame, partitions: Optional[int] = None) -> DataFrame:
     """Deterministically re-spread a NARROW input across the session's
     cores when its scan yields fewer splits than that (optimization
@@ -426,10 +514,20 @@ def spread_scan(df: DataFrame, partitions: Optional[int] = None) -> DataFrame:
     ``df`` UNCHANGED: no exchange enters the plan, so big inputs are
     never shuffled just to restore parallelism they already have.
     Round-robin repartition stays deterministic under task retries
-    (``spark.sql.execution.sortBeforeRepartition``, on by default)."""
+    (``spark.sql.execution.sortBeforeRepartition``, on by default).
+
+    The split probe stays in the DataFrame API (file sizes + Spark's
+    own split math — ``_scan_split_estimate``) and runs ONLY on plain
+    file scans; inputs that are not scan-shaped (joins, aggregations,
+    checkpoints — anything whose parallelism an upstream exchange
+    already set) are returned unchanged without probing.  The previous
+    ``df.rdd.getNumPartitions()`` probe forced a plan-to-RDD conversion
+    per call and, under AQE, could eagerly execute upstream stages of a
+    caller-supplied corpus just to read its partition count."""
     sc = df.sparkSession.sparkContext
     target = int(partitions or sc.defaultParallelism)
-    if df.rdd.getNumPartitions() >= target:
+    est = _scan_split_estimate(df)
+    if est is None or est >= target:
         return df
     return df.repartition(target)
 

@@ -152,3 +152,35 @@ def test_spread_scan_noop_when_already_parallel(spark):
     df = spark.range(10_000, numPartitions=target + 1)
     out = skew.spread_scan(df)
     assert out is df
+
+
+def test_spread_scan_never_probes_via_rdd(spark, tmp_path, monkeypatch):
+    # the split probe must stay in the DataFrame API: df.rdd forces a
+    # plan-to-RDD conversion and, under AQE, can eagerly execute
+    # upstream stages of a caller-supplied corpus (ADVICE r14)
+    from pyspark.sql import DataFrame
+
+    p = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def _boom(self):  # pragma: no cover - failure path
+        raise AssertionError("spread_scan touched df.rdd")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    out = skew.spread_scan(df)
+    assert out is not df  # single small file still spreads
+
+
+def test_spread_scan_leaves_non_scan_inputs_alone(spark, tmp_path):
+    # joins/aggregations already carry the parallelism an upstream
+    # exchange set; spread_scan must return them unchanged WITHOUT
+    # probing (the probe itself could execute the upstream pipeline)
+    p = str(tmp_path / "t")
+    spark.range(100).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    joined = scan.join(scan.withColumnRenamed("id", "id2"),
+                       scan["id"] == F.col("id2"))
+    assert skew.spread_scan(joined) is joined
+    agg = scan.groupBy("id").count()
+    assert skew.spread_scan(agg) is agg
