@@ -1604,7 +1604,7 @@ def _check_manifest_format(spark: SparkSession, manifest_dir: str) -> None:
     v1-layout detection itself is schema-based (``read_manifest`` checks
     the ``batch_id`` column, present in every v2 snapshot)."""
     key = (spark.sparkContext.applicationId, manifest_dir)
-    if key in _FORMAT_OK:
+    if _memo_get(_FORMAT_OK, key):
         # a dir that passed with OUR format marker present stays ours
         # for the session (markers are never downgraded) — skips one
         # py4j directory listing per manifest operation
@@ -1629,7 +1629,7 @@ def _check_manifest_format(spark: SparkSession, manifest_dir: str) -> None:
             if ver == _MANIFEST_FORMAT:
                 ours = True
     if ours:
-        _FORMAT_OK.add(key)
+        _memo_put(_FORMAT_OK, _FORMAT_OK_MAX, key, True)
 
 
 class ManifestCommitConflict(RuntimeError):
@@ -1696,21 +1696,33 @@ _COLSTATE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _COLSTATE_MAX = 1024
 _FILELIST: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _FILELIST_MAX = 128
-_FORMAT_OK: set = set()
+#: positive _check_manifest_format results, LRU-bounded like the other
+#: memos (ADVICE r14: the unbounded set)
+_FORMAT_OK: "_OrderedDict[tuple, bool]" = _OrderedDict()
+_FORMAT_OK_MAX = 1024
+#: one lock for every memo map: the manifest supports concurrent
+#: in-process writers (two threaded writers are pinned in
+#: tests/test_round13_ops.py), and the unguarded get/move_to_end and
+#: invalidate/del pairs could KeyError into an innocent reader under
+#: concurrent eviction (ADVICE r14).  Ops under the lock are tiny
+#: dict/OrderedDict manipulations — contention is negligible.
+_MEMO_LOCK = __import__("threading").Lock()
 
 
 def _memo_put(cache: "_OrderedDict", maxlen: int, key, value):
-    cache[key] = value
-    cache.move_to_end(key)
-    while len(cache) > maxlen:
-        cache.popitem(last=False)
+    with _MEMO_LOCK:
+        cache[key] = value
+        cache.move_to_end(key)
+        while len(cache) > maxlen:
+            cache.popitem(last=False)
 
 
 def _memo_get(cache: "_OrderedDict", key):
-    hit = cache.get(key)
-    if hit is not None:
-        cache.move_to_end(key)
-    return hit
+    with _MEMO_LOCK:
+        hit = cache.get(key)
+        if hit is not None:
+            cache.move_to_end(key)
+        return hit
 
 
 def _invalidate_manifest_memos(spark: SparkSession, manifest_dir: str):
@@ -1718,9 +1730,12 @@ def _invalidate_manifest_memos(spark: SparkSession, manifest_dir: str):
     (the only operation that deletes committed version dirs, breaking
     the immutability the memos rely on for old seqs)."""
     app = spark.sparkContext.applicationId
-    for cache in (_RESOLVED, _COLSTATE, _FILELIST):
-        for k in [k for k in cache if k[0] == app and k[1] == manifest_dir]:
-            del cache[k]
+    with _MEMO_LOCK:
+        for cache in (_RESOLVED, _COLSTATE, _FILELIST):
+            for k in [
+                k for k in cache if k[0] == app and k[1] == manifest_dir
+            ]:
+                del cache[k]
 
 
 def _colstate(spark: SparkSession, manifest_dir: str, seq: int, complete):
@@ -1846,6 +1861,20 @@ def _read_delta_rows_pyarrow(spark, fs, P, manifest_dir: str, seq: int):
             tbl = _pq.read_table(p.toUri().getPath())
             names = set(tbl.schema.names)
             use = [c for c in cols if c in names]
+            def _mx(a, b):
+                # Spark's F.max: nulls are skipped, never returned when
+                # a non-null exists — mirrored here so the pyarrow
+                # delta-compose path can NEVER disagree with the
+                # checkpoint/collect fallback (_filelist_collect) on
+                # the same seq (ADVICE r14: the first-row shortcut
+                # diverged if a writer ever emitted non-uniform
+                # per-file metadata across a file's per-column rows)
+                if a is None:
+                    return b
+                if b is None:
+                    return a
+                return a if a >= b else b
+
             for r in tbl.select(use).to_pylist():
                 if r.get("__action__") == "remove":
                     removes.add(r["file_path"])
@@ -1863,8 +1892,15 @@ def _read_delta_rows_pyarrow(spark, fs, P, manifest_dir: str, seq: int):
                         "n_deleted": r.get("n_deleted") or 0,
                         "has_absent": absent,
                     }
-                elif absent and not e["has_absent"]:
-                    e["has_absent"] = 1
+                else:
+                    for k in ("file_bytes", "file_rows", "batch_id",
+                              "dv_path"):
+                        e[k] = _mx(e[k], r.get(k))
+                    e["n_deleted"] = _mx(
+                        e["n_deleted"], r.get("n_deleted") or 0
+                    )
+                    if absent and not e["has_absent"]:
+                        e["has_absent"] = 1
         return sorted(removes), adds
     except Exception:  # pragma: no cover - non-local FS / torn read
         return None
@@ -2016,6 +2052,89 @@ def _delta_frame(spark: SparkSession, adds: DataFrame, removes) -> DataFrame:
     return tagged.unionByName(rm)
 
 
+#: _SNAPSHOT_SCHEMA as (name, pyarrow type) pairs — the driver-side
+#: delta writer renders EXACTLY the columns + types the Spark write
+#: produced, so both readers (spark.read.schema(_DELTA_SCHEMA) and
+#: _read_delta_rows_pyarrow) see one format regardless of writer.
+_SNAPSHOT_FIELDS = (
+    ("file_path", "string"),
+    ("file_bytes", "int64"),
+    ("file_rows", "int64"),
+    ("col", "string"),
+    ("kind", "string"),
+    ("lo", "int64"),
+    ("hi", "int64"),
+    ("n_nulls", "int64"),
+    ("lo_str", "string"),
+    ("hi_str", "string"),
+    ("hi_inexact", "bool"),
+    ("batch_id", "int64"),
+    ("dv_path", "string"),
+    ("n_deleted", "int64"),
+    ("phys", "string"),
+)
+
+
+def _local_fs_path(path: str) -> Optional[str]:
+    """POSIX path for a local(-scheme) location, None otherwise — the
+    gate for the driver-side commit fast path (remote filesystems keep
+    the portable Hadoop-FS + Spark-write route)."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(str(path))
+    if u.scheme == "file":
+        return unquote(u.path)
+    if u.scheme == "":
+        return str(path)
+    return None
+
+
+def _write_delta_dir_local(local_tmp: str, add_rows, removes, tok: str):
+    """Render one delta version dir DRIVER-SIDE: the fixed-schema
+    parquet (pyarrow, one file) + the commit markers (_SUCCESS,
+    _writer_{tok}, _delta, _ts_{micros}) via plain os calls.
+
+    Motivation (guide §5 driver work, §7.3: round-15 profile): a delta
+    commit is O(change) rows — tens of rows — but writing it through
+    ``DataFrame.write.parquet`` cost ~300 ms each (plan analysis + job
+    submit + FileOutputCommitter's _temporary dance + py4j), measured
+    as the manifest family's largest build term after the r14 memo
+    pass.  The rows are already on the driver (the caller collects the
+    adds with one light job), so the write itself needs no cluster."""
+    import time as _time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    rows = list(add_rows) + [
+        {"file_path": f, "__action__": "remove"}
+        for f in sorted(set(removes))
+    ]
+    fields = list(_SNAPSHOT_FIELDS) + [("__action__", "string")]
+    schema = _pa.schema(
+        [
+            (n, getattr(_pa, "bool_" if t == "bool" else t)())
+            for n, t in fields
+        ]
+    )
+    cols = {
+        n: [r.get(n) for r in rows] for n, _ in fields
+    }
+    table = _pa.Table.from_pydict(cols, schema=schema)
+    os.makedirs(local_tmp)
+    _pq.write_table(
+        table, os.path.join(local_tmp, f"part-00000-{tok}.parquet")
+    )
+    for marker in (
+        "_SUCCESS",
+        f"_writer_{tok}",
+        "_delta",
+        f"_ts_{int(_time.time() * 1e6)}",
+    ):
+        with open(os.path.join(local_tmp, marker), "x"):
+            pass
+
+
 def _commit_snapshot(
     spark: SparkSession,
     manifest_dir: str,
@@ -2078,6 +2197,7 @@ def _commit_snapshot(
         change = derive(complete)
         seq = (max(all_seqs) + 1) if all_seqs else 0
         delta = isinstance(change, tuple)
+        local_add_rows = None  # set on the local-FS delta fast path
         if delta and not complete:
             # first commit: nothing to remove from — write a checkpoint
             removes, adds = change
@@ -2107,11 +2227,47 @@ def _commit_snapshot(
                 new_snap = head.unionByName(_normalize_snapshot(adds))
                 delta = False
             else:
-                new_snap = _delta_frame(spark, adds, removes)
+                local_root = _local_fs_path(manifest_dir)
+                if local_root is not None:
+                    # driver-side delta commit: ONE light collect of the
+                    # O(change) add rows replaces plan-analysis + job +
+                    # FileOutputCommitter + py4j of a distributed write
+                    # of tens of rows (~300 ms each, round-15 profile)
+                    local_add_rows = [
+                        {**r.asDict(), "__action__": "add"}
+                        for r in _normalize_snapshot(adds).collect()
+                    ]
+                else:
+                    new_snap = _delta_frame(spark, adds, removes)
         else:
             new_snap = _normalize_snapshot(change)
         tok = uuid.uuid4().hex
         tmp = f"{manifest_dir}/.tmp_v{seq}_{tok}"
+        if local_add_rows is not None:
+            import shutil
+
+            local_tmp = os.path.join(local_root, f".tmp_v{seq}_{tok}")
+            _write_delta_dir_local(local_tmp, local_add_rows, removes, tok)
+            dest = os.path.join(local_root, f"v{seq}")
+            try:
+                # POSIX rename: atomic, and FAILS when the destination
+                # exists non-empty — a true CAS (stricter than Hadoop's
+                # local rename, which nests into an existing dest; the
+                # token check below stays as the portable arbiter)
+                os.rename(local_tmp, dest)
+                won = os.path.exists(os.path.join(dest, f"_writer_{tok}"))
+            except OSError:
+                won = False
+            if won:
+                os.makedirs(
+                    os.path.join(
+                        local_root, f"_format_v{_MANIFEST_FORMAT}"
+                    ),
+                    exist_ok=True,
+                )
+                return seq
+            shutil.rmtree(local_tmp, ignore_errors=True)
+            continue  # lost the race: re-derive from the new head
         new_snap.write.parquet(tmp)
         fs.createNewFile(P(f"{tmp}/_writer_{tok}"))
         if delta:
