@@ -208,6 +208,78 @@ def bm25_stats_positional(
     return tfdl, df, g
 
 
+def bm25_store_index(
+    inv: DataFrame,
+    tfdl_table: str,
+    df_table: str,
+    g_table: str,
+    n_buckets: int = 8,
+    positional: bool = False,
+) -> None:
+    """Bootstrap-persist a BM25 index as three bucketed tables in ONE
+    corpus pass.  Each ``saveAsTable`` is its own Spark query, so the
+    naive three writes of ``bm25_stats``' outputs re-execute the corpus
+    explode + (doc_id, term) combine per table — ReuseExchange dedupes
+    shared subplans only WITHIN a query, never across jobs.  Here the
+    postings relation (tfdl) is persisted, ``df``/``g`` are re-derived
+    from it by the same algebra (df = postings per term; g aggregates
+    the per-doc lengths — row-identical to ``bm25_stats``' outputs,
+    pinned in tests/test_round10_ops.py), and the three now-independent
+    writes are submitted from a small driver thread pool so each job's
+    task tail back-fills the others (guide §2.6; §5 persist-when-reused;
+    §1.2 remove repeated passes).  The persist is scoped to this call —
+    ``unpersist(blocking=True)`` before returning, so the session-wide
+    zero-cached-blocks hygiene invariant holds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.storagelevel import StorageLevel
+
+    from kioss_spark.operators.skew import write_bucketed
+
+    tfdl, _, _ = (
+        bm25_stats_positional(inv) if positional else bm25_stats(inv)
+    )
+    tfdl = tfdl.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # materialize the cache with ONE pass BEFORE fanning out: persist
+        # is lazy, and three concurrent first-actions would each race to
+        # compute the un-populated cache, re-running the pipeline 3x in
+        # parallel instead of reading it (a full count materializes every
+        # partition of the InMemoryRelation; column pruning does not
+        # apply below a cache node).  A/B'd at sf0.1, interleaved 5-rep
+        # minima: sequential-3-writes 1.79 s; tfdl-write-then-2-pool
+        # 1.43 s; count-then-3-pool 1.18 s — the count costs one cached
+        # scan but lets the big postings write overlap the small ones.
+        tfdl.count()
+        df = tfdl.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        g = (
+            tfdl.select("doc_id", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("dl").cast("long").alias("n_toks"),
+            )
+        )
+        writes = (
+            (tfdl, tfdl_table, "term", n_buckets),
+            (df, df_table, "term", n_buckets),
+            (g, g_table, "n_docs", 1),
+        )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(
+                pool.map(
+                    lambda w: write_bucketed(
+                        w[0], w[1], bucket_by=w[2], n_buckets=w[3]
+                    ),
+                    writes,
+                )
+            )
+    finally:
+        tfdl.unpersist(blocking=True)
+
+
 def bm25_merge_stats(
     tfdl_a: DataFrame,
     df_a: DataFrame,

@@ -1774,7 +1774,7 @@ def bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored corpus size. The bootstrap write is corpus-grain ONCE, the
     amortized cost of every later O(batch) ingest."""
     from kioss_spark.operators import retrieval
-    from kioss_spark.operators.skew import read_bucketed, write_bucketed
+    from kioss_spark.operators.skew import read_bucketed
 
     docs = _docs(spark, sf_dir)
     words = docs.select(
@@ -1782,10 +1782,12 @@ def bm25_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = words.where(F.col("doc_id") % 10 != 0)
     batch = words.where(F.col("doc_id") % 10 == 0)
-    t_base, d_base, g_base = retrieval.bm25_stats(base)
-    write_bucketed(t_base, "bm25_ingest_tfdl", bucket_by="term", n_buckets=8)
-    write_bucketed(d_base, "bm25_ingest_df", bucket_by="term", n_buckets=8)
-    write_bucketed(g_base, "bm25_ingest_g", bucket_by="n_docs", n_buckets=1)
+    # one corpus pass + three overlapped writes (was: three sequential
+    # saveAsTable jobs, each re-running the explode + combine — §2.6/§1.2)
+    retrieval.bm25_store_index(
+        base, "bm25_ingest_tfdl", "bm25_ingest_df", "bm25_ingest_g",
+        n_buckets=8,
+    )
     tfdl, df, g = retrieval.bm25_merge_stats(
         read_bucketed(spark, "bm25_ingest_tfdl"),
         read_bucketed(spark, "bm25_ingest_df"),
@@ -2167,7 +2169,7 @@ def bm25_phrase_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by per-doc tf.  The merge-law-with-positions pin is
     tests/test_round12_ops.py::test_bm25_positional_merge_law."""
     from kioss_spark.operators import retrieval
-    from kioss_spark.operators.skew import read_bucketed, write_bucketed
+    from kioss_spark.operators.skew import read_bucketed
 
     docs = _docs(spark, sf_dir)
     inv = docs.select(
@@ -2175,10 +2177,13 @@ def bm25_phrase_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("pos"))
     base = inv.where(F.col("doc_id") % 10 != 0)
     batch = inv.where(F.col("doc_id") % 10 == 0)
-    t_base, d_base, g_base = retrieval.bm25_stats_positional(base)
-    write_bucketed(t_base, "bm25p_ingest_tfdl", bucket_by="term", n_buckets=8)
-    write_bucketed(d_base, "bm25p_ingest_df", bucket_by="term", n_buckets=8)
-    write_bucketed(g_base, "bm25p_ingest_g", bucket_by="n_docs", n_buckets=1)
+    # one corpus pass + three overlapped writes (was: three sequential
+    # saveAsTable jobs, each re-running the posexplode + combine —
+    # §2.6/§1.2); positions ride the persisted postings
+    retrieval.bm25_store_index(
+        base, "bm25p_ingest_tfdl", "bm25p_ingest_df", "bm25p_ingest_g",
+        n_buckets=8, positional=True,
+    )
     tfdl, df, g = retrieval.bm25_merge_stats(
         read_bucketed(spark, "bm25p_ingest_tfdl"),
         read_bucketed(spark, "bm25p_ingest_df"),

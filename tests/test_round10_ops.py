@@ -484,3 +484,43 @@ def test_bm25_idf_decreases_with_df():
     s = retrieval.bm25_score_py(docs, ["a"])  # df=3
     t = retrieval.bm25_score_py(docs, ["e"])  # df=1
     assert t[3] > s[0]
+
+
+def test_bm25_store_index_parity_and_hygiene(spark):
+    """bm25_store_index (round-15: one corpus pass + overlapped writes)
+    must persist tables ROW-IDENTICAL to bm25_stats' three outputs —
+    df/g are re-derived from the persisted postings relation, so this
+    pins the re-derivation algebra — and must leave zero cached blocks
+    behind (the persist is call-scoped)."""
+    import random
+
+    from kioss_spark.operators import retrieval
+
+    rng = random.Random(15)
+    vocab = ["red", "blue", "ox", "owl", "fig", "elm"]
+    rows = [
+        (d, rng.choice(vocab))
+        for d in range(40)
+        for _ in range(rng.randint(1, 5))
+    ]
+    inv = spark.createDataFrame(rows, "doc_id long, term string")
+    retrieval.bm25_store_index(
+        inv, "t15_tfdl", "t15_df", "t15_g", n_buckets=4
+    )
+    e_tfdl, e_df, e_g = retrieval.bm25_stats(inv)
+    assert sorted(map(tuple, spark.table("t15_tfdl").collect())) == sorted(
+        map(tuple, e_tfdl.collect())
+    )
+    assert sorted(map(tuple, spark.table("t15_df").collect())) == sorted(
+        map(tuple, e_df.collect())
+    )
+    assert spark.table("t15_g").collect() == e_g.collect()
+    # call-scoped persist: no blocks outlive the bootstrap
+    assert not [
+        rid
+        for rid in spark.sparkContext._jsc.getPersistentRDDs()
+        .keySet()
+        .toArray()
+    ]
+    for t in ("t15_tfdl", "t15_df", "t15_g"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
