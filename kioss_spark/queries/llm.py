@@ -2417,7 +2417,15 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DIFFERENT keys — join-shaped sharing ReuseExchange does not
     # dedupe; materialize once (A/B'd at sf0.1: 12.0 -> 9.1 s best-of-3)
     inv = dedup.shingle_index(docs).localCheckpoint(eager=True)
-    pairs = dedup.jaccard_pairs(docs, threshold=0.5, inv=inv)
+    # the pair list feeds qset at build AND lex/qrels at serve — without
+    # the cut the serve action re-executes the whole PPJoin pair pipeline
+    # from the checkpointed index (join-shaped sharing ReuseExchange does
+    # not dedupe; the r13 refresh-pair-list A/B measured the same shape
+    # 18% faster checkpointed). The list is pair-grain, tiny at any scale
+    # that passes the 0.5 threshold.
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5, inv=inv).localCheckpoint(
+        eager=True
+    )
     touch = pairs.select(F.col("doc_a").alias("d")).unionByName(
         pairs.select(F.col("doc_b").alias("d"))
     )
@@ -2446,10 +2454,8 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each lane's |q| x 20 rank list feeds fusion AND the lane metrics
     # (dense also feeds the qrels top-5): materialize the tiny lists so
     # the BM25 / cosine pipelines run exactly once
-    sparse = (
-        retrieval.bm25_score_topk(tfdl, dfs, g, qterms, k=20)
-        .select("query_id", F.col("doc_id").alias("cand_id"), "rnk")
-        .localCheckpoint(eager=True)
+    sparse_plan = retrieval.bm25_score_topk(tfdl, dfs, g, qterms, k=20).select(
+        "query_id", F.col("doc_id").alias("cand_id"), "rnk"
     )
     nn = similarity.with_norm(_emb(spark, sf_dir))
     qv = nn.join(
@@ -2458,11 +2464,21 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = nn.join(
         F.broadcast(qset), nn["vec_id"] == qset["query_id"], "left_anti"
     )
-    dense = (
-        similarity.cosine_topk(qv, cv, k=20)
-        .select("query_id", "cand_id", "rnk")
-        .localCheckpoint(eager=True)
+    dense_plan = similarity.cosine_topk(qv, cv, k=20).select(
+        "query_id", "cand_id", "rnk"
     )
+    # the sparse (BM25-over-shingles) and dense (brute cosine) lanes are
+    # independent subtrees over disjoint inputs — materialize their two
+    # eager checkpoints from a small driver pool so the lanes' task
+    # tails back-fill each other instead of running back-to-back
+    # (guide §2.6 overlap independent jobs)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        sparse, dense = _pool.map(
+            lambda p: p.localCheckpoint(eager=True),
+            (sparse_plan, dense_plan),
+        )
     fused = (
         dense.withColumnRenamed("rnk", "rnk_dense")
         .join(
