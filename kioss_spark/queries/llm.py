@@ -5518,12 +5518,21 @@ def dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan stage — spread the single-split fixture scan across
     # the cores first (guide §2.5; no-op at real scale)
     docs = spread_scan(_docs(spark, sf_dir))
-    h = docs.select(
+    # survivor via a hash-keyed MIN WINDOW, not groupBy + join-back: the
+    # join's null-rejecting `isnotnull(ch)` predicate was pushed below
+    # spread_scan's exchange, evaluating md5(lower(trim(text))) per row
+    # INSIDE the single-split scan task — twice (both join sides), ~1.3 s
+    # each at sf0.1 (round-15 profile).  The window needs no null filter
+    # (the explicit text-IS-NOT-NULL below is pushdown-safe and matches
+    # the old inner join's null rejection exactly: ch is NULL iff text
+    # is), so the expensive hash now runs above the spread, wide.
+    h = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("ch")
     )
-    ek = h.groupBy("ch").agg(F.min("doc_id").alias("keep_id"))
     exd = (
-        h.join(ek, "ch")
+        h.withColumn(
+            "keep_id", F.min("doc_id").over(Window.partitionBy("ch"))
+        )
         .where(F.col("doc_id") != F.col("keep_id"))
         .select(
             "doc_id",
