@@ -1696,6 +1696,14 @@ _COLSTATE: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _COLSTATE_MAX = 1024
 _FILELIST: "_OrderedDict[tuple, tuple]" = _OrderedDict()
 _FILELIST_MAX = 128
+#: total file rows retained across ALL _FILELIST entries — the entry
+#: count alone does not bound driver heap when manifests hold millions
+#: of files (each row is a small dict, ~0.5 KB; 200k rows ≈ ~100 MB
+#: worst case).  Conf-able for bigger drivers; the newest entry is
+#: always kept (the consumer that built it needs it regardless).
+_FILELIST_MAX_ROWS = int(
+    os.environ.get("KIOSS_FILELIST_MEMO_MAX_ROWS", "200000")
+)
 #: positive _check_manifest_format results, LRU-bounded like the other
 #: memos (ADVICE r14: the unbounded set)
 _FORMAT_OK: "_OrderedDict[tuple, bool]" = _OrderedDict()
@@ -1725,6 +1733,22 @@ def _memo_get(cache: "_OrderedDict", key):
         return hit
 
 
+def _filelist_put(key, value):
+    """LRU put for the file-grain memo with a TOTAL-ROW bound on top of
+    the entry bound: evict oldest until both caps hold, but never the
+    entry just inserted (an oversized single list is returned to its
+    consumer either way — evicting it would only drop memoization)."""
+    with _MEMO_LOCK:
+        _FILELIST[key] = value
+        _FILELIST.move_to_end(key)
+        while len(_FILELIST) > _FILELIST_MAX or (
+            len(_FILELIST) > 1
+            and sum(len(v) for v in _FILELIST.values())
+            > _FILELIST_MAX_ROWS
+        ):
+            _FILELIST.popitem(last=False)
+
+
 def _invalidate_manifest_memos(spark: SparkSession, manifest_dir: str):
     """Drop every memo entry for ``manifest_dir`` — called by ``vacuum``
     (the only operation that deletes committed version dirs, breaking
@@ -1745,7 +1769,12 @@ def _colstate(spark: SparkSession, manifest_dir: str, seq: int, complete):
     and pre-record the state they just wrote)."""
     key = (spark.sparkContext.applicationId, manifest_dir, seq)
     hit = _memo_get(_COLSTATE, key)
-    if hit is not None:
+    # `seq in complete` is the zero-I/O staleness guard: `complete` is
+    # the FRESH committed-version listing every caller just took, so a
+    # version dir deleted by a foreign process's vacuum (outside this
+    # session's _invalidate_manifest_memos) stops answering from memory
+    # and falls through to the normal not-committed error path
+    if hit is not None and seq in complete:
         return hit
     snap = _resolve_snapshot(spark, manifest_dir, seq, complete)
     rows = tuple(
@@ -1811,7 +1840,9 @@ def _filelist(spark: SparkSession, manifest_dir: str, seq: int, complete):
     app = spark.sparkContext.applicationId
     key = (app, manifest_dir, seq)
     hit = _memo_get(_FILELIST, key)
-    if hit is not None:
+    # staleness guard — see _colstate: a foreign vacuum invalidates by
+    # absence from the caller's fresh listing, no extra I/O
+    if hit is not None and seq in complete:
         return hit
     P, fs = _hadoop_fs(spark, manifest_dir)
     by_file = None
@@ -1835,7 +1866,7 @@ def _filelist(spark: SparkSession, manifest_dir: str, seq: int, complete):
     if by_file is None:
         by_file = _filelist_collect(spark, manifest_dir, seq, complete)
     out = tuple(by_file[f] for f in sorted(by_file))
-    _memo_put(_FILELIST, _FILELIST_MAX, key, out)
+    _filelist_put(key, out)
     return out
 
 
@@ -1953,7 +1984,11 @@ def _resolve_snapshot(
     # the manifest bench family (guide §1 "measure first", §7.3 planning)
     memo_key = (spark.sparkContext.applicationId, manifest_dir, seq)
     memo_hit = _memo_get(_RESOLVED, memo_key)
-    if memo_hit is not None:
+    # staleness guard — see _colstate: a foreign vacuum invalidates by
+    # absence from the caller's fresh listing (the fall-through then
+    # raises the proper not-committed/vacuumed error in _delta_chain
+    # instead of returning a plan over deleted files)
+    if memo_hit is not None and seq in complete:
         return memo_hit
 
     P, fs = _hadoop_fs(spark, manifest_dir)
