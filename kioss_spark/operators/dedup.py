@@ -839,21 +839,32 @@ def connected_components(
         # subplan re-executes where ReuseExchange does not dedupe it.
         # Batching only helps when per-round driver cost dominates,
         # i.e. toy fixtures; at scale the data path rules.)
+        #
+        # Round-15 fusion: the propagated labels and the nodes' own labels
+        # are UNIONED before a single min-agg instead of groupBy + a
+        # trailing left join back to `labels` — min over (own label ∪
+        # neighbor labels) is exactly least(own, min-neighbors), and the
+        # self row doubles as the carrier of the previous label (`old` is
+        # non-null only on self rows, one per node, so min-ignoring-nulls
+        # recovers it). One exchange per round instead of two, and one
+        # fewer broadcast-build job per round at fixture scale.
+        label_t = dict(labels.dtypes)["label"]
         for _ in range(max_iter):
-            nbr = (
-                sym.join(labels, sym["src"] == labels["id"])
-                .groupBy("dst")
-                .agg(F.min("label").alias("nlabel"))
+            prop = sym.join(labels, sym["src"] == labels["id"]).select(
+                F.col("dst").alias("nid"),
+                F.col("label"),
+                F.lit(None).cast(label_t).alias("old"),
+            )
+            own = labels.select(
+                F.col("id").alias("nid"),
+                F.col("label"),
+                F.col("label").alias("old"),
             )
             new = (
-                labels.join(nbr, labels["id"] == nbr["dst"], "left")
-                .select(
-                    "id",
-                    F.col("label").alias("old"),
-                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                        "label"
-                    ),
-                )
+                prop.unionByName(own)
+                .groupBy("nid")
+                .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+                .select(F.col("nid").alias("id"), "label", "old")
                 .localCheckpoint(eager=False)
             )
             changed = new.where(F.col("label") != F.col("old")).count()

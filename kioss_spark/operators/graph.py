@@ -105,25 +105,36 @@ def pagerank(
         # re-executes where ReuseExchange does not dedupe it. The
         # eager cut also keeps the returned frame independent of
         # `withdeg`, which is unpersisted on exit.)
+        # Round-15 fusion: the per-edge contributions and one zero-valued
+        # self row per node are UNIONED before a single sum-agg instead of
+        # groupBy + a trailing left join back to `ranks` — Σ(contribs) + 0
+        # is exactly coalesce(Σ, 0), and the self row carries `deg`
+        # (non-null only there, one per node, so max-ignoring-nulls
+        # recovers it). One exchange per round instead of two, and one
+        # fewer broadcast-build job per round at fixture scale. Integer
+        # addition commutes, so the BIGINT result is bit-identical.
         for step in range(1, iters + 1):
-            inflow = (
+            contrib = (
                 withdeg.join(ranks.select("id", "rank"), withdeg["s"] == F.col("id"))
                 .select(
-                    F.col("d"),
+                    F.col("d").alias("nid"),
+                    F.lit(None).cast("long").alias("deg"),
                     F.expr("(17 * rank) div (20 * deg)").alias("c"),
                 )
-                .groupBy("d")
-                .agg(F.sum("c").alias("inflow"))
+            )
+            own = ranks.select(
+                F.col("id").alias("nid"),
+                F.col("deg"),
+                F.lit(0).cast("long").alias("c"),
             )
             ranks = (
-                ranks.select("id", "deg")
-                .join(inflow, ranks["id"] == inflow["d"], "left")
+                contrib.unionByName(own)
+                .groupBy("nid")
+                .agg(F.max("deg").alias("deg"), F.sum("c").alias("inflow"))
                 .select(
-                    "id",
+                    F.col("nid").alias("id"),
                     "deg",
-                    (F.lit(base) + F.coalesce("inflow", F.lit(0)))
-                    .cast("long")
-                    .alias("rank"),
+                    (F.lit(base) + F.col("inflow")).cast("long").alias("rank"),
                 )
             )
             ranks = ranks.localCheckpoint(eager=True)
