@@ -561,7 +561,7 @@ def _stat_kind(col: str, typename: str) -> str:
     )
 
 
-def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
+def stats_index(spark: SparkSession, path: str, cols, schema=None) -> DataFrame:
     """Per-file min/max/null-count statistics table — the data-skipping
     manifest of Delta/Iceberg (their per-file ``stats`` / manifest
     entries), built for plain parquet from ONE file-grain agg over the
@@ -619,9 +619,13 @@ def stats_index(spark: SparkSession, path: str, cols) -> DataFrame:
       pruning never skips that file on its hi bound.
 
     Scale shape: one scan of the audited columns, one file-grain agg
-    (sublinear in rows: n_files x n_cols output), no joins."""
+    (sublinear in rows: n_files x n_cols output), no joins.  Pass
+    ``schema=`` when the writer knows the files' exact schema (e.g. the
+    DataFrame it just wrote) to skip the footer-inference job a bare
+    ``spark.read.parquet`` runs per call."""
     cols = [cols] if isinstance(cols, str) else list(cols)
-    df = spark.read.parquet(path)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(path)
     kinds = {c: _stat_kind(c, df.schema[c].dataType.typeName()) for c in cols}
     i64_min, i64_max = -(2 ** 63), 2 ** 63 - 1
     aggs = []
@@ -2599,6 +2603,24 @@ def manifest_delete(
     # scan twice, once for an affected-files collect and once for the
     # vector write (guide §1.2 "remove unnecessary passes")
     def _dv_counts(d):
+        # the dv dir was just written by this driver and is tiny relative
+        # to the table (O(deleted rows), single part file); on a local(-
+        # scheme) path count per-file positions driver-side with pyarrow
+        # instead of a Spark agg job — same local-FS guard and rationale
+        # as the driver-side delta commits (remote filesystems keep the
+        # portable Spark route)
+        lp = _local_fs_path(d)
+        if lp is not None:
+            import pyarrow.parquet as _pq
+            import pyarrow.compute as _pc
+
+            vc = _pc.value_counts(
+                _pq.read_table(lp, columns=["src_file"]).column("src_file")
+            )
+            return {
+                s.as_py(): c.as_py()
+                for s, c in zip(vc.field("values"), vc.field("counts"))
+            }
         return {
             r["src_file"]: r["n"]
             for r in spark.read.schema(_DV_SCHEMA).parquet(d)
@@ -2759,9 +2781,16 @@ def manifest_merge(
             "snapshot long",
         )
     if tombstone is not None:
-        dead = changes.where(F.col(tombstone))
         live = changes.where(~F.col(tombstone)).drop(tombstone)
-        n_tomb = dead.count()
+        # one slim agg instead of a full count() of the dead slice — the
+        # changes lineage is arbitrary caller pipeline and re-executes
+        # per action (guide §1.2)
+        n_tomb = int(
+            changes.agg(
+                F.sum(F.col(tombstone).cast("long")).alias("n")
+            ).collect()[0]["n"]
+            or 0
+        )
     else:
         live = changes
         n_tomb = 0
@@ -2775,7 +2804,15 @@ def manifest_merge(
     ).collect()[0]
     manifest_sink(data_dir, manifest_dir, cols)(live, batch_id)
     complete, _ = _snapshot_seqs(spark, manifest_dir)
-    n_up = live.count()
+    # rows upserted = rows the sink just committed for this batch_id —
+    # already counted in the committed batch's file stats, served from
+    # the memoized file-grain state (zero Spark jobs) instead of a
+    # live.count() that re-executes the caller's changes pipeline
+    n_up = sum(
+        int(m["file_rows"])
+        for m in _filelist(spark, manifest_dir, complete[-1], complete)
+        if m["batch_id"] == batch_id
+    )
     return spark.createDataFrame(
         [(int(deleted["rows_deleted"]), n_up, n_tomb, complete[-1])],
         "rows_deleted long, rows_upserted long, rows_tombstoned long, "
@@ -2859,7 +2896,9 @@ def manifest_sink(data_dir: str, manifest_dir: str, cols):
                 f"stats columns {list(cols)} (has {batch_df.columns})"
             )
         new_stats = _normalize_snapshot(
-            stats_index(spark, out, present)
+            # explicit schema: the files were just written from batch_df,
+            # so footer inference would be a pure extra job per commit
+            stats_index(spark, out, present, schema=batch_df.schema)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .withColumn("dv_path", F.lit(None).cast("string"))
             .withColumn("n_deleted", F.lit(0).cast("long"))
@@ -4175,10 +4214,12 @@ def compact_manifest(
     else:
         src = src.repartition(n_new)
     src.write.parquet(out)
-    out_cols = set(spark.read.parquet(out).columns)
+    # the compacted files carry exactly src's schema — deriving columns
+    # and stats typing from it skips two footer-inference jobs
+    out_cols = set(src.columns)
     present = [c for c in cols if c in out_cols]
     new_stats = _normalize_snapshot(
-        stats_index(spark, out, present)
+        stats_index(spark, out, present, schema=src.schema)
         .withColumn("batch_id", F.lit(None).cast("long"))
         .withColumn("dv_path", F.lit(None).cast("string"))
         .withColumn("n_deleted", F.lit(0).cast("long"))
