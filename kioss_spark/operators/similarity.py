@@ -1035,17 +1035,20 @@ def _with_sub_vv(df: DataFrame, m: int, sub: int, vec_col: str = "v") -> DataFra
     """Precompute each subvector's self-dot (__pvv{j}__) once per row —
     shared across that subspace's n_codes distance terms (the vv seam
     trained_cells uses, per subspace; the VALUE feeds the output so it
-    must be the true subvector dot, and it is)."""
+    must be the true subvector dot, and it is).
+
+    ONE withColumns call, not m withColumn calls: every withColumn on a
+    plan carrying literal codebooks re-analyzes the whole plan (~50 ms
+    each at m=4..16 measured on ann_pq_opq's build) — batching the
+    independent projections is the same plan for one analysis pass."""
+    exprs = {}
     for j in range(m):
         sl = f"slice({vec_col},{j * sub + 1},{sub})"
-        df = df.withColumn(
-            f"__pvv{j}__",
-            F.expr(
-                "aggregate(zip_with(" + sl + "," + sl + ",(x,y)->x*y),"
-                "CAST(0.0D AS DOUBLE),(acc,x)->acc+x)"
-            ),
+        exprs[f"__pvv{j}__"] = F.expr(
+            "aggregate(zip_with(" + sl + "," + sl + ",(x,y)->x*y),"
+            "CAST(0.0D AS DOUBLE),(acc,x)->acc+x)"
         )
-    return df
+    return df.withColumns(exprs)
 
 
 def _attach_pq_codes(df: DataFrame, codebooks, sub: int, vec_col: str) -> DataFrame:
@@ -1055,20 +1058,27 @@ def _attach_pq_codes(df: DataFrame, codebooks, sub: int, vec_col: str) -> DataFr
     chosen codewords). Pure literal-folded column algebra — zero shuffle."""
     m = len(codebooks)
     out = _with_sub_vv(df, m, sub, vec_col)
-    err_cols = []
-    for j, cb in enumerate(codebooks):
-        s = _pq_struct_sql(j, sub, cb, vec_col, f"__pvv{j}__")
-        out = out.withColumn(f"__pq{j}__", F.expr(s))
-        err_cols.append(F.col(f"__pq{j}__.d"))
+    # three batched projections (argmin structs -> err+codes -> drop)
+    # instead of ~3m chained withColumn/drop calls — each chained call
+    # re-analyzes the literal-codebook plan (see _with_sub_vv)
+    out = out.withColumns({
+        f"__pq{j}__": F.expr(
+            _pq_struct_sql(j, sub, cb, vec_col, f"__pvv{j}__")
+        )
+        for j, cb in enumerate(codebooks)
+    })
+    err_cols = [F.col(f"__pq{j}__.d") for j in range(m)]
     total = err_cols[0]
     for e in err_cols[1:]:
         total = total + e
-    out = out.withColumn("recon_err_e6", total.cast("long"))
+    final = {"recon_err_e6": total.cast("long")}
     for j in range(m):
-        out = out.withColumn(f"c{j}", F.col(f"__pq{j}__.cid")).drop(f"__pq{j}__")
-    for j in range(m):
-        out = out.drop(f"__pvv{j}__")
-    return out
+        final[f"c{j}"] = F.col(f"__pq{j}__.cid")
+    out = out.withColumns(final)
+    return out.drop(
+        *[f"__pq{j}__" for j in range(m)],
+        *[f"__pvv{j}__" for j in range(m)],
+    )
 
 
 def pq_encode(
@@ -1256,12 +1266,15 @@ def ivf_pq_residual_topk(
         F.expr(f"zip_with(qv, element_at({arr}, CAST(cell AS INT) + 1),(x,y)->x-y)"),
     )
     qc = _with_sub_vv(qc, m, sub, "__qr__")
+    adc_cols = {}
     for j, cb in enumerate(codebooks):
         sl = f"slice(__qr__,{j * sub + 1},{sub})"
         d2s = ",".join(
             _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
         )
-        qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
+        adc_cols[f"__adc{j}__"] = F.expr(f"array({d2s})")
+    # one analysis pass for all m ADC tables (see _with_sub_vv)
+    qc = qc.withColumns(adc_cols)
     qc = qc.drop("__qr__", *[f"__pvv{j}__" for j in range(m)])
     adc = F.expr(
         " + ".join(
@@ -1338,12 +1351,15 @@ def ivf_pq_topk(
     # (Inlining the arrays into the post-join projection instead would
     # re-evaluate all m*n_codes distance expressions PER CANDIDATE —
     # n_codes/m times the arithmetic ADC exists to avoid.)
+    adc_cols = {}
     for j, cb in enumerate(codebooks):
         sl = f"slice(qv,{j * sub + 1},{sub})"
         d2s = ",".join(
             _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
         )
-        qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
+        adc_cols[f"__adc{j}__"] = F.expr(f"array({d2s})")
+    # one analysis pass for all m ADC tables (see _with_sub_vv)
+    qc = qc.withColumns(adc_cols)
     qc = qc.drop(*[f"__pvv{j}__" for j in range(m)])
     adc = F.expr(
         " + ".join(
@@ -1608,12 +1624,15 @@ def ivf_pq_opq_topk(
     )
     qc = qc.withColumn("__oq__", F.expr(opq_rotate_expr(R, "qv")))
     qc = _with_sub_vv(qc, m, sub, "__oq__")
+    adc_cols = {}
     for j, cb in enumerate(codebooks):
         sl = f"slice(__oq__,{j * sub + 1},{sub})"
         d2s = ",".join(
             _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
         )
-        qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
+        adc_cols[f"__adc{j}__"] = F.expr(f"array({d2s})")
+    # one analysis pass for all m ADC tables (see _with_sub_vv)
+    qc = qc.withColumns(adc_cols)
     qc = qc.drop("__oq__", *[f"__pvv{j}__" for j in range(m)])
     adc = F.expr(
         " + ".join(
@@ -1708,12 +1727,15 @@ def ivf_pq_opq_residual_topk(
     )
     qc = qc.withColumn("__oqr__", F.expr(opq_rotate_expr(R, "__qr__")))
     qc = _with_sub_vv(qc, m, sub, "__oqr__")
+    adc_cols = {}
     for j, cb in enumerate(codebooks):
         sl = f"slice(__oqr__,{j * sub + 1},{sub})"
         d2s = ",".join(
             _dist2_sql(sl, cv, _dot_py(cv, cv), f"__pvv{j}__") for _, cv in cb
         )
-        qc = qc.withColumn(f"__adc{j}__", F.expr(f"array({d2s})"))
+        adc_cols[f"__adc{j}__"] = F.expr(f"array({d2s})")
+    # one analysis pass for all m ADC tables (see _with_sub_vv)
+    qc = qc.withColumns(adc_cols)
     qc = qc.drop("__qr__", "__oqr__", *[f"__pvv{j}__" for j in range(m)])
     adc = F.expr(
         " + ".join(

@@ -660,8 +660,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     single pass, no shuffle, no UDF — is the deliverable."""
     docs = _docs(spark, sf_dir)
     d = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
-    for lang, ms in LANG_MARKERS.items():
-        d = d.withColumn(f"s_{lang}", marker_score(F.col("t"), ms))
+    # one batched projection: chained withColumn re-analyzes the plan
+    # per language (same batching as similarity._with_sub_vv)
+    d = d.withColumns(
+        {f"s_{lang}": marker_score(F.col("t"), ms)
+         for lang, ms in LANG_MARKERS.items()}
+    )
     pred = (
         F.when(
             (F.col("s_zh") >= F.col("s_fr"))
