@@ -301,6 +301,32 @@ _GREEN_ROUNDS: dict[int, frozenset] = {
         "skipping_scan_double", "token_counts", "vocab_drift_chi2",
         "vocab_top_terms",
     }),
+    # CORRECTNESS_r14.json — 50/50 hash-green, zero err (third consecutive
+    # all-green window): the 16 changed-code recheck leaders (manifest/
+    # facade/skipping family after the round-14 memo+DV work) plus the
+    # r14 registrations and the stalest tier of the r9/r10 names.
+    14: frozenset({
+        "ann_cosine_topk", "ann_index_ingest", "ann_pq_adc", "ann_pq_codes",
+        "boilerplate_ngrams", "bucketed_user_event_totals",
+        "budget_cap_per_source", "chunk_text_windows", "cube_status_segment",
+        "decontaminate_eval", "dedup_cluster_best", "dedup_embedding",
+        "dedup_lsh_recall", "dedup_semantic", "dedup_threshold_sweep",
+        "facade_member_scan", "facade_pruned_scan", "facade_pruned_scan_time",
+        "manifest_as_of_scan", "manifest_changes_scan", "manifest_clone_scan",
+        "manifest_compact_scan", "manifest_delete_feed",
+        "manifest_delete_scan", "manifest_evolution_scan",
+        "manifest_history_scan", "manifest_ingest_scan", "manifest_merge_scan",
+        "manifest_rename_scan", "manifest_restore_scan",
+        "manifest_row_changes_scan", "manifest_stats_only",
+        "manifest_stream_delete_feed", "member_scan_events",
+        "pagerank_dup_graph", "pipeline_incremental_refresh",
+        "pivot_status_revenue", "q10_returned_items", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_nation_revenue", "retention_cohorts",
+        "rollup_order_counts", "sequence_view_click_purchase",
+        "skipping_scan_double", "skipping_scan_events",
+        "skipping_scan_strings", "skipping_scan_time", "split_leakage_pairs",
+        "winsorize_event_values",
+    }),
 }
 
 #: name -> most recent green driver round
@@ -356,23 +382,48 @@ for _round in sorted(_GREEN_ROUNDS):
 #: (recomputed by tools/rotation_audit.py AFTER the last registration —
 #: the late-registration displacement is recorded, not silently
 #: suffered: 3 more r10 names wait for round 15).
+#: Round 15 (optimization round 2/2): every query whose verified
+#: implementation changed after the r14 verdict — the manifest/facade
+#: family (driver-side delta commits + metadata-job cuts), the BM25
+#: ingest pair (one-pass bootstrap), retrieval_quality (pair-list
+#: checkpoint + pooled lanes), dedup_provenance (min-window survivor),
+#: the CC/PageRank consumers (fused round shape), the PQ ladder +
+#: lang_id (batched projections).  33 names; the remaining 17 window
+#: slots fall to the stalest-verdict tier automatically.
 _RECHECK_FIRST: tuple = (
-    "skipping_scan_events",
-    "skipping_scan_double",
-    "skipping_scan_strings",
-    "skipping_scan_time",
-    "manifest_ingest_scan",
+    "manifest_delete_scan",
+    "manifest_merge_scan",
+    "manifest_delete_feed",
     "manifest_compact_scan",
+    "manifest_ingest_scan",
     "manifest_changes_scan",
     "manifest_row_changes_scan",
     "manifest_stats_only",
-    "member_scan_events",
+    "manifest_evolution_scan",
+    "manifest_as_of_scan",
+    "manifest_clone_scan",
+    "manifest_history_scan",
+    "manifest_rename_scan",
+    "manifest_restore_scan",
+    "manifest_stream_delete_feed",
     "facade_pruned_scan",
     "facade_member_scan",
-    "manifest_delete_scan",
-    "manifest_delete_feed",
-    "manifest_merge_scan",
-    "manifest_evolution_scan",
+    "facade_pruned_scan_time",
+    "bm25_index_ingest",
+    "bm25_phrase_index_ingest",
+    "retrieval_quality",
+    "dedup_provenance",
+    "pagerank_dup_graph",
+    "dedup_cluster_best",
+    "dedup_cluster_keep",
+    "split_by_cluster",
+    "fuzzy_part_names",
+    "ann_pq_codes",
+    "ann_pq_adc",
+    "ann_pq_residual",
+    "ann_pq_opq",
+    "ann_pq_opq_res",
+    "lang_id",
 )
 
 
