@@ -1523,8 +1523,17 @@ def member_scan(
             f"member_scan index mixes bucket counts for {col!r}: "
             "rebuild with one buckets= setting"
         )
-    probe_df = spark.createDataFrame(
-        [(v,) for v in values], f"__v__: {spark.read.parquet(path).schema[col].dataType.simpleString()}"
+    # probe values as a JVM literal array (one 1-task job), not
+    # createDataFrame: parallelizing a 3-row local list fans out to
+    # defaultParallelism pickled-RDD tasks, each needing a Python
+    # worker — measured 1.5 s cold on an idle 32-core box for three
+    # probe values.  The hash stays computed IN Spark on the column's
+    # exact type, so build/probe bit-parity is untouched.
+    probe_t = spark.read.parquet(path).schema[col].dataType
+    probe_df = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v).cast(probe_t) for v in values])
+        ).alias("__v__")
     )
     probe_buckets = {
         r["b"]
@@ -1544,6 +1553,39 @@ def member_scan(
             .where(F.lit(False))
         )
     return spark.read.parquet(*files).where(F.col(col).isin(values))
+
+
+def _lit_df(spark: SparkSession, schema: str, rows) -> DataFrame:
+    """A small literal DataFrame built JVM-only (range(1) + exploded
+    array of literal structs) instead of ``spark.createDataFrame``:
+    parallelizing a local Python list pads to ``defaultParallelism``
+    pickled-RDD slices, so any action on the frame spins up to 32
+    Python workers for a handful of rows (measured 1.5 s cold for a
+    3-row probe).  Identical schema and values; one JVM task, zero
+    Python workers.  Values are plain scalars (or None) castable to
+    the declared types; an empty ``rows`` falls back to the classic
+    empty frame (no literals to build, and an empty local relation
+    runs no tasks at all)."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        cols.append((name, typ))
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(t).alias(n)
+                for (n, t), v in zip(cols, row)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("__r__"))
+        .select(*[F.col(f"__r__.{n}").alias(n) for n, _ in cols])
+    )
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -2501,9 +2543,10 @@ def manifest_delete(
     snap = _resolve_snapshot(spark, manifest_dir, head_seq, complete0)
 
     def audit(n_files: int, n_rows: int, seq: int) -> DataFrame:
-        return spark.createDataFrame(
-            [(n_files, n_rows, seq)],
+        return _lit_df(
+            spark,
             "files_affected long, rows_deleted long, snapshot long",
+            [(n_files, n_rows, seq)],
         )
 
     if empty_keyset:
@@ -2775,10 +2818,11 @@ def manifest_merge(
     if fs.exists(P(f"{manifest_dir}/commits/b{batch_id}")):
         # full replay of a committed merge: exactly-once no-op
         complete, _ = _snapshot_seqs(spark, manifest_dir)
-        return spark.createDataFrame(
-            [(0, 0, 0, complete[-1])],
+        return _lit_df(
+            spark,
             "rows_deleted long, rows_upserted long, rows_tombstoned long, "
             "snapshot long",
+            [(0, 0, 0, complete[-1])],
         )
     if tombstone is not None:
         live = changes.where(~F.col(tombstone)).drop(tombstone)
@@ -2813,10 +2857,11 @@ def manifest_merge(
         for m in _filelist(spark, manifest_dir, complete[-1], complete)
         if m["batch_id"] == batch_id
     )
-    return spark.createDataFrame(
-        [(int(deleted["rows_deleted"]), n_up, n_tomb, complete[-1])],
+    return _lit_df(
+        spark,
         "rows_deleted long, rows_upserted long, rows_tombstoned long, "
         "snapshot long",
+        [(int(deleted["rows_deleted"]), n_up, n_tomb, complete[-1])],
     )
 
 
@@ -3214,8 +3259,9 @@ def manifest_rename_column(
         )
 
     seq = _commit_snapshot(spark, manifest_dir, derive)
-    return spark.createDataFrame(
-        [(old, new, seq)], "column string, renamed_to string, snapshot long"
+    return _lit_df(
+        spark, "column string, renamed_to string, snapshot long",
+        [(old, new, seq)],
     )
 
 
@@ -3286,9 +3332,10 @@ def manifest_drop_column(
         return rest.unionByName(tomb)
 
     seq = _commit_snapshot(spark, manifest_dir, derive)
-    return spark.createDataFrame(
-        [(name, n_files[0], seq)],
+    return _lit_df(
+        spark,
         "column string, files_tombstoned long, snapshot long",
+        [(name, n_files[0], seq)],
     )
 
 
@@ -3359,8 +3406,8 @@ def manifest_history(spark: SparkSession, manifest_dir: str) -> DataFrame:
         )
         for seq in complete
     ]
-    return spark.createDataFrame(
-        rows, "snapshot long, is_delta boolean, commit_ts_us long"
+    return _lit_df(
+        spark, "snapshot long, is_delta boolean, commit_ts_us long", rows
     )
 
 
@@ -3423,9 +3470,10 @@ def manifest_restore(
         return target
 
     seq = _commit_snapshot(spark, manifest_dir, derive)
-    return spark.createDataFrame(
-        [(snapshot, len({p["file_path"] for p in pairs}), seq)],
+    return _lit_df(
+        spark,
         "restored_from long, files long, snapshot long",
+        [(snapshot, len({p["file_path"] for p in pairs}), seq)],
     )
 
 
@@ -3481,9 +3529,10 @@ def manifest_clone(
     ):
         fs.mkdirs(P(f"{dst_manifest}/commits/b{b}"))
     fs.mkdirs(P(f"{dst_manifest}/_shallow_clone"))
-    return spark.createDataFrame(
-        [(src_seq, len({r["file_path"] for r in meta}), seq)],
+    return _lit_df(
+        spark,
         "cloned_from long, files long, snapshot long",
+        [(src_seq, len({r["file_path"] for r in meta}), seq)],
     )
 
 
@@ -4060,10 +4109,11 @@ def vacuum(
     # this dir (the memos rely on committed-version immutability, which
     # vacuum is the single operation allowed to break)
     _invalidate_manifest_memos(spark, manifest_dir)
-    return spark.createDataFrame(
-        [(files_deleted, bytes_deleted, snapshots_deleted, len(live))],
+    return _lit_df(
+        spark,
         "files_deleted long, bytes_deleted long, snapshots_deleted long, "
         "files_live long",
+        [(files_deleted, bytes_deleted, snapshots_deleted, len(live))],
     )
 
 
@@ -4163,11 +4213,12 @@ def compact_manifest(
     complete = complete0
 
     def audit(n_new: int, written: int, rewritten_bytes: int, snap_seq):
-        return spark.createDataFrame(
-            [(written, kept if written else n_files, rewritten_bytes,
-              n_new, snap_seq)],
+        return _lit_df(
+            spark,
             "files_rewritten long, files_kept long, bytes_rewritten long, "
             "n_new_files long, snapshot long",
+            [(written, kept if written else n_files, rewritten_bytes,
+              n_new, snap_seq)],
         )
 
     if len(smalls) < 2:
