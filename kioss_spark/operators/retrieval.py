@@ -147,16 +147,30 @@ _SCORE_E6_SQL = (
 )
 
 
-def bm25_stats(inv: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+def bm25_stats(
+    inv: DataFrame, materialize: bool = False
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Inverted statistics from a (doc_id, term) occurrence stream:
     returns ``(tfdl, df, g)`` where tfdl = per-(doc, term) counts WITH
     the per-doc length attached by a doc-keyed window (no join — the
     postings table stays one relation, and Spark's ReuseExchange shares
     its (doc_id, term) combine with the df branch), df derives from the
-    same combine, and g is the 1-row (n_docs, n_toks) global table."""
+    same combine, and g is the 1-row (n_docs, n_toks) global table.
+
+    ``materialize=True`` eagerly ``localCheckpoint``s the (doc, term)
+    combine before deriving the three views.  Column pruning otherwise
+    clones the combine per consumer (the df branch drops tf, the g
+    branch drops term, the scorer keeps everything), producing
+    per-branch exchanges ReuseExchange cannot dedupe — a served topk
+    plan re-ran the corpus scan+combine up to six times (profiled:
+    six single-task scan stages, ~0.5 s each at sf0.1).  The checkpoint
+    pays one combine and every view reads it.  Leave False for lazy
+    composition (streaming sinks, merge laws, tests)."""
     tf = inv.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
     tfdl = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
     )
@@ -173,7 +187,7 @@ def bm25_stats(inv: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
 
 
 def bm25_stats_positional(
-    inv_pos: DataFrame,
+    inv_pos: DataFrame, materialize: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Positional inverted statistics from a (doc_id, term, pos)
     occurrence stream (1-based positions — ``posexplode`` callers add 1):
@@ -186,13 +200,19 @@ def bm25_stats_positional(
 
     Returns ``(tfdl, df, g)`` where tfdl additionally carries
     ``positions: array<bigint>`` (sorted, one entry per occurrence, so
-    ``size(positions) == tf``)."""
+    ``size(positions) == tf``).
+
+    ``materialize=True``: same one-combine checkpoint as ``bm25_stats``
+    (the payoff is larger here — the pruned-positions clones each
+    re-carry the collect_list)."""
     tf = inv_pos.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
             "positions"
         ),
     )
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
     tfdl = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id")).cast("long")
     )
@@ -728,6 +748,22 @@ def bm25_phrase_topk(
         )
     )
     matched = tfdl.join(F.broadcast(qterms), "term")
+    # ONE pinned-width (query, doc) exchange shared by both lanes: the
+    # bow and phrase branches otherwise each re-run the postings join
+    # and aggregate through their own exchange, which AQE coalesces to
+    # 1-2 tasks on byte size while the phrase position-fold is CPU-dense
+    # (profiled: 1.3 s single-task fold stages at sf0.1).  Repartitioning
+    # by a PREFIX of both lanes' grouping keys lets each aggregate run
+    # exchange-free on top of it (hash(query, doc) clusters (query, doc,
+    # term) too), the join+window compute once, and the explicit width
+    # pins the fold at full parallelism (REPARTITION_BY_NUM is not
+    # AQE-coalesced; guide §2.4 share-one-exchange, §2.5 CPU-dense
+    # small-bytes stages).
+    matched = matched.repartition(
+        matched.sparkSession.sparkContext.defaultParallelism,
+        "query_id",
+        "doc_id",
+    )
     # bag-of-words lane: one contribution per DISTINCT (query, term) even
     # when a phrase repeats a term at two offsets
     bow = (

@@ -1632,7 +1632,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tfdl, df, g = retrieval.bm25_stats(inv)
+    # one-combine materialization: column pruning otherwise clones the
+    # (doc, term) combine per consumer (df / g / scorer variants) into
+    # exchanges ReuseExchange cannot dedupe — see bm25_stats
+    # (spread_scan on the docs side A/B-measured a loss here: the
+    # round-robin exchange carries the full text payload)
+    tfdl, df, g = retrieval.bm25_stats(inv, materialize=True)
     qt = (
         df.withColumn(
             "rn",
@@ -1719,7 +1724,10 @@ def bm25_maxscore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tfdl, df, g = retrieval.bm25_stats(inv)
+    # one-combine materialization (see bm25_stats): the maxscore plan
+    # references tfdl three times (bounds, essential scoring, phase 2)
+    # plus df/g — unmaterialized, the combine cloned six ways
+    tfdl, df, g = retrieval.bm25_stats(inv, materialize=True)
     common = (
         df.withColumn(
             "rn",
@@ -1930,7 +1938,8 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = docs.where(F.col("doc_id") >= 8).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tfdl, df, g = retrieval.bm25_stats(inv)
+    # one-combine materialization (see bm25_stats)
+    tfdl, df, g = retrieval.bm25_stats(inv, materialize=True)
     qt = docs.where(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("query_id"),
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
@@ -2070,39 +2079,49 @@ def _phrase_query_set(docs: DataFrame) -> DataFrame:
     The rank windows run single-partition BY DESIGN on the n-gram COUNT
     tables (vocabulary^n-grain, sublinear in corpus — the fixture
     vocabulary is ~31 words; at larger vocabularies swap in a two-stage
-    partial top-k, the counts themselves stay map-side combined)."""
+    partial top-k, the counts themselves stay map-side combined).
+
+    Bigrams and trigrams extract in ONE corpus pass (one explode over
+    the concatenated per-n gram arrays, one (n, terms) count, one
+    n-partitioned rank window) — the two-scan/two-window original cost
+    two extra single-task scan stages per query (guide §1.2)."""
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
 
-    def ngrams(n: int) -> DataFrame:
+    def gram_expr(n: int) -> str:
         items = ", ".join(f"element_at(t, i + {j})" for j in range(n))
         # CASE guard: sequence(1, 0) DESCENDS in Spark, so short docs
         # must yield an empty array, not a reversed range
-        return toks.select(
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(t) >= {n} THEN "
-                    f"transform(sequence(1, size(t) - {n - 1}), "
-                    f"i -> array({items})) "
-                    "ELSE array() END"
-                )
-            ).alias("terms")
-        )
-
-    def top(n: int, limit: int, id_base: int) -> DataFrame:
-        cnt = ngrams(n).groupBy("terms").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.orderBy(
-            F.col("c").desc(), F.array_join(F.col("terms"), " ")
-        )
         return (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= limit)
-            .select(
-                (F.col("rn") + id_base).cast("long").alias("query_id"),
-                "terms",
-            )
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n - 1}), "
+            f"i -> struct(CAST({n} AS INT) AS n, array({items}) AS terms)) "
+            "ELSE array() END"
         )
 
-    return top(2, 6, -1).unionByName(top(3, 2, 5))
+    grams = toks.select(
+        F.explode(
+            F.expr(f"concat({gram_expr(2)}, {gram_expr(3)})")
+        ).alias("g")
+    ).select(F.col("g.n").alias("n"), F.col("g.terms").alias("terms"))
+    cnt = grams.groupBy("n", "terms").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("n").orderBy(
+        F.col("c").desc(), F.array_join(F.col("terms"), " ")
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("n") == 2) & (F.col("rn") <= 6)
+            | (F.col("n") == 3) & (F.col("rn") <= 2)
+        )
+        .select(
+            (
+                F.col("rn") + F.when(F.col("n") == 2, F.lit(-1)).otherwise(
+                    F.lit(5)
+                )
+            ).cast("long").alias("query_id"),
+            "terms",
+        )
+    )
 
 
 def _bm25_phrase_query(spark: SparkSession, sf_dir: str, slop: int) -> DataFrame:
@@ -2112,6 +2131,10 @@ def _bm25_phrase_query(spark: SparkSession, sf_dir: str, slop: int) -> DataFrame
     inv = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "term")
     ).select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("pos"))
+    # NO materialization here, unlike the bag-of-words topk queries:
+    # interleaved 6-rep A/B at sf0.1 measured the positional checkpoint
+    # a 0.3-0.4 s LOSS per query (writing the position arrays to the
+    # block store costs more than the deduped combine clones save)
     tfdl, df, g = retrieval.bm25_stats_positional(inv)
     phrases = _phrase_query_set(docs)
     return retrieval.bm25_phrase_topk(

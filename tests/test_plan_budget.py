@@ -232,7 +232,10 @@ MAX_SCAN_COLS = {
     "unigram_segment_corpus": 2,  # doc_id, text — scores are plan literals
     "tokenizer_compare": 2,  # source, text — both models are plan literals
     "quality_ccnet_buckets": 3,  # doc_id, source, text
-    "bm25_topk": 2,  # doc_id, text — stats derive from one token stream
+    # round-15: bm25_topk's corpus scan moved INTO the materialized
+    # (doc, term) combine (bm25_stats materialize=True) — the served
+    # plan reads the checkpoint, so its scan width is pinned on the
+    # stats subplan instead (test_bm25_stats_scan_pruning below)
     "mm_phash_dedup": 2,  # doc_id, text — the hash folds are pure algebra
     "wordpiece_segment_corpus": 2,  # doc_id, text — vocab is plan literals
     # round-11 stored-index leg: the widest scan is now the persisted
@@ -293,3 +296,29 @@ def test_hard_negative_mining_python_is_allowlisted():
     # the round-6 partial top-k seam is DELIBERATE — pin its allowlisting so
     # the audit doc and this gate can't silently disagree again
     assert "hard_negative_mining" in PYTHON_OK
+
+
+def test_bm25_stats_scan_pruning(spark, sf_dir):
+    # round-15: the bag-of-words topk queries materialize the (doc, term)
+    # combine (bm25_stats materialize=True), so the corpus scan no longer
+    # appears in the SERVED plan (the checkpoint truncates it).  Pin the
+    # pruning on the subplan the checkpoint executes instead: the lazy
+    # stats build must read only (doc_id, text) from the documents table.
+    from pyspark.sql import functions as F
+
+    from kioss_spark.operators import retrieval
+    from kioss_spark.queries.llm import _docs, tokens
+    from tools.audit_plans import analyze_plan
+
+    docs = _docs(spark, sf_dir)
+    inv = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tfdl, _, _ = retrieval.bm25_stats(inv)  # same subtree, un-truncated
+    plan = tfdl._sc._jvm.PythonSQLUtils.explainString(
+        tfdl._jdf.queryExecution(), "formatted"
+    )
+    got = analyze_plan(plan)["scancols"]
+    assert got and got <= 2, (
+        f"bm25_stats combine scan reads {got} columns (budget 2)"
+    )
